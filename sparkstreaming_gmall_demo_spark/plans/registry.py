@@ -1,0 +1,461 @@
+"""Declared query registry: the correctness contract (SURVEY §2.10).
+
+Each entry pairs a PySpark DataFrame builder with the equivalent ANSI
+SQL for the DuckDB oracle. Column names and types are aligned on both
+sides (the driver's comparator sorts columns by name and hashes values,
+so every computed column is explicitly aliased AND cast identically).
+
+Canonical output forms (engine-portability rules):
+- counts            -> BIGINT (Spark count == DuckDB count(*))
+- hour-of-day       -> INTEGER (DuckDB hour() is BIGINT -> cast)
+- money sums        -> DECIMAL(18,2), cast on the *sum* result too
+  (Spark widens to (28,2), DuckDB to (38,2))
+- window starts     -> 'yyyy-MM-dd HH:mm:ss' strings
+- ratios            -> floor(x + 0.5) Java-Math.round semantics, BIGINT
+- doubles           -> round(x, 4)
+
+Fixed parameters are chosen to be non-degenerate at every fixture
+scale factor (verified: >=2 orders on ORDERS_DATE at sf0.001; alert
+query non-empty at sf0.001 with 1h/threshold-2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from ..functions import money, log_date, log_hour, permille
+from ..operators import agg as agg_ops
+from ..operators import dedup as dedup_ops
+from ..operators import joins as join_ops
+from ..operators import pagination as page_ops
+from ..operators import text as text_ops
+from ..operators import windows as win_ops
+
+# -- fixed, scale-independent parameters -----------------------------------
+EVENTS_DATE = "2024-01-05"
+ORDERS_DATE = "1995-01-18"
+ALERT_WINDOW = "1 hour"          # reference uses 5 min (app/AlertApp.scala:39);
+ALERT_MIN_DISTINCT = 2           # and threshold 3 (:62). Fixture events are
+                                 # sparser than the reference's burst generator,
+                                 # so the declared query uses 1h/2 to exercise
+                                 # both the >=N and the veto arms with data.
+SEARCH_KEYWORD = "spark join"
+SEARCH_LANG = "en"
+PAGE_EVENT_TYPE = "click"
+PAGE_NO, PAGE_SIZE = 3, 20
+BAND_SEGMENT = "BUILDING"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: Optional[str], description: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Q1 -- DAU total: dedup count for a date
+# (reference handler/DauHandler.scala:17-22,61-73 + mapper/DauMapper.xml:4-6)
+# ---------------------------------------------------------------------------
+@_register(
+    "q1_dau_total",
+    f"""
+    SELECT count(DISTINCT user_id) AS dau
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+    """,
+    "DAU total for a date (cross-batch dedup count)",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 -- DAU per hour, each user counted in the hour of their FIRST event
+# of the day (reference DauHandler.scala:20 keeps the first record per
+# mid+date; DauMapper.xml:8-11 groups the kept rows by hour)
+# ---------------------------------------------------------------------------
+@_register(
+    "q2_dau_hourly",
+    f"""
+    SELECT CAST(hour(first_ts) AS INTEGER) AS log_hour, count(*) AS ct
+    FROM (
+        SELECT user_id, min(ts) AS first_ts
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+        GROUP BY user_id
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+    "DAU per hour, user counted in first-seen hour",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first = (
+        events.filter(log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    return (
+        first.groupBy(log_hour("first_ts").alias("log_hour"))
+        .agg(F.count("*").alias("ct"))
+        .orderBy("log_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 -- GMV total for a date (reference mapper/OrderMapper.xml:4-8)
+# ---------------------------------------------------------------------------
+@_register(
+    "q3_gmv_total",
+    f"""
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) = DATE '{ORDERS_DATE}'
+    """,
+    "GMV total for a date (decimal money sum)",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(log_date("o_orderdate") == F.lit(ORDERS_DATE).cast("date"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 -- GMV per hour (reference mapper/OrderMapper.xml:10-16). Fixture
+# o_orderdate is date-grained (hour always 0) -- kept for reference
+# parity; q4b below exercises real hours on the events stream.
+# ---------------------------------------------------------------------------
+@_register(
+    "q4_gmv_hourly",
+    f"""
+    SELECT CAST(hour(o_orderdate) AS INTEGER) AS create_hour,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) = DATE '{ORDERS_DATE}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "GMV per hour of order create time",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(log_date("o_orderdate") == F.lit(ORDERS_DATE).cast("date"))
+        .groupBy(log_hour("o_orderdate").alias("create_hour"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+        .orderBy("create_hour")
+    )
+
+
+@_register(
+    "q4b_purchase_value_hourly",
+    f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS log_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           count(*) AS ct
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}' AND event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "hourly purchase value on the event stream (non-degenerate hours)",
+)
+def q4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy(log_hour("ts").alias("log_hour"))
+        .agg(
+            F.sum(money("value")).cast("decimal(18,2)").alias("total_value"),
+            F.count("*").alias("ct"),
+        )
+        .orderBy("log_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 -- sale-detail wide join (reference app/SaleDetailApp.scala:50-157):
+# orders FULL OUTER lineitem LEFT customer, aggregated by segment with
+# the NULL group kept.
+# ---------------------------------------------------------------------------
+@_register(
+    "q5_sale_detail_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+    FROM orders
+    FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+    LEFT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment NULLS FIRST
+    """,
+    "3-way denormalization join aggregated by segment",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    wide = join_ops.sale_detail_wide(orders, lineitem, customer)
+    return (
+        wide.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+        )
+        .orderBy(F.asc_nulls_first("c_mktsegment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 -- coupon-alert window (reference app/AlertApp.scala:39-66): per
+# event-time window and user, >= N distinct qualifying events AND no
+# disqualifying event. Declared form: tumbling window for determinism.
+# ---------------------------------------------------------------------------
+@_register(
+    "q6_alert_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '{ALERT_WINDOW}', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS BIGINT) AS qualify_count,
+           list_sort(list_distinct(list(event_type))) AS event_types
+    FROM events
+    GROUP BY time_bucket(INTERVAL '{ALERT_WINDOW}', ts), user_id
+    HAVING count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) >= {ALERT_MIN_DISTINCT}
+       AND max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 0
+    ORDER BY window_start, user_id
+    """,
+    "windowed alert: >=N distinct qualifiers and no veto event",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    alerts = agg_ops.alert_aggregate(
+        grouped_cols=[win_ops.tumbling("ts", ALERT_WINDOW).alias("w"), F.col("user_id")],
+        qualify=F.col("event_type") == "purchase",
+        qualify_id=F.col("event_id"),
+        disqualify=F.col("event_type") == "error",
+        df=events,
+        min_distinct=ALERT_MIN_DISTINCT,
+    )
+    return alerts.select(
+        win_ops.window_start_str(F.col("w")).alias("window_start"),
+        F.col("user_id"),
+        F.col("qualify_count"),
+        F.sort_array(F.col("event_types")).alias("event_types"),
+    ).orderBy("window_start", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q7 -- first-record-per-group dedup (reference handler/DauHandler.scala:17-22)
+# with a checksum projection so the kept-row choice is verified.
+# ---------------------------------------------------------------------------
+@_register(
+    "q7_first_per_group",
+    """
+    SELECT count(*) AS kept,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           min(event_id) AS id_min,
+           max(event_id) AS id_max
+    FROM (
+        SELECT event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    "keep first event per user per day; checksum the kept set",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kept = dedup_ops.first_per_group(
+        events.withColumn("log_date", log_date("ts")),
+        keys=["user_id", "log_date"],
+        order=["ts", "event_id"],
+    )
+    return kept.agg(
+        F.count("*").alias("kept"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 -- top-k groups by count (reference PublisherServiceImpl.java:89-95
+# ES terms agg, size=k)
+# ---------------------------------------------------------------------------
+@_register(
+    "q8_topk_users",
+    """
+    SELECT user_id, cnt FROM (
+        SELECT user_id, count(*) AS cnt
+        FROM events
+        GROUP BY user_id
+    )
+    ORDER BY cnt DESC, user_id ASC
+    LIMIT 10
+    """,
+    "top-10 users by event count (terms-agg analog)",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return agg_ops.topk_groups(events, "user_id", 10)
+
+
+# ---------------------------------------------------------------------------
+# Q9 -- keyword AND-match + term filter (reference
+# PublisherServiceImpl.java:84-87): every token must appear; lang term
+# filter; page of doc ids + total alongside (the getTotal() envelope,
+# :108).
+# ---------------------------------------------------------------------------
+@_register(
+    "q9_keyword_search",
+    f"""
+    WITH matches AS (
+        SELECT doc_id
+        FROM documents
+        WHERE lang = '{SEARCH_LANG}'
+          AND list_contains(string_split(text, ' '), 'spark')
+          AND list_contains(string_split(text, ' '), 'join')
+    )
+    SELECT doc_id, (SELECT count(*) FROM matches) AS total
+    FROM matches
+    ORDER BY doc_id
+    LIMIT 10
+    """,
+    "keyword AND-match with total-hits envelope",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    matches = text_ops.keyword_and_match(
+        docs.filter(F.col("lang") == SEARCH_LANG), "text", SEARCH_KEYWORD
+    ).select("doc_id")
+    with_total = matches.withColumn("total", F.count("*").over(Window.partitionBy()))
+    return with_total.orderBy("doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Q10 -- demographic bands + per-mille Java rounding (reference
+# PublisherServiceImpl.java:125-179)
+# ---------------------------------------------------------------------------
+@_register(
+    "q10_banded_ratios",
+    f"""
+    WITH seg AS (SELECT c_acctbal FROM customer WHERE c_mktsegment = '{BAND_SEGMENT}'),
+    t AS (
+        SELECT count(*) AS total,
+               sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN c_acctbal >= 0 AND c_acctbal < 5000 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS c2
+        FROM seg
+    )
+    SELECT band, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(cnt * 1000.0 / total + 0.5) AS BIGINT) AS ratio_permille
+    FROM (
+        SELECT 'negative' AS band, c0 AS cnt, total FROM t
+        UNION ALL SELECT 'low', c1, total FROM t
+        UNION ALL SELECT 'high', c2, total FROM t
+    )
+    ORDER BY band
+    """,
+    "acctbal bands within a segment, per-mille Math.round ratios",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    seg = customer.filter(F.col("c_mktsegment") == BAND_SEGMENT)
+    bands = [
+        ("negative", F.col("c_acctbal") < 0),
+        ("low", (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 5000)),
+        ("high", F.col("c_acctbal") >= 5000),
+    ]
+    return agg_ops.banded_ratios(seg, "c_acctbal", bands).orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# Q11 -- pagination (reference PublisherServiceImpl.java:98-99):
+# page PAGE_NO of PAGE_SIZE under a stable order.
+# ---------------------------------------------------------------------------
+@_register(
+    "q11_pagination",
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type = '{PAGE_EVENT_TYPE}'
+    ORDER BY event_id
+    LIMIT {PAGE_SIZE} OFFSET {(PAGE_NO - 1) * PAGE_SIZE}
+    """,
+    "offset/limit pagination under stable total order",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    filtered = events.filter(F.col("event_type") == PAGE_EVENT_TYPE).select(
+        "event_id", "user_id", "event_type"
+    )
+    return page_ops.page(filtered, ["event_id"], PAGE_NO, PAGE_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# Q12 -- idempotent-sink dedup keys (reference app/AlertApp.scala:74 doc
+# id = mid + ts/1000/60; MyEsUtil.scala:55-58 upsert): distinct
+# (user, minute-bucket) keys of the Q6 alert stream.
+# ---------------------------------------------------------------------------
+@_register(
+    "q12_alert_dedup_keys",
+    f"""
+    WITH alerts AS (
+        SELECT time_bucket(INTERVAL '{ALERT_WINDOW}', ts) AS wb, user_id
+        FROM events
+        GROUP BY 1, user_id
+        HAVING count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) >= {ALERT_MIN_DISTINCT}
+           AND max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 0
+    )
+    SELECT count(*) AS n_alert_keys FROM (
+        SELECT DISTINCT user_id, CAST(floor(epoch(wb) / 60) AS BIGINT) AS minute_bucket
+        FROM alerts
+    )
+    """,
+    "distinct idempotent alert sink keys (user, minute bucket)",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    alerts = agg_ops.alert_aggregate(
+        grouped_cols=[win_ops.tumbling("ts", ALERT_WINDOW).alias("w"), F.col("user_id")],
+        qualify=F.col("event_type") == "purchase",
+        qualify_id=F.col("event_id"),
+        disqualify=F.col("event_type") == "error",
+        df=events,
+        min_distinct=ALERT_MIN_DISTINCT,
+    )
+    keys = alerts.select(
+        "user_id",
+        (F.unix_timestamp(F.col("w").getField("start")) / 60).cast("long").alias("minute_bucket"),
+    ).dropDuplicates(["user_id", "minute_bucket"])
+    return keys.agg(F.count("*").alias("n_alert_keys"))

@@ -1,0 +1,1 @@
+from .fixtures import load_table, register_views  # noqa: F401
