@@ -1,0 +1,58 @@
+"""Per-round benchmark: run the declared headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Methodology matches BASELINE.md section B: warm timing — each query
+runs once untimed (JVM/codegen warm-up, file listing), then the timed
+run. ``value`` is the summed warm wall time across queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+from sparkstreaming_gmall_demo_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gmall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        # Warm-up executes the same plan shape end-to-end (collect, not
+        # count: count() prunes to a different physical plan and leaves
+        # the real query's codegen cold). Two timed fresh builds, best
+        # taken -- "warm wall" per BASELINE.md methodology.
+        spec.build(spark, sf_dir).collect()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_warm_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,8 +29,16 @@ from pyspark.sql import functions as F
 def full_outer_fanout_join(left: DataFrame, right: DataFrame, key_left: str, key_right: str) -> DataFrame:
     """Full outer equi-join keeping both unmatched sides (reference
     app/SaleDetailApp.scala:50-51 fullOuterJoin semantics, incl. 1:N
-    fanout of details under one order)."""
-    return left.join(right, left[key_left] == right[key_right], "full_outer")
+    fanout of details under one order).
+
+    SHUFFLE_HASH hint on the smaller (left/orders) side: full outer
+    can't broadcast, and hash beats sort-merge here by skipping both
+    sorts; Spark's shuffled hash join spills build-side partitions, and
+    AQE still splits skewed keys, so this holds at cluster scale.
+    """
+    return left.hint("SHUFFLE_HASH").join(
+        right, left[key_left] == right[key_right], "full_outer"
+    )
 
 
 def dim_enrich(fact: DataFrame, dim: DataFrame, fact_key, dim_key: str) -> DataFrame:
