@@ -1,0 +1,98 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB:
+- the payload is a BinaryType column (or a (path, offset, length)
+  pointer into an object store for very large blobs);
+- a typed metadata struct travels alongside (modality, n_bytes, ...);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: one Python worker per partition, whole
+  columnar batches across the JVM<->Python boundary, no per-row cost.
+
+The actual codec step is STUBBED here (image/audio libraries are not in
+this container): ``decode_image_stub`` raises NotImplementedError when
+``strict`` else produces a deterministic fake decode. The Spark-side
+plumbing — schema, batching, partitioning — is real and tested;
+swapping in PIL/ffmpeg is a one-function change inside the UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Materialize an opaque binary payload column + metadata struct.
+
+    Fixtures carry no real media, so the payload is the utf-8 encoding
+    of the text column — the point is the column plumbing (BinaryType +
+    struct metadata), which is identical for real media bytes.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.when(F.col(source_col).isin("web", "wiki"), F.lit("image"))
+            .otherwise(F.lit("audio"))
+            .alias("modality"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ),
+    )
+
+
+def decode_image_stub(df: DataFrame, strict: bool = False) -> DataFrame:
+    """STUB decode stage over mapInPandas.
+
+    strict=True raises NotImplementedError (the honest "no codec in
+    this container" path). strict=False emits a deterministic fake
+    decode (dimensions derived from payload bytes) so the batching,
+    schema, and partition behavior are exercised end-to-end.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media codec not available in this environment; "
+                    "swap this block for PIL/ffmpeg decode"
+                )
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["meta"].map(lambda m: m["modality"]),
+                    "n_bytes": n_bytes,
+                    # deterministic fake: dimensions are pure functions
+                    # of the payload length
+                    "width": (n_bytes % 640 + 1).astype("int32"),
+                    "height": (n_bytes % 480 + 1).astype("int32"),
+                    "n_frames": (n_bytes % 16 + 1).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(decode, DECODED_SCHEMA)

@@ -1,0 +1,320 @@
+"""Extension queries: the training-data-pipeline operator family
+(dedup, similarity search, text analysis, multimodal plumbing) as
+declared, oracle-checked entries (SURVEY §2.10 extension candidates
+E1-E4, promoted).
+
+Oracle policy: everything SQL-expressible gets a DuckDB oracle with
+IDENTICAL arithmetic (integer Jaccard ratios, double cosine rounded to
+4dp, md5 fingerprints). Hash-family-dependent ops (MinHash, SimHash,
+LSH) cannot be mirrored in DuckDB — they are rows-only here and
+verified against exact ground truth in tests/test_neardup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from ..operators import multimodal as mm_ops
+from ..operators import neardup as nd_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+from .registry import _register
+
+JACCARD_LANG = "de"
+JACCARD_THRESHOLD = 0.8
+TOPK_QUERY_VEC_ID = 0
+TOPK_K = 10
+
+
+# ---------------------------------------------------------------------------
+# E1 family: deduplication
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_fingerprint_dedup",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5(lower(text))) AS n_unique,
+           min(md5(lower(text))) AS fp_min,
+           max(md5(lower(text))) AS fp_max
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    "exact dedup via md5 fingerprint of normalized text, per language",
+)
+def ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text_ops.fingerprint(docs)
+    return (
+        fp.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_unique"),
+            F.min("fingerprint").alias("fp_min"),
+            F.max("fingerprint").alias("fp_max"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_jaccard_neardup",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.toks, b.toks)) AS inter,
+               len(a.toks) AS sa, len(b.toks) AS sb
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT i, j, round(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY i, j
+    """,
+    "exact token-set Jaccard near-duplicate pairs (bounded partition)",
+)
+def ext_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("i", "j")
+
+
+@_register(
+    "ext_minhash_neardup",
+    None,  # xxhash64 family not reproducible in DuckDB; ground-truth
+    # comparison against exact Jaccard lives in tests/test_neardup.py
+    "MinHash+LSH near-duplicate pairs (scale path)",
+)
+def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return nd_ops.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD).orderBy("i", "j")
+
+
+@_register(
+    "ext_simhash_neardup",
+    None,  # same: hash-family dependent
+    "SimHash near-duplicate pairs (Hamming <= 3 via chunk banding)",
+)
+def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return nd_ops.simhash_near_duplicates(docs, max_hamming=3).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# E2 family: similarity search
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {TOPK_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id,
+               round(
+                 list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                 / (sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_inner_product(qv, qv))), 4) AS score
+        FROM embeddings, q
+    )
+    SELECT vec_id, score FROM scored
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {TOPK_K}
+    """,
+    "brute-force cosine top-k similarity search (exact baseline)",
+)
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    return sim_ops.cosine_topk(emb, q, k=TOPK_K)
+
+
+@_register(
+    "ext_lsh_topk",
+    None,  # approximate by design; recall vs brute force in tests
+    "LSH-bucketed approximate cosine top-k (scale path)",
+)
+def ext_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    return sim_ops.lsh_topk(emb, q, k=TOPK_K)
+
+
+@_register(
+    "ext_embedding_neardup",
+    None,  # fixture embeddings contain no high-cosine pairs; semantics
+    # verified on synthetic planted duplicates in tests
+    "embedding cosine near-duplicate pairs via LSH buckets",
+)
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_neardup_pairs(emb, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# E3 family: text analysis
+# ---------------------------------------------------------------------------
+_LANGS_REV = ["zh", "fr", "es", "en", "de"]  # reverse-lex: ties pick the
+# lexicographically-last language, matching array_max(struct(score,lang))
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"
+
+
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN {_score_sql(l)} >= greatest({', '.join(_score_sql(o) for o in _LANGS_REV if o != l)}) THEN '{l}'"
+    for l in _LANGS_REV
+) + " END"
+
+
+@_register(
+    "ext_langid_confusion",
+    f"""
+    SELECT lang, {_PRED_SQL} AS pred_lang, count(*) AS cnt
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "stopword-overlap language ID, confusion matrix vs labeled lang",
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_ops.language_id(docs)
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@_register(
+    "ext_quality_scores",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round((length(text) - (len(string_split(text, ' ')) - 1) * 1.0)
+                 / len(string_split(text, ' ')), 4) AS mean_token_len,
+           round(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0
+                 / length(text), 4) AS alpha_ratio
+    FROM documents
+    ORDER BY doc_id
+    """.format(
+        stop="["
+        + ", ".join(
+            f"'{w}'"
+            for w in sorted({w for ws in text_ops.LANG_STOPWORDS.values() for w in ws})
+        )
+        + "]"
+    ),
+    "per-document quality features (length/stopword/alpha ratios)",
+)
+def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "ext_token_counts",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    "token counting rolled up per language (exact integer sums)",
+)
+def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = text_ops.token_count(docs)
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_token_stats",
+    """
+    SELECT lang, token, cnt, rank FROM (
+        SELECT lang, token, cnt,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+        FROM (
+            SELECT lang, token, count(*) AS cnt
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY lang, token
+        )
+    ) WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    "top-5 token frequencies per language",
+)
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs, k=5).orderBy("lang", "rank")
+
+
+# ---------------------------------------------------------------------------
+# E4 family: multimodal columns
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_multimodal_meta",
+    """
+    SELECT CASE WHEN source IN ('web', 'wiki') THEN 'image' ELSE 'audio' END AS modality,
+           count(*) AS n_payloads,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    "binary payload + typed metadata plumbing (modality rollup)",
+)
+def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm_ops.attach_payload(docs)
+    return (
+        with_payload.groupBy(F.col("meta.modality").alias("modality"))
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+@_register(
+    "ext_decode_stub",
+    None,  # mapInPandas stage; deterministic fake decode, checked by
+    # schema/row-count invariants in tests/test_multimodal.py
+    "stubbed media decode over Arrow-batched mapInPandas",
+)
+def ext_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm_ops.decode_image_stub(mm_ops.attach_payload(docs))
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_decoded"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("n_frames").cast("long").alias("sum_frames"),
+        )
+        .orderBy("modality")
+    )

@@ -1,0 +1,90 @@
+"""Ground-truth checks for hash-family near-dup ops (no SQL oracle
+possible: xxhash64 isn't reproducible in DuckDB).
+
+- MinHash+LSH is validated against the exact token-shingle Jaccard
+  pairs: every returned pair must truly exceed the threshold
+  (verification step guarantees precision = 1.0) and recall vs exact
+  ground truth must be high.
+- SimHash pairs must be symmetric-free (i<j), within the Hamming
+  bound, and catch planted duplicates.
+- Embedding near-dup must find planted near-identical vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import neardup as nd
+from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+
+def test_minhash_precision_and_recall(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    # ground truth on the same shingle space as the minhash op
+    sh = docs.select(F.col("doc_id"), nd.shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.8)
+    )
+    truth = {(r.i, r.j) for r in exact.collect()}
+    found = {(r.i, r.j) for r in nd.minhash_near_duplicates(docs, 0.8).collect()}
+    # verification step makes every found pair exact-correct
+    assert found <= truth
+    if truth:
+        recall = len(found) / len(truth)
+        assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_planted_duplicate(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        (3, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.i, r.j) for r in nd.simhash_near_duplicates(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_is_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "same exact words"), (2, "same exact words")], ["doc_id", "text"]
+    )
+    got = nd.simhash_near_duplicates(df, max_hamming=0).collect()
+    assert [(r.i, r.j, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_embedding_neardup_planted(spark):
+    base = [float(i % 7) - 3.0 for i in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    far = [float((i * 3) % 5) - 2.0 for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pairs = {(r.i, r.j) for r in sim.cosine_neardup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, 0)
+    brute = [r.vec_id for r in sim.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in sim.lsh_topk(emb, q, k=10, num_planes=12, probe_bits=2).collect()]
+    # the query vector itself always lands in its own bucket
+    assert 0 in approx
+    overlap = len(set(brute) & set(approx)) / 10
+    assert overlap >= 0.3, f"LSH recall vs brute force too low: {overlap}"

@@ -1,0 +1,85 @@
+"""Unit tests for operator edge cases (SURVEY §5.3): permille rounding
+boundaries, pagination bounds, age-as-of, alert predicate arms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.functions import age_as_of, permille
+from sparkstreaming_gmall_demo_spark.operators import agg as agg_ops
+from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+from sparkstreaming_gmall_demo_spark.operators import pagination as page_ops
+
+
+def test_permille_java_round_semantics(spark):
+    # Math.round = floor(x + 0.5): 2.5 -> 3, 0.5 -> 1 (never bankers)
+    df = spark.createDataFrame(
+        [(1, 400), (1, 2), (3, 400), (5, 1000)], ["cnt", "total"]
+    )
+    got = [r[0] for r in df.select(permille("cnt", "total")).collect()]
+    #   1*1000/400=2.5->3 ; 1*1000/2=500 ; 3*1000/400=7.5->8 ; 5*1000/1000=5
+    assert got == [3, 500, 8, 5]
+
+
+def test_permille_zero_count(spark):
+    df = spark.createDataFrame([(0, 7)], ["cnt", "total"])
+    assert df.select(permille("cnt", "total")).collect()[0][0] == 0
+
+
+def test_age_as_of_365_semantics(spark):
+    # reference bean/SaleDetail.scala:44-57: ms diff / 365 days, floor
+    df = spark.createDataFrame([("2000-01-01",), ("2000-03-01",)], ["birthday"])
+    got = [r[0] for r in df.select(age_as_of("birthday", "2020-01-01")).collect()]
+    # 7305 days / 365 = 20.01 -> 20 ; 7245 / 365 = 19.8 -> 19
+    assert got == [20, 19]
+
+
+def test_pagination_boundaries(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 26)], ["k"])  # 25 rows
+    p1 = [r.k for r in page_ops.page(df, ["k"], 1, 10).collect()]
+    p3 = [r.k for r in page_ops.page(df, ["k"], 3, 10).collect()]
+    p4 = [r.k for r in page_ops.page(df, ["k"], 4, 10).collect()]
+    assert p1 == list(range(1, 11))
+    assert p3 == list(range(21, 26))  # short last page
+    assert p4 == []  # past the end
+
+    keyset = [r.k for r in page_ops.keyset_page(df, "k", 20, 10).collect()]
+    assert keyset == list(range(21, 26))
+
+
+def test_alert_both_arms(spark):
+    # group a: 2 distinct purchases, no error -> alert
+    # group b: 2 distinct purchases + 1 error  -> vetoed
+    # group c: 1 purchase (repeated id)        -> below threshold
+    rows = [
+        ("a", "purchase", 1), ("a", "purchase", 2), ("a", "view", 3),
+        ("b", "purchase", 4), ("b", "purchase", 5), ("b", "error", 6),
+        ("c", "purchase", 7), ("c", "purchase", 7),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "event_type", "event_id"])
+    out = agg_ops.alert_aggregate(
+        grouped_cols=[F.col("grp")],
+        qualify=F.col("event_type") == "purchase",
+        qualify_id=F.col("event_id"),
+        disqualify=F.col("event_type") == "error",
+        df=df,
+        min_distinct=2,
+    ).collect()
+    assert [r.grp for r in out] == ["a"]
+    assert out[0].qualify_count == 2
+    assert sorted(out[0].event_types) == ["purchase", "view"]
+
+
+def test_first_per_group_deterministic_tie(spark):
+    rows = [("u", 5, "b"), ("u", 5, "a"), ("u", 9, "z")]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    kept = dedup_ops.first_per_group(df, ["k"], ["ts", "v"]).collect()
+    assert len(kept) == 1 and kept[0].v == "a"
+
+
+def test_exact_duplicate_groups(spark):
+    rows = [(1, "x x"), (2, "x x"), (3, "y"), (4, "x x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup_ops.exact_duplicate_groups(df, ["text"], "doc_id").collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 3 and got[0].member_ids == [1, 2, 4]
