@@ -92,51 +92,94 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def shingle_hashes(df: DataFrame, shingle_n: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct 64-bit shingle hashes per doc.
+
+    Each string shingle is hashed exactly ONCE (xxhash64); every
+    downstream MinHash function then works on longs. Tokens are
+    materialized into a column first so the n-gram window does not
+    re-split the text per shingle index.
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(CASE WHEN size(toks) >= {shingle_n} THEN "
+            f"transform(sequence(1, size(toks) - {shingle_n - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(toks, i, {shingle_n})))) "
+            f"ELSE array(xxhash64(concat_ws(' ', toks))) END)"
+        ).alias("hs"),
+    )
+
+
 def minhash_signature(df: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """num_hashes-wide MinHash signature per doc.
+    """num_hashes-wide MinHash signature per doc, carried alongside the
+    shingle-hash set (so verification needs no second pass over text).
 
-    Hash family: xxhash64(shingle, seed) for seed = 0..H-1 — xxhash64's
-    multi-argument form mixes the seed column in, giving H independent
-    64-bit functions with no Python involvement.
+    Hash family: xxhash64(shingle_hash, seed) for seed = 0..H-1 —
+    long-input hashing, ~10x cheaper than re-hashing the shingle string
+    per seed.
     """
-    sh = shingles(text_col, shingle_n).alias("sh")
+    hs = shingle_hashes(df, shingle_n, id_col, text_col)
     sig = F.expr(
         "transform(sequence(0, {h} - 1), "
-        "seed -> array_min(transform(sh, s -> xxhash64(s, seed))))".format(h=num_hashes)
+        "seed -> array_min(transform(hs, h -> xxhash64(h, seed))))".format(h=num_hashes)
     )
-    return df.select(F.col(id_col).alias("doc_id"), sh).select(
-        "doc_id", sig.alias("signature")
+    return hs.select("doc_id", "hs", sig.alias("signature"))
+
+
+def _bucket_pairs(banded: DataFrame, payload_cols: list) -> DataFrame:
+    """(band, bh, payload) -> unique candidate pairs via groupBy-bucket.
+
+    One shuffle on the bucket key; pairs are generated inside each
+    bucket row with array combinatorics. This computes upstream
+    signatures ONCE (vs twice for a self-join of the same plan) and
+    shuffles only ids + signatures, never text.
+
+    Scale note: a pathological hot bucket (e.g. all-empty docs) would
+    generate |bucket|^2/2 pairs in one task; callers bound bucket size
+    upstream (distinct shingle sets make this rare) and AQE skew-join
+    handles moderate skew.
+    """
+    ds = F.sort_array(F.collect_list(F.struct(*payload_cols)))
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, k) -> "
+                "transform(slice(ds, k + 2, size(ds)), y -> struct(x, y))))"
+            )
+        ).alias("p")
     )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signature; docs sharing any band bucket become a
     candidate pair. rows_per_band = H / bands; P[candidate] follows the
-    standard (1 - (1 - j^r)^b) S-curve.
+    standard (1 - (1 - j^r)^b) S-curve. Band hash = xxhash64 fold of
+    the band's slice.
     """
-    sig_len_expr = F.size("signature")
-    # band hash: xxhash64 over the band's slice, mixed with the band id
     banded = signatures.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands} - 1), "
                 f"b -> named_struct('band', b, 'bh', "
-                f"xxhash64(cast(slice(signature, b * (size(signature) div {bands}) + 1, "
-                f"size(signature) div {bands}) as string), b)))"
+                f"aggregate(slice(signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands}), cast(b as bigint), "
+                f"(acc, x) -> xxhash64(acc, x))))"
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        _bucket_pairs(banded, [F.col("doc_id")])
+        .select(F.col("p.x.doc_id").alias("i"), F.col("p.y.doc_id").alias("j"))
         .dropDuplicates(["i", "j"])
     )
 
@@ -153,27 +196,39 @@ def minhash_near_duplicates(
     """Scale-path near-dup: MinHash signatures -> LSH banding ->
     candidate pairs -> exact shingle-Jaccard verification of candidates
     only. Output (i, j, jaccard) with jaccard >= threshold.
+
+    Jaccard is computed on the 64-bit shingle-hash sets (identical to
+    string-shingle Jaccard up to negligible hash collisions). The
+    shingle sets ride through the bucket shuffle with the ids, so the
+    whole op is: one pass over text, one shuffle on band buckets, one
+    dedup shuffle — no joins back to the corpus.
     """
     sigs = minhash_signature(df, num_hashes, shingle_n, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, bands)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    banded = sigs.select(
+        "doc_id",
+        "hs",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), "
+                f"b -> named_struct('band', b, 'bh', "
+                f"aggregate(slice(signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands}), cast(b as bigint), "
+                f"(acc, x) -> xxhash64(acc, x))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "hs", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    pairs = _bucket_pairs(banded, [F.col("doc_id"), F.col("hs")]).select(
+        F.col("p.x.doc_id").alias("i"),
+        F.col("p.y.doc_id").alias("j"),
+        (
+            F.size(F.array_intersect("p.x.hs", "p.y.hs"))
+            / F.size(F.array_union("p.x.hs", "p.y.hs"))
+        ).alias("jaccard"),
     )
-    a, b = sh.alias("sa"), sh.alias("sb")
-    verified = (
-        cands.join(a, cands["i"] == F.col("sa.doc_id"))
-        .join(b, cands["j"] == F.col("sb.doc_id"))
-        .select(
-            "i",
-            "j",
-            (
-                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-                / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
-            ).alias("jaccard"),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "i", "j", F.round("jaccard", 4).alias("jaccard")
+    return (
+        pairs.dropDuplicates(["i", "j"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
@@ -185,16 +240,23 @@ def minhash_near_duplicates(
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over distinct tokens: bit b of the signature is 1
     iff sum over token-hashes of (+1 if hash bit b set else -1) > 0.
-    Pure array expressions; one pass per doc.
+    Pure array expressions; tokens are hashed once into a materialized
+    long array so the 64-bit loop re-reads longs, not re-tokenized text.
     """
-    return df.select(
+    hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(
+            f"transform(array_distinct(split({text_col}, ' ')), tok -> xxhash64(tok))"
+        ).alias("th"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.expr(
             "aggregate(transform(sequence(0, 63), b -> "
-            " CASE WHEN aggregate(transform(array_distinct(split({t}, ' ')), tok -> "
-            "   CASE WHEN ((xxhash64(tok) >> b) & 1) = 1 THEN 1 ELSE -1 END), "
-            "  0, (acc, x) -> acc + x) > 0 THEN shiftleft(1L, b) ELSE 0L END), "
-            "0L, (acc, x) -> acc | x)".format(t=text_col)
+            " CASE WHEN aggregate(th, 0, (acc, h) -> "
+            "   acc + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+            " THEN shiftleft(1L, b) ELSE 0L END), "
+            "0L, (acc, x) -> acc | x)"
         ).alias("simhash"),
     )
 
@@ -213,7 +275,7 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
     base_w, extra = divmod(64, n)
     # chunk c: width w = base_w + (c < extra), start = c*base_w + min(c, extra)
     sigs = simhash64(df, id_col, text_col)
-    chunks = sigs.select(
+    banded = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -223,19 +285,18 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
                 f"(shiftleft(1L, {base_w} + CASE WHEN c < {extra} THEN 1 ELSE 0 END) - 1)))"
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("ch.c").alias("band"),
+        F.col("ch.v").alias("bh"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(banded, [F.col("doc_id"), F.col("simhash")])
         .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col("p.x.doc_id").alias("i"),
+            F.col("p.y.doc_id").alias("j"),
+            F.bit_count(F.col("p.x.simhash").bitwiseXOR(F.col("p.y.simhash"))).alias("hamming"),
         )
         .dropDuplicates(["i", "j"])
         .filter(F.col("hamming") <= max_hamming)
