@@ -1,0 +1,1 @@
+from . import pipelines, sinks, sources  # noqa: F401

@@ -1,0 +1,289 @@
+"""The five reference streaming apps, recomposed as Structured
+Streaming pipelines (SURVEY §7.1 step 4).
+
+| pipeline      | reference app (gmall-realtime/.../app/)      | state upgrade |
+|---------------|----------------------------------------------|---------------|
+| dau           | DauApp.scala + handler/DauHandler.scala      | Redis day-set -> dropDuplicatesWithinWatermark |
+| gmv           | GmvApp.scala                                 | (stateless) Phoenix upsert -> idempotent append |
+| alert         | AlertApp.scala                               | processing-time window -> event-time window + watermark |
+| sale_detail   | SaleDetailApp.scala (+ UserInfoApp dim dep)  | Redis TTL-10s buffer -> stream-stream join watermark state |
+| user_dim      | UserInfoApp.scala                            | Redis KV -> last-write-wins dim table |
+
+Each builder takes already-parsed streaming DataFrames (see
+sources.parse_topic) and an output/checkpoint location, wires the
+transformation + idempotent sink, and returns the started
+StreamingQuery. Tests drive them with ``Trigger.AvailableNow`` over
+file-chunk topics and assert the serving tables equal the one-shot
+batch computation (streaming ≡ batch).
+
+Scale posture: no per-record external I/O anywhere (the reference does
+1-4 Redis round-trips per record in SaleDetailApp.scala:53-157); all
+cross-batch state lives in the state store, bounded by watermarks;
+dimension joins broadcast; serving tables are date-partitioned parquet
+so serving queries partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from ..functions import age_as_of, log_date, log_hour, minute_bucket
+from .sinks import idempotent_append, merge_last_write_wins
+
+DEFAULT_TRIGGER = {"processingTime": "5 seconds"}  # reference DauApp.scala:22
+
+
+def _start(writer, checkpoint: str, trigger: dict | None):
+    trig = trigger if trigger is not None else DEFAULT_TRIGGER
+    return writer.option("checkpointLocation", checkpoint).trigger(**trig).start()
+
+
+# ---------------------------------------------------------------------------
+# DAU (reference app/DauApp.scala:21-63, handler/DauHandler.scala)
+# ---------------------------------------------------------------------------
+def dau_pipeline(
+    startup: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Daily-active-device stream: first sighting of each (mid, day).
+
+    Two-level dedup like the reference — cross-batch via state store
+    (replaces the Redis day-set, DauHandler.scala:61-73), then
+    first-by-ts within the batch (DauHandler.scala:17-22) and an
+    idempotent keyed append (replaces the Phoenix PK upsert,
+    DauApp.scala:56-63). State is evicted 25h past the watermark, so
+    a day's dedup set lives exactly as long as it must.
+    """
+    deduped = (
+        startup.withColumn("log_date", log_date("event_ts"))
+        .withColumn("log_hour", log_hour("event_ts"))
+        .withWatermark("event_ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["mid", "log_date"])
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        first = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("mid", "log_date").orderBy("event_ts")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_corrupt")
+        )
+        idempotent_append(
+            first, out_path, key_cols=["mid", "log_date"], partition_cols=["log_date"]
+        )
+
+    return _start(deduped.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+# ---------------------------------------------------------------------------
+# GMV (reference app/GmvApp.scala:21-53)
+# ---------------------------------------------------------------------------
+def gmv_pipeline(
+    orders: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Order ingest: derive create_date/create_hour (GmvApp.scala:33-34
+    does string splits; we use date functions) and append idempotently
+    on the order PK (the Phoenix upsert, GmvApp.scala:40-50)."""
+    derived = orders.withColumn(
+        "create_date", F.to_date("create_time")
+    ).withColumn("create_hour", F.hour("create_time"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            batch_df.drop("_corrupt"),
+            out_path,
+            key_cols=["id"],
+            partition_cols=["create_date"],
+        )
+
+    return _start(derived.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+# ---------------------------------------------------------------------------
+# Alert (reference app/AlertApp.scala:21-79)
+# ---------------------------------------------------------------------------
+def alert_pipeline(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 seconds",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Coupon-fraud alerts: per (5-min window, mid), >=3 distinct uids
+    acting on 'coupon' with no 'clickItem' in the window
+    (AlertApp.scala:43-62). Upgrades the reference's processing-time
+    sliding window (AlertApp.scala:39) to an event-time tumbling window
+    with a watermark (SURVEY §7.3.3 documents the intentional semantic
+    difference); append mode emits each window exactly once when the
+    watermark closes it. Minute-bucket doc-id dedup (AlertApp.scala:74)
+    becomes the sink key.
+    """
+    windowed = (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_duration).alias("w"), F.col("mid"))
+        .agg(
+            F.collect_set(
+                F.when(F.col("evid") == "coupon", F.col("uid"))
+            ).alias("uids"),
+            F.collect_set(
+                F.when(F.col("evid") == "coupon", F.col("itemid"))
+            ).alias("item_ids"),
+            F.collect_list("evid").alias("events"),
+            F.max(
+                F.when(F.col("evid") == "clickItem", F.lit(1)).otherwise(F.lit(0))
+            ).alias("has_click"),
+            F.max("event_ts").alias("last_ts"),
+        )
+        .filter((F.size("uids") >= 3) & (F.col("has_click") == 0))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "mid",
+            "uids",
+            "item_ids",
+            "events",
+            minute_bucket(F.col("last_ts")).alias("minute_bucket"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            batch_df, out_path, key_cols=["mid", "minute_bucket"], partition_cols=None
+        )
+
+    return _start(
+        windowed.writeStream.outputMode("append").foreachBatch(sink),
+        checkpoint,
+        trigger,
+    )
+
+
+# ---------------------------------------------------------------------------
+# User dim (reference app/UserInfoApp.scala:17-44)
+# ---------------------------------------------------------------------------
+def user_dim_pipeline(
+    users: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    version_col: str = "op_ts",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """CDC user stream (INSERT ∪ UPDATE, CanalClient.java:106-118) ->
+    last-write-wins dimension table, replacing the Redis KV cache
+    (UserInfoApp.scala:29-41). ``version_col`` orders writes (CDC
+    operation timestamp); the reference's implicit version is Kafka
+    arrival order."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_last_write_wins(
+            batch_df.drop("_corrupt"), out_path, key_col="id", version_col=version_col
+        )
+
+    return _start(users.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+# ---------------------------------------------------------------------------
+# Sale detail (reference app/SaleDetailApp.scala:21-177)
+# ---------------------------------------------------------------------------
+def sale_detail_pipeline(
+    spark: SparkSession,
+    orders: DataFrame,
+    details: DataFrame,
+    user_dim_path: str,
+    out_path: str,
+    checkpoint: str,
+    join_ttl: str = "10 seconds",
+    as_of: str = "2024-01-01",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The 3-way denormalization: order_info FULL OUTER order_detail
+    (keyed order_id, SaleDetailApp.scala:50-51) with the late-data
+    protocol as join-state watermarks (the Redis TTL-10s buffer,
+    SaleDetailApp.scala:87-93,126-131 — ``join_ttl`` keeps the same
+     10 s contract), then a stream-static broadcast left join against
+    the user dim table (replacing one Redis GET per record,
+    SaleDetailApp.scala:142-157; a miss NPEs there — we keep nulls).
+
+    Both inputs must carry ``event_ts``; details are matched within
+    ±``join_ttl`` of the order's event time. Spark emits unmatched
+    outer rows only once the watermark passes — same observable
+    behavior as the reference's TTL expiry.
+    """
+    o = (
+        orders.select(
+            F.col("id").alias("order_id"),
+            F.col("user_id"),
+            F.col("total_amount"),
+            F.col("create_time"),
+            F.col("event_ts").alias("o_ts"),
+        )
+        .withWatermark("o_ts", join_ttl)
+    )
+    d = (
+        details.select(
+            F.col("id").alias("detail_id"),
+            F.col("order_id").alias("d_order_id"),
+            F.col("sku_id"),
+            F.col("sku_name"),
+            F.col("order_price"),
+            F.col("sku_num"),
+            F.col("event_ts").alias("d_ts"),
+        )
+        .withWatermark("d_ts", join_ttl)
+    )
+    joined = o.join(
+        d,
+        F.expr(
+            f"order_id = d_order_id AND "
+            f"d_ts BETWEEN o_ts - interval {join_ttl} AND o_ts + interval {join_ttl}"
+        ),
+        "full_outer",
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        users = None
+        try:
+            users = spark.read.parquet(user_dim_path)
+        except Exception:
+            pass  # dim not yet populated: reference would NPE; we keep nulls
+        wide = batch_df.withColumn(
+            "join_key", F.coalesce("order_id", "d_order_id")
+        ).withColumn("user_id", F.col("user_id"))
+        if users is not None:
+            u = users.select(
+                F.col("id").alias("u_id"),
+                F.col("gender").alias("user_gender"),
+                F.col("user_level"),
+                age_as_of("birthday", as_of).alias("user_age"),
+            )
+            wide = wide.join(
+                F.broadcast(u), wide["user_id"] == u["u_id"], "left"
+            ).drop("u_id")
+        else:
+            wide = (
+                wide.withColumn("user_gender", F.lit(None).cast("string"))
+                .withColumn("user_level", F.lit(None).cast("string"))
+                .withColumn("user_age", F.lit(None).cast("int"))
+            )
+        # sale-detail row id: detail PK when present, else the unmatched
+        # order sentinel (mirrors the ES doc id = order_detail_id,
+        # SaleDetailApp.scala:171)
+        keyed = wide.withColumn(
+            "sale_detail_id",
+            F.coalesce(F.col("detail_id"), F.concat(F.lit("order:"), F.col("join_key"))),
+        )
+        idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
+
+    return _start(joined.writeStream.foreachBatch(sink), checkpoint, trigger)

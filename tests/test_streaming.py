@@ -1,0 +1,295 @@
+"""Chunked-replay tests: each streaming pipeline is fed its topic as
+JSON-lines chunk files, one query run per chunk (restart from the same
+checkpoint = micro-batch + crash-recovery simulation), and the final
+serving table must equal the one-shot batch computation (SURVEY §5.2).
+
+Watermark flushing: stream-stream outer joins and append-mode window
+aggregates emit held state only when the watermark advances past it,
+so replays end with a far-future sentinel chunk (SURVEY §7.3.5); the
+sentinel rows are filtered out of assertions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkstreaming_gmall_demo_spark import schemas
+from sparkstreaming_gmall_demo_spark.streaming import pipelines, sources
+
+MS = 1000
+BASE = 1700000000 * MS  # 2023-11-14 22:13:20 UTC
+
+
+def write_chunk(topic_dir, name: str, records: list) -> None:
+    topic_dir.mkdir(parents=True, exist_ok=True)
+    (topic_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in records) + "\n"
+    )
+
+
+def run_available(start_query_fn) -> None:
+    q = start_query_fn()
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# DAU
+# ---------------------------------------------------------------------------
+def test_dau_streaming_equals_batch(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rec(mid, ts):
+        return {"mid": mid, "uid": f"u-{mid}", "appid": "gmall", "area": "a",
+                "os": "ios", "ch": "c", "type": "startup", "vs": "1", "ts": ts}
+
+    chunks = [
+        [rec("m1", BASE + 1), rec("m1", BASE + 60_000), rec("m2", BASE + 5_000)],
+        [rec("m1", BASE + 120_000), rec("m3", BASE + 7_000), rec("m2", BASE + 8_000)],
+        # next day: m1 counts again
+        [rec("m1", BASE + 86_400_000 + 1_000)],
+    ]
+    all_recs = [r for c in chunks for r in c]
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"chunk{i}.jsonl", chunk)
+        run_available(
+            lambda: pipelines.dau_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.STARTUP_LOG
+                ),
+                out, ckpt, trigger={"availableNow": True},
+            )
+        )
+
+    got = {
+        (r.mid, str(r.log_date), r.log_hour)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.createDataFrame(
+            [(r["mid"], r["ts"]) for r in all_recs], ["mid", "ts"]
+        )
+        .withColumn("event_ts", F.timestamp_millis("ts"))
+        .withColumn("log_date", F.to_date("event_ts"))
+        .groupBy("mid", "log_date")
+        .agg(F.min("event_ts").alias("first_ts"))
+        .select("mid", "log_date", F.hour("first_ts").alias("log_hour"))
+    )
+    want = {(r.mid, str(r.log_date), r.log_hour) for r in batch.collect()}
+    assert got == want
+    # exactly one row per (mid, day)
+    assert spark.read.parquet(out).count() == len(want)
+
+
+# ---------------------------------------------------------------------------
+# GMV
+# ---------------------------------------------------------------------------
+def test_gmv_streaming_idempotent_append(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def order(oid, amount, hour):
+        return {"id": oid, "user_id": f"u{oid}", "total_amount": amount,
+                "create_time": f"2023-11-14 {hour:02d}:30:00", "order_status": "1001"}
+
+    write_chunk(topic, "c0.jsonl", [order("o1", 10.50, 10), order("o2", 20.25, 11)])
+    write_chunk(topic, "c1.jsonl", [order("o2", 20.25, 11), order("o3", 5.00, 11)])
+
+    def start():
+        return pipelines.gmv_pipeline(
+            sources.parse_topic(
+                sources.file_topic_stream(spark, str(topic)),
+                schemas.ORDER_INFO,
+                ts_from_millis=None,
+            ),
+            out, ckpt, trigger={"availableNow": True},
+        )
+
+    run_available(start)
+    result = spark.read.parquet(out)
+    assert result.count() == 3  # o2 replay inserted once
+    total = result.agg(F.sum("total_amount")).collect()[0][0]
+    assert str(total) == "35.75"
+    hours = {
+        (r.create_hour, str(r.s))
+        for r in result.groupBy("create_hour").agg(
+            F.sum("total_amount").alias("s")
+        ).collect()
+    }
+    assert hours == {(10, "10.50"), (11, "25.25")}
+
+
+# ---------------------------------------------------------------------------
+# Alert
+# ---------------------------------------------------------------------------
+def test_alert_window_streaming(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, uid, evid, ts, itemid="i1"):
+        return {"mid": mid, "uid": uid, "appid": "gmall", "area": "a", "os": "ios",
+                "ch": "c", "type": "event", "evid": evid, "pgid": "p", "npgid": "n",
+                "itemid": itemid, "ts": ts}
+
+    w0 = (BASE // 300_000) * 300_000  # align to the 5-min window start
+    chunks = [
+        # m1: 3 distinct uids coupon, no clickItem -> alert
+        # m2: 3 uids coupon but clickItem present -> suppressed (A5)
+        # m3: only 2 distinct uids -> below threshold (A3)
+        [ev("m1", "u1", "coupon", w0 + 1_000), ev("m1", "u2", "coupon", w0 + 2_000),
+         ev("m2", "u1", "coupon", w0 + 3_000), ev("m2", "u2", "coupon", w0 + 4_000)],
+        [ev("m1", "u3", "coupon", w0 + 5_000), ev("m2", "u3", "coupon", w0 + 6_000),
+         ev("m2", "u9", "clickItem", w0 + 7_000),
+         ev("m3", "u1", "coupon", w0 + 8_000), ev("m3", "u2", "coupon", w0 + 9_000)],
+        # far-future sentinel advances the watermark past the window
+        [ev("zz-sentinel", "u0", "other", w0 + 3_600_000)],
+    ]
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        run_available(
+            lambda: pipelines.alert_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ),
+                out, ckpt, trigger={"availableNow": True},
+            )
+        )
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    assert [r.mid for r in rows] == ["m1"]
+    assert sorted(rows[0].uids) == ["u1", "u2", "u3"]
+    assert rows[0].events == ["coupon", "coupon", "coupon"]
+
+
+# ---------------------------------------------------------------------------
+# User dim
+# ---------------------------------------------------------------------------
+USER_STREAM = T.StructType(
+    schemas.USER_INFO.fields + [T.StructField("op_ts", T.LongType())]
+)
+
+
+def test_user_dim_last_write_wins(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def user(uid, gender, level, op_ts):
+        return {"id": uid, "login_name": f"l{uid}", "user_level": level,
+                "birthday": "1990-06-15", "gender": gender, "op_ts": op_ts}
+
+    write_chunk(topic, "c0.jsonl", [user("1", "M", "1", 100), user("2", "F", "2", 101)])
+    run_available(
+        lambda: pipelines.user_dim_pipeline(
+            sources.parse_topic(
+                sources.file_topic_stream(spark, str(topic)), USER_STREAM,
+                ts_from_millis=None,
+            ),
+            out, ckpt, trigger={"availableNow": True},
+        )
+    )
+    write_chunk(topic, "c1.jsonl", [user("1", "F", "3", 200)])  # CDC UPDATE
+    run_available(
+        lambda: pipelines.user_dim_pipeline(
+            sources.parse_topic(
+                sources.file_topic_stream(spark, str(topic)), USER_STREAM,
+                ts_from_millis=None,
+            ),
+            out, ckpt, trigger={"availableNow": True},
+        )
+    )
+
+    rows = {r.id: (r.gender, r.user_level) for r in spark.read.parquet(out).collect()}
+    assert rows == {"1": ("F", "3"), "2": ("F", "2")}
+
+
+# ---------------------------------------------------------------------------
+# Sale detail 3-way join
+# ---------------------------------------------------------------------------
+ORDER_STREAM = T.StructType(
+    schemas.ORDER_INFO.fields + [T.StructField("ts", T.LongType())]
+)
+DETAIL_STREAM = T.StructType(
+    schemas.ORDER_DETAIL.fields + [T.StructField("ts", T.LongType())]
+)
+
+
+def test_sale_detail_full_outer_join_with_dim(spark, tmp_path):
+    o_topic, d_topic = tmp_path / "orders", tmp_path / "details"
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # static user dim (the UserInfoApp dependency, made explicit)
+    spark.createDataFrame(
+        [("u1", "l1", "2", "1990-06-15", "F")], schemas.USER_INFO
+    ).write.parquet(dim)
+
+    def order(oid, uid, ts):
+        return {"id": oid, "user_id": uid, "total_amount": 99.99,
+                "create_time": "2023-11-14 10:00:00", "ts": ts}
+
+    def detail(did, oid, ts):
+        return {"id": did, "order_id": oid, "sku_id": "s1", "sku_name": "widget",
+                "order_price": 9.99, "sku_num": 2, "ts": ts}
+
+    def start():
+        return pipelines.sale_detail_pipeline(
+            spark,
+            sources.parse_topic(sources.file_topic_stream(spark, str(o_topic)), ORDER_STREAM),
+            sources.parse_topic(sources.file_topic_stream(spark, str(d_topic)), DETAIL_STREAM),
+            dim, out, ckpt, trigger={"availableNow": True},
+        )
+
+    # chunk 0: o1 with one detail now; d2 references order o2 that never comes
+    write_chunk(o_topic, "c0.jsonl", [order("o1", "u1", BASE + 1_000)])
+    write_chunk(d_topic, "c0.jsonl",
+                [detail("d1", "o1", BASE + 2_000), detail("d2", "o2", BASE + 3_000)])
+    run_available(start)
+    # chunk 1: late detail for o1 (8s later, inside the 10s TTL contract);
+    # order o3 that never gets details
+    write_chunk(o_topic, "c1.jsonl", [order("o3", "u9", BASE + 10_000)])
+    write_chunk(d_topic, "c1.jsonl", [detail("d3", "o1", BASE + 9_000)])
+    run_available(start)
+    # sentinel on both inputs pushes the watermark far past everything
+    write_chunk(o_topic, "c2.jsonl", [order("zz-sentinel", "u0", BASE + 3_600_000)])
+    write_chunk(d_topic, "c2.jsonl", [detail("zz-d", "zz-sentinel", BASE + 3_600_000)])
+    run_available(start)
+
+    rows = spark.read.parquet(out).filter(~F.col("join_key").startswith("zz-")).collect()
+    by_id = {r.sale_detail_id: r for r in rows}
+    assert set(by_id) == {"d1", "d3", "d2", "order:o3"}
+    # matched 1:N fanout keeps order fields on every detail row
+    assert by_id["d1"].order_id == "o1" and by_id["d3"].order_id == "o1"
+    # dim enrichment via broadcast join; age as of 2024-01-01, /365 semantics
+    assert by_id["d1"].user_gender == "F" and by_id["d1"].user_age == 33
+    # detail whose order never arrived: order side null (F4 semantics)
+    assert by_id["d2"].order_id is None and by_id["d2"].user_gender is None
+    # order with no details: detail side null, kept (full outer)
+    assert by_id["order:o3"].detail_id is None and by_id["order:o3"].total_amount is not None
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record policy (P1)
+# ---------------------------------------------------------------------------
+def test_parse_topic_keeps_corrupt_records(spark, tmp_path):
+    topic = tmp_path / "topic"
+    write_chunk(topic, "c0.jsonl", [])
+    (topic / "c0.jsonl").write_text(
+        json.dumps({"mid": "m1", "ts": BASE}) + "\nnot-json-at-all\n"
+    )
+    df = sources.parse_topic(
+        spark.read.text(str(topic)).select("value"), schemas.STARTUP_LOG
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(good) == 1 and good[0].mid == "m1"
+    assert len(bad) == 1 and bad[0]._corrupt == "not-json-at-all"
