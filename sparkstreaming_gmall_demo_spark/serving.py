@@ -1,0 +1,177 @@
+"""The publisher REST endpoints re-expressed as Spark SQL over the
+serving tables (SURVEY §7.1 step 5; reference gmall-publisher).
+
+Endpoint parity:
+- ``realtime_total``   = GET /realtime-total?date=D
+  (reference controller/Controller.java:36-70)
+- ``realtime_hours``   = GET /realtime-hours?id=...&date=D
+  (reference controller/Controller.java:76-100: yesterday = date-1)
+- ``sale_detail``      = GET /sale_detail?date=D&keyword=K&startpage=P&size=S
+  (reference controller/Controller.java:103-108 +
+  service/impl/PublisherServiceImpl.java:82-192)
+
+Each function returns the same JSON-shaped dict the reference emits,
+including the quirks: the hardcoded new_mid value 233
+(Controller.java:58), hour keys as two-digit strings (Phoenix stores
+the "HH" split of SimpleDateFormat output), and the
+``Math.round(x*1000/total)/10`` one-decimal per-mille ratios with
+female = 100 - male (PublisherServiceImpl.java:137-139,169-170).
+
+The serving tables are the streaming pipelines' outputs (date-
+partitioned parquet): a date-filtered endpoint query partition-prunes
+to one day's files — the same pushdown story as Phoenix server-side
+aggregation over the rowkey-prefixed table.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _java_round_half_up(x: float) -> int:
+    """Java Math.round(double): floor(x + 0.5)."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _hour_map(df: DataFrame, hour_col: str, value_col) -> dict:
+    rows = df.groupBy(hour_col).agg(value_col.alias("v")).collect()
+    return {f"{int(r[hour_col]):02d}": r["v"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# /realtime-total
+# ---------------------------------------------------------------------------
+def realtime_total(dau: DataFrame, orders: DataFrame, date: str) -> list:
+    """[dau total, new_mid (hardcoded 233 — Controller.java:58), GMV].
+
+    dau: serving table keyed (mid, log_date) — one row per active
+    device-day, so the total is a partition-pruned count (A6).
+    orders: GMV serving table with create_date/total_amount (A8).
+    """
+    dau_total = dau.filter(F.col("log_date") == F.lit(date)).count()
+    amount = (
+        orders.filter(F.col("create_date") == F.lit(date))
+        .agg(F.sum("total_amount").alias("s"))
+        .collect()[0]["s"]
+    )
+    amount_total = float(amount) if amount is not None else 0.0
+    return [
+        {"id": "dau", "name": "新增日活", "value": dau_total},
+        {"id": "new_mid", "name": "新增设备", "value": 233},
+        {"id": "order_amount", "name": "新增交易额", "value": amount_total},
+    ]
+
+
+# ---------------------------------------------------------------------------
+# /realtime-hours
+# ---------------------------------------------------------------------------
+def realtime_hours(dau: DataFrame, orders: DataFrame, id: str, date: str) -> dict:
+    """{"today": {HH: v}, "yesterday": {HH: v}} for id in
+    {dau, order_amount} (Controller.java:76-100; the yesterday date
+    math is Controller.java:79)."""
+    yesterday = (_dt.date.fromisoformat(date) - _dt.timedelta(days=1)).isoformat()
+
+    def one_day(d: str) -> dict:
+        if id == "dau":
+            # count per hour of first sighting (DauMapper.xml:8-11 over
+            # the already-deduped DAU table)
+            day = dau.filter(F.col("log_date") == F.lit(d))
+            return _hour_map(day, "log_hour", F.count("*").cast("long"))
+        elif id == "order_amount":
+            day = orders.filter(F.col("create_date") == F.lit(d))
+            return {
+                k: float(v)
+                for k, v in _hour_map(
+                    day, "create_hour", F.sum("total_amount")
+                ).items()
+            }
+        return {}
+
+    return {"today": one_day(date), "yesterday": one_day(yesterday)}
+
+
+# ---------------------------------------------------------------------------
+# /sale_detail
+# ---------------------------------------------------------------------------
+def keyword_and_match(col, keyword: str):
+    """ES match-with-AND-operator semantics
+    (PublisherServiceImpl.java:86): every analyzed token of the keyword
+    must appear in the analyzed field. Standard-analyzer approximation:
+    lowercase whitespace tokens, exact token membership (Q9/F6)."""
+    tokens_col = F.split(F.lower(col), " ")
+    cond = None
+    for tok in keyword.lower().split():
+        c = F.array_contains(tokens_col, tok)
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
+
+
+def sale_detail(
+    sale: DataFrame, date: str, keyword: str, startpage: int, size: int
+) -> dict:
+    """{"total": N, "stat": [age stat, gender stat], "detail": rows}.
+
+    One filtered scan feeds three consumers (total count, demographic
+    aggregates, detail page) — the batch is persisted across them, the
+    Spark analog of ES computing hits + aggs in one pass
+    (PublisherServiceImpl.java:82-108).
+
+    Pagination upgrades ES from/size (relevance-ordered, unstable) to a
+    deterministic ORDER BY sale_detail_id (SURVEY §2.8 O2).
+    """
+    filtered = sale.filter(
+        (F.col("dt") == F.lit(date)) & keyword_and_match(F.col("sku_name"), keyword)
+    ).persist()
+    try:
+        total = filtered.count()
+
+        # age bands from the user_age terms agg (Impl.java:125-139)
+        band = filtered.agg(
+            F.sum(F.when(F.col("user_age") < 20, 1).otherwise(0)).alias("low20"),
+            F.sum(F.when(F.col("user_age") >= 30, 1).otherwise(0)).alias("up30"),
+            F.sum(F.when(F.col("user_gender") == "M", 1).otherwise(0)).alias("male"),
+        ).collect()[0]
+        if total > 0:
+            low20_ratio = _java_round_half_up(band["low20"] * 1000.0 / total) / 10.0
+            up30_ratio = _java_round_half_up(band["up30"] * 1000.0 / total) / 10.0
+            male_ratio = _java_round_half_up(band["male"] * 1000.0 / total) / 10.0
+        else:
+            low20_ratio = up30_ratio = male_ratio = 0.0
+        # middle band and female derived by subtraction, reproducing the
+        # reference's asymmetry (Impl.java:141,170)
+        mid_ratio = _java_round_half_up((100.0 - low20_ratio - up30_ratio) * 10.0) / 10.0
+        female_ratio = _java_round_half_up((100.0 - male_ratio) * 10.0) / 10.0
+
+        stat = [
+            {
+                "title": "用户年龄占比",
+                "options": [
+                    {"name": "20岁以下", "value": low20_ratio},
+                    {"name": "20岁以下到30岁", "value": mid_ratio},
+                    {"name": "30岁及30岁以上", "value": up30_ratio},
+                ],
+            },
+            {
+                "title": "用户性别占比",
+                "options": [
+                    {"name": "男", "value": male_ratio},
+                    {"name": "女", "value": female_ratio},
+                ],
+            },
+        ]
+
+        start = (startpage - 1) * size  # Impl.java:98
+        page = (
+            filtered.orderBy("sale_detail_id")
+            .offset(start)
+            .limit(size)
+        )
+        detail = [r.asDict() for r in page.collect()]
+    finally:
+        filtered.unpersist()
+    return {"total": total, "stat": stat, "detail": detail}

@@ -283,6 +283,12 @@ def sale_detail_pipeline(
         keyed = wide.withColumn(
             "sale_detail_id",
             F.coalesce(F.col("detail_id"), F.concat(F.lit("order:"), F.col("join_key"))),
+        ).withColumn(
+            # the serving-side date key: the reference writes to a daily
+            # ES index (SaleDetailApp.scala:166) and filters term(dt=D)
+            # (PublisherServiceImpl.java:85)
+            "dt",
+            F.to_date("create_time"),
         )
         idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
 
