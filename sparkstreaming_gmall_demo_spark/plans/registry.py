@@ -27,7 +27,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.fixtures import load_table
+from ..sources.fixtures import events_date_filter, load_table
 from ..functions import money, log_date, log_hour, permille
 from ..operators import agg as agg_ops
 from ..operators import dedup as dedup_ops
@@ -86,7 +86,7 @@ def _register(name: str, oracle: Optional[str], description: str):
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
-        events.filter(log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+        events.filter(events_date_filter(events, EVENTS_DATE))
         .agg(F.count_distinct("user_id").alias("dau"))
     )
 
@@ -113,7 +113,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     first = (
-        events.filter(log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+        events.filter(events_date_filter(events, EVENTS_DATE))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
     )
@@ -186,7 +186,7 @@ def q4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.filter(
-            (log_date("ts") == F.lit(EVENTS_DATE).cast("date"))
+            (events_date_filter(events, EVENTS_DATE))
             & (F.col("event_type") == "purchase")
         )
         .groupBy(log_hour("ts").alias("log_hour"))

@@ -83,6 +83,27 @@ def idempotent_append(
     writer.parquet(out_path)
 
 
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Kafka producer sink (K6, reference
+    gamll-canal/.../utils/MyKafkaSender.java:27-32 — fire-and-forget
+    string producer; here offset-checkpointed instead). Expects a
+    ``value`` string column. Requires the Kafka connector jar; not
+    exercisable in this container."""
+    return (
+        df.select(F.col("value").cast("string").alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def console_sink(df: DataFrame, n: int = 20):
+    """Debug sink (K7, the reference's ``.print()`` probes,
+    app/DauApp.scala:42,47,52)."""
+    return df.writeStream.format("console").option("numRows", str(n))
+
+
 def merge_last_write_wins(
     batch_df: DataFrame,
     out_path: str,
