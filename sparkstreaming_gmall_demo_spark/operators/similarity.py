@@ -109,16 +109,23 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket candidates (equal
     sketch), exact cosine verification >= threshold. The O(n^2) blowup
-    is confined to same-bucket groups (expected n / 2^planes each)."""
-    sk = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", _sketch_expr("v", num_planes)
+    is confined to same-bucket groups (expected n / 2^planes each).
+
+    Same shape as neardup._bucket_pairs: the sketch is computed ONCE
+    map-side, one shuffle on the bucket key, pairs generated inside
+    each bucket — no self-join re-evaluating the sketch pipeline.
+    """
+    from .neardup import _bucket_pairs
+
+    banded = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.lit(0).alias("band"),
+        _sketch_expr(vec_col, num_planes).alias("bh"),
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid"))
-    ).select(
-        F.col("a.vid").alias("i"),
-        F.col("b.vid").alias("j"),
-        F.round(cosine_expr("a.v", "b.v"), 4).alias("cosine"),
+    pairs = _bucket_pairs(banded, [F.col("vid"), F.col("v")]).select(
+        F.col("p.x.vid").alias("i"),
+        F.col("p.y.vid").alias("j"),
+        F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
