@@ -50,6 +50,53 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(text_col)).cast("long"))
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other glyph
+# (the GPT-2 pre-split shape, simplified to an engine-portable regex —
+# identical RE2/Java semantics, verified in tests).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Rolling-hash parameters: polynomial fold mod a Mersenne prime. Token
+# values come from md5's first 7 hex digits (< 2^28), so acc*31 + v
+# stays far inside int64 and the first fold step equals the raw value
+# in both engines (DuckDB's list_reduce seeds with the first element;
+# Spark's aggregate seeds with 0 — congruent because v < p).
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def bpe_tokens(text_col) -> Column:
+    """BPE-ish regex tokenization (training-data token accounting).
+
+    Whitespace splitting undercounts for punctuation-glued text; this
+    matches letter runs, digit runs, and individual symbols — the
+    shape BPE pre-tokenizers produce before merges."""
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_bpe_tokens", F.size(bpe_tokens(text_col)).cast("long"))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token stream, ``acc = (acc*31 + v(tok)) mod (2^31-1)``
+    with ``v = int(md5(tok)[:7], 16)``.
+
+    Unlike the md5-of-normalized-text fingerprint this is incremental
+    (a sliding window can roll tokens in/out) and engine-portable —
+    the DuckDB oracle computes the identical fold, so the declared
+    query is value-checked, not rows-only. One narrow pass, no
+    shuffle."""
+    return df.withColumn(
+        "rolling_fp",
+        F.expr(
+            f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> "
+            f"(acc * 31 + cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)) "
+            f"% {ROLLING_MOD})"
+        ),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: score each language by how many of
     its stopwords appear in the token set; argmax with lexicographic

@@ -253,6 +253,67 @@ def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_bpe_token_count",
+    f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{text_ops.BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(max(len(regexp_extract_all(text, '{text_ops.BPE_PATTERN}'))) AS BIGINT) AS max_bpe_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    "BPE-ish regex token accounting per language (vs whitespace count)",
+)
+def ext_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = text_ops.bpe_token_count(text_ops.token_count(docs))
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.max("n_bpe_tokens").cast("long").alias("max_bpe_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_rolling_fingerprint",
+    f"""
+    SELECT lang,
+           count(DISTINCT rfp) AS n_unique,
+           min(rfp) AS fp_min,
+           max(rfp) AS fp_max,
+           CAST(sum(rfp) AS BIGINT) AS fp_sum
+    FROM (
+        SELECT lang,
+               list_reduce(
+                   list_transform(string_split(text, ' '),
+                                  t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+                   (acc, v) -> (acc * 31 + v) % {text_ops.ROLLING_MOD}) AS rfp
+        FROM documents
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+    "order-sensitive rolling-hash fingerprint, identical fold in both engines",
+)
+def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text_ops.rolling_fingerprint(docs)
+    return (
+        fp.groupBy("lang")
+        .agg(
+            F.count_distinct("rolling_fp").alias("n_unique"),
+            F.min("rolling_fp").alias("fp_min"),
+            F.max("rolling_fp").alias("fp_max"),
+            F.sum("rolling_fp").cast("long").alias("fp_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "ext_token_stats",
     """
     SELECT lang, token, cnt, rank FROM (

@@ -293,3 +293,63 @@ def test_parse_topic_keeps_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r._corrupt is not None]
     assert len(good) == 1 and good[0].mid == "m1"
     assert len(bad) == 1 and bad[0]._corrupt == "not-json-at-all"
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (applyInPandasWithState custom stateful operator)
+# ---------------------------------------------------------------------------
+def test_sessionize_gap_semantics(spark, tmp_path):
+    from sparkstreaming_gmall_demo_spark.streaming import stateful
+
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, ts):
+        return {"mid": mid, "uid": "u", "appid": "gmall", "area": "a", "os": "ios",
+                "ch": "c", "type": "event", "evid": "view", "pgid": "p",
+                "npgid": "n", "itemid": "i", "ts": ts}
+
+    chunks = [
+        # m1: two events 10s apart (one session, gap=30s); m2: one event
+        [ev("m1", BASE), ev("m1", BASE + 10_000), ev("m2", BASE + 5_000)],
+        # m1: event 100s after -> beyond gap, closes session 1, opens session 2
+        [ev("m1", BASE + 110_000)],
+        # sentinel far ahead: watermark passes everything, timeouts fire
+        [ev("zz-sentinel", BASE + 3_600_000)],
+        # one more empty-ish batch so the advanced watermark triggers timeouts
+        [ev("zz-sentinel2", BASE + 7_200_000)],
+    ]
+
+    def sink(batch_df, batch_id):
+        if batch_df.count() > 0:
+            batch_df.write.mode("append").parquet(out)
+
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        q = (
+            stateful.sessionize(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ).select("mid", "event_ts"),
+                gap_seconds=30,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    sessions = sorted(
+        (r.mid, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in rows
+    )
+    b = BASE / 1000
+    assert sessions == [
+        ("m1", b, b + 10.0, 2),
+        ("m1", b + 110.0, b + 110.0, 1),
+        ("m2", b + 5.0, b + 5.0, 1),
+    ]
