@@ -100,6 +100,121 @@ def lsh_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file index over k-means-style centroids)
+# ---------------------------------------------------------------------------
+
+
+def _to_double_list(v) -> list:
+    return [float(x) for x in v]
+
+
+def _centroid_literal(cents: list) -> F.Column:
+    """k centroids (python lists) -> array<array<double>> literal column.
+    Centroids are tiny (k × dim doubles); inlining them keeps cluster
+    assignment a narrow map — no join, no shuffle."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def _assign_expr(vec_col: str, cents: list) -> F.Column:
+    """argmin over centroids of squared L2 distance (0-based cluster id).
+    Distances computed once per centroid; argmin via sorting the tiny
+    (dist, idx) struct array — ties break to the lowest index."""
+    k = len(cents)
+    return F.expr(
+        "element_at(array_sort(transform(sequence(0, {k} - 1), c -> struct("
+        " aggregate(zip_with({v}, element_at(_cents, c + 1), "
+        "   (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "  0D, (acc, y) -> acc + y) as d, c as c))), 1).c".format(k=k, v=vec_col)
+    ).cast("int")
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic k-means-lite centroids.
+
+    Init: the k vectors with the smallest xxhash64(id) (a deterministic
+    uniform sample — no RNG state). Then ``iters`` Lloyd rounds, each
+    one distributed pass: assign (narrow map against broadcast-literal
+    centroids) -> per-cluster per-dimension mean (posexplode + one
+    shuffle on (cluster, dim)). Centroids live on the driver between
+    rounds — k × dim doubles, trivially small; the DATA never leaves
+    executors.
+    """
+    seeds = (
+        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(id_col).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = [_to_double_list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = embeddings.withColumn("_cents", _centroid_literal(cents)).select(
+            _assign_expr(vec_col, cents).alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col("v")).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r.cluster] = _to_double_list(r.centroid)
+        cents = new_cents
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: restrict the exact re-rank to the
+    ``nprobe`` clusters whose centroids are nearest the query vector.
+
+    At scale the index (centroids + the (cluster, vec_id) assignment)
+    is trained once and persisted; per query only the probed clusters'
+    partitions scan — pass ``centroids`` to reuse a trained index.
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_clusters, iters, id_col, vec_col)
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])
+    # driver-side probe selection: nprobe nearest centroids to q
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(c, qv)), i)
+        for i, c in enumerate(centroids)
+    )
+    probed = [i for _, i in dists[:nprobe]]  # 0-based, matches _assign_expr
+    candidates = (
+        embeddings.withColumn("_cents", _centroid_literal(centroids))
+        .withColumn("cluster", _assign_expr(vec_col, centroids))
+        .filter(F.col("cluster").isin(probed))
+    )
+    scored = candidates.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(cosine_expr(vec_col, "q_vec"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -148,6 +148,17 @@ def ext_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_ivf_topk",
+    None,  # approximate by design; recall vs brute force in tests
+    "IVF approximate cosine top-k (k-means-lite centroids, nprobe probing)",
+)
+def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    return sim_ops.ivf_topk(emb, q, k=TOPK_K)
+
+
+@_register(
     "ext_embedding_neardup",
     None,  # fixture embeddings contain no high-cosine pairs; semantics
     # verified on synthetic planted duplicates in tests

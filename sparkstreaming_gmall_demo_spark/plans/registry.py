@@ -459,3 +459,43 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.col("w").getField("start")) / 60).cast("long").alias("minute_bucket"),
     ).dropDuplicates(["user_id", "minute_bucket"])
     return keys.agg(F.count("*").alias("n_alert_keys"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 -- generic JSON property-map aggregation: the CDC column-map
+# surface (reference gamll-canal/.../CanalClient.java:77-82 builds a
+# JSONObject column->value per row; SURVEY §1.2 maps it to
+# MapType(String,String)). Parse the per-event props JSON into a map,
+# explode entries, aggregate per (event_type, key) — schema-on-read
+# over semi-structured payloads with no fixed column set.
+# ---------------------------------------------------------------------------
+@_register(
+    "q13_props_map_agg",
+    """
+    SELECT event_type, pk AS prop_key, count(*) AS cnt,
+           CAST(sum(CAST(json_extract(props, '$.' || pk) AS BIGINT)) AS BIGINT) AS val_sum,
+           CAST(min(CAST(json_extract(props, '$.' || pk) AS BIGINT)) AS BIGINT) AS val_min,
+           CAST(max(CAST(json_extract(props, '$.' || pk) AS BIGINT)) AS BIGINT) AS val_max
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS pk FROM events)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "JSON property map exploded + aggregated per (event_type, key)",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    entries = events.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_val"
+        ),
+    )
+    return (
+        entries.groupBy("event_type", "prop_key")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("prop_val").alias("val_sum"),
+            F.min("prop_val").alias("val_min"),
+            F.max("prop_val").alias("val_max"),
+        )
+        .orderBy("event_type", "prop_key")
+    )

@@ -88,3 +88,24 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert 0 in approx
     overlap = len(set(brute) & set(approx)) / 10
     assert overlap >= 0.3, f"LSH recall vs brute force too low: {overlap}"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, 0)
+    brute = [r.vec_id for r in sim.cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in sim.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=4).collect()]
+    # the query vector's own cluster is always probed
+    assert 0 in approx
+    overlap = len(set(brute) & set(approx)) / 10
+    assert overlap >= 0.3, f"IVF recall vs brute force too low: {overlap}"
+
+
+def test_ivf_train_deterministic_and_reusable(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = sim.ivf_train(emb, k=4, iters=1)
+    c2 = sim.ivf_train(emb, k=4, iters=1)
+    assert c1 == c2  # no RNG state anywhere
+    q = sim.query_vector(emb, 0)
+    got = sim.ivf_topk(emb, q, k=5, centroids=c1).collect()
+    assert len(got) == 5 and got[0].vec_id == 0  # self-match ranks first
