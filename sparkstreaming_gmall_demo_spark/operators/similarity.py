@@ -176,6 +176,22 @@ def ivf_train(
     return cents
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted-list table: (id, vector, cluster). Train-once
+    artifact — persist/write it partitioned by cluster so probes
+    partition-prune instead of re-assigning the corpus per query."""
+    return embeddings.withColumn("_cents", _centroid_literal(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_expr(vec_col, centroids).alias("cluster"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -184,6 +200,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 2,
     centroids: list | None = None,
+    assignment: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -192,7 +209,10 @@ def ivf_topk(
 
     At scale the index (centroids + the (cluster, vec_id) assignment)
     is trained once and persisted; per query only the probed clusters'
-    partitions scan — pass ``centroids`` to reuse a trained index.
+    partitions scan — pass ``centroids`` (and optionally the
+    ``assignment`` inverted-list DataFrame from ivf_assign, ideally
+    written out partitioned by cluster so the probe partition-prunes)
+    to reuse a trained index.
     """
     if centroids is None:
         centroids = ivf_train(embeddings, n_clusters, iters, id_col, vec_col)
@@ -203,11 +223,9 @@ def ivf_topk(
         for i, c in enumerate(centroids)
     )
     probed = [i for _, i in dists[:nprobe]]  # 0-based, matches _assign_expr
-    candidates = (
-        embeddings.withColumn("_cents", _centroid_literal(centroids))
-        .withColumn("cluster", _assign_expr(vec_col, centroids))
-        .filter(F.col("cluster").isin(probed))
-    )
+    if assignment is None:
+        assignment = ivf_assign(embeddings, centroids, id_col, vec_col)
+    candidates = assignment.filter(F.col("cluster").isin(probed))
     scored = candidates.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
         F.round(cosine_expr(vec_col, "q_vec"), 4).alias("score"),

@@ -499,3 +499,48 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "prop_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14 -- star join rollup: fact orders against the customer -> nation
+# -> region dimension chain. The reference's serving layer denormalizes
+# exactly this way (dim enrichment before aggregation, J3); at scale
+# the whole dim chain broadcasts, so the fact table never shuffles for
+# the joins — only the final per-region aggregate exchanges
+# (partial-agg combined map-side).
+# ---------------------------------------------------------------------------
+@_register(
+    "q14_star_join_rollup",
+    """
+    SELECT r_name AS region,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    "fact-to-dim-chain star join rolled up per region",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("region")
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan regression tests (the 100 TB guardrails).
+
+Correctness tests can't catch a plan that silently degrades — a filter
+that stops reaching the scan, a broadcast that becomes a shuffle, an
+accidental cartesian product. These assertions pin the plan properties
+that matter at 1000-executor scale (SURVEY §4, §7.3.8).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+
+ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, ORACLE_SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_event_date_filter_pushes_to_parquet(spark):
+    """The day predicate must reach the scan as a raw-long range
+    (row-group skipping), not sit above it as a timestamp expression."""
+    plan = plan_of(spark, "q1_dau_total")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_scans_are_column_pruned(spark):
+    """q1 needs only (ts, user_id): the events ReadSchema must not
+    drag the wide payload columns (props/value) into the scan."""
+    plan = plan_of(spark, "q1_dau_total")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "props" not in read and "value" not in read
+
+
+def test_dim_join_broadcasts(spark):
+    """Q5: customer is the small dim — must broadcast, never shuffle
+    the fact side for it."""
+    plan = plan_of(spark, "q5_sale_detail_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No declared query may degenerate into a cartesian/BNL join —
+    except single-row broadcast query joins (cosine/LSH/IVF top-k
+    score against one query vector)."""
+    single_row_query_joins = {"ext_cosine_topk", "ext_lsh_topk", "ext_ivf_topk"}
+    for name in REGISTRY:
+        if name in single_row_query_joins:
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_aggregates_are_partial_before_shuffle(spark):
+    """Map-side combine: grouped aggregates must show a partial
+    HashAggregate below the exchange (not ship raw rows)."""
+    plan = plan_of(spark, "q4b_purchase_value_hourly")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_neardup_shuffles_signatures_not_text(spark):
+    """MinHash: the bucket shuffle carries ids + signatures; document
+    text must be projected away before any exchange."""
+    plan = plan_of(spark, "ext_minhash_neardup")
+    exchanges = plan.split("Exchange")
+    # every exchange input section that lists columns must not include
+    # the raw text column
+    for section in exchanges[1:]:
+        head = section[:400]
+        assert "text#" not in head, "document text crossed a shuffle"
