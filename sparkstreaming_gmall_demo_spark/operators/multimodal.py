@@ -96,3 +96,66 @@ def decode_image_stub(df: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    DECODED_SCHEMA.fields
+    + [
+        T.StructField("resized_width", T.IntegerType()),
+        T.StructField("resized_height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(decoded: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize stage: element-wise Arrow-batched transform keeping
+    aspect ratio (fit-inside semantics). Real impl replaces the
+    arithmetic with PIL thumbnail; batch shape is 1 row in -> 1 row out.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (width / pdf["width"]).combine(height / pdf["height"], min)
+            out = pdf.copy()
+            out["resized_width"] = (pdf["width"] * scale).clip(lower=1).astype("int32")
+            out["resized_height"] = (pdf["height"] * scale).clip(lower=1).astype("int32")
+            yield out
+
+    return decoded.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_k: int = 4) -> DataFrame:
+    """STUB frame sampling: 1 row in -> ceil(n_frames / every_k) rows
+    out — the fan-out batch shape of real video frame extraction. The
+    fake frame payload is a deterministic slice of the source payload;
+    real impl replaces the slicing with an ffmpeg seek+decode.
+
+    Scale: fan-out happens inside the Python worker per Arrow batch;
+    no shuffle is introduced. Downstream repartition() is the caller's
+    choice when frame rows must rebalance.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_payload": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) % 16 + 1  # matches decode_image_stub
+                for idx in range(0, n_frames, every_k):
+                    lo = (idx * 7) % max(1, len(payload))
+                    frame = bytes(payload[lo : lo + 8])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_payload"].append(frame)
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

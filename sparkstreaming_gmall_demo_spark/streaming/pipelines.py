@@ -119,6 +119,7 @@ def alert_pipeline(
     out_path: str,
     checkpoint: str,
     window_duration: str = "5 minutes",
+    slide_duration: str | None = None,
     watermark: str = "10 seconds",
     trigger: dict | None = None,
 ) -> StreamingQuery:
@@ -130,10 +131,20 @@ def alert_pipeline(
     difference); append mode emits each window exactly once when the
     watermark closes it. Minute-bucket doc-id dedup (AlertApp.scala:74)
     becomes the sink key.
+
+    ``slide_duration`` restores the reference's overlapping-window
+    shape (its DStream window slides every 3 s batch); the minute-
+    bucket sink key then dedups across overlapping firings exactly like
+    the reference's ES doc id.
     """
+    win = (
+        F.window("event_ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("event_ts", window_duration)
+    )
     windowed = (
         events.withWatermark("event_ts", watermark)
-        .groupBy(F.window("event_ts", window_duration).alias("w"), F.col("mid"))
+        .groupBy(win.alias("w"), F.col("mid"))
         .agg(
             F.collect_set(
                 F.when(F.col("evid") == "coupon", F.col("uid"))

@@ -34,3 +34,35 @@ def test_decode_stub_strict_raises(spark, sf_dir):
     with pytest.raises(Exception) as exc:
         mm.decode_image_stub(mm.attach_payload(docs), strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_resize_stub_fit_inside(spark, sf_dir):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = mm.decode_image_stub(mm.attach_payload(docs))
+    resized = mm.resize_stub(decoded, 64, 64).collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert 1 <= r.resized_width <= 64 and 1 <= r.resized_height <= 64
+        # fit-inside: the limiting dimension reaches the target within
+        # integer truncation (floor can lose one pixel)
+        if max(r.width, r.height) >= 64:
+            assert 63 <= max(r.resized_width, r.resized_height) <= 64
+
+
+def test_frame_sample_fanout_counts(spark, sf_dir):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    with_payload = mm.attach_payload(docs)
+    frames = mm.frame_sample_stub(with_payload, every_k=4)
+    got = frames.groupBy("doc_id").count().collect()
+    # expected: ceil(n_frames / 4) per doc, n_frames = n_bytes % 16 + 1
+    want = {
+        r.doc_id: -(-(r.n_bytes % 16 + 1) // 4)
+        for r in with_payload.select("doc_id", F.col("meta.n_bytes").alias("n_bytes")).collect()
+    }
+    assert {r.doc_id: r["count"] for r in got} == want
+    # frame payloads are deterministic slices
+    one = frames.orderBy("doc_id", "frame_idx").first()
+    again = mm.frame_sample_stub(with_payload, every_k=4).orderBy("doc_id", "frame_idx").first()
+    assert one == again

@@ -353,3 +353,41 @@ def test_sessionize_gap_semantics(spark, tmp_path):
         ("m1", b + 110.0, b + 110.0, 1),
         ("m2", b + 5.0, b + 5.0, 1),
     ]
+
+
+def test_alert_sliding_window_dedups_overlaps(spark, tmp_path):
+    """Sliding windows fire the same (mid, minute) alert from multiple
+    overlapping windows; the minute-bucket sink key must keep one row
+    per mid+minute (the reference's ES doc-id semantics, W3)."""
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, uid, evid, ts):
+        return {"mid": mid, "uid": uid, "appid": "g", "area": "a", "os": "i",
+                "ch": "c", "type": "e", "evid": evid, "pgid": "p", "npgid": "n",
+                "itemid": "it", "ts": ts}
+
+    w0 = (BASE // 300_000) * 300_000
+    chunks = [
+        [ev("m1", "u1", "coupon", w0 + 1_000), ev("m1", "u2", "coupon", w0 + 2_000),
+         ev("m1", "u3", "coupon", w0 + 3_000)],
+        [ev("zz-sentinel", "u0", "other", w0 + 3_600_000)],
+    ]
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        run_available(
+            lambda: pipelines.alert_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ),
+                out, ckpt, slide_duration="1 minute",
+                trigger={"availableNow": True},
+            )
+        )
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    # 5 overlapping 5-min/1-min windows cover the events, but the
+    # minute bucket of the last event is identical -> exactly one row
+    assert len(rows) == 1 and rows[0].mid == "m1"
+    assert sorted(rows[0].uids) == ["u1", "u2", "u3"]
