@@ -544,3 +544,45 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 -- hierarchical rollup: per (event_type, hour) counts with
+# subtotal and grand-total levels in one pass (GROUPING SETS). Not in
+# the reference (its dashboard queries each level separately —
+# DauMapper.xml:4-6 vs :8-11 are two round trips); Spark computes the
+# lattice in a single shuffle with partial aggregation, which is the
+# serving-layer upgrade at scale.
+# ---------------------------------------------------------------------------
+@_register(
+    "q15_rollup_hourly",
+    f"""
+    SELECT event_type,
+           CAST(hour(ts) AS INTEGER) AS log_hour,
+           CAST(GROUPING(event_type, hour(ts)) AS INTEGER) AS gid,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+    GROUP BY ROLLUP(event_type, hour(ts))
+    ORDER BY gid, event_type NULLS FIRST, log_hour NULLS FIRST
+    """,
+    "ROLLUP lattice (detail, per-type subtotal, grand total) in one pass",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = events.filter(events_date_filter(events, EVENTS_DATE))
+    return (
+        day.rollup("event_type", log_hour("ts").alias("log_hour"))
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum(money("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select("event_type", "log_hour", "gid", "cnt", "total_value")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("event_type"),
+            F.asc_nulls_first("log_hour"),
+        )
+    )

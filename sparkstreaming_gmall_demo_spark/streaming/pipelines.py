@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from ..functions import age_as_of, log_date, log_hour, minute_bucket
-from .sinks import idempotent_append, merge_last_write_wins
+from .sinks import idempotent_append, merge_last_write_wins, split_dead_letter
 
 DEFAULT_TRIGGER = {"processingTime": "5 seconds"}  # reference DauApp.scala:22
 
@@ -48,6 +48,7 @@ def dau_pipeline(
     startup: DataFrame,
     out_path: str,
     checkpoint: str,
+    dead_letter: str | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Daily-active-device stream: first sighting of each (mid, day).
@@ -67,6 +68,7 @@ def dau_pipeline(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = split_dead_letter(batch_df, dead_letter)
         first = (
             batch_df.withColumn(
                 "_rn",
@@ -91,6 +93,7 @@ def gmv_pipeline(
     orders: DataFrame,
     out_path: str,
     checkpoint: str,
+    dead_letter: str | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Order ingest: derive create_date/create_hour (GmvApp.scala:33-34
@@ -101,8 +104,9 @@ def gmv_pipeline(
     ).withColumn("create_hour", F.hour("create_time"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = split_dead_letter(batch_df, dead_letter).drop("_corrupt")
         idempotent_append(
-            batch_df.drop("_corrupt"),
+            batch_df,
             out_path,
             key_cols=["id"],
             partition_cols=["create_date"],

@@ -83,6 +83,24 @@ def idempotent_append(
     writer.parquet(out_path)
 
 
+def split_dead_letter(batch_df: DataFrame, dead_letter_path: str | None) -> DataFrame:
+    """Route corrupt-parse rows (``_corrupt`` non-null, see
+    sources.parse_topic) to a dead-letter table and return the clean
+    rows. The reference's fastjson parse would throw and kill the
+    micro-batch on one bad record; here bad records are quarantined
+    with zero pipeline downtime and full payload retention."""
+    if "_corrupt" not in batch_df.columns:
+        return batch_df
+    if dead_letter_path:
+        bad = batch_df.filter(F.col("_corrupt").isNotNull()).select(
+            F.col("_corrupt").alias("raw"),
+            F.current_timestamp().alias("quarantined_at"),
+        )
+        if not bad.isEmpty():
+            bad.write.mode("append").parquet(dead_letter_path)
+    return batch_df.filter(F.col("_corrupt").isNull())
+
+
 def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
     """Kafka producer sink (K6, reference
     gamll-canal/.../utils/MyKafkaSender.java:27-32 — fire-and-forget

@@ -391,3 +391,28 @@ def test_alert_sliding_window_dedups_overlaps(spark, tmp_path):
     # minute bucket of the last event is identical -> exactly one row
     assert len(rows) == 1 and rows[0].mid == "m1"
     assert sorted(rows[0].uids) == ["u1", "u2", "u3"]
+
+
+def test_gmv_dead_letter_quarantines_corrupt_records(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+
+    topic.mkdir()
+    good = json.dumps({"id": "o1", "user_id": "u1", "total_amount": 5.00,
+                       "create_time": "2023-11-14 10:00:00"})
+    (topic / "c0.jsonl").write_text(good + "\n{broken json!!\n")
+
+    q = pipelines.gmv_pipeline(
+        sources.parse_topic(
+            sources.file_topic_stream(spark, str(topic)), schemas.ORDER_INFO,
+            ts_from_millis=None,
+        ),
+        out, ckpt, dead_letter=dlq, trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+    assert [r.id for r in spark.read.parquet(out).collect()] == ["o1"]
+    quarantined = spark.read.parquet(dlq).collect()
+    assert len(quarantined) == 1 and quarantined[0].raw == "{broken json!!"
