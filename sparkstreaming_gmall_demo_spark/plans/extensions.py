@@ -183,6 +183,27 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate aggregates (mergeable sketches — the 100 TB scale path
+# for Q1-style distinct counts: HLL++ partials merge map-side, so the
+# shuffle carries one sketch per partition instead of every distinct
+# key; error is tolerance-bounded)
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_approx_distinct",
+    None,  # approximate by design; relative-error bound asserted in
+    # tests/test_operators_unit.py
+    "HLL++ approx distinct users per day vs the exact-count scale story",
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("log_date"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("log_date")
+    )
+
+
+# ---------------------------------------------------------------------------
 # E3 family: text analysis
 # ---------------------------------------------------------------------------
 _LANGS_REV = ["zh", "fr", "es", "en", "de"]  # reverse-lex: ties pick the

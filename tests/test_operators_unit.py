@@ -83,3 +83,24 @@ def test_exact_duplicate_groups(spark):
     got = dedup_ops.exact_duplicate_groups(df, ["text"], "doc_id").collect()
     assert len(got) == 1
     assert got[0].dup_count == 3 and got[0].member_ids == [1, 2, 4]
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        str(r.d): r.c
+        for r in events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count_distinct("user_id").alias("c"))
+        .collect()
+    }
+    approx = {
+        str(r.log_date): r.approx_users
+        for r in events.groupBy(F.to_date("ts").alias("log_date"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for d, c in exact.items():
+        assert abs(approx[d] - c) <= max(2, 0.05 * c), (d, c, approx[d])
