@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from ..functions import age_as_of, log_date, log_hour, minute_bucket
 from .sinks import idempotent_append, merge_last_write_wins, split_dead_letter
+from .sources import drop_corrupt
 
 DEFAULT_TRIGGER = {"processingTime": "5 seconds"}  # reference DauApp.scala:22
 
@@ -147,7 +148,7 @@ def alert_pipeline(
         else F.window("event_ts", window_duration)
     )
     windowed = (
-        events.withWatermark("event_ts", watermark)
+        drop_corrupt(events).withWatermark("event_ts", watermark)
         .groupBy(win.alias("w"), F.col("mid"))
         .agg(
             F.collect_set(
@@ -203,10 +204,10 @@ def user_dim_pipeline(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_last_write_wins(
-            batch_df.drop("_corrupt"), out_path, key_col="id", version_col=version_col
+            batch_df, out_path, key_col="id", version_col=version_col
         )
 
-    return _start(users.writeStream.foreachBatch(sink), checkpoint, trigger)
+    return _start(drop_corrupt(users).writeStream.foreachBatch(sink), checkpoint, trigger)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +238,7 @@ def sale_detail_pipeline(
     behavior as the reference's TTL expiry.
     """
     o = (
-        orders.select(
+        drop_corrupt(orders).select(
             F.col("id").alias("order_id"),
             F.col("user_id"),
             F.col("total_amount"),
@@ -247,7 +248,7 @@ def sale_detail_pipeline(
         .withWatermark("o_ts", join_ttl)
     )
     d = (
-        details.select(
+        drop_corrupt(details).select(
             F.col("id").alias("detail_id"),
             F.col("order_id").alias("d_order_id"),
             F.col("sku_id"),

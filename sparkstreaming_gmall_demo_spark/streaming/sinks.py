@@ -140,8 +140,12 @@ def merge_last_write_wins(
     merged = batch_df
     if _target_exists(out_path):
         merged = spark.read.parquet(out_path).unionByName(batch_df)
+    # deterministic on version ties: fall back to a stable row hash so
+    # replays of the same batch always keep the same winner
     w = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+        Window.partitionBy(key_col).orderBy(
+            F.col(version_col).desc(), F.xxhash64(F.struct(*merged.columns)).asc()
+        )
     )
     deduped = merged.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
     tmp = f"{out_path}__staging_{uuid.uuid4().hex[:8]}"

@@ -93,3 +93,12 @@ def parse_topic(raw: DataFrame, schema: T.StructType, ts_from_millis: str | None
             "event_ts", F.timestamp_millis(F.col(ts_from_millis))
         )
     return parsed
+
+
+def drop_corrupt(df: DataFrame) -> DataFrame:
+    """Remove corrupt-parse rows (and the marker column). Pipelines
+    whose sinks don't quarantine call this BEFORE stateful stages so
+    all-null ghost rows never enter aggregation state or join keys."""
+    if "_corrupt" not in df.columns:
+        return df
+    return df.filter(F.col("_corrupt").isNull()).drop("_corrupt")

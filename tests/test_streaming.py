@@ -416,3 +416,37 @@ def test_gmv_dead_letter_quarantines_corrupt_records(spark, tmp_path):
     assert [r.id for r in spark.read.parquet(out).collect()] == ["o1"]
     quarantined = spark.read.parquet(dlq).collect()
     assert len(quarantined) == 1 and quarantined[0].raw == "{broken json!!"
+
+
+def test_alert_pipeline_ignores_corrupt_records(spark, tmp_path):
+    """A bad JSON line must not create a null-mid group in window
+    state (ghost-row regression guard)."""
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, uid, ts):
+        return {"mid": mid, "uid": uid, "appid": "g", "area": "a", "os": "i",
+                "ch": "c", "type": "e", "evid": "coupon", "pgid": "p",
+                "npgid": "n", "itemid": "it", "ts": ts}
+
+    w0 = (BASE // 300_000) * 300_000
+    topic.mkdir()
+    lines = [json.dumps(ev("m1", f"u{i}", w0 + 1_000 * (i + 1))) for i in range(3)]
+    lines.append("][ definitely not json")
+    (topic / "c0.jsonl").write_text("\n".join(lines) + "\n")
+    write_chunk(topic, "c1.jsonl", [ev("zz-sentinel", "u0", w0 + 3_600_000)])
+
+    for _ in range(2):
+        run_available(
+            lambda: pipelines.alert_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ),
+                out, ckpt, trigger={"availableNow": True},
+            )
+        )
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    assert [r.mid for r in rows] == ["m1"]
+    assert all(r.mid is not None for r in rows)
