@@ -39,6 +39,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-UDF extension ops (similarity kernels).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # RocksDB state store: streaming state (dedup sets, join buffers,
+    # window/session state) spills to disk instead of executor heap —
+    # the only posture that survives day-scale dedup state at 100 TB
+    # (SURVEY §7.3.8). Changelog checkpointing keeps commits O(delta).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
 
 
