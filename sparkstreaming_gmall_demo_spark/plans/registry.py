@@ -586,3 +586,44 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("log_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16 -- supplier/part enrichment: lineitem facts against the part and
+# supplier dims, top brands by revenue within a part type. Rounds out
+# fixture coverage (every driver table is now exercised) with the
+# second star pattern: two independent broadcast dims on one fact.
+# ---------------------------------------------------------------------------
+@_register(
+    "q16_brand_revenue",
+    """
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           count(DISTINCT s_nationkey) AS n_supplier_nations
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 10
+    """,
+    "top part brands by revenue with supplier-nation breadth",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            F.count_distinct("s_nationkey").alias("n_supplier_nations"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
