@@ -18,7 +18,7 @@ replace the hash bucketing with learned centroids; the plumbing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
@@ -190,6 +190,25 @@ def ivf_assign(
         F.col(vec_col),
         _assign_expr(vec_col, centroids).alias("cluster"),
     )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    centroids: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the inverted lists partitioned by cluster: a probe that
+    filters on cluster ids becomes a partition-pruned scan — only
+    nprobe/k of the index files are ever read per query."""
+    ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def ivf_read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def ivf_topk(

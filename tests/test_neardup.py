@@ -109,3 +109,23 @@ def test_ivf_train_deterministic_and_reusable(spark, sf_dir):
     q = sim.query_vector(emb, 0)
     got = sim.ivf_topk(emb, q, k=5, centroids=c1).collect()
     assert len(got) == 5 and got[0].vec_id == 0  # self-match ranks first
+
+
+def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_train(emb, k=8, iters=1)
+    idx_path = str(tmp_path / "ivf")
+    sim.ivf_write_index(emb, cents, idx_path)
+    index = sim.ivf_read_index(spark, idx_path)
+
+    q = sim.query_vector(emb, 0)
+    from_index = sim.ivf_topk(emb, q, k=5, centroids=cents, assignment=index)
+    live = sim.ivf_topk(emb, q, k=5, centroids=cents)
+    assert [r.vec_id for r in from_index.collect()] == [r.vec_id for r in live.collect()]
+
+    # the probe must partition-prune the index scan (nprobe of 8 dirs)
+    probe = index.filter(F.col("cluster").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
+        "cluster #", "cluster#"
+    ) or "cluster" in plan.split("PartitionFilters")[1][:80]

@@ -46,3 +46,33 @@ def test_salted_agg_deterministic_salting(spark, skewed):
 def test_salted_agg_rejects_non_algebraic(spark, skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], {"d": ("count_distinct", "v")})
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE must detect and split the hot key's partition in a skewed
+    sort-merge join (thresholds lowered to trigger at test scale)."""
+    hot = [(1, f"payload-{i:06d}" * 20) for i in range(20000)]
+    cold = [(k, "x") for k in range(2, 2000)]
+    left = spark.createDataFrame(hot + cold, ["k", "v"])
+    right = spark.createDataFrame([(k, k * 10) for k in range(0, 2000)], ["k", "w"])
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # execute THIS dataframe (count() would plan a separate query
+        # and AQE only finalizes executed plans)
+        assert len(joined.collect()) == len(hot) + len(cold)  # k=1..1999 all match
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
