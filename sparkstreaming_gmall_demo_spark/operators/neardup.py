@@ -44,13 +44,19 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All pairs (i < j) with token-set Jaccard >= threshold.
+    """All pairs (i < j) with token-set Jaccard >= threshold."""
+    return array_jaccard_pairs(token_sets(df, id_col, text_col), threshold)
+
+
+def array_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (i < j) of ``sets`` rows (doc_id, toks: array) with
+    set Jaccard >= threshold — works over any element space (tokens,
+    n-gram shingles, hashes).
 
     Exact algorithm: explode (doc, token), self-join on token to count
     intersections (only co-occurring pairs materialize — sparse, not a
     cross join), then |A ∪ B| = |A| + |B| − |A ∩ B|.
     """
-    sets = token_sets(df, id_col, text_col)
     sizes = sets.select("doc_id", F.size("toks").alias("sz"))
     posting = sets.select("doc_id", F.explode("toks").alias("token"))
     a, b = posting.alias("a"), posting.alias("b")

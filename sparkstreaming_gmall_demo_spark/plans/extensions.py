@@ -85,6 +85,43 @@ def ext_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_ngram_jaccard_neardup",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                             i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS sa, len(b.sh) AS sb
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT i, j, round(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (sa + sb - inter) >= 0.5
+    ORDER BY i, j
+    """,
+    "exact word-bigram Jaccard near-dup pairs (order-sensitive dedup)",
+)
+def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle exact Jaccard: stricter than token-set Jaccard
+    (word order matters), the exact counterpart of the MinHash scale
+    path's shingle space. Same sparse posting-list plan as
+    token_jaccard_pairs, over 2-gram shingles."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
+    )
+    shingled = docs.select(
+        "doc_id", nd_ops.shingles("text", 2).alias("toks")
+    )
+    return nd_ops.array_jaccard_pairs(shingled, 0.5).orderBy("i", "j")
+
+
+@_register(
     "ext_minhash_neardup",
     None,  # xxhash64 family not reproducible in DuckDB; ground-truth
     # comparison against exact Jaccard lives in tests/test_neardup.py
