@@ -79,6 +79,58 @@ def array_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def prefix_filtered_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs with ppjoin-style prefix filtering.
+
+    Theorem (prefix filter): order every set by one global canonical
+    order; if J(A, B) >= t then the prefixes of length
+    |X| - ceil(t * |X|) + 1 of A and B share at least one element. So
+    the candidate join runs only on prefixes — and with the canonical
+    order = ascending global frequency, prefixes hold each doc's
+    RAREST elements, so posting lists in the join are short where the
+    corpus is dense. Candidates are then verified exactly on the full
+    arrays.
+
+    vs the naive posting join (array_jaccard_pairs): same output, but
+    the quadratic blowup on frequent shingles is filtered out before
+    it materializes. The filter costs three extra shuffles (frequency
+    join, prefix window, candidate dedup), so it LOSES below ~10^3
+    docs (measured: 12 s vs 4 s at 702 docs) and pays off only when
+    posting lists grow long enough that the naive join's sum(cnt^2)
+    blowup dominates — which is exactly the 100 TB regime.
+    """
+    from pyspark.sql.window import Window
+
+    posting = sets.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+    freq = posting.groupBy("tok").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("f"), F.asc("tok"))
+    prefix = (
+        posting.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .dropDuplicates(["i", "j"])
+    )
+    sa = sets.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"))
+    verified = cands.join(sa, "i").join(sb, "j").select(
+        "i",
+        "j",
+        (
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb"))
+        ).alias("jaccard"),
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "i", "j", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -95,6 +147,24 @@ def shingles(text_col, n: int = 3):
                 f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_sets(df: DataFrame, shingle_n: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, toks = distinct word n-gram strings). Tokens are
+    materialized into a column first so the n-gram window reads the
+    array instead of re-splitting the text per shingle index (the
+    difference between O(tokens) and O(tokens^2) per doc)."""
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    return toked.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(CASE WHEN size(t) >= {shingle_n} THEN "
+            f"transform(sequence(1, size(t) - {shingle_n - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {shingle_n}))) "
+            f"ELSE array(concat_ws(' ', t)) END)"
+        ).alias("toks"),
     )
 
 

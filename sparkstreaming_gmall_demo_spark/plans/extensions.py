@@ -115,10 +115,11 @@ def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
-    shingled = docs.select(
-        "doc_id", nd_ops.shingles("text", 2).alias("toks")
-    )
-    return nd_ops.array_jaccard_pairs(shingled, 0.5).orderBy("i", "j")
+    # naive posting-list kernel: measured faster than the prefix-
+    # filtered variant below ~10^3 docs (its extra shuffles dominate);
+    # prefix_filtered_jaccard_pairs is the crossover path for larger
+    # corpora with long posting lists
+    return nd_ops.array_jaccard_pairs(nd_ops.shingle_sets(docs, 2), 0.5).orderBy("i", "j")
 
 
 @_register(

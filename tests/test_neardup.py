@@ -134,3 +134,14 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
         "cluster #", "cluster#"
     ) or "cluster" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
+    """Prefix filtering must lose no pairs (exactness of the ppjoin
+    prefix bound) across thresholds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    sets = nd.shingle_sets(docs, 2)
+    for t in (0.3, 0.5, 0.8):
+        naive = {(r.i, r.j, r.jaccard) for r in nd.array_jaccard_pairs(sets, t).collect()}
+        fast = {(r.i, r.j, r.jaccard) for r in nd.prefix_filtered_jaccard_pairs(sets, t).collect()}
+        assert fast == naive, f"threshold {t}"
