@@ -30,11 +30,12 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         # Warm-up executes the same plan shape end-to-end (collect, not
         # count: count() prunes to a different physical plan and leaves
-        # the real query's codegen cold). Two timed fresh builds, best
-        # taken -- "warm wall" per BASELINE.md methodology.
+        # the real query's codegen cold). Three timed fresh builds, best
+        # taken -- "warm wall" per BASELINE.md methodology; best-of-3
+        # because single-run wall times on this VM vary +/-40%.
         spec.build(spark, sf_dir).collect()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

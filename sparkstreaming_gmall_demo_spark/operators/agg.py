@@ -48,16 +48,9 @@ def alert_aggregate(
     # single hash-aggregate pass with the other columns (measured ~15x
     # faster at sf0.1). Set cardinality is bounded by the window's
     # distinct qualifying events, which is small by construction.
-    #
-    # Pre-shuffle on the group keys: (window x user) cardinality is
-    # O(input rows), so map-side partial aggregation can't reduce the
-    # shuffle -- it only doubles the object-aggregation work. Shuffling
-    # raw rows once and aggregating co-located is the same shuffle
-    # volume and one object-agg pass (measured ~25% faster; the win
-    # grows with group cardinality). repartition uses
-    # spark.sql.shuffle.partitions, which matches the aggregate's
-    # required distribution, so no second exchange is planned.
-    df = df.repartition(*grouped_cols)
+    # (An explicit pre-repartition on the group keys was measured both
+    # ways and removed: the planner's own partial-agg + exchange is
+    # ~25% faster on the current plan shape.)
     agg = df.groupBy(*grouped_cols).agg(
         F.size(F.collect_set(F.when(qualify, qualify_id))).cast("long").alias("qualify_count"),
         F.max(F.when(disqualify, F.lit(1)).otherwise(F.lit(0))).alias("has_disqualify"),
