@@ -44,3 +44,58 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     bucket counts the physical plan has no Exchange on either side —
     verify with .explain (tests/test_bucketing.py pins this)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def compact_to_bucketed(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Day-close compaction: republish a streaming-append serving table
+    (one small file per micro-batch per partition) as a single bucketed
+    layout.
+
+    This is the Spark analog of HBase major compaction behind the
+    reference's Phoenix serving tables (app/DauApp.scala:56-63 upserts
+    accumulate HFiles; compaction rewrites them sorted by rowkey). At
+    100 TB the streaming sink's file count, not its byte count, is what
+    kills serving scans — and the rewrite also buys hash-distribution
+    on ``key`` so every later equi-join/anti-join on it skips the
+    sink-side shuffle.
+    """
+    write_bucketed(spark.read.parquet(src_path), table, key, buckets, path, sort)
+
+
+def idempotent_append_bucketed(
+    batch_df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed variant of ``sinks.idempotent_append`` for sinks with a
+    single high-cardinality key and no date partitioning (the
+    sale_detail table: keyed ``sale_detail_id``, reference ES doc-id
+    upsert at SaleDetailApp.scala:162-173).
+
+    The plain sink's replay guard left-anti joins each batch against
+    the FULL sink keyset — on an unpartitioned table that shuffles the
+    entire accumulated sink every micro-batch, the one cost in this
+    engine that grows without bound. Keeping the sink bucketed on the
+    dedup key makes the probe scan hash-distributed already: only the
+    (small) batch side shuffles, sink-side Exchange is gone from the
+    plan (tests/test_bucketing.py pins this).
+    """
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates([key])
+    if spark.catalog.tableExists(table):
+        batch = batch.join(spark.table(table).select(key), on=key, how="left_anti")
+        batch.write.format("parquet").bucketBy(buckets, key).sortBy(key).mode(
+            "append"
+        ).saveAsTable(table)
+    else:
+        write_bucketed(batch, table, key, buckets, path)

@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from ..functions import age_as_of, log_date, log_hour, minute_bucket
+from ..operators.bucketing import idempotent_append_bucketed
 from .sinks import idempotent_append, merge_last_write_wins, split_dead_letter
 from .sources import drop_corrupt
 
@@ -223,6 +224,8 @@ def sale_detail_pipeline(
     join_ttl: str = "10 seconds",
     as_of: str = "2024-01-01",
     trigger: dict | None = None,
+    bucket_table: str | None = None,
+    buckets: int = 8,
 ) -> StreamingQuery:
     """The 3-way denormalization: order_info FULL OUTER order_detail
     (keyed order_id, SaleDetailApp.scala:50-51) with the late-data
@@ -236,6 +239,13 @@ def sale_detail_pipeline(
     ±``join_ttl`` of the order's event time. Spark emits unmatched
     outer rows only once the watermark passes — same observable
     behavior as the reference's TTL expiry.
+
+    ``bucket_table`` switches the sink to a table bucketed on
+    ``sale_detail_id`` (``out_path`` becomes its external location):
+    the per-batch replay-guard probe then reads the sink
+    hash-distributed and plans no sink-side Exchange — this sink is
+    unpartitioned (its key carries no date), so at scale the probe is
+    otherwise a full-sink shuffle per micro-batch.
     """
     o = (
         drop_corrupt(orders).select(
@@ -306,6 +316,11 @@ def sale_detail_pipeline(
             "dt",
             F.to_date("create_time"),
         )
-        idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
+        if bucket_table is not None:
+            idempotent_append_bucketed(
+                keyed, bucket_table, "sale_detail_id", buckets, path=out_path
+            )
+        else:
+            idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
 
     return _start(joined.writeStream.foreachBatch(sink), checkpoint, trigger)

@@ -38,6 +38,78 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_compact_to_bucketed_round_trip(spark, sf_dir, tmp_path):
+    """Streaming-append layout (many small files) -> one bucketed
+    layout: same rows, and a join on the bucket key no longer shuffles
+    the compacted side."""
+    from sparkstreaming_gmall_demo_spark.operators.bucketing import (
+        compact_to_bucketed,
+    )
+
+    src = str(tmp_path / "append_sink")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate micro-batch appends: two slices written separately
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(src)
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(src)
+
+    compact_to_bucketed(spark, src, "b_compacted", "o_orderkey", 4,
+                        str(tmp_path / "compacted"))
+    try:
+        got = spark.table("b_compacted")
+        assert got.count() == orders.count()
+
+        other = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                got.join(other, "o_orderkey")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # exactly one Exchange: the non-bucketed lineitem side
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_compacted")
+
+
+def test_idempotent_append_bucketed_replay_and_plan(spark, tmp_path):
+    from sparkstreaming_gmall_demo_spark.operators.bucketing import (
+        idempotent_append_bucketed,
+    )
+
+    path = str(tmp_path / "sink")
+    rows = lambda ids: spark.createDataFrame(
+        [(i, f"payload-{i}") for i in ids], "sale_detail_id string, v string"
+    )
+    try:
+        idempotent_append_bucketed(rows(["a", "b"]), "b_sink", "sale_detail_id", 4, path)
+        # overlapping batch: only "c" is new
+        idempotent_append_bucketed(rows(["b", "c"]), "b_sink", "sale_detail_id", 4, path)
+        # full replay of the second batch: inserts nothing
+        idempotent_append_bucketed(rows(["b", "c"]), "b_sink", "sale_detail_id", 4, path)
+        got = sorted(r.sale_detail_id for r in spark.table("b_sink").collect())
+        assert got == ["a", "b", "c"]
+
+        # the replay-guard probe must not shuffle the sink side
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = rows(["x"]).join(
+                spark.table("b_sink").select("sale_detail_id"),
+                on="sale_detail_id", how="left_anti",
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert plan.count("Exchange") == 1, plan  # batch side only
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_sink")
+
+
 def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     lt, rt = bucketed_tables
     got = (

@@ -276,6 +276,60 @@ def test_sale_detail_full_outer_join_with_dim(spark, tmp_path):
     assert by_id["order:o3"].detail_id is None and by_id["order:o3"].total_amount is not None
 
 
+def test_sale_detail_pipeline_bucketed_sink(spark, tmp_path):
+    """Same pipeline, bucketed sink mode: replayed chunks still land
+    exactly-once, and the sink is a real bucketed table (the replay
+    probe needs no sink-side shuffle — plan pinned in
+    test_bucketing.py)."""
+    o_topic, d_topic = tmp_path / "orders", tmp_path / "details"
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("u1", "l1", "2", "1990-06-15", "F")], schemas.USER_INFO
+    ).write.parquet(dim)
+
+    def start():
+        return pipelines.sale_detail_pipeline(
+            spark,
+            sources.parse_topic(sources.file_topic_stream(spark, str(o_topic)), ORDER_STREAM),
+            sources.parse_topic(sources.file_topic_stream(spark, str(d_topic)), DETAIL_STREAM),
+            dim, out, ckpt, trigger={"availableNow": True},
+            bucket_table="b_sale_detail", buckets=4,
+        )
+
+    try:
+        write_chunk(o_topic, "c0.jsonl",
+                    [{"id": "o1", "user_id": "u1", "total_amount": 99.99,
+                      "create_time": "2023-11-14 10:00:00", "ts": BASE + 1_000}])
+        write_chunk(d_topic, "c0.jsonl",
+                    [{"id": "d1", "order_id": "o1", "sku_id": "s1",
+                      "sku_name": "widget", "order_price": 9.99, "sku_num": 2,
+                      "ts": BASE + 2_000}])
+        run_available(start)
+        # sentinel flushes join state; also re-delivers nothing new
+        write_chunk(o_topic, "c1.jsonl",
+                    [{"id": "zz-s", "user_id": "u0", "total_amount": 1.0,
+                      "create_time": "2023-11-14 11:00:00", "ts": BASE + 3_600_000}])
+        write_chunk(d_topic, "c1.jsonl",
+                    [{"id": "zz-d", "order_id": "zz-s", "sku_id": "s",
+                      "sku_name": "s", "order_price": 1.0, "sku_num": 1,
+                      "ts": BASE + 3_600_000}])
+        run_available(start)
+
+        tbl = spark.table("b_sale_detail")
+        rows = tbl.filter(~F.col("sale_detail_id").startswith("zz-")).collect()
+        assert {r.sale_detail_id for r in rows} == {"d1"}
+        assert rows[0].user_gender == "F"
+        # it really is bucketed on the sink key
+        desc = spark.sql("DESCRIBE TABLE EXTENDED b_sale_detail").collect()
+        info = {r.col_name: r.data_type for r in desc}
+        assert info.get("Num Buckets") == "4"
+        assert "sale_detail_id" in info.get("Bucket Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_sale_detail")
+
+
 # ---------------------------------------------------------------------------
 # Corrupt-record policy (P1)
 # ---------------------------------------------------------------------------
