@@ -3,9 +3,16 @@ rows/s through the DAU and alert pipelines, fixture events replayed as
 a file-source stream with full checkpointing, RocksDB state, and the
 idempotent sinks engaged.
 
+The fixture is staged as N_CHUNKS time-ordered files and the source
+capped at one file per trigger, so the replay runs as N real
+micro-batches: watermark advance, state-store read/update/eviction,
+and the sink's replay-guard probe are all paid per batch (a
+single-batch replay is overhead-dominated and hides them —
+SURVEY §8.3).
+
 Prints ONE JSON line:
   {"metric": "streaming_rows_per_sec", "value": <min over pipelines>,
-   "pipelines": {...}, "rows": N, "sf": ...}
+   "pipelines": {...}, "rows": N, "batches": N_CHUNKS, "sf": ...}
 """
 
 from __future__ import annotations
@@ -28,12 +35,40 @@ EVENTS_RAW = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+N_CHUNKS = 8
+
+
+def stage_chunks(input_dir: str, fixture: str, n: int) -> int:
+    """Split the events fixture into ``n`` time-ordered parquet files.
+
+    Chronological chunks make each micro-batch advance the watermark
+    past the previous one — the realistic regime where windows close
+    and dedup state is evicted every batch. Files get strictly
+    increasing mtimes so the file source picks them up in time order.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(fixture)
+    table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
+    rows = table.num_rows
+    step = (rows + n - 1) // n
+    for i in range(n):
+        chunk = table.slice(i * step, step)
+        p = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    return rows
 
 
 def event_stream(spark, input_dir: str):
     # file streaming sources take a directory; main() stages the
-    # fixture file into one
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(input_dir)
+    # fixture file into one chunk file per micro-batch
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
     return raw.select(
         F.col("user_id").cast("string").alias("mid"),
         F.col("user_id").cast("string").alias("uid"),
@@ -57,13 +92,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gmall-streaming-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    n_rows = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet").count()
 
     work = tempfile.mkdtemp(prefix="gmall_stream_bench_")
     try:
         input_dir = os.path.join(work, "input")
         os.makedirs(input_dir)
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", input_dir)
+        n_rows = stage_chunks(
+            input_dir, f"{sf_dir.rstrip('/')}/events.parquet", N_CHUNKS
+        )
         rates = {
             "dau": run(
                 "dau",
@@ -93,6 +129,7 @@ def main() -> None:
                 "unit": "rows/sec",
                 "pipelines": rates,
                 "rows": n_rows,
+                "batches": N_CHUNKS,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
