@@ -115,11 +115,11 @@ def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
-    # naive posting-list kernel: measured faster than the prefix-
-    # filtered variant below ~10^3 docs (its extra shuffles dominate);
-    # prefix_filtered_jaccard_pairs is the crossover path for larger
-    # corpora with long posting lists
-    return nd_ops.array_jaccard_pairs(nd_ops.shingle_sets(docs, 2), 0.5).orderBy("i", "j")
+    # bigram shingles have bounded frequencies, so the bucket-pair
+    # kernel wins here (tokens with stopword skew use the posting
+    # self-join instead; prefix_filtered_jaccard_pairs is the path for
+    # larger corpora with long posting lists) — see kernel docstrings
+    return nd_ops.bucket_jaccard_pairs(nd_ops.shingle_sets(docs, 2), 0.5).orderBy("i", "j")
 
 
 @_register(

@@ -145,3 +145,15 @@ def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
         naive = {(r.i, r.j, r.jaccard) for r in nd.array_jaccard_pairs(sets, t).collect()}
         fast = {(r.i, r.j, r.jaccard) for r in nd.prefix_filtered_jaccard_pairs(sets, t).collect()}
         assert fast == naive, f"threshold {t}"
+
+
+def test_bucket_jaccard_equals_selfjoin(spark, sf_dir):
+    """The two exact kernels are physical variants of the same
+    operator: identical output on both element spaces (unigram tokens
+    and bigram shingles), across thresholds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    for sets in (nd.token_sets(docs), nd.shingle_sets(docs, 2)):
+        for t in (0.5, 0.8):
+            a = {(r.i, r.j, r.jaccard) for r in nd.array_jaccard_pairs(sets, t).collect()}
+            b = {(r.i, r.j, r.jaccard) for r in nd.bucket_jaccard_pairs(sets, t).collect()}
+            assert a == b, f"threshold {t}"
