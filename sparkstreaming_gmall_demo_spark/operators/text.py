@@ -171,3 +171,38 @@ def token_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang", k
         .filter(F.col("rank") <= k)
         .select("lang", "token", "cnt", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf = in-doc term count,
+    idf = ln(N / docs-containing-term)); ties break on term asc.
+
+    Plan shape: one token explode feeds BOTH frequency levels — the
+    per-(doc, term) tf aggregate, then the per-term document frequency
+    derived from it (already one row per doc×term, so df is a count —
+    no second pass over text). N arrives as a broadcast single-row
+    cross join, keeping everything plan-side (no driver collect). The
+    top-k window partitions by doc — high cardinality, so no skew.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = df.agg(F.count("*").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("s", F.col("tf") * F.log(F.col("n") / F.col("dfreq")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", F.round("s", 4).alias("tfidf"))
+    )

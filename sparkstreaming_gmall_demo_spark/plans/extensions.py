@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+from ..operators import components as comp_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import similarity as sim_ops
@@ -415,6 +416,79 @@ def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.token_stats(docs, k=5).orderBy("lang", "rank")
+
+
+@_register(
+    "ext_tfidf_topterms",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE lang = '{JACCARD_LANG}'),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d)
+        GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(*) AS n FROM d),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 4) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nd.n,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(nd.n * 1.0 / dfreq.df) DESC, tf.term
+               ) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ) WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+    "top-3 terms per document by tf-idf (corpus-level inverse frequency)",
+)
+def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction — the text-analysis counterpart
+    of quality scoring: one token explode feeds both frequency levels,
+    N joins in as a broadcast scalar, top-k per doc via window."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return text_ops.tfidf_top_terms(docs, k=3).orderBy("doc_id", "term")
+
+
+@_register(
+    "ext_neardup_components",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT a, a FROM edges),
+    labels AS (SELECT a AS node, min(b) AS component FROM closure GROUP BY a)
+    SELECT component, count(*) AS size
+    FROM labels GROUP BY component ORDER BY component
+    """,
+    "near-dup clusters: connected components of the exact-Jaccard pair graph",
+)
+def ext_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> transitive clusters, each labeled by its minimum doc id
+    (operators/components.py min-label propagation; the oracle states
+    the same fixpoint as a recursive transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = comp_ops.connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy("component")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..sources.fixtures import events_date_filter, load_table
 from ..functions import money, log_date, log_hour, permille
 from ..operators import agg as agg_ops
+from ..operators import asof as asof_ops
 from ..operators import dedup as dedup_ops
 from ..operators import joins as join_ops
 from ..operators import pagination as page_ops
@@ -626,4 +627,53 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 -- as-of join: for each order, the customer's most recent STRICTLY
+# earlier order (point-in-time lookup; operators/asof.py). The oracle
+# states the same semantics relationally (max earlier date per order) —
+# quadratic in SQL, single sort in the engine.
+# ---------------------------------------------------------------------------
+@_register(
+    "q17_asof_prev_order",
+    """
+    WITH prev AS (
+        SELECT a.o_orderkey, a.o_orderpriority, a.o_orderdate,
+               max(b.o_orderdate) AS prev_date
+        FROM orders a LEFT JOIN orders b
+          ON a.o_custkey = b.o_custkey AND b.o_orderdate < a.o_orderdate
+        GROUP BY a.o_orderkey, a.o_orderpriority, a.o_orderdate
+    )
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           count(prev_date) AS n_with_prev,
+           round(avg(date_diff('day', prev_date, o_orderdate)), 4) AS avg_gap_days,
+           CAST(max(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS max_gap_days
+    FROM prev
+    GROUP BY 1 ORDER BY 1
+    """,
+    "as-of self-join: days since the customer's previous order",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    enriched = asof_ops.asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        orders.select("o_custkey", "o_orderdate"),
+        key="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="o_orderdate",
+        strict=True,
+    )
+    gap = F.datediff(F.col("o_orderdate"), F.col("asof_ts"))
+    return (
+        enriched.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.col("asof_ts")).alias("n_with_prev"),
+            F.round(F.avg(gap), 4).alias("avg_gap_days"),
+            F.max(gap).cast("long").alias("max_gap_days"),
+        )
+        .orderBy("priority")
     )

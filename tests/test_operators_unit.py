@@ -104,3 +104,105 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for d, c in exact.items():
         assert abs(approx[d] - c) <= max(2, 0.05 * c), (d, c, approx[d])
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [("k1", 100, "e1"), ("k1", 200, "e2"), ("k2", 150, "e3"), ("k3", 50, "e4")],
+        "key string, t long, ev string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [("k1", 100, "v@100"), ("k1", 180, "v@180"), ("k1", 300, "v@300"),
+         ("k2", 10, "v@10")],
+        "key string, t long, val string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    return left, right
+
+
+def test_asof_join_latest_at_or_before(spark):
+    from sparkstreaming_gmall_demo_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.ev: r.asof_val
+        for r in asof_join(left, right, "key", "t", "t", ["val"]).collect()
+    }
+    # e1 ties right v@100 (non-strict: included); e2 sees v@180 not
+    # v@300 (future); e3 sees the old v@10; e4 has no right row at all
+    assert got == {"e1": "v@100", "e2": "v@180", "e3": "v@10", "e4": None}
+
+
+def test_asof_join_strict_excludes_same_instant(spark):
+    from sparkstreaming_gmall_demo_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.ev: r.asof_val
+        for r in asof_join(left, right, "key", "t", "t", ["val"], strict=True).collect()
+    }
+    assert got["e1"] is None  # v@100 is same-instant -> invisible
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    from sparkstreaming_gmall_demo_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.ev: r.asof_val
+        for r in asof_join(
+            left, right, "key", "t", "t", ["val"], tolerance="60 seconds"
+        ).collect()
+    }
+    # e3 at t=150 matched v@10, but 140s > 60s tolerance -> voided
+    assert got["e3"] is None and got["e2"] == "v@180"
+
+
+def test_asof_join_right_ties_pick_greatest_payload(spark):
+    from sparkstreaming_gmall_demo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 100)], "key string, t long").withColumn(
+        "t", F.timestamp_seconds("t")
+    )
+    right = spark.createDataFrame(
+        [("k", 50, "a"), ("k", 50, "b")], "key string, t long, val string"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    rows = asof_join(left, right, "key", "t", "t", ["val"]).collect()
+    assert rows[0].asof_val == "b"
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/components.py)
+# ---------------------------------------------------------------------------
+def test_connected_components_planted_clusters(spark):
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (tests >1 iteration)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "i long, j long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_keep_canonical_collapses_clusters(spark):
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components,
+        keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], "i long, j long")
+    kept = sorted(
+        r.doc_id
+        for r in keep_canonical(docs, connected_components(pairs)).collect()
+    )
+    assert kept == [0, 1, 3, 4]  # 2 and 5 collapse into 1 and 4

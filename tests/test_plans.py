@@ -46,9 +46,14 @@ def test_dim_join_broadcasts(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """No declared query may degenerate into a cartesian/BNL join —
-    except single-row broadcast query joins (cosine/LSH/IVF top-k
-    score against one query vector)."""
-    single_row_query_joins = {"ext_cosine_topk", "ext_lsh_topk", "ext_ivf_topk"}
+    except single-row broadcast scalar joins (cosine/LSH/IVF top-k
+    score against one query vector; tfidf's corpus-size N)."""
+    single_row_query_joins = {
+        "ext_cosine_topk",
+        "ext_lsh_topk",
+        "ext_ivf_topk",
+        "ext_tfidf_topterms",
+    }
     for name in REGISTRY:
         if name in single_row_query_joins:
             continue
