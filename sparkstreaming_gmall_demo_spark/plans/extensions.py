@@ -19,6 +19,8 @@ from ..sources.fixtures import load_table
 from ..operators import components as comp_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
+from ..operators import rangejoin as rj_ops
+from ..operators import sampling as samp_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from .registry import _register
@@ -488,6 +490,106 @@ def ext_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy("component")
         .agg(F.count("*").alias("size"))
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join / sampling / quantiles (training-data pipeline utilities)
+# ---------------------------------------------------------------------------
+RANGE_GAP_S = 300
+SAMPLE_FRACTION = 0.1
+
+
+@_register(
+    "ext_event_pairs_within_gap",
+    f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS cnt
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {RANGE_GAP_S} SECOND
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "range self-join: same-user event pairs within a 5-minute gap",
+)
+def ext_event_pairs_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence matrix via the bucketed interval join
+    (operators/rangejoin.py) — equi-join on (user, time-bucket), never
+    an inequality nested loop. The oracle states the same pairs with
+    the naive quadratic join."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = rj_ops.interval_self_pairs(
+        events, key="user_id", ts_col="ts", gap_seconds=RANGE_GAP_S,
+        payload_cols=["event_type"],
+    )
+    return (
+        pairs.groupBy(
+            F.col("a_event_type").alias("type_a"),
+            F.col("b_event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@_register(
+    "ext_deterministic_sample",
+    f"""
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+          < '{'{:08x}'.format(int(SAMPLE_FRACTION * 16 ** 8))}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "deterministic hash sample: engine-portable 10% split by event id",
+)
+def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling (operators/sampling.py): membership is a
+    pure function of md5(key), so Spark and DuckDB select the exact
+    same rows — which is the point (df.sample() would not survive a
+    repartition, let alone an engine swap)."""
+    events = load_table(spark, sf_dir, "events")
+    sampled = samp_ops.deterministic_sample(events, "event_id", SAMPLE_FRACTION)
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "ext_length_quantiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    "exact length quantiles per language (corpus profiling)",
+)
+def ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: rank (n-1)p, linear interpolation). The scale
+    caveat is documented on purpose: exact percentile shuffles every
+    value to its group; at 100 TB swap in approx_percentile
+    (t-digest sketch, mergeable map-side) and accept bounded error —
+    same plan shape as ext_approx_distinct vs Q1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
     )
 
 

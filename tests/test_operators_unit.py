@@ -206,3 +206,100 @@ def test_keep_canonical_collapses_clusters(spark):
         for r in keep_canonical(docs, connected_components(pairs)).collect()
     )
     assert kept == [0, 1, 3, 4]  # 2 and 5 collapse into 1 and 4
+
+
+# ---------------------------------------------------------------------------
+# bucketed interval self-join (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+def test_interval_self_pairs_boundaries(spark):
+    from sparkstreaming_gmall_demo_spark.operators.rangejoin import (
+        interval_self_pairs,
+    )
+
+    # gap = 10s; pairs must be strictly-later and <= gap, across bucket
+    # boundaries too
+    rows = [
+        ("u", 100.0, "a"), ("u", 100.0, "a2"),   # same instant: no pair
+        ("u", 109.999999, "b"),                   # 9.999999s after a: in
+        ("u", 110.0, "c"),                        # exactly 10s after a: in
+        ("u", 110.000001, "d"),                   # 10.000001s: out (vs a)
+        ("v", 105.0, "x"),                        # other key: never pairs
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, tag string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "tag"
+    )
+    pairs = {
+        (r.a_tag, r.b_tag)
+        for r in interval_self_pairs(df, "k", "ts", 10, ["tag"]).collect()
+    }
+    assert pairs == {
+        ("a", "b"), ("a2", "b"), ("a", "c"), ("a2", "c"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+
+
+def test_interval_self_pairs_is_equi_join(spark):
+    """The plan must be a hash/sort-merge equi-join on (key, bucket) —
+    never a nested-loop over the inequality."""
+    from sparkstreaming_gmall_demo_spark.operators.rangejoin import (
+        interval_self_pairs,
+    )
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        interval_self_pairs(events, "user_id", "ts", 300, ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+def test_deterministic_sample_stable_across_partitioning(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in deterministic_sample(df.repartition(13), "k", 0.2).collect()}
+    assert a == b and a  # same membership regardless of partitioning
+    # rate lands near the target (md5 uniformity)
+    assert abs(len(a) / 5000 - 0.2) < 0.02
+
+
+def test_deterministic_sample_salts_give_independent_splits(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in deterministic_sample(df, "k", 0.5, salt="train").collect()}
+    s2 = {r.k for r in deterministic_sample(df, "k", 0.5, salt="val").collect()}
+    overlap = len(s1 & s2) / 5000
+    assert abs(overlap - 0.25) < 0.03  # independent ~ p^2 overlap
+
+
+def test_sample_threshold_bounds():
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        sample_threshold,
+    )
+
+    assert sample_threshold(0.0) == "00000000"
+    assert sample_threshold(1.0) == "g"  # above all hex: keeps everything
+    with _pytest.raises(ValueError):
+        sample_threshold(1.5)
+
+
+def test_deterministic_sample_full_and_empty_fractions(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert deterministic_sample(df, "k", 1.0).count() == 100
+    assert deterministic_sample(df, "k", 0.0).count() == 0
