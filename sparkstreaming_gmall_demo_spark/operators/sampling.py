@@ -51,3 +51,37 @@ def deterministic_sample(
     sharing a key are kept or dropped together (group-coherent — an
     exploded document's chunks stay in the same split)."""
     return df.filter(sample_predicate(key, fraction, salt))
+
+
+def split_cutoffs(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-cutoff-hex) per split, in declaration order, from
+    cumulative fractions — e.g. {train:.8, val:.1, test:.1} →
+    [(train,'cccccccc'), (val,'e6666666'), (test,'g')]. Fractions must
+    sum to 1; the last split's cutoff is 'g' so rounding slack in the
+    cumulative floor lands there (no key is ever unassigned)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        out.append((name, sample_threshold(acc)))
+    out.append((names[-1], "g"))
+    return out
+
+
+def assign_split(key, splits: dict[str, float], salt: str = "") -> Column:
+    """Label column assigning every key to exactly one split —
+    deterministic, engine-portable, group-coherent (same guarantees as
+    ``deterministic_sample``; the hash is bucketed once into adjacent
+    ranges instead of thresholded per split, so splits are disjoint by
+    construction). Oracle form: the same CASE over
+    ``substr(md5(k || salt), 1, 8)`` cutoffs."""
+    key = F.col(key) if isinstance(key, str) else key
+    digest = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    cutoffs = split_cutoffs(splits)
+    expr = F.lit(cutoffs[-1][0])
+    for name, cut in reversed(cutoffs[:-1]):
+        expr = F.when(digest < cut, F.lit(name)).otherwise(expr)
+    return expr

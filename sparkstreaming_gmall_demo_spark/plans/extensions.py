@@ -593,6 +593,49 @@ def ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql(key_sql: str) -> str:
+    from ..operators.sampling import split_cutoffs
+
+    digest = f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)"
+    cuts = split_cutoffs(SPLITS)
+    whens = " ".join(
+        f"WHEN {digest} < '{cut}' THEN '{name}'" for name, cut in cuts[:-1]
+    )
+    return f"CASE {whens} ELSE '{cuts[-1][0]}' END"
+
+
+@_register(
+    "ext_split_assignment",
+    f"""
+    SELECT split, lang, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM (SELECT lang, n_chars, {_split_case_sql('doc_id')} AS split
+          FROM documents)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "deterministic train/val/test split assignment over documents",
+)
+def ext_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint multi-way split (operators/sampling.py:assign_split):
+    one md5 bucketing into adjacent hash ranges, so every doc lands in
+    exactly one of train/val/test on every engine and every run — the
+    reproducibility contract a training-data pipeline needs before
+    anything downstream can be compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", samp_ops.assign_split("doc_id", SPLITS))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # E4 family: multimodal columns
 # ---------------------------------------------------------------------------

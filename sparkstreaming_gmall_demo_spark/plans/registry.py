@@ -34,6 +34,7 @@ from ..operators import asof as asof_ops
 from ..operators import dedup as dedup_ops
 from ..operators import joins as join_ops
 from ..operators import pagination as page_ops
+from ..operators import sessions as sess_ops
 from ..operators import text as text_ops
 from ..operators import windows as win_ops
 
@@ -677,3 +678,194 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18 -- analytic window functions over an aggregate: daily GMV with a
+# running (cumulative) total and day-over-day delta. The reference's
+# dashboard recomputes totals client-side per request
+# (dw-chart/controller/IndexController.java renders per-hour arrays the
+# Java code re-walks); one windowed pass replaces that. Both window
+# functions share one ORDER BY d spec -> one sort after the (tiny)
+# daily aggregate.
+# ---------------------------------------------------------------------------
+RUNNING_MONTH_START, RUNNING_MONTH_END = "1995-01-01", "1995-02-01"
+
+
+@_register(
+    "q18_running_gmv",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '{RUNNING_MONTH_START}'
+          AND CAST(o_orderdate AS DATE) <  DATE '{RUNNING_MONTH_END}'
+        GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           gmv,
+           CAST(sum(gmv) OVER (ORDER BY d) AS DECIMAL(18,2)) AS cum_gmv,
+           CAST(gmv - lag(gmv) OVER (ORDER BY d) AS DECIMAL(18,2)) AS delta
+    FROM daily ORDER BY d
+    """,
+    "daily GMV with running total and day-over-day delta",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (log_date("o_orderdate") >= F.lit(RUNNING_MONTH_START).cast("date"))
+            & (log_date("o_orderdate") < F.lit(RUNNING_MONTH_END).cast("date"))
+        )
+        .groupBy(log_date("o_orderdate").alias("d"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "gmv",
+            F.sum("gmv").over(w).cast("decimal(18,2)").alias("cum_gmv"),
+            (F.col("gmv") - F.lag("gmv").over(w)).cast("decimal(18,2)").alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 -- semi/anti join: customer activity split per segment. The
+# reference's only anti-join is the dedup probe (J4,
+# handler/DauHandler.scala:35-44); this is the declarative serving-side
+# form: EXISTS -> left_semi, NOT EXISTS -> left_anti, both
+# broadcast-able on the probe side at scale because only the key column
+# of orders is needed.
+# ---------------------------------------------------------------------------
+@_register(
+    "q19_semi_anti_segments",
+    """
+    WITH flags AS (
+        SELECT c_mktsegment, c_custkey,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey) AS has_order
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+           CAST(sum(CASE WHEN NOT has_order THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+    FROM flags GROUP BY 1 ORDER BY 1
+    """,
+    "per-segment customer counts with/without orders (semi + anti join)",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    on = customer["c_custkey"] == orders["o_custkey"]
+    semi = (
+        customer.join(orders, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    anti = (
+        customer.join(orders, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).cast("long").alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).cast("long").alias("without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 -- batch gap sessionization (operators/sessions.py): the offline
+# twin of the streaming applyInPandasWithState sessionizer
+# (streaming/stateful.py), expressed with two window functions in one
+# sort. Corpus-level session shape stats make the output compact and
+# hashable.
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+@_register(
+    "q20_sessionization",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {SESSION_GAP_S} * 1000000 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    per AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           round(avg(n_events), 4) AS avg_events,
+           count(DISTINCT user_id) AS n_users
+    FROM per
+    """,
+    "gap-based sessionization: corpus session-shape stats",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per = sess_ops.session_stats(
+        events, key="user_id", ts_col="ts",
+        gap_seconds=SESSION_GAP_S, tiebreak="event_id",
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 -- set operations (EXCEPT / INTERSECT / UNION DISTINCT). Absent
+# from the reference (SURVEY §2.9) but free in Spark SQL; declared so
+# the coverage is gated. Audience overlap is the natural form: users
+# who click but never purchase, both, either.
+# ---------------------------------------------------------------------------
+@_register(
+    "q21_set_ops",
+    """
+    SELECT
+      (SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS only_click,
+      (SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS both_types,
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('click', 'purchase'))) AS either_type
+    """,
+    "audience overlap via EXCEPT / INTERSECT / UNION-distinct",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id")
+    only_click = clicks.subtract(purchases).agg(F.count("*").alias("only_click"))
+    both = clicks.intersect(purchases).agg(F.count("*").alias("both_types"))
+    either = (
+        clicks.union(purchases).distinct().agg(F.count("*").alias("either_type"))
+    )
+    return only_click.crossJoin(both).crossJoin(either)

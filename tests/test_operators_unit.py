@@ -303,3 +303,70 @@ def test_deterministic_sample_full_and_empty_fractions(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
     assert deterministic_sample(df, "k", 1.0).count() == 100
     assert deterministic_sample(df, "k", 0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (operators/sessions.py)
+# ---------------------------------------------------------------------------
+def test_sessionize_batch_gap_boundaries(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sessions import (
+        sessionize_batch,
+    )
+
+    # gap = 10s: exactly-10s stays in session, 10.000001s starts a new one
+    rows = [
+        ("u", 100.0, 1), ("u", 110.0, 2),        # 10s gap: same session
+        ("u", 120.000001, 3),                     # >10s: new session
+        ("u", 120.000001, 4),                     # same instant: same session
+        ("v", 100.0, 5),                          # other key: own numbering
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, id int").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "id"
+    )
+    got = {
+        r.id: r.session_id
+        for r in sessionize_batch(df, "k", "ts", 10, tiebreak="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_session_stats_single_shuffle(spark):
+    """lag + running-sum + per-session aggregate must reuse ONE
+    hash-partitioning on the key: exactly one Exchange in the plan."""
+    from sparkstreaming_gmall_demo_spark.operators.sessions import session_stats
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        session_stats(events, "user_id", "ts", 1800, tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# multi-way split assignment (operators/sampling.py)
+# ---------------------------------------------------------------------------
+def test_assign_split_partitions_every_key(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sampling import assign_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 5000).withColumnRenamed("id", "k").withColumn(
+        "split", assign_split("k", splits)
+    )
+    counts = {r.split: r.cnt for r in df.groupBy("split").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 5000  # disjoint and exhaustive
+    assert abs(counts["train"] / 5000 - 0.8) < 0.02
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_cutoffs_validates_fractions():
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators.sampling import split_cutoffs
+
+    assert split_cutoffs({"a": 0.5, "b": 0.5}) == [("a", "80000000"), ("b", "g")]
+    with _pytest.raises(ValueError):
+        split_cutoffs({"a": 0.5, "b": 0.6})
