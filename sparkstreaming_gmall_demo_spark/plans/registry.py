@@ -869,3 +869,120 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.union(purchases).distinct().agg(F.count("*").alias("either_type"))
     )
     return only_click.crossJoin(both).crossJoin(either)
+
+
+# ---------------------------------------------------------------------------
+# Q22 -- pivot: hour × event-type count matrix for a day. The
+# dashboard's hourly series (reference Controller.java:94-99 merges
+# today/yesterday maps client-side) as one relational reshape. Pivot
+# values are declared explicitly: Spark otherwise runs a distinct-scan
+# job just to discover the column set, and the output schema must be
+# fixed for the serving layer anyway.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "q22_pivot_hourly_types",
+    f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS log_hour,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "hour × event-type pivot matrix for a day",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.filter(events_date_filter(events, EVENTS_DATE))
+        .groupBy(log_hour("ts").alias("log_hour"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return pivoted.select(
+        "log_hour", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("log_hour")
+
+
+# ---------------------------------------------------------------------------
+# Q23 -- ntile decile profiling: customer balance distribution in 10
+# equal-frequency buckets. The serving layer's band query (Q10) uses
+# fixed thresholds; deciles are the data-driven variant an analyst
+# actually asks for. ntile ties are broken by the PK so both engines
+# number identically.
+# ---------------------------------------------------------------------------
+@_register(
+    "q23_balance_deciles",
+    """
+    SELECT decile, count(*) AS cnt,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM (
+        SELECT c_acctbal,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile
+        FROM customer
+    )
+    GROUP BY decile ORDER BY decile
+    """,
+    "equal-frequency balance deciles via ntile",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    deciles = customer.select(
+        "c_acctbal",
+        F.ntile(10)
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .cast("int")
+        .alias("decile"),
+    )
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 -- CUBE lattice over the document corpus: every (lang, source)
+# margin in one pass. Completes the grouping-set family started by
+# Q15's ROLLUP — the corpus-composition report (how much of each
+# language from each source) needs all four margins, and computing
+# them separately would scan 4×.
+# ---------------------------------------------------------------------------
+@_register(
+    "q24_corpus_cube",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS INTEGER) AS gid,
+           count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+    """,
+    "CUBE margins of corpus composition (lang × source)",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .select("lang", "source", "gid", "cnt", "chars_sum")
+        .orderBy("gid", F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
