@@ -844,31 +844,42 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q21_set_ops",
     """
-    SELECT
-      (SELECT count(*) FROM (
-          SELECT user_id FROM events WHERE event_type = 'click'
-          EXCEPT
-          SELECT user_id FROM events WHERE event_type = 'purchase')) AS only_click,
-      (SELECT count(*) FROM (
-          SELECT user_id FROM events WHERE event_type = 'click'
-          INTERSECT
-          SELECT user_id FROM events WHERE event_type = 'purchase')) AS both_types,
-      (SELECT count(*) FROM (
-          SELECT DISTINCT user_id FROM events
-          WHERE event_type IN ('click', 'purchase'))) AS either_type
+    SELECT 'both_types' AS metric, count(*) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'either_type', count(*) FROM (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('click', 'purchase'))
+    UNION ALL
+    SELECT 'only_click', count(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    ORDER BY metric
     """,
     "audience overlap via EXCEPT / INTERSECT / UNION-distinct",
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one (metric, n) row per set operation — unioned, not cross-joined:
+    # three scalar aggregates glued with a nested-loop join would trip
+    # the no-cartesian plan guardrail for nothing
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select("user_id")
     purchases = events.filter(F.col("event_type") == "purchase").select("user_id")
-    only_click = clicks.subtract(purchases).agg(F.count("*").alias("only_click"))
-    both = clicks.intersect(purchases).agg(F.count("*").alias("both_types"))
-    either = (
-        clicks.union(purchases).distinct().agg(F.count("*").alias("either_type"))
+
+    def tagged(df: DataFrame, metric: str) -> DataFrame:
+        return df.agg(
+            F.lit(metric).alias("metric"), F.count("*").alias("n")
+        )
+
+    return (
+        tagged(clicks.intersect(purchases), "both_types")
+        .union(tagged(clicks.union(purchases).distinct(), "either_type"))
+        .union(tagged(clicks.subtract(purchases), "only_click"))
+        .orderBy("metric")
     )
-    return only_click.crossJoin(both).crossJoin(either)
 
 
 # ---------------------------------------------------------------------------
@@ -916,6 +927,12 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed thresholds; deciles are the data-driven variant an analyst
 # actually asks for. ntile ties are broken by the PK so both engines
 # number identically.
+#
+# Scale note: an unpartitioned window is a single-partition sort —
+# acceptable for a dimension-sized input (customers), wrong for facts.
+# At fact scale compute approx_percentile cutoffs (mergeable t-digest,
+# map-side) and band by threshold instead; exact ntile rank parity is
+# what this declared form buys, and only a dim can afford it.
 # ---------------------------------------------------------------------------
 @_register(
     "q23_balance_deciles",
