@@ -32,7 +32,13 @@ from pyspark.sql.window import Window
 
 from ..functions import age_as_of, log_date, log_hour, minute_bucket
 from ..operators.bucketing import idempotent_append_bucketed
-from .sinks import idempotent_append, merge_last_write_wins, split_dead_letter
+from .sinks import (
+    fanout,
+    idempotent_append,
+    merge_last_write_wins,
+    monitoring_counts,
+    split_dead_letter,
+)
 from .sources import drop_corrupt
 
 DEFAULT_TRIGGER = {"processingTime": "5 seconds"}  # reference DauApp.scala:22
@@ -52,6 +58,7 @@ def dau_pipeline(
     checkpoint: str,
     dead_letter: str | None = None,
     trigger: dict | None = None,
+    monitor_path: str | None = None,
 ) -> StreamingQuery:
     """Daily-active-device stream: first sighting of each (mid, day).
 
@@ -61,6 +68,11 @@ def dau_pipeline(
     idempotent keyed append (replaces the Phoenix PK upsert,
     DauApp.scala:56-63). State is evicted 25h past the watermark, so
     a day's dedup set lives exactly as long as it must.
+
+    ``monitor_path`` adds the reference's per-batch count probe
+    (app/DauApp.scala:42,47,52 prints counts at three stages) as a
+    second sink; the batch then feeds both sinks through ``fanout``
+    over one persisted lineage instead of recomputing the dedup twice.
     """
     deduped = (
         startup.withColumn("log_date", log_date("event_ts"))
@@ -81,9 +93,19 @@ def dau_pipeline(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_corrupt")
         )
-        idempotent_append(
-            first, out_path, key_cols=["mid", "log_date"], partition_cols=["log_date"]
+        serving = lambda df: idempotent_append(  # noqa: E731
+            df, out_path, key_cols=["mid", "log_date"], partition_cols=["log_date"]
         )
+        if monitor_path is not None:
+            fanout(
+                first,
+                serving,
+                lambda df: monitoring_counts(
+                    df, monitor_path, batch_id, group_col="log_date"
+                ),
+            )
+        else:
+            serving(first)
 
     return _start(deduped.writeStream.foreachBatch(sink), checkpoint, trigger)
 

@@ -83,6 +83,44 @@ def idempotent_append(
     writer.parquet(out_path)
 
 
+def fanout(batch_df: DataFrame, *sinks) -> None:
+    """Feed one micro-batch to several sinks over a single persisted
+    lineage — the reference's ``dstream.cache()`` + N output ops
+    (reference app/DauApp.scala:41-52: three count-prints and two
+    foreachRDD per batch share one cached parse; SURVEY §2.9 caching
+    note). Without the persist, every sink re-runs the batch's whole
+    transformation from the source; with it the first action
+    materializes the batch and the rest read from block storage.
+
+    Each ``sink`` is a callable taking the persisted DataFrame.
+    Unpersists in a finally so a failing sink can't leak executor
+    memory across batches.
+    """
+    batch_df.persist()
+    try:
+        for sink in sinks:
+            sink(batch_df)
+    finally:
+        batch_df.unpersist()
+
+
+def monitoring_counts(batch_df: DataFrame, monitor_path: str, batch_id: int,
+                      group_col: str | None = None) -> None:
+    """Per-batch row counts to a monitoring table — the durable form of
+    the reference's ``count().print()`` probes (A1/K7, reference
+    app/DauApp.scala:42,47,52). One tiny row (per group) per batch;
+    append-only, keyed by batch_id for replay forensics."""
+    grouped = (
+        batch_df.groupBy(group_col) if group_col else batch_df.groupBy()
+    )
+    (
+        grouped.agg(F.count("*").alias("n_rows"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(monitor_path)
+    )
+
+
 def split_dead_letter(batch_df: DataFrame, dead_letter_path: str | None) -> DataFrame:
     """Route corrupt-parse rows (``_corrupt`` non-null, see
     sources.parse_topic) to a dead-letter table and return the clean

@@ -504,3 +504,63 @@ def test_alert_pipeline_ignores_corrupt_records(spark, tmp_path):
     rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
     assert [r.mid for r in rows] == ["m1"]
     assert all(r.mid is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Multi-sink fanout (reference dstream.cache() + N output ops,
+# app/DauApp.scala:41-52): serving table + per-batch monitoring counts
+# from one persisted batch
+# ---------------------------------------------------------------------------
+def test_dau_fanout_monitoring_counts(spark, tmp_path):
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    monitor = str(tmp_path / "monitor")
+
+    def rec(mid, ts):
+        return {"mid": mid, "uid": f"u-{mid}", "appid": "gmall", "area": "a",
+                "os": "ios", "ch": "c", "type": "startup", "vs": "1", "ts": ts}
+
+    chunks = [
+        [rec("m1", BASE + 1), rec("m1", BASE + 60_000), rec("m2", BASE + 5_000)],
+        [rec("m3", BASE + 7_000), rec("m1", BASE + 120_000)],
+    ]
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"chunk{i}.jsonl", chunk)
+        run_available(
+            lambda: pipelines.dau_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.STARTUP_LOG
+                ),
+                out, ckpt, trigger={"availableNow": True},
+                monitor_path=monitor,
+            )
+        )
+
+    served = spark.read.parquet(out)
+    mon = spark.read.parquet(monitor)
+    # every serving row was counted exactly once across the batch probes
+    assert mon.agg(F.sum("n_rows")).collect()[0][0] == served.count()
+    # the monitor attributes counts to the serving date partition
+    assert {str(r.log_date) for r in mon.collect()} == {
+        str(r.log_date) for r in served.collect()
+    }
+    # and batch ids are present for replay forensics
+    assert mon.filter(F.col("batch_id").isNull()).count() == 0
+
+
+def test_fanout_unpersists_after_sinks(spark):
+    from sparkstreaming_gmall_demo_spark.streaming.sinks import fanout
+
+    df = spark.range(0, 100)
+    seen = []
+    fanout(df, lambda d: seen.append(d.count()), lambda d: seen.append(d.count()))
+    assert seen == [100, 100]
+    assert not df.storageLevel.useMemory  # unpersisted after the fanout
+
+    # a failing sink must still unpersist
+    try:
+        fanout(df, lambda d: 1 / 0)
+    except ZeroDivisionError:
+        pass
+    assert not df.storageLevel.useMemory
