@@ -71,6 +71,30 @@ def split_cutoffs(splits: dict[str, float]) -> list[tuple[str, str]]:
     return out
 
 
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of keys (rebalancing a skewed corpus — downsample the
+    dominant language, keep the rare ones whole). Strata missing from
+    ``fractions`` are dropped, matching ``DataFrame.sampleBy``'s
+    contract — but unlike sampleBy the selection is a pure function of
+    (key, salt): stable under repartitioning, reproducible on any
+    engine."""
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    digest = F.substring(
+        F.md5(F.concat((F.col(key) if isinstance(key, str) else key).cast("string"),
+                       F.lit(salt))), 1, 8
+    )
+    pred = F.lit(False)
+    for stratum, fraction in fractions.items():
+        pred = pred | (
+            (strata == F.lit(stratum)) & (digest < sample_threshold(fraction))
+        )
+    return df.filter(pred)
+
+
 def assign_split(key, splits: dict[str, float], salt: str = "") -> Column:
     """Label column assigning every key to exactly one split —
     deterministic, engine-portable, group-coherent (same guarantees as

@@ -593,6 +593,61 @@ def ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_FRACTIONS = {"en": 0.05, "de": 0.5, "zh": 1.0}  # rebalance: downsample
+# the dominant language, keep the rare one whole, drop es/fr entirely
+
+
+@_register(
+    "ext_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    WHERE {" OR ".join(
+        f"(lang = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{'g' if f >= 1.0 else format(int(f * 16 ** 8), '08x')}')"
+        for s, f in STRATA_FRACTIONS.items()
+    )}
+    GROUP BY 1 ORDER BY 1
+    """,
+    "stratified corpus rebalance: per-language deterministic rates",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling
+    (operators/sampling.py:stratified_sample) — the corpus-rebalancing
+    primitive (cap the dominant language, keep rare ones whole) with
+    sampleBy's semantics but engine-portable membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = samp_ops.stratified_sample(docs, "doc_id", "lang", STRATA_FRACTIONS)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").cast("long").alias("chars_sum"))
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_approx_quantiles",
+    None,  # approximate by design; rank-error bound asserted in
+    # tests/test_operators_unit.py (same policy as ext_approx_distinct)
+    "approx_percentile length profile — the 100 TB path for ext_length_quantiles",
+)
+def ext_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch twin of ext_length_quantiles: t-digest
+    style approx_percentile aggregates map-side and merges in the
+    reduce, so the shuffle carries one sketch per (group, partition)
+    instead of every value — the only viable percentile plan when a
+    group's values don't fit an executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile_approx("n_chars", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("n_chars", 0.9, 10_000).alias("p90"),
+        )
+        .orderBy("lang")
+    )
+
+
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 

@@ -370,3 +370,51 @@ def test_split_cutoffs_validates_fractions():
     assert split_cutoffs({"a": 0.5, "b": 0.5}) == [("a", "80000000"), ("b", "g")]
     with _pytest.raises(ValueError):
         split_cutoffs({"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = (
+        spark.range(0, 6000)
+        .withColumnRenamed("id", "k")
+        .withColumn("stratum", F.when(F.col("k") % 2 == 0, "a").otherwise("b"))
+    )
+    fr = {"a": 0.3, "b": 1.0}
+    got = stratified_sample(df, "k", "stratum", fr)
+    counts = {r.stratum: r.cnt for r in got.groupBy("stratum").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert counts["b"] == 3000                      # fraction 1.0 keeps all
+    assert abs(counts["a"] / 3000 - 0.3) < 0.03     # ~rate on the downsampled one
+    # deterministic: repartitioned input selects the identical key set
+    a = {r.k for r in got.collect()}
+    b = {r.k for r in stratified_sample(df.repartition(17), "k", "stratum", fr).collect()}
+    assert a == b
+    # strata not in the dict are dropped (sampleBy contract)
+    fr2 = {"a": 1.0}
+    assert stratified_sample(df, "k", "stratum", fr2).filter(
+        F.col("stratum") == "b").count() == 0
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir="/root/testdata/sf0.01"):
+    """percentile_approx(accuracy=10k) must land within 1% rank error
+    of the exact per-group quantile."""
+    from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    approx = {
+        r.lang: (r.p50, r.p90)
+        for r in REGISTRY["ext_approx_quantiles"].build(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    for lang, (p50, p90) in approx.items():
+        vals = sorted(
+            r.n_chars for r in docs.filter(F.col("lang") == lang).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.9, p90)):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n) + 1)]
+            assert lo <= got <= hi, (lang, q, got, lo, hi)
