@@ -76,3 +76,81 @@ def test_pagination_partitions_the_ordered_stream(spark):
             seen.extend(page)
             p += 1
         assert seen == want, f"size={size}"
+
+
+def _gen_event_stream(n_keys: int = 8, per_key: int = 60):
+    """Deterministic adversarial event stream: clustered bursts, exact
+    gap boundaries, same-instant ties, microsecond offsets."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    rid = 0
+    for k in range(n_keys):
+        t = 1_700_000_000_000_000  # epoch micros
+        for _ in range(per_key):
+            step = rng.choice(
+                [0, 1, 999_999, 1_000_000, 1_000_001, 5_000_000,
+                 9_999_999, 10_000_000, 10_000_001, 60_000_000]
+            )
+            t += step
+            rows.append((f"k{k}", t, rid))
+            rid += 1
+    return rows
+
+
+def test_sessionize_batch_matches_python_model(spark):
+    """Session numbering == pure-Python two-pointer model on a stream
+    full of exact gap-boundary steps (gap = 10s, microsecond ties)."""
+    from sparkstreaming_gmall_demo_spark.operators.sessions import (
+        sessionize_batch,
+    )
+
+    rows = _gen_event_stream()
+    gap_us = 10 * 1_000_000
+    df = spark.createDataFrame(rows, "k string, us long, id long").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "id", "us"
+    )
+    got = {
+        r.id: r.session_id
+        for r in sessionize_batch(df, "k", "ts", 10, tiebreak="id").collect()
+    }
+    by_key: dict = {}
+    for k, us, rid in rows:
+        by_key.setdefault(k, []).append((us, rid))
+    for k, evs in by_key.items():
+        evs.sort()
+        sess, prev = 0, None
+        for us, rid in evs:
+            if prev is None or us - prev > gap_us:
+                sess += 1
+            prev = us
+            assert got[rid] == sess, (k, rid, us, got[rid], sess)
+
+
+def test_interval_pairs_match_python_model(spark):
+    """Bucketed interval join == brute-force O(n^2) per-key model on
+    the same boundary-heavy stream (gap = 10s exact at micros)."""
+    from sparkstreaming_gmall_demo_spark.operators.rangejoin import (
+        interval_self_pairs,
+    )
+
+    rows = _gen_event_stream(n_keys=4, per_key=40)
+    gap_us = 10 * 1_000_000
+    df = spark.createDataFrame(rows, "k string, us long, id long").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "id"
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_self_pairs(df, "k", "ts", 10, ["id"]).collect()
+    }
+    want = set()
+    by_key: dict = {}
+    for k, us, rid in rows:
+        by_key.setdefault(k, []).append((us, rid))
+    for evs in by_key.values():
+        for us_a, id_a in evs:
+            for us_b, id_b in evs:
+                if 0 < us_b - us_a <= gap_us:
+                    want.add((id_a, id_b))
+    assert got == want
