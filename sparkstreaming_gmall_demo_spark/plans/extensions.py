@@ -593,6 +593,105 @@ def ext_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # overlapping context windows
+PACK_BUDGET = 2048                 # tokens per packed context
+
+
+@_register(
+    "ext_document_chunks",
+    f"""
+    WITH spans AS (
+        SELECT lang, doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               unnest(range(0, len(string_split(text, ' ')), {CHUNK_STRIDE})) AS chunk_start
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(least({CHUNK_SIZE}, n_tokens - chunk_start)) AS BIGINT) AS chunk_tokens,
+           CAST(sum(CASE WHEN n_tokens - chunk_start < {CHUNK_SIZE} THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_chunks
+    FROM spans
+    GROUP BY lang ORDER BY lang
+    """,
+    "overlapping token-window chunking: per-language chunk inventory",
+)
+def ext_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunk windows
+    (operators/chunking.py:chunk_spans — stride 48 over size 64, the
+    long-document → context-window reshape). Only (id, token count)
+    fans out through the explode; text never crosses it."""
+    from ..operators import chunking as chunk_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = chunk_ops.chunk_spans(
+        docs, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE, keep_cols=["lang"]
+    )
+    return (
+        spans.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("chunk_tokens").cast("long").alias("chunk_tokens"),
+            F.sum(
+                F.when(F.col("chunk_tokens") < CHUNK_SIZE, 1).otherwise(0)
+            ).cast("long").alias("n_tail_chunks"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_context_packing",
+    f"""
+    WITH toks AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang, n_tokens,
+               CAST(floor(
+                   (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang,
+           count(DISTINCT bin_id) AS n_bins,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           round(avg(bin_tokens), 4) AS avg_bin_tokens
+    FROM (SELECT lang, bin_id, sum(n_tokens) AS bin_tokens
+          FROM binned GROUP BY 1, 2)
+    GROUP BY lang ORDER BY lang
+    """,
+    "concat-and-cut packing of documents into fixed token budgets",
+)
+def ext_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each language's corpus into {PACK_BUDGET}-token contexts
+    (operators/chunking.py:pack_greedy — concat-and-cut over doc_id
+    order). Bin-shape stats prove both engines cut the stream at the
+    same places."""
+    from ..operators import chunking as chunk_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    binned = chunk_ops.pack_greedy(toks, "lang", "doc_id", "n_tokens", PACK_BUDGET)
+    per_bin = binned.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    return (
+        per_bin.groupBy("lang")
+        .agg(
+            F.count_distinct("bin_id").alias("n_bins"),
+            F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+            F.round(F.avg("bin_tokens"), 4).alias("avg_bin_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 STRATA_FRACTIONS = {"en": 0.05, "de": 0.5, "zh": 1.0}  # rebalance: downsample
 # the dominant language, keep the rare one whole, drop es/fr entirely
 

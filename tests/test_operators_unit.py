@@ -418,3 +418,42 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir="/root/testdata/sf0.01
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n) + 1)]
             assert lo <= got <= hi, (lang, q, got, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing (operators/chunking.py)
+# ---------------------------------------------------------------------------
+def test_chunk_spans_boundaries(spark):
+    from sparkstreaming_gmall_demo_spark.operators.chunking import chunk_spans
+
+    docs = spark.createDataFrame(
+        [("d1", "a"), ("d2", " ".join(["t"] * 10)), ("d3", " ".join(["t"] * 8))],
+        ["doc_id", "text"],
+    )
+    # size 4, stride 4 (disjoint): d1 -> 1 chunk of 1; d2 (10 toks) ->
+    # starts 0,4,8 with lengths 4,4,2; d3 (8 toks) -> 0,4 with 4,4 (no
+    # empty chunk at the exact-multiple tail)
+    got = {
+        (r.doc_id, r.chunk_start): r.chunk_tokens
+        for r in chunk_spans(docs, "doc_id", "text", 4, 4).collect()
+    }
+    assert got == {
+        ("d1", 0): 1,
+        ("d2", 0): 4, ("d2", 4): 4, ("d2", 8): 2,
+        ("d3", 0): 4, ("d3", 4): 4,
+    }
+    # overlap: stride 2 < size 4 doubles coverage of interior tokens
+    n_overlapping = chunk_spans(docs, "doc_id", "text", 4, 2).count()
+    assert n_overlapping == 1 + 5 + 4
+
+
+def test_pack_greedy_concat_and_cut(spark):
+    from sparkstreaming_gmall_demo_spark.operators.chunking import pack_greedy
+
+    rows = [("g", i, t) for i, t in enumerate([6, 6, 6, 30, 2])]
+    df = spark.createDataFrame(rows, ["g", "ord", "n"])
+    got = {r.ord: r.bin_id for r in pack_greedy(df, "g", "ord", "n", 10).collect()}
+    # prefix sums: 0,6,12,18,48 -> bins 0,0,1,1,4: straddlers stay in
+    # the bin containing their first token; the oversized doc (30)
+    # opens bin 1's tail and the next doc starts at offset 48 -> bin 4
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 4}
