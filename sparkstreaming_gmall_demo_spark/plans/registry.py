@@ -1003,3 +1003,113 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "gid", "cnt", "chars_sum")
         .orderBy("gid", F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q25 -- conversion funnel: per day, users whose first view precedes
+# their first click precedes their first purchase. Event-ORDER
+# analytics the reference's dashboard can't ask of Phoenix/ES at all —
+# one conditional-min aggregate per user-day, no self-joins (the naive
+# 3-way events self-join shuffles the fact three times).
+# ---------------------------------------------------------------------------
+@_register(
+    "q25_funnel_daily",
+    """
+    WITH firsts AS (
+        SELECT CAST(ts AS DATE) AS d, user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM firsts GROUP BY d ORDER BY day
+    """,
+    "daily view->click->purchase funnel on first-event ordering",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = (
+        events.groupBy(log_date("ts").alias("d"), F.col("user_id"))
+        .agg(
+            first_of("view").alias("t_view"),
+            first_of("click").alias("t_click"),
+            first_of("purchase").alias("t_purchase"),
+        )
+    )
+    return (
+        firsts.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("viewed"),
+            F.sum(F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0))
+            .cast("long").alias("clicked_after_view"),
+            F.sum(
+                F.when(
+                    (F.col("t_view") < F.col("t_click"))
+                    & (F.col("t_click") < F.col("t_purchase")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("full_funnel"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "viewed", "clicked_after_view", "full_funnel")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 -- next-day retention: of each day's active users, how many
+# return the following day. The DAU serving query's (Q1/Q2) natural
+# companion — the reference dashboard juxtaposes today/yesterday
+# (Controller.java:79,94-99) but never computes the cohort overlap.
+# Expressed as one distinct-user-day set self-joined on (user, d+1):
+# both sides pre-shrunk to distinct keys before the shuffle.
+# ---------------------------------------------------------------------------
+@_register(
+    "q26_next_day_retention",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           count(*) AS actives,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(floor(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000.0
+                      / count(*) + 0.5) AS BIGINT) AS retention_permille
+    FROM ud a
+    LEFT JOIN ud b ON a.user_id = b.user_id AND b.d = a.d + 1
+    GROUP BY a.d ORDER BY day
+    """,
+    "next-day retention per active-day cohort with per-mille ratio",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select("user_id", log_date("ts").alias("d")).distinct()
+    nxt = ud.select(
+        F.col("user_id").alias("b_user"), F.date_sub(F.col("d"), 1).alias("b_prev")
+    )
+    joined = ud.join(
+        nxt,
+        (ud["user_id"] == nxt["b_user"]) & (ud["d"] == nxt["b_prev"]),
+        "left",
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.count("*").alias("actives"),
+            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("retained"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "actives",
+            "retained",
+            permille("retained", "actives").alias("retention_permille"),
+        )
+        .orderBy("day")
+    )
