@@ -1113,3 +1113,57 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q27 -- SLIDING event-time window (reference app/AlertApp.scala:39:
+# .window(Minutes(5)) sliding every batch). Q6 declares the tumbling
+# form for simplicity; this gates the overlap semantics themselves:
+# each event belongs to window_len/slide windows. Spark's window()
+# assigns [start, start+len) buckets natively; the oracle enumerates
+# the same starts arithmetically (strictly t-len < start <= t at
+# microsecond precision).
+# ---------------------------------------------------------------------------
+SLIDE_WIN_US = 3_600_000_000   # 1 hour
+SLIDE_STEP_US = 1_800_000_000  # 30 minutes
+
+
+@_register(
+    "q27_sliding_window_counts",
+    f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+    ),
+    assigned AS (
+        SELECT user_id,
+               unnest(range(
+                   CAST(floor((t - {SLIDE_WIN_US}) / {SLIDE_STEP_US}) AS BIGINT) + 1,
+                   CAST(floor(t / {SLIDE_STEP_US}) AS BIGINT) + 1
+               )) AS k
+        FROM e
+    )
+    SELECT strftime(make_timestamp(k * {SLIDE_STEP_US}), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM assigned
+    GROUP BY k ORDER BY window_start
+    """,
+    "1h window sliding 30min: per-window event + user counts",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(events_date_filter(events, EVENTS_DATE))
+        .groupBy(win_ops.sliding("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            win_ops.window_start_str(F.col("w")).alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
