@@ -1167,3 +1167,40 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q28 -- statistical aggregates (stddev/corr): the family SURVEY §2.6
+# notes as absent from the reference but free in Spark SQL — declared
+# so the coverage is gated. Per order-priority: order-value dispersion
+# and the correlation between a customer's account balance and their
+# order's value. Doubles rounded to 4 dp (sum-order noise is ~1e-12
+# relative at this magnitude; the canonical-forms rule absorbs it).
+# ---------------------------------------------------------------------------
+@_register(
+    "q28_priority_stats",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(corr(o_totalprice, c_acctbal), 4) AS corr_price_balance
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "dispersion + correlation stats per order priority",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 4).alias("corr_price_balance"),
+        )
+        .orderBy("priority")
+    )
