@@ -1069,8 +1069,10 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # return the following day. The DAU serving query's (Q1/Q2) natural
 # companion — the reference dashboard juxtaposes today/yesterday
 # (Controller.java:79,94-99) but never computes the cohort overlap.
-# Expressed as one distinct-user-day set self-joined on (user, d+1):
-# both sides pre-shrunk to distinct keys before the shuffle.
+# Engine plan: ONE scan — distinct (user, day), then lead(day) per
+# user tells whether the next active day is adjacent; the self-join
+# formulation (the oracle's statement of the semantics) would scan
+# and shuffle the distinct set twice.
 # ---------------------------------------------------------------------------
 @_register(
     "q26_next_day_retention",
@@ -1090,19 +1092,16 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     ud = events.select("user_id", log_date("ts").alias("d")).distinct()
-    nxt = ud.select(
-        F.col("user_id").alias("b_user"), F.date_sub(F.col("d"), 1).alias("b_prev")
-    )
-    joined = ud.join(
-        nxt,
-        (ud["user_id"] == nxt["b_user"]) & (ud["d"] == nxt["b_prev"]),
-        "left",
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = ud.withColumn(
+        "is_retained",
+        (F.lead("d").over(w) == F.date_add(F.col("d"), 1)).cast("int"),
     )
     return (
-        joined.groupBy("d")
+        flagged.groupBy("d")
         .agg(
             F.count("*").alias("actives"),
-            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+            F.coalesce(F.sum("is_retained"), F.lit(0))
             .cast("long").alias("retained"),
         )
         .select(
