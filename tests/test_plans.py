@@ -79,3 +79,20 @@ def test_neardup_shuffles_signatures_not_text(spark):
     for section in exchanges[1:]:
         head = section[:400]
         assert "text#" not in head, "document text crossed a shuffle"
+
+
+def test_funnel_has_no_self_join(spark):
+    """Q25: first-event ordering must come from conditional mins in ONE
+    aggregate — a 3-way events self-join would shuffle the fact table
+    three times."""
+    plan = plan_of(spark, "q25_funnel_daily")
+    assert "Join" not in plan
+
+
+def test_retention_scans_events_once(spark):
+    """Q26: the lead() window formulation reads events once; the
+    self-join statement of the semantics lives only in the oracle."""
+    plan = plan_of(spark, "q26_next_day_retention")
+    # formatted explain prints each node twice: tree line + details
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
