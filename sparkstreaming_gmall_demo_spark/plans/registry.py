@@ -1203,3 +1203,40 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q29 -- top-k PER GROUP (Q8 is global top-k): the heaviest users of
+# each event type via a rank window over a pre-aggregate. The
+# aggregate shrinks the fact to (type, user) counts BEFORE the window
+# sorts — ranking raw events would sort the whole fact table; ranking
+# counts sorts one row per active pair.
+# ---------------------------------------------------------------------------
+TOPK_PER_GROUP = 3
+
+
+@_register(
+    "q29_topk_per_type",
+    f"""
+    SELECT event_type, user_id, cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rnk
+        FROM (SELECT event_type, user_id, count(*) AS cnt
+              FROM events GROUP BY 1, 2)
+    )
+    WHERE rnk <= {TOPK_PER_GROUP}
+    ORDER BY event_type, rnk
+    """,
+    "top-3 users per event type (rank window over a pre-aggregate)",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK_PER_GROUP)
+        .orderBy("event_type", "rnk")
+    )
