@@ -40,6 +40,23 @@ def _target_exists(path: str) -> bool:
     )
 
 
+PROBE_ISIN_MAX_KEYS = 4096
+PROBE_ISIN_MIN_SINK_BYTES = 64 << 20  # engage only when the probe scan is
+# big enough that skipping it beats the extra collect-keys job
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def idempotent_append(
     batch_df: DataFrame,
     out_path: str,
@@ -53,6 +70,18 @@ def idempotent_append(
     reference handler/DauHandler.scala:17-22 sorts by ts and takes 1).
     Cross-batch/replay duplicates: left-anti join against keys already
     in the sink, restricted to the partitions this batch touches.
+
+    Small-batch-vs-big-sink fast path: when the (pruned) sink side is
+    large (> PROBE_ISIN_MIN_SINK_BYTES) and the batch's key set small
+    (<= PROBE_ISIN_MAX_KEYS), the batch keys are pushed into the probe
+    scan as an IN filter — parquet dictionary/row-group skipping then
+    reads only sink rows that could possibly collide, instead of every
+    key ever written. Both guards matter: collecting keys is an extra
+    job per batch, and a small sink's full probe scan is cheaper than
+    that job (measured: engaging it unconditionally cost ~25%
+    throughput on the 8-batch replay bench, whose sink never exceeds a
+    few MB). On a cluster the size check would be a catalog statistic;
+    here it is a directory walk.
     """
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates(key_cols)
@@ -72,6 +101,17 @@ def idempotent_append(
                         c = e if c is None else (c & e)
                     cond = c if cond is None else (cond | c)
                 existing = existing.filter(cond)
+        if _dir_bytes(out_path) > PROBE_ISIN_MIN_SINK_BYTES:
+            probe_col = key_cols[0]
+            batch_keys = [
+                r[0]
+                for r in batch.select(probe_col)
+                .distinct()
+                .limit(PROBE_ISIN_MAX_KEYS + 1)
+                .collect()
+            ]
+            if len(batch_keys) <= PROBE_ISIN_MAX_KEYS:
+                existing = existing.filter(F.col(probe_col).isin(batch_keys))
         batch = batch.join(
             existing.select(*key_cols).dropDuplicates(key_cols),
             on=key_cols,

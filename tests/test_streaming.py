@@ -564,3 +564,26 @@ def test_fanout_unpersists_after_sinks(spark):
     except ZeroDivisionError:
         pass
     assert not df.storageLevel.useMemory
+
+
+def test_idempotent_append_isin_fast_path(spark, tmp_path, monkeypatch):
+    """With the sink-size gate forced open, the keyed-probe fast path
+    must preserve exact replay idempotency."""
+    from sparkstreaming_gmall_demo_spark.streaming import sinks
+
+    monkeypatch.setattr(sinks, "PROBE_ISIN_MIN_SINK_BYTES", 0)
+    out = str(tmp_path / "sink")
+    b1 = spark.createDataFrame(
+        [("k1", "2024-01-01", 1), ("k2", "2024-01-01", 2)], ["mid", "d", "v"]
+    )
+    b2 = spark.createDataFrame(
+        [("k1", "2024-01-01", 9),   # replayed key: must not re-insert
+         ("k3", "2024-01-02", 3)],  # new key, new partition
+        ["mid", "d", "v"],
+    )
+    sinks.idempotent_append(b1, out, key_cols=["mid", "d"], partition_cols=["d"])
+    sinks.idempotent_append(b2, out, key_cols=["mid", "d"], partition_cols=["d"])
+    sinks.idempotent_append(b2, out, key_cols=["mid", "d"], partition_cols=["d"])
+    got = {(r.mid, str(r.d), r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {("k1", "2024-01-01", 1), ("k2", "2024-01-01", 2),
+                   ("k3", "2024-01-02", 3)}
