@@ -38,6 +38,13 @@ def interval_self_pairs(
     Output: key, a_ts, b_ts + ``a_<c>``/``b_<c>`` for payload columns.
     """
     payload_cols = payload_cols or []
+    reserved = {"k", "ts", "ep", "bucket", "rk", "rb", "jb", "a_ts", "b_ts"}
+    clash = reserved & set(payload_cols)
+    if clash:
+        raise ValueError(
+            f"payload_cols {sorted(clash)} collide with the operator's "
+            f"internal aliases; rename them before the join"
+        )
     # microsecond epoch: the gap compare must be exact at full
     # timestamp precision (unix_timestamp would truncate to seconds)
     gap_us = gap_seconds * 1_000_000

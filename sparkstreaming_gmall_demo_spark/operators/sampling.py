@@ -34,14 +34,19 @@ def sample_threshold(fraction: float) -> str:
     return "g" if n >= _SPACE else format(n, "08x")
 
 
+def _digest(key, salt: str) -> Column:
+    """THE membership hash — the single definition all three samplers
+    share, so deterministic_sample / stratified_sample / assign_split
+    can never disagree on a key's position in the hash space. Oracle
+    form: ``substr(md5(CAST(k AS VARCHAR) || salt), 1, 8)``."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
 def sample_predicate(key, fraction: float, salt: str = "") -> Column:
     """Boolean membership column. ``key`` is cast to string, so the
-    same textual key selects identically everywhere; the equivalent
-    oracle SQL is ``substr(md5(CAST(k AS VARCHAR) || salt), 1, 8) <
-    '<threshold>'``."""
-    key = F.col(key) if isinstance(key, str) else key
-    digest = F.md5(F.concat(key.cast("string"), F.lit(salt)))
-    return F.substring(digest, 1, 8) < sample_threshold(fraction)
+    same textual key selects identically everywhere."""
+    return _digest(key, salt) < sample_threshold(fraction)
 
 
 def deterministic_sample(
@@ -83,14 +88,10 @@ def stratified_sample(
     (key, salt): stable under repartitioning, reproducible on any
     engine."""
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
-    digest = F.substring(
-        F.md5(F.concat((F.col(key) if isinstance(key, str) else key).cast("string"),
-                       F.lit(salt))), 1, 8
-    )
     pred = F.lit(False)
     for stratum, fraction in fractions.items():
         pred = pred | (
-            (strata == F.lit(stratum)) & (digest < sample_threshold(fraction))
+            (strata == F.lit(stratum)) & sample_predicate(key, fraction, salt)
         )
     return df.filter(pred)
 
@@ -102,8 +103,7 @@ def assign_split(key, splits: dict[str, float], salt: str = "") -> Column:
     ranges instead of thresholded per split, so splits are disjoint by
     construction). Oracle form: the same CASE over
     ``substr(md5(k || salt), 1, 8)`` cutoffs."""
-    key = F.col(key) if isinstance(key, str) else key
-    digest = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    digest = _digest(key, salt)
     cutoffs = split_cutoffs(splits)
     expr = F.lit(cutoffs[-1][0])
     for name, cut in reversed(cutoffs[:-1]):

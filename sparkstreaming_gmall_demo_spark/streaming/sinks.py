@@ -87,11 +87,31 @@ def idempotent_append(
     batch = batch_df.dropDuplicates(key_cols)
     if _target_exists(out_path):
         existing = spark.read.parquet(out_path)
+        probe_col = key_cols[0]
+        key_rows, truncated = None, True
         if partition_cols:
-            # prune the probe scan to partitions present in this batch
-            parts = [
-                tuple(r) for r in batch.select(*partition_cols).distinct().collect()
-            ]
+            # the prune collect is mandatory; piggyback the probe keys
+            # on the SAME job (a second distinct+collect would double
+            # the per-batch driver overhead this path is sensitive to)
+            sel = list(partition_cols) + [probe_col]
+            tuples = (
+                batch.select(*sel)
+                .distinct()
+                .limit(PROBE_ISIN_MAX_KEYS + 1)
+                .collect()
+            )
+            truncated = len(tuples) > PROBE_ISIN_MAX_KEYS
+            if truncated:  # jumbo batch: re-collect just the partitions
+                parts = [
+                    tuple(r)
+                    for r in batch.select(*partition_cols).distinct().collect()
+                ]
+            else:
+                parts = sorted(
+                    {tuple(r[c] for c in partition_cols) for r in tuples}
+                )
+                key_rows = [r[probe_col] for r in tuples]
+            probe_bytes = 0
             if parts:
                 cond = None
                 for p in parts:
@@ -101,17 +121,42 @@ def idempotent_append(
                         c = e if c is None else (c & e)
                     cond = c if cond is None else (cond | c)
                 existing = existing.filter(cond)
-        if _dir_bytes(out_path) > PROBE_ISIN_MIN_SINK_BYTES:
-            probe_col = key_cols[0]
-            batch_keys = [
-                r[0]
-                for r in batch.select(probe_col)
-                .distinct()
-                .limit(PROBE_ISIN_MAX_KEYS + 1)
-                .collect()
-            ]
-            if len(batch_keys) <= PROBE_ISIN_MAX_KEYS:
-                existing = existing.filter(F.col(probe_col).isin(batch_keys))
+                # size the gate on what the probe will actually scan:
+                # only this batch's partitions (a missing/renamed dir
+                # counts 0 -> gate stays closed -> plain anti-join)
+                probe_bytes = sum(
+                    _dir_bytes(
+                        os.path.join(
+                            out_path,
+                            *[f"{c}={v}" for c, v in zip(partition_cols, p)],
+                        )
+                    )
+                    for p in parts
+                )
+        else:
+            # unpartitioned: no prune collect exists to piggyback on,
+            # so only pay the key-collect job once the sink is big
+            # enough for the keyed probe to matter
+            probe_bytes = _dir_bytes(out_path)
+            if probe_bytes > PROBE_ISIN_MIN_SINK_BYTES:
+                key_rows = [
+                    r[0]
+                    for r in batch.select(probe_col)
+                    .distinct()
+                    .limit(PROBE_ISIN_MAX_KEYS + 1)
+                    .collect()
+                ]
+                truncated = len(key_rows) > PROBE_ISIN_MAX_KEYS
+        if (
+            key_rows is not None
+            and not truncated
+            and probe_bytes > PROBE_ISIN_MIN_SINK_BYTES
+        ):
+            # null keys can't collide through an anti-join (null != null)
+            # so excluding them from the IN list preserves semantics
+            existing = existing.filter(
+                F.col(probe_col).isin(sorted(set(key_rows) - {None}))
+            )
         batch = batch.join(
             existing.select(*key_cols).dropDuplicates(key_cols),
             on=key_cols,
@@ -148,8 +193,23 @@ def monitoring_counts(batch_df: DataFrame, monitor_path: str, batch_id: int,
                       group_col: str | None = None) -> None:
     """Per-batch row counts to a monitoring table — the durable form of
     the reference's ``count().print()`` probes (A1/K7, reference
-    app/DauApp.scala:42,47,52). One tiny row (per group) per batch;
-    append-only, keyed by batch_id for replay forensics."""
+    app/DauApp.scala:42,47,52). One tiny row (per group) per batch.
+
+    Idempotent on ``batch_id``: foreachBatch is at-least-once (a crash
+    between the sink and the checkpoint commit re-runs the batch with
+    the SAME id), so a batch_id already present means this is a replay
+    and the probe row must not double — otherwise sum(n_rows) drifts
+    above the idempotent serving table it reconciles against."""
+    spark = batch_df.sparkSession
+    if _target_exists(monitor_path):
+        already = (
+            spark.read.parquet(monitor_path)
+            .filter(F.col("batch_id") == F.lit(batch_id))
+            .limit(1)
+            .count()
+        )
+        if already:
+            return
     grouped = (
         batch_df.groupBy(group_col) if group_col else batch_df.groupBy()
     )

@@ -587,3 +587,19 @@ def test_idempotent_append_isin_fast_path(spark, tmp_path, monkeypatch):
     got = {(r.mid, str(r.d), r.v) for r in spark.read.parquet(out).collect()}
     assert got == {("k1", "2024-01-01", 1), ("k2", "2024-01-01", 2),
                    ("k3", "2024-01-02", 3)}
+
+
+def test_monitoring_counts_idempotent_on_batch_replay(spark, tmp_path):
+    """At-least-once foreachBatch: re-running a batch with the same id
+    (crash between sink and checkpoint commit) must not double the
+    probe row."""
+    from sparkstreaming_gmall_demo_spark.streaming.sinks import monitoring_counts
+
+    monitor = str(tmp_path / "monitor")
+    df = spark.createDataFrame([("d1", 1), ("d1", 2), ("d2", 3)], ["d", "v"])
+    monitoring_counts(df, monitor, batch_id=7, group_col="d")
+    monitoring_counts(df, monitor, batch_id=7, group_col="d")  # replay
+    monitoring_counts(df, monitor, batch_id=8, group_col="d")
+    rows = spark.read.parquet(monitor).collect()
+    assert len(rows) == 4  # 2 groups x 2 distinct batches, replay skipped
+    assert sum(r.n_rows for r in rows if r.batch_id == 7) == 3
