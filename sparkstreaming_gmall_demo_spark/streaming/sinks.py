@@ -90,18 +90,25 @@ def idempotent_append(
         probe_col = key_cols[0]
         key_rows, truncated = None, True
         if partition_cols:
-            # the prune collect is mandatory; piggyback the probe keys
-            # on the SAME job (a second distinct+collect would double
-            # the per-batch driver overhead this path is sensitive to)
-            sel = list(partition_cols) + [probe_col]
-            tuples = (
-                batch.select(*sel)
-                .distinct()
-                .limit(PROBE_ISIN_MAX_KEYS + 1)
-                .collect()
-            )
-            truncated = len(tuples) > PROBE_ISIN_MAX_KEYS
-            if truncated:  # jumbo batch: re-collect just the partitions
+            # the prune collect is mandatory; when the sink is big
+            # enough that the keyed probe COULD engage, piggyback the
+            # probe keys on the SAME job (a second distinct+collect
+            # would double the per-batch driver overhead this path is
+            # sensitive to). A small sink keeps the cheap
+            # partitions-only distinct: no partition of it can clear
+            # the byte gate, so collecting keys would be pure waste.
+            if _dir_bytes(out_path) > PROBE_ISIN_MIN_SINK_BYTES:
+                sel = list(partition_cols) + [probe_col]
+                tuples = (
+                    batch.select(*sel)
+                    .distinct()
+                    .limit(PROBE_ISIN_MAX_KEYS + 1)
+                    .collect()
+                )
+                truncated = len(tuples) > PROBE_ISIN_MAX_KEYS
+            else:
+                tuples, truncated = [], True
+            if truncated:  # small sink or jumbo batch: partitions only
                 parts = [
                     tuple(r)
                     for r in batch.select(*partition_cols).distinct().collect()
