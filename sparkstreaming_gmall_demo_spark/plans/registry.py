@@ -1240,3 +1240,234 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_PER_GROUP)
         .orderBy("event_type", "rnk")
     )
+
+# ---------------------------------------------------------------------------
+# Q30 -- GROUPING SETS: the third grouping-lattice shape (Q15 ROLLUP is
+# the prefix lattice, Q24 CUBE the full one; GROUPING SETS picks
+# arbitrary members). Two independent one-dimensional margins of the
+# order book plus the grand total in ONE scan — the hand-written
+# alternative is a UNION ALL of three aggregates, three scans.
+# ---------------------------------------------------------------------------
+@_register(
+    "q30_grouping_sets",
+    """
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, priority NULLS FIRST, status NULLS FIRST
+    """,
+    "order margins by priority, by status, and overall via GROUPING SETS",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("total"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "gid", "cnt", "total",
+        )
+        .orderBy("gid", F.asc_nulls_first("priority"), F.asc_nulls_first("status"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 -- moving-frame window (ROWS BETWEEN 6 PRECEDING AND CURRENT
+# ROW): 7-row trailing GMV over the daily pre-aggregate. Q18's running
+# total is the unbounded-preceding frame; this gates the BOUNDED frame
+# — and the pre-aggregate shrinks the fact to <=90 rows before the
+# unpartitioned window sort, so the single-partition sort is a
+# driver-sized detail, not a scale hazard. ROWS (not RANGE): absent
+# days make the frame span more than 7 calendar days — n_days exposes
+# the actual frame width so the semantics are self-describing.
+# ---------------------------------------------------------------------------
+MOVING_FROM, MOVING_TO = "1995-01-01", "1995-03-31"
+
+
+@_register(
+    "q31_moving_gmv",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{MOVING_FROM}' AND DATE '{MOVING_TO}'
+        GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, gmv,
+           CAST(sum(gmv) OVER w AS DECIMAL(18,2)) AS gmv_7d,
+           CAST(count(*) OVER w AS INTEGER) AS n_days
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    "7-row trailing GMV window over the daily aggregate",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.to_date("o_orderdate").between(
+                F.lit(MOVING_FROM).cast("date"), F.lit(MOVING_TO).cast("date")
+            )
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("gmv_7d", F.sum("gmv").over(w).cast("decimal(18,2)"))
+        .withColumn("n_days", F.count("*").over(w).cast("int"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "gmv", "gmv_7d", "n_days")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 -- whole-partition window comparison: orders strictly above their
+# own customer's average order value, counted per market segment. The
+# frameless PARTITION BY window (no ORDER BY) is the one window shape
+# Q18/Q23/Q31 don't cover. Exactness: "price > avg" is evaluated as
+# "price * n > sum" in DECIMAL — no division, so both engines compare
+# exactly and no borderline float case can flip.
+# ---------------------------------------------------------------------------
+@_register(
+    "q32_above_customer_avg",
+    """
+    WITH co AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey) AS tot,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_above,
+           CAST(sum(price) AS DECIMAL(18,2)) AS sum_above
+    FROM co JOIN customer ON o_custkey = c_custkey
+    WHERE price * n > tot
+    GROUP BY 1 ORDER BY 1
+    """,
+    "orders above their customer's average order value, per segment",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey")
+    co = (
+        orders.select("o_custkey", money("o_totalprice").alias("price"))
+        .withColumn("tot", F.sum("price").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.col("price") * F.col("n") > F.col("tot"))
+    )
+    return (
+        co.join(F.broadcast(customer), co["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum("price").cast("decimal(18,2)").alias("sum_above"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33 -- fixed-width histogram of event values: pure integer bucket
+# arithmetic (floor(value/width) with clamping), portable to any
+# engine — deliberately NOT width_bucket(), which DuckDB lacks. One
+# scan, one shuffle on 10 keys; min/max per bucket are order-exact on
+# doubles so no rounding policy is needed.
+# ---------------------------------------------------------------------------
+HIST_WIDTH, HIST_BUCKETS = 50.0, 10
+
+
+@_register(
+    "q33_value_histogram",
+    f"""
+    SELECT CAST(least(greatest(floor(value / {HIST_WIDTH}), 0), {HIST_BUCKETS - 1}) AS INTEGER) AS bucket,
+           count(*) AS cnt,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    "fixed-width value histogram with clamped integer buckets",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34 -- entry/exit analysis: each user-day's FIRST and LAST event type
+# (ordered by ts with the unique event_id as tiebreak), then user-day
+# counts per (first, last) pair. Engine plan: ONE aggregation via
+# min_by/max_by over a struct sort key — single shuffle, no window
+# sort of the raw fact. The oracle states the same semantics the
+# portable way (two row_number windows) since DuckDB's arg_min/arg_max
+# take no composite ordering key.
+# ---------------------------------------------------------------------------
+@_register(
+    "q34_entry_exit_pairs",
+    """
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, d,
+               max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+               max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT first_type, last_type, count(*) AS n_user_days
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "user-day entry/exit event-type pairs via min_by/max_by",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    pairs = (
+        events.groupBy(F.col("user_id"), log_date("ts").alias("d"))
+        .agg(
+            F.min_by("event_type", key).alias("first_type"),
+            F.max_by("event_type", key).alias("last_type"),
+        )
+    )
+    return (
+        pairs.groupBy("first_type", "last_type")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy("first_type", "last_type")
+    )
