@@ -1,7 +1,10 @@
 """Streaming throughput bench (supplementary to bench.py): end-to-end
-rows/s through the DAU and alert pipelines, fixture events replayed as
-a file-source stream with full checkpointing, RocksDB state, and the
-idempotent sinks engaged.
+rows/s through the DAU, alert, and sale_detail pipelines — fixtures
+replayed as file-source streams with full checkpointing, RocksDB
+state, and the idempotent sinks engaged. sale_detail is the
+state-heaviest path: a watermarked stream-stream full outer join over
+two correlated topics staged from orders/lineitem, plus a broadcast
+dim join against a customer-derived user table.
 
 The fixture is staged as N_CHUNKS time-ordered files and the source
 capped at one file per trigger, so the replay runs as N real
@@ -38,19 +41,17 @@ EVENTS_RAW = (
 N_CHUNKS = 8
 
 
-def stage_chunks(input_dir: str, fixture: str, n: int) -> int:
-    """Split the events fixture into ``n`` time-ordered parquet files.
+def write_chunked(table, input_dir: str, n: int) -> int:
+    """Write an already-time-ordered arrow table as ``n`` chunk files.
 
     Chronological chunks make each micro-batch advance the watermark
     past the previous one — the realistic regime where windows close
-    and dedup state is evicted every batch. Files get strictly
+    and dedup/join state is evicted every batch. Files get strictly
     increasing mtimes so the file source picks them up in time order.
     """
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(fixture)
-    table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
+    os.makedirs(input_dir, exist_ok=True)
     rows = table.num_rows
     step = (rows + n - 1) // n
     for i in range(n):
@@ -61,14 +62,90 @@ def stage_chunks(input_dir: str, fixture: str, n: int) -> int:
     return rows
 
 
-def event_stream(spark, input_dir: str):
+def stage_chunks(input_dir: str, fixture: str, n: int) -> int:
+    """Split the events fixture into ``n`` time-ordered parquet files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(fixture)
+    table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
+    return write_chunked(table, input_dir, n)
+
+
+# -- sale_detail staging: the stream-stream join needs two correlated
+# topics. Orders come from the orders fixture; details from lineitem
+# joined back to orders for the event time, so each detail lands in
+# the same micro-batch window as its order (the reference's in-order
+# case; the TTL/late path is covered functionally in tests).
+SALE_CUTOFF = "1996-01-01"  # ~1/6 of the fixture: keeps the bench minutes-scale
+
+ORDER_SCHEMA = (
+    "id string, user_id string, total_amount double, create_time string, "
+    "event_ts timestamp"
+)
+DETAIL_SCHEMA = (
+    "id string, order_id string, sku_id string, sku_name string, "
+    "order_price double, sku_num long, event_ts timestamp"
+)
+
+
+def stage_sale_detail(work: str, sf_dir: str, n: int) -> tuple[str, str, str, int]:
+    import duckdb
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir.rstrip('/')}/{t}.parquet')"
+        )
+    o = con.execute(f"""
+        SELECT CAST(o_orderkey AS VARCHAR) AS id,
+               CAST(o_custkey AS VARCHAR) AS user_id,
+               o_totalprice AS total_amount,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+               CAST(o_orderdate AS TIMESTAMP) AS event_ts
+        FROM orders WHERE o_orderdate < TIMESTAMP '{SALE_CUTOFF}'
+        ORDER BY event_ts, id""").fetch_arrow_table()
+    d = con.execute(f"""
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR) AS id,
+               CAST(l_orderkey AS VARCHAR) AS order_id,
+               CAST(l_partkey AS VARCHAR) AS sku_id,
+               'sku-' || CAST(l_partkey AS VARCHAR) AS sku_name,
+               l_extendedprice AS order_price,
+               CAST(l_quantity AS BIGINT) AS sku_num,
+               CAST(o_orderdate AS TIMESTAMP) AS event_ts
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '{SALE_CUTOFF}'
+        ORDER BY event_ts, order_id, id""").fetch_arrow_table()
+    dim = con.execute("""
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+               CAST(c_nationkey AS VARCHAR) AS user_level,
+               '1985-03-20' AS birthday
+        FROM customer""").fetch_arrow_table()
+    o_dir = os.path.join(work, "sale_o")
+    d_dir = os.path.join(work, "sale_d")
+    dim_dir = os.path.join(work, "sale_dim")
+    os.makedirs(dim_dir)
+    pq.write_table(dim, os.path.join(dim_dir, "dim.parquet"))
+    rows = write_chunked(o, o_dir, n) + write_chunked(d, d_dir, n)
+    return o_dir, d_dir, dim_dir, rows
+
+
+def parquet_stream(spark, input_dir: str, schema: str):
     # file streaming sources take a directory; main() stages the
-    # fixture file into one chunk file per micro-batch
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
+    # fixture into one chunk file per micro-batch
+    return (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+
+
+def event_stream(spark, input_dir: str):
+    raw = parquet_stream(spark, input_dir, EVENTS_RAW)
     return raw.select(
         F.col("user_id").cast("string").alias("mid"),
         F.col("user_id").cast("string").alias("uid"),
@@ -100,6 +177,9 @@ def main() -> None:
         n_rows = stage_chunks(
             input_dir, f"{sf_dir.rstrip('/')}/events.parquet", N_CHUNKS
         )
+        o_dir, d_dir, dim_dir, sale_rows = stage_sale_detail(
+            work, sf_dir, N_CHUNKS
+        )
         rates = {
             "dau": run(
                 "dau",
@@ -117,6 +197,19 @@ def main() -> None:
                 ),
                 n_rows, work,
             ),
+            # the state-heaviest pipeline: stream-stream full outer join
+            # + broadcast dim enrichment + unpartitioned replay guard
+            "sale_detail": run(
+                "sale_detail",
+                lambda out, ckpt: pipelines.sale_detail_pipeline(
+                    spark,
+                    parquet_stream(spark, o_dir, ORDER_SCHEMA),
+                    parquet_stream(spark, d_dir, DETAIL_SCHEMA),
+                    os.path.join(dim_dir, "dim.parquet"),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                sale_rows, work,
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -128,7 +221,7 @@ def main() -> None:
                 "value": min(rates.values()),
                 "unit": "rows/sec",
                 "pipelines": rates,
-                "rows": n_rows,
+                "rows": {"events": n_rows, "sale_detail": sale_rows},
                 "batches": N_CHUNKS,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

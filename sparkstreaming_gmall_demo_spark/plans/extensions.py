@@ -835,3 +835,75 @@ def ext_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end curation: the flagship training-data shape. Every
+# stage is a kernel gated above on its own (quality_score, fingerprint
+# dedup, assign_split) — this entry gates their COMPOSITION, because
+# that is what a real corpus pipeline runs: filter junk, collapse exact
+# dups to one canonical doc, split deterministically, account per
+# split×lang. Plan: one scan of documents; the only shuffles are the
+# fingerprint dedup window and the final 2-key aggregate — scoring and
+# split assignment are pure projections that fuse into the scan stage.
+# ---------------------------------------------------------------------------
+CURATION_MIN_TOKENS = 5
+CURATION_MIN_ALPHA = 0.5
+
+
+@_register(
+    "ext_corpus_curation",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0
+                     / length(text), 4) AS alpha_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars, md5(lower(text)) AS fp
+        FROM scored
+        WHERE n_tokens >= {CURATION_MIN_TOKENS}
+          AND alpha_ratio >= {CURATION_MIN_ALPHA}
+    ),
+    canon AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+    ),
+    final AS (
+        SELECT doc_id, lang, n_chars, {_split_case_sql('doc_id')} AS split
+        FROM canon WHERE rn = 1
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM final GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "composed curation: quality filter -> exact dedup -> split accounting",
+)
+def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = text_ops.quality_score(docs).filter(
+        (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("alpha_ratio") >= CURATION_MIN_ALPHA)
+    )
+    # canonical = lowest doc_id per exact fingerprint (keep-canonical
+    # collapse, same policy as operators/components.py)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canon = (
+        text_ops.fingerprint(kept)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        canon.withColumn("split", samp_ops.assign_split("doc_id", SPLITS))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("split", "lang")
+    )
