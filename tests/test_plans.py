@@ -96,3 +96,31 @@ def test_retention_scans_events_once(spark):
     # formatted explain prints each node twice: tree line + details
     assert plan.count("Scan parquet") == 2
     assert "Join" not in plan
+
+
+def test_q32_window_shuffles_once_and_broadcasts_dim(spark):
+    """Q32: one hash exchange on o_custkey feeds the frameless window;
+    the customer dim joins as a broadcast. A second fact shuffle means
+    the window/agg stopped sharing the custkey partitioning."""
+    plan = plan_of(spark, "q32_above_customer_avg")
+    assert "BroadcastHashJoin" in plan
+    # tree + details sections each mention a node once -> counts are 2x
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2 * 2, plan  # custkey window + final agg
+
+
+def test_q34_uses_one_aggregation_no_window_sort(spark):
+    """Q34: first/last event types come from min_by/max_by in ONE
+    aggregation — no per-partition Sort + Window over the raw fact
+    (the oracle's row_number statement must stay oracle-only)."""
+    plan = plan_of(spark, "q34_entry_exit_pairs")
+    assert "Window" not in plan
+    assert "min_by" in plan and "max_by" in plan
+
+
+def test_curation_scans_documents_once(spark):
+    """ext_corpus_curation: filter -> dedup -> split -> account must
+    compose over ONE scan of documents (scoring and split assignment
+    are projections; only the dedup window and final agg shuffle)."""
+    plan = plan_of(spark, "ext_corpus_curation")
+    assert plan.count("Scan parquet") == 2  # tree + details = one scan
