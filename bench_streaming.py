@@ -130,8 +130,9 @@ def stage_sale_detail(work: str, sf_dir: str, n: int) -> tuple[str, str, str, in
     dim_dir = os.path.join(work, "sale_dim")
     os.makedirs(dim_dir)
     pq.write_table(dim, os.path.join(dim_dir, "dim.parquet"))
-    rows = write_chunked(o, o_dir, n) + write_chunked(d, d_dir, n)
-    return o_dir, d_dir, dim_dir, rows
+    o_rows = write_chunked(o, o_dir, n)
+    d_rows = write_chunked(d, d_dir, n)
+    return o_dir, d_dir, dim_dir, o_rows, d_rows
 
 
 def parquet_stream(spark, input_dir: str, schema: str):
@@ -177,9 +178,10 @@ def main() -> None:
         n_rows = stage_chunks(
             input_dir, f"{sf_dir.rstrip('/')}/events.parquet", N_CHUNKS
         )
-        o_dir, d_dir, dim_dir, sale_rows = stage_sale_detail(
+        o_dir, d_dir, dim_dir, o_rows, d_rows = stage_sale_detail(
             work, sf_dir, N_CHUNKS
         )
+        sale_rows = o_rows + d_rows
         rates = {
             "dau": run(
                 "dau",
@@ -196,6 +198,16 @@ def main() -> None:
                     trigger={"availableNow": True},
                 ),
                 n_rows, work,
+            ),
+            # stateless ingest with the partitioned keyed replay guard
+            # (the Phoenix-upsert path) over the same order topic
+            "gmv": run(
+                "gmv",
+                lambda out, ckpt: pipelines.gmv_pipeline(
+                    parquet_stream(spark, o_dir, ORDER_SCHEMA),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                o_rows, work,
             ),
             # the state-heaviest pipeline: stream-stream full outer join
             # + broadcast dim enrichment + unpartitioned replay guard
@@ -221,7 +233,8 @@ def main() -> None:
                 "value": min(rates.values()),
                 "unit": "rows/sec",
                 "pipelines": rates,
-                "rows": {"events": n_rows, "sale_detail": sale_rows},
+                "rows": {"events": n_rows, "orders": o_rows,
+                         "sale_detail": sale_rows},
                 "batches": N_CHUNKS,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

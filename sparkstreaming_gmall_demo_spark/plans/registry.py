@@ -1471,3 +1471,53 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .orderBy("first_type", "last_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q35 -- RANGE-frame window over a calendar axis: trailing 7 CALENDAR
+# days of GMV. The complement of Q31's ROWS frame — with absent days,
+# ROWS spans more than a week while RANGE spans exactly the value
+# interval regardless of how many rows fall in it. Portable form:
+# order by epoch-day integer with RANGE BETWEEN 6 PRECEDING (Spark's
+# rangeBetween takes numeric offsets; DuckDB accepts the same).
+# ---------------------------------------------------------------------------
+@_register(
+    "q35_range_frame_gmv",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{MOVING_FROM}' AND DATE '{MOVING_TO}'
+        GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, gmv,
+           CAST(sum(gmv) OVER w AS DECIMAL(18,2)) AS gmv_7cal,
+           CAST(count(*) OVER w AS INTEGER) AS n_days
+    FROM daily
+    WINDOW w AS (ORDER BY CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    "trailing 7-calendar-day GMV via a RANGE window frame",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.to_date("o_orderdate").between(
+                F.lit(MOVING_FROM).cast("date"), F.lit(MOVING_TO).cast("date")
+            )
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+        .withColumn("epoch_day", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("gmv_7cal", F.sum("gmv").over(w).cast("decimal(18,2)"))
+        .withColumn("n_days", F.count("*").over(w).cast("int"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "gmv", "gmv_7cal", "n_days")
+        .orderBy("day")
+    )
