@@ -907,3 +907,61 @@ def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster profile: per-label centroid, then each vector's L2
+# distance to its own label's centroid. Pure built-ins end to end —
+# posexplode fans the vectors into (pos, val) rows, the centroid is an
+# avg per (label, pos), and the distance re-joins the tiny centroid
+# table broadcast. The per-label distance profile is the quality lens
+# a training-data pipeline puts on an embedding space (tight vs
+# diffuse clusters, outlier labels) without any UDF.
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_embedding_centroids",
+    """
+    WITH flat AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos, avg(val) AS c FROM flat GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT f.vec_id, f.label, sqrt(sum((f.val - c.c) ^ 2)) AS d
+        FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+        GROUP BY 1, 2
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(d), 4) AS avg_dist,
+           round(min(d), 4) AS min_dist,
+           round(max(d), 4) AS max_dist
+    FROM dist GROUP BY 1 ORDER BY 1
+    """,
+    "per-label centroid distance profile over the embedding space",
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 1-based pos to match the oracle's generate_subscripts
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = flat.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    dist = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.pow(F.col("val") - F.col("c"), 2))).alias("d"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("d"), 4).alias("avg_dist"),
+            F.round(F.min("d"), 4).alias("min_dist"),
+            F.round(F.max("d"), 4).alias("max_dist"),
+        )
+        .orderBy("label")
+    )

@@ -1521,3 +1521,66 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gmv", "gmv_7cal", "n_days")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q36 -- NATIVE session windows: Spark's session_window() operator,
+# gated against the same lag+cumsum semantics Q20 states manually.
+# Boundary note: session_window treats an exactly-gap-sized silence as
+# a session break (windows are [start, start+gap) and merge only on
+# overlap), so the oracle marks a new session at diff >= gap — Q20's
+# manual formulation uses strict >; the two queries pin BOTH boundary
+# conventions. total_active_us is last-minus-first in integer micros
+# (exact in both engines).
+# ---------------------------------------------------------------------------
+@_register(
+    "q36_native_session_window",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    >= {SESSION_GAP_S} * 1000000 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    per AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS active_us
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(active_us) AS BIGINT) AS total_active_us
+    FROM per
+    """,
+    "session stats via Spark's native session_window operator",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(
+            F.unix_micros("last_ts") - F.unix_micros("first_ts")
+        ).cast("long").alias("total_active_us"),
+    )
