@@ -346,3 +346,50 @@ def sale_detail_pipeline(
             idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
 
     return _start(joined.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+# ---------------------------------------------------------------------------
+# Session windows (beyond-reference: the streaming twin of Q20/Q36)
+# ---------------------------------------------------------------------------
+def session_pipeline(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 seconds",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Per-device gap sessions on the NATIVE session_window operator —
+    the streaming counterpart of the declared Q36 (plans/registry.py)
+    and the third sessionizer in the engine next to the batch
+    lag+cumsum plan (operators/sessions.py) and the custom
+    applyInPandasWithState form (streaming/stateful.py).
+
+    Spark merges open session windows per mid in the state store and,
+    in append mode, emits each session exactly once when the watermark
+    passes its close; the idempotent sink key (mid, session_start)
+    makes batch replays no-ops — same contract as the alert sink's
+    minute bucket (K2/W3)."""
+    sess = (
+        drop_corrupt(events)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), F.col("mid"))
+        .agg(F.count("*").alias("n_events"), F.max("event_ts").alias("last_ts"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "mid", "n_events", "last_ts",
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            batch_df, out_path,
+            key_cols=["mid", "session_start"], partition_cols=None,
+        )
+
+    return _start(
+        sess.writeStream.outputMode("append").foreachBatch(sink),
+        checkpoint,
+        trigger,
+    )

@@ -603,3 +603,59 @@ def test_monitoring_counts_idempotent_on_batch_replay(spark, tmp_path):
     rows = spark.read.parquet(monitor).collect()
     assert len(rows) == 4  # 2 groups x 2 distinct batches, replay skipped
     assert sum(r.n_rows for r in rows if r.batch_id == 7) == 3
+
+
+# ---------------------------------------------------------------------------
+# Native session windows
+# ---------------------------------------------------------------------------
+def test_session_window_streaming_equals_batch(spark, tmp_path):
+    """Sessions must merge across micro-batches (chunk 1 extends a
+    session opened in chunk 0) and close exactly once at watermark
+    passage; the final table equals the one-shot batch session_window
+    computation."""
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, ts):
+        return {"mid": mid, "uid": f"u-{mid}", "appid": "gmall", "area": "a",
+                "os": "ios", "ch": "c", "type": "event", "evid": "view",
+                "pgid": "p", "npgid": "n", "itemid": "i", "ts": ts}
+
+    chunks = [
+        # m1 opens a session; m2 opens another
+        [ev("m1", BASE + 1_000), ev("m1", BASE + 30_000), ev("m2", BASE + 5_000)],
+        # m2 extends its open session (45s < 60s gap); m1's 120s silence
+        # (90s since last) starts a NEW session
+        [ev("m2", BASE + 50_000), ev("m1", BASE + 150_000)],
+        # sentinel flushes everything
+        [ev("zz-sentinel", BASE + 3_600_000)],
+    ]
+    all_recs = [r for c in chunks for r in c]
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        run_available(
+            lambda: pipelines.session_pipeline(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ),
+                out, ckpt, gap="60 seconds", trigger={"availableNow": True},
+            )
+        )
+
+    got = {
+        (r.mid, str(r.session_start), r.n_events)
+        for r in spark.read.parquet(out)
+        .filter(~F.col("mid").startswith("zz-")).collect()
+    }
+    batch = (
+        spark.createDataFrame([(r["mid"], r["ts"]) for r in all_recs], ["mid", "ts"])
+        .filter(~F.col("mid").startswith("zz-"))
+        .withColumn("event_ts", F.timestamp_millis("ts"))
+        .groupBy(F.session_window("event_ts", "60 seconds").alias("w"), "mid")
+        .agg(F.count("*").alias("n_events"))
+        .select("mid", F.col("w.start").alias("session_start"), "n_events")
+    )
+    want = {(r.mid, str(r.session_start), r.n_events) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 3  # m1 x2 sessions, m2 x1
