@@ -87,3 +87,37 @@ def test_fixture_events_through_dau_pipeline_to_serving(spark, sf_dir, tmp_path)
     )
     want_hours = {f"{r.h:02d}": r["count"] for r in want_hours_rows}
     assert got_hours == want_hours
+
+
+def test_sessionizer_family_agrees_on_fixture(spark, sf_dir):
+    """The engine ships three gap sessionizers (manual lag+cumsum,
+    native session_window, streaming session_pipeline). On real fixture
+    timestamps (nanosecond-random — no exact-gap silences, where the
+    two boundary conventions legitimately differ) the batch pair must
+    produce identical per-user session multisets."""
+    from sparkstreaming_gmall_demo_spark.operators.sessions import session_stats
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    gap = 1800
+    manual = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in session_stats(
+            events, key="user_id", ts_col="ts",
+            gap_seconds=gap, tiebreak="event_id",
+        ).collect()
+    }
+    native = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in events.groupBy(
+            F.session_window("ts", f"{gap} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert manual == native and len(manual) > 0
