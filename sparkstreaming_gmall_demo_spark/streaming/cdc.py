@@ -48,17 +48,32 @@ def parse_envelope(raw: DataFrame) -> DataFrame:
     return raw.select(F.from_json("value", CDC_ENVELOPE).alias("r")).select("r.*")
 
 
-def route(envelope: DataFrame, table: str, event_types: tuple[str, ...]) -> DataFrame:
+def route(
+    envelope: DataFrame,
+    table: str,
+    event_types: tuple[str, ...],
+    keep_op: bool = False,
+) -> DataFrame:
     """One destination's stream: filter by (table, type) and serialize
     the after-image column map back to a JSON ``value`` (the payload
     the downstream topic parsers expect), carrying the binlog ts so
     consumers can event-time it.
+
+    ``keep_op`` embeds the event type as an ``_op`` key in the payload
+    — needed when the route includes DELETE (the reference never
+    routes deletes, CanalClient.java:74,90,106; a dim consumer needs
+    the op to write a tombstone, see sinks.read_dim).
     """
-    return (
-        envelope.filter(
-            (F.col("table") == F.lit(table)) & F.col("type").isin(*event_types)
-        )
-        .select(F.to_json("data").alias("value"), F.col("ts").alias("cdc_ts"))
+    routed = envelope.filter(
+        (F.col("table") == F.lit(table)) & F.col("type").isin(*event_types)
+    )
+    payload = (
+        F.map_concat("data", F.create_map(F.lit("_op"), F.col("type")))
+        if keep_op
+        else F.col("data")
+    )
+    return routed.select(
+        F.to_json(payload).alias("value"), F.col("ts").alias("cdc_ts")
     )
 
 

@@ -37,6 +37,7 @@ from .sinks import (
     idempotent_append,
     merge_last_write_wins,
     monitoring_counts,
+    read_dim,
     split_dead_letter,
 )
 from .sources import drop_corrupt
@@ -303,7 +304,9 @@ def sale_detail_pipeline(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         users = None
         try:
-            users = spark.read.parquet(user_dim_path)
+            # tombstone-aware read: a CDC-deleted user enriches as null
+            # from the batch after the delete lands (sinks.read_dim)
+            users = read_dim(spark, user_dim_path, op_col="op")
         except Exception:
             pass  # dim not yet populated: reference would NPE; we keep nulls
         wide = batch_df.withColumn(

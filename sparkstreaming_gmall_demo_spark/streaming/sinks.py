@@ -267,6 +267,29 @@ def console_sink(df: DataFrame, n: int = 20):
     return df.writeStream.format("console").option("numRows", str(n))
 
 
+def read_dim(
+    spark,
+    path: str,
+    op_col: str | None = None,
+    delete_value: str = "DELETE",
+) -> DataFrame:
+    """Read a last-write-wins dimension table, hiding tombstones.
+
+    DELETE handling (beyond the reference, which never routes deletes):
+    the merge keeps the winning row per key INCLUDING delete markers —
+    storing the tombstone is what makes replays safe (an at-least-once
+    re-delivery of an older UPDATE unions in a lower version and loses
+    to the stored tombstone; filtering deletes at write time would let
+    it resurrect the key). Readers drop tombstones here instead.
+    """
+    df = spark.read.parquet(path)
+    if op_col and op_col in df.columns:
+        df = df.filter(
+            F.coalesce(F.col(op_col) != F.lit(delete_value), F.lit(True))
+        )
+    return df
+
+
 def merge_last_write_wins(
     batch_df: DataFrame,
     out_path: str,

@@ -659,3 +659,33 @@ def test_session_window_streaming_equals_batch(spark, tmp_path):
     want = {(r.mid, str(r.session_start), r.n_events) for r in batch.collect()}
     assert got == want
     assert len(got) == 3  # m1 x2 sessions, m2 x1
+
+
+def test_user_dim_delete_tombstone_survives_replay(spark, tmp_path):
+    """CDC DELETE -> tombstone in the dim table: read_dim hides the
+    key; an at-least-once replay of an OLDER update must not resurrect
+    it (the stored tombstone outranks it); a genuinely newer re-INSERT
+    does."""
+    from sparkstreaming_gmall_demo_spark.streaming.sinks import (
+        merge_last_write_wins, read_dim,
+    )
+
+    out = str(tmp_path / "dim")
+    schema = "id string, gender string, op string, op_ts long"
+
+    def merge(rows):
+        merge_last_write_wins(
+            spark.createDataFrame(rows, schema), out,
+            key_col="id", version_col="op_ts",
+        )
+
+    merge([("1", "M", "INSERT", 100), ("2", "F", "INSERT", 101)])
+    merge([("1", "F", "UPDATE", 200)])
+    merge([("1", None, "DELETE", 300)])
+    # replayed older update (at-least-once upstream): must stay deleted
+    merge([("1", "F", "UPDATE", 200)])
+    assert {r.id for r in read_dim(spark, out, op_col="op").collect()} == {"2"}
+    # newer re-insert resurrects the key
+    merge([("1", "X", "INSERT", 400)])
+    live = {r.id: r.gender for r in read_dim(spark, out, op_col="op").collect()}
+    assert live == {"1": "X", "2": "F"}
