@@ -965,3 +965,43 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profile: the data-quality gate a pipeline runs before training
+# — null counts, distinct cardinalities, and ranges for every column
+# that feeds downstream stages, in ONE aggregation pass (each metric
+# is a conditional aggregate, so Spark computes the whole profile
+# map-side in a single scan; the naive per-column loop would scan the
+# table once per metric).
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_table_profile",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT doc_id) AS distinct_ids,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+           count(DISTINCT lang) AS distinct_langs,
+           count(DISTINCT source) AS distinct_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    """,
+    "single-pass column profile: nulls, cardinalities, ranges",
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("distinct_ids"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_text"),
+        F.count_distinct("lang").alias("distinct_langs"),
+        F.count_distinct("source").alias("distinct_sources"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
