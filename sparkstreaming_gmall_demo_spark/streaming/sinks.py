@@ -267,6 +267,43 @@ def console_sink(df: DataFrame, n: int = 20):
     return df.writeStream.format("console").option("numRows", str(n))
 
 
+def compact_partition(
+    spark,
+    out_path: str,
+    partition_col: str,
+    value,
+    target_files: int = 1,
+) -> int:
+    """Day-close small-file compaction for a date-partitioned streaming
+    sink: rewrite ONE closed partition's many per-micro-batch files
+    (8 shuffle partitions x N batches a day at this config) into
+    ``target_files``. At 100 TB the sink's file count, not byte count,
+    is what kills serving scans — this is the partitioned-layout
+    complement of ``bucketing.compact_to_bucketed`` (which republishes
+    a whole table bucketed).
+
+    Call only for partitions the stream has CLOSED (watermark past the
+    day): the rewrite must not race the sink's append. The swap is a
+    directory rename — the local-FS stand-in for a table-format
+    transaction, same caveat as ``merge_last_write_wins``. Returns the
+    compacted file count (0 = partition absent).
+    """
+    part_dir = os.path.join(out_path, f"{partition_col}={value}")
+    if not _target_exists(part_dir):
+        return 0
+    # reading the partition dir directly drops the (hive-encoded)
+    # partition column — correct: the rewrite stays inside the dir
+    df = spark.read.parquet(part_dir)
+    tmp = f"{part_dir}__compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)
+    return sum(
+        1 for n in os.listdir(part_dir)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+
+
 def read_dim(
     spark,
     path: str,

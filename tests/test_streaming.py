@@ -689,3 +689,37 @@ def test_user_dim_delete_tombstone_survives_replay(spark, tmp_path):
     merge([("1", "X", "INSERT", 400)])
     live = {r.id: r.gender for r in read_dim(spark, out, op_col="op").collect()}
     assert live == {"1": "X", "2": "F"}
+
+
+def test_compact_partition_preserves_rows_and_replay_guard(spark, tmp_path):
+    """Day-close compaction: a partition written by many micro-batches
+    collapses to one file, rows and schema unchanged, and the sink's
+    replay guard still dedups against the compacted files."""
+    from sparkstreaming_gmall_demo_spark.streaming.sinks import (
+        compact_partition, idempotent_append,
+    )
+
+    out = str(tmp_path / "out")
+    schema = "mid string, d string, v long"
+    for i in range(4):  # 4 "micro-batches" into the same day
+        idempotent_append(
+            spark.createDataFrame([(f"m{i}", "2024-01-01", i)], schema),
+            out, key_cols=["mid", "d"], partition_cols=["d"],
+        )
+    part = tmp_path / "out" / "d=2024-01-01"
+    files_before = len([f for f in part.iterdir() if f.suffix == ".parquet"])
+    assert files_before >= 4
+
+    n = compact_partition(spark, out, "d", "2024-01-01")
+    assert n == 1
+    rows = {(r.mid, str(r.d), r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(f"m{i}", "2024-01-01", i) for i in range(4)}
+
+    # replay of an already-written key after compaction: still a no-op
+    idempotent_append(
+        spark.createDataFrame([("m0", "2024-01-01", 99)], schema),
+        out, key_cols=["mid", "d"], partition_cols=["d"],
+    )
+    assert spark.read.parquet(out).count() == 4
+    # absent partition -> 0, no error
+    assert compact_partition(spark, out, "d", "1999-12-31") == 0
