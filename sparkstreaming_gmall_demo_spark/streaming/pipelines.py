@@ -102,7 +102,8 @@ def dau_pipeline(
                 first,
                 serving,
                 lambda df: monitoring_counts(
-                    df, monitor_path, batch_id, group_col="log_date"
+                    df, monitor_path, batch_id,
+                    group_col="log_date", ts_col="event_ts",
                 ),
             )
         else:

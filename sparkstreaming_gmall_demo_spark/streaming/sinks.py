@@ -197,7 +197,8 @@ def fanout(batch_df: DataFrame, *sinks) -> None:
 
 
 def monitoring_counts(batch_df: DataFrame, monitor_path: str, batch_id: int,
-                      group_col: str | None = None) -> None:
+                      group_col: str | None = None,
+                      ts_col: str | None = None) -> None:
     """Per-batch row counts to a monitoring table — the durable form of
     the reference's ``count().print()`` probes (A1/K7, reference
     app/DauApp.scala:42,47,52). One tiny row (per group) per batch.
@@ -206,7 +207,11 @@ def monitoring_counts(batch_df: DataFrame, monitor_path: str, batch_id: int,
     between the sink and the checkpoint commit re-runs the batch with
     the SAME id), so a batch_id already present means this is a replay
     and the probe row must not double — otherwise sum(n_rows) drifts
-    above the idempotent serving table it reconciles against."""
+    above the idempotent serving table it reconciles against.
+
+    ``ts_col`` adds per-batch min/max event time — the durable
+    watermark-lag signal (how far behind the event clock each batch
+    ran) that the reference's console prints never captured."""
     spark = batch_df.sparkSession
     if _target_exists(monitor_path):
         already = (
@@ -220,8 +225,14 @@ def monitoring_counts(batch_df: DataFrame, monitor_path: str, batch_id: int,
     grouped = (
         batch_df.groupBy(group_col) if group_col else batch_df.groupBy()
     )
+    aggs = [F.count("*").alias("n_rows")]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("min_event_ts"),
+            F.max(ts_col).alias("max_event_ts"),
+        ]
     (
-        grouped.agg(F.count("*").alias("n_rows"))
+        grouped.agg(*aggs)
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("append")
         .parquet(monitor_path)

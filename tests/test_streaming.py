@@ -547,6 +547,11 @@ def test_dau_fanout_monitoring_counts(spark, tmp_path):
     }
     # and batch ids are present for replay forensics
     assert mon.filter(F.col("batch_id").isNull()).count() == 0
+    # watermark-lag signal: per-batch event-time bounds cover the data
+    bounds = mon.agg(
+        F.min("min_event_ts").alias("lo"), F.max("max_event_ts").alias("hi")
+    ).collect()[0]
+    assert bounds.lo is not None and bounds.lo <= bounds.hi
 
 
 def test_fanout_unpersists_after_sinks(spark):
