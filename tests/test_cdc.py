@@ -68,3 +68,31 @@ def test_routed_payload_reparses_downstream(spark):
                                  ts_from_millis=None).collect()
     assert parsed[0].id == "u1" and parsed[0].gender == "M"
     assert parsed[0]._corrupt is None
+
+
+def test_parse_topic_tolerates_schema_drift(spark):
+    """Upstream producers evolve: an ADDED unknown field must be
+    silently dropped (fastjson parity, SURVEY §1.1) and a MISSING
+    declared field must arrive null — neither may corrupt-flag or kill
+    the parse."""
+    from pyspark.sql import types as T
+
+    from sparkstreaming_gmall_demo_spark.streaming.sources import parse_topic
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ts", T.LongType()),
+    ])
+    raw = spark.createDataFrame(
+        [
+            ('{"id": "a", "amount": 1.5, "ts": 1000, "new_field": "x"}',),
+            ('{"id": "b", "ts": 2000}',),  # amount missing
+        ],
+        ["value"],
+    )
+    rows = {r.id: r for r in parse_topic(raw, schema).collect()}
+    assert rows["a"]._corrupt is None and rows["a"].amount == 1.5
+    assert "new_field" not in rows["a"].asDict()
+    assert rows["b"]._corrupt is None and rows["b"].amount is None
+    assert rows["b"].event_ts is not None  # ts surfaced as event time
