@@ -22,6 +22,18 @@ def money(col) -> Column:
     return F.col(col).cast(MONEY_TYPE) if isinstance(col, str) else col.cast(MONEY_TYPE)
 
 
+def money_out(col) -> Column:
+    """Money OUTPUT surface: rounded DOUBLE over an exact DECIMAL sum.
+
+    Aggregation stays DECIMAL(18,2) (exact, order-independent); only the
+    FINAL projection casts to DOUBLE and rounds to cents so both engines
+    render identically ('1704893.2', never Decimal's '1704893.20').
+    Oracle-side twin: ``round(CAST(x AS DOUBLE), 2)``.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(col.cast("double"), 2)
+
+
 def log_date(ts) -> Column:
     """Epoch-ts -> yyyy-MM-dd date, the reference's ``logDate``
     (reference app/DauApp.scala:34: SimpleDateFormat("yyyy-MM-dd HH") + split)."""

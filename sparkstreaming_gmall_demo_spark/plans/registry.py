@@ -8,8 +8,12 @@ so every computed column is explicitly aliased AND cast identically).
 Canonical output forms (engine-portability rules):
 - counts            -> BIGINT (Spark count == DuckDB count(*))
 - hour-of-day       -> INTEGER (DuckDB hour() is BIGINT -> cast)
-- money sums        -> DECIMAL(18,2), cast on the *sum* result too
-  (Spark widens to (28,2), DuckDB to (38,2))
+- money sums        -> DECIMAL(18,2) internally (exact, order-independent),
+  but the FINAL projection is round(CAST(x AS DOUBLE), 2) on BOTH sides:
+  the driver comparator string-compares rendered values and Decimal
+  '1704893.20' != float-rendered '1704893.2' (round-1 driver red).
+- arrays            -> never in the output; array_join(sort_array(x), ',')
+  (driver canonicalizer can't hash ndarray cells)
 - window starts     -> 'yyyy-MM-dd HH:mm:ss' strings
 - ratios            -> floor(x + 0.5) Java-Math.round semantics, BIGINT
 - doubles           -> round(x, 4)
@@ -28,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import events_date_filter, load_table
-from ..functions import money, log_date, log_hour, permille
+from ..functions import money, money_out, log_date, log_hour, permille
 from ..operators import agg as agg_ops
 from ..operators import asof as asof_ops
 from ..operators import dedup as dedup_ops
@@ -132,17 +136,17 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q3_gmv_total",
     f"""
-    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+    SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS gmv
     FROM orders
     WHERE CAST(o_orderdate AS DATE) = DATE '{ORDERS_DATE}'
     """,
-    "GMV total for a date (decimal money sum)",
+    "GMV total for a date (decimal money sum, double output surface)",
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(log_date("o_orderdate") == F.lit(ORDERS_DATE).cast("date"))
-        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+        .agg(money_out(F.sum(money("o_totalprice"))).alias("gmv"))
     )
 
 
@@ -155,7 +159,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q4_gmv_hourly",
     f"""
     SELECT CAST(hour(o_orderdate) AS INTEGER) AS create_hour,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS gmv
     FROM orders
     WHERE CAST(o_orderdate AS DATE) = DATE '{ORDERS_DATE}'
     GROUP BY 1 ORDER BY 1
@@ -167,7 +171,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.filter(log_date("o_orderdate") == F.lit(ORDERS_DATE).cast("date"))
         .groupBy(log_hour("o_orderdate").alias("create_hour"))
-        .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("gmv"))
+        .agg(money_out(F.sum(money("o_totalprice"))).alias("gmv"))
         .orderBy("create_hour")
     )
 
@@ -176,7 +180,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q4b_purchase_value_hourly",
     f"""
     SELECT CAST(hour(ts) AS INTEGER) AS log_hour,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
            count(*) AS ct
     FROM events
     WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}' AND event_type = 'purchase'
@@ -193,7 +197,7 @@ def q4b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(log_hour("ts").alias("log_hour"))
         .agg(
-            F.sum(money("value")).cast("decimal(18,2)").alias("total_value"),
+            money_out(F.sum(money("value"))).alias("total_value"),
             F.count("*").alias("ct"),
         )
         .orderBy("log_hour")
@@ -210,7 +214,7 @@ def q4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS cnt,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders
     FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
     LEFT JOIN customer ON o_custkey = c_custkey
@@ -228,7 +232,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            money_out(F.sum(money("l_extendedprice"))).alias("revenue"),
         )
         .orderBy(F.asc_nulls_first("c_mktsegment"))
     )
@@ -245,7 +249,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL '{ALERT_WINDOW}', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            user_id,
            CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS BIGINT) AS qualify_count,
-           list_sort(list_distinct(list(event_type))) AS event_types
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
     FROM events
     GROUP BY time_bucket(INTERVAL '{ALERT_WINDOW}', ts), user_id
     HAVING count(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) >= {ALERT_MIN_DISTINCT}
@@ -268,7 +272,9 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_ops.window_start_str(F.col("w")).alias("window_start"),
         F.col("user_id"),
         F.col("qualify_count"),
-        F.sort_array(F.col("event_types")).alias("event_types"),
+        # serialized, not ARRAY: the driver canonicalizer can't hash ndarray
+        # cells (round-1 q6 err) — same info, scalar output surface
+        F.array_join(F.sort_array(F.col("event_types")), ",").alias("event_types"),
     ).orderBy("window_start", "user_id")
 
 
@@ -516,7 +522,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name AS region,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
            count(DISTINCT o_custkey) AS n_customers
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -541,7 +547,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+            money_out(F.sum(money("o_totalprice"))).alias("revenue"),
             F.count_distinct("o_custkey").alias("n_customers"),
         )
         .orderBy("region")
@@ -563,7 +569,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(hour(ts) AS INTEGER) AS log_hour,
            CAST(GROUPING(event_type, hour(ts)) AS INTEGER) AS gid,
            count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
     GROUP BY ROLLUP(event_type, hour(ts))
@@ -579,7 +585,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").alias("cnt"),
-            F.sum(money("value")).cast("decimal(18,2)").alias("total_value"),
+            money_out(F.sum(money("value"))).alias("total_value"),
         )
         .select("event_type", "log_hour", "gid", "cnt", "total_value")
         .orderBy(
@@ -601,7 +607,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand,
            count(*) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
            count(DISTINCT s_nationkey) AS n_supplier_nations
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -623,7 +629,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            money_out(F.sum(money("l_extendedprice"))).alias("revenue"),
             F.count_distinct("s_nationkey").alias("n_supplier_nations"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
@@ -704,9 +710,9 @@ RUNNING_MONTH_START, RUNNING_MONTH_END = "1995-01-01", "1995-02-01"
         GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
-           gmv,
-           CAST(sum(gmv) OVER (ORDER BY d) AS DECIMAL(18,2)) AS cum_gmv,
-           CAST(gmv - lag(gmv) OVER (ORDER BY d) AS DECIMAL(18,2)) AS delta
+           round(CAST(gmv AS DOUBLE), 2) AS gmv,
+           round(CAST(sum(gmv) OVER (ORDER BY d) AS DOUBLE), 2) AS cum_gmv,
+           round(CAST(gmv - lag(gmv) OVER (ORDER BY d) AS DOUBLE), 2) AS delta
     FROM daily ORDER BY d
     """,
     "daily GMV with running total and day-over-day delta",
@@ -725,9 +731,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            "gmv",
-            F.sum("gmv").over(w).cast("decimal(18,2)").alias("cum_gmv"),
-            (F.col("gmv") - F.lag("gmv").over(w)).cast("decimal(18,2)").alias("delta"),
+            money_out("gmv").alias("gmv"),
+            money_out(F.sum("gmv").over(w)).alias("cum_gmv"),
+            money_out(F.col("gmv") - F.lag("gmv").over(w)).alias("delta"),
         )
         .orderBy("day")
     )
@@ -1254,7 +1260,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority AS priority, o_orderstatus AS status,
            CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
            count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     ORDER BY gid, priority NULLS FIRST, status NULLS FIRST
@@ -1272,7 +1278,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").alias("cnt"),
-            F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            money_out(F.sum(money("o_totalprice"))).alias("total"),
         )
         .select(
             F.col("o_orderpriority").alias("priority"),
@@ -1306,8 +1312,9 @@ MOVING_FROM, MOVING_TO = "1995-01-01", "1995-03-31"
         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{MOVING_FROM}' AND DATE '{MOVING_TO}'
         GROUP BY 1
     )
-    SELECT strftime(d, '%Y-%m-%d') AS day, gmv,
-           CAST(sum(gmv) OVER w AS DECIMAL(18,2)) AS gmv_7d,
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(CAST(gmv AS DOUBLE), 2) AS gmv,
+           round(CAST(sum(gmv) OVER w AS DOUBLE), 2) AS gmv_7d,
            CAST(count(*) OVER w AS INTEGER) AS n_days
     FROM daily
     WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1328,10 +1335,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     return (
-        daily.withColumn("gmv_7d", F.sum("gmv").over(w).cast("decimal(18,2)"))
+        daily.withColumn("gmv_7d", money_out(F.sum("gmv").over(w)))
         .withColumn("n_days", F.count("*").over(w).cast("int"))
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
-                "gmv", "gmv_7d", "n_days")
+                money_out("gmv").alias("gmv"), "gmv_7d", "n_days")
         .orderBy("day")
     )
 
@@ -1356,7 +1363,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment AS segment,
            count(*) AS n_above,
-           CAST(sum(price) AS DECIMAL(18,2)) AS sum_above
+           round(CAST(sum(price) AS DOUBLE), 2) AS sum_above
     FROM co JOIN customer ON o_custkey = c_custkey
     WHERE price * n > tot
     GROUP BY 1 ORDER BY 1
@@ -1380,7 +1387,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_above"),
-            F.sum("price").cast("decimal(18,2)").alias("sum_above"),
+            money_out(F.sum("price")).alias("sum_above"),
         )
         .orderBy("segment")
     )
@@ -1491,8 +1498,9 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{MOVING_FROM}' AND DATE '{MOVING_TO}'
         GROUP BY 1
     )
-    SELECT strftime(d, '%Y-%m-%d') AS day, gmv,
-           CAST(sum(gmv) OVER w AS DECIMAL(18,2)) AS gmv_7cal,
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(CAST(gmv AS DOUBLE), 2) AS gmv,
+           round(CAST(sum(gmv) OVER w AS DOUBLE), 2) AS gmv_7cal,
            CAST(count(*) OVER w AS INTEGER) AS n_days
     FROM daily
     WINDOW w AS (ORDER BY CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT)
@@ -1515,10 +1523,10 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
     return (
-        daily.withColumn("gmv_7cal", F.sum("gmv").over(w).cast("decimal(18,2)"))
+        daily.withColumn("gmv_7cal", money_out(F.sum("gmv").over(w)))
         .withColumn("n_days", F.count("*").over(w).cast("int"))
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
-                "gmv", "gmv_7cal", "n_days")
+                money_out("gmv").alias("gmv"), "gmv_7cal", "n_days")
         .orderBy("day")
     )
 
