@@ -395,6 +395,31 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def simhash_all_pairs_hamming(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Brute-force verification twin of simhash_near_duplicates: ALL
+    (i < j) pairs of ``sigs`` (doc_id, simhash) within the Hamming
+    budget, generated from ONE all-docs bucket (no cartesian join node,
+    no banding). O(n^2) by design — the ground-truth kernel the banded
+    path's completeness is asserted against (pigeonhole: chunk banding
+    must find exactly this set), never the scale path.
+    """
+    one_bucket = sigs.select(
+        F.col("doc_id").alias("vid"),
+        F.col("simhash").alias("v"),
+        F.lit(0).alias("band"),
+        F.lit(0).alias("bh"),
+    )
+    return (
+        _bucket_pairs(one_bucket, [F.col("vid"), F.col("v")])
+        .select(
+            F.col("p.x.vid").alias("i"),
+            F.col("p.y.vid").alias("j"),
+            F.bit_count(F.col("p.x.v").bitwiseXOR(F.col("p.y.v"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs with Hamming(simhash_i, simhash_j) <= max_hamming.

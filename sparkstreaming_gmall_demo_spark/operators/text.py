@@ -33,13 +33,47 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def keyword_and_match(df: DataFrame, text_col: str, keyword: str) -> DataFrame:
-    """Keep rows whose text contains EVERY whitespace token of ``keyword``
-    (exact token equality -- the ES match operator=AND analog,
-    reference service/impl/PublisherServiceImpl.java:86)."""
-    toks = tokens(text_col)
+ANALYZER_SPLIT = r"[^\p{L}\p{N}]+"  # split on non-letter/digit runs
+
+
+def analyze(text_col) -> Column:
+    """Analyzer-lite tokenization: lowercase + split on non-alphanumeric
+    runs, empties dropped — the standard-analyzer approximation of what
+    ES runs before a ``match`` query ("Spark" matches "spark",
+    "join," matches "join"). Unicode classes keep CJK letters intact.
+    DuckDB twin: ``list_filter(string_split_regex(lower(x),
+    '[^\\p{L}\\p{N}]+'), t -> t != '')`` (same RE2-compatible class).
+    """
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(text_col), ANALYZER_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def analyze_keyword(keyword: str) -> list[str]:
+    """Driver-side twin of ``analyze`` for the query string."""
+    import re
+
+    return [t for t in re.split(r"[^\w]+", keyword.lower(), flags=re.UNICODE) if t]
+
+
+def keyword_and_match(df: DataFrame, text_col: str, keyword: str,
+                      analyzed: bool = True) -> DataFrame:
+    """Keep rows whose text contains EVERY token of ``keyword`` — the ES
+    bool-query ``match`` with operator=AND (reference
+    service/impl/PublisherServiceImpl.java:84-87). ES analyzes BOTH the
+    document and the query before matching; ``analyzed=True`` mirrors
+    that with the analyzer-lite normalization (case-insensitive,
+    punctuation-insensitive). ``analyzed=False`` keeps the round-1
+    whitespace-exact behavior for callers that index raw terms."""
+    if analyzed:
+        toks = analyze(text_col)
+        terms = analyze_keyword(keyword)
+    else:
+        toks = tokens(text_col)
+        terms = keyword.split()
     cond = F.lit(True)
-    for t in keyword.split():
+    for t in terms:
         cond = cond & F.array_contains(toks, t)
     return df.filter(cond)
 

@@ -6,8 +6,15 @@ E1-E4, promoted).
 Oracle policy: everything SQL-expressible gets a DuckDB oracle with
 IDENTICAL arithmetic (integer Jaccard ratios, double cosine rounded to
 4dp, md5 fingerprints). Hash-family-dependent ops (MinHash, SimHash,
-LSH) cannot be mirrored in DuckDB — they are rows-only here and
-verified against exact ground truth in tests/test_neardup.py instead.
+LSH, IVF, HLL) cannot mirror their hashes in DuckDB — their declared
+entries emit INVARIANTS instead: the approximate result is compared
+in-Spark against its exact counterpart (recall / error-bound /
+completeness booleans, plus oracle-computable anchor values like the
+exact pair count), and the oracle states the same anchors with literal
+``true`` invariant columns. Both sides are deterministic, so the
+driver's value-hash check gates them like any other query; the raw
+approximate outputs additionally keep their ground-truth tests in
+tests/test_neardup.py and tests/test_operators_unit.py.
 """
 
 from __future__ import annotations
@@ -29,6 +36,40 @@ JACCARD_LANG = "de"
 JACCARD_THRESHOLD = 0.8
 TOPK_QUERY_VEC_ID = 0
 TOPK_K = 10
+
+
+def _scalar_join(*dfs: DataFrame) -> DataFrame:
+    """Glue single-row NUMERIC aggregate frames into one row via melt ->
+    union -> conditional re-aggregation (the q21 pattern). A join of
+    constant-keyed single-row frames would constant-fold its condition
+    to TRUE and plan as BroadcastNestedLoopJoin, tripping the
+    no-cartesian guardrail; the union plan has no join node at all.
+    All values travel as BIGINT; compute booleans downstream."""
+    names: list[str] = []
+    melted: list[DataFrame] = []
+    for df in dfs:
+        names.extend(df.columns)
+        melted.append(
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("_t"),
+                                F.col(c).cast("long").alias("_v"),
+                            )
+                            for c in df.columns
+                        ]
+                    )
+                ).alias("e")
+            ).select("e._t", "e._v")
+        )
+    u = melted[0]
+    for t in melted[1:]:
+        u = u.union(t)
+    return u.agg(
+        *[F.max(F.when(F.col("_t") == n, F.col("_v"))).alias(n) for n in names]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -125,25 +166,112 @@ def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd_ops.bucket_jaccard_pairs(nd_ops.shingle_sets(docs, 2), 0.5).orderBy("i", "j")
 
 
+MINHASH_SHINGLE_N = 3
+
+
 @_register(
     "ext_minhash_neardup",
-    None,  # xxhash64 family not reproducible in DuckDB; ground-truth
-    # comparison against exact Jaccard lives in tests/test_neardup.py
-    "MinHash+LSH near-duplicate pairs (scale path)",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(string_split(text, ' ')) >= {MINHASH_SHINGLE_N}
+                 THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                 ELSE [text] END) AS sh
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    pairs AS (
+        SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS sa, len(b.sh) AS sb
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) FILTER (WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}) AS BIGINT)
+               AS n_exact_pairs,
+           true AS recall_ge_090,
+           true AS zero_false_pairs
+    FROM pairs
+    """,
+    "MinHash+LSH near-dup gated as an invariant vs exact shingle Jaccard",
 )
 def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 family can't be mirrored in SQL, so the declared
+    output is the INVARIANT: recall of the banded MinHash pairs
+    against the exact {shingle_n}-gram Jaccard pairs (which the oracle
+    recomputes relationally to pin n_exact_pairs), plus a no-false-
+    positives bit (banding only generates candidates; membership is
+    decided by exact verification, so extras require a hash collision).
+    16 bands x 4 rows at j >= 0.8 gives P[candidate] ~ 0.9998 — the
+    0.9 recall bound holds with wide margin at every fixture SF."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
-    return nd_ops.minhash_near_duplicates(docs, threshold=JACCARD_THRESHOLD).orderBy("i", "j")
+    exact = (
+        nd_ops.array_jaccard_pairs(
+            nd_ops.shingle_sets(docs, MINHASH_SHINGLE_N), JACCARD_THRESHOLD
+        )
+        .select("i", "j")
+        .withColumn("in_exact", F.lit(1))
+    )
+    found = (
+        nd_ops.minhash_near_duplicates(
+            docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
+        )
+        .select("i", "j")
+        .withColumn("in_found", F.lit(1))
+    )
+    m = exact.join(found, ["i", "j"], "full_outer")
+    agg = m.agg(
+        F.count("in_exact").cast("long").alias("n_exact_pairs"),
+        F.count(F.when(F.col("in_found").isNull(), 1)).alias("_missed"),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("_extra"),
+    )
+    return agg.select(
+        "n_exact_pairs",
+        (
+            (F.col("n_exact_pairs") == 0)
+            | (
+                (F.col("n_exact_pairs") - F.col("_missed"))
+                >= F.col("n_exact_pairs") * F.lit(0.9)
+            )
+        ).alias("recall_ge_090"),
+        (F.col("_extra") == 0).alias("zero_false_pairs"),
+    )
 
 
 @_register(
     "ext_simhash_neardup",
-    None,  # same: hash-family dependent
-    "SimHash near-duplicate pairs (Hamming <= 3 via chunk banding)",
+    f"""
+    SELECT count(*) AS n_docs, true AS banding_complete
+    FROM documents WHERE lang = '{JACCARD_LANG}'
+    """,
+    "SimHash chunk banding gated complete vs brute-force Hamming<=3",
 )
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures are hash-family dependent, but the banding is
+    PROVABLY exact: pigeonhole over (max_hamming + 1) chunks means any
+    pair within the Hamming budget shares a chunk, so the banded set
+    must equal the brute-force all-pairs set — asserted here as a
+    symmetric-difference-is-empty invariant, with the corpus size as
+    the oracle-computable anchor."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
-    return nd_ops.simhash_near_duplicates(docs, max_hamming=3).orderBy("i", "j")
+    banded = (
+        nd_ops.simhash_near_duplicates(docs, max_hamming=3)
+        .select("i", "j")
+        .withColumn("in_banded", F.lit(1))
+    )
+    brute = (
+        nd_ops.simhash_all_pairs_hamming(nd_ops.simhash64(docs), max_hamming=3)
+        .select("i", "j")
+        .withColumn("in_brute", F.lit(1))
+    )
+    m = banded.join(brute, ["i", "j"], "full_outer")
+    mism = m.agg(
+        F.count(
+            F.when(F.col("in_banded").isNull() | F.col("in_brute").isNull(), 1)
+        ).alias("_mismatched")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return _scalar_join(n_docs, mism).select(
+        "n_docs", (F.col("_mismatched") == 0).alias("banding_complete")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -177,15 +305,47 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk(emb, q, k=TOPK_K)
 
 
+LSH_PLANT_ID = 9_999_999  # exact copy of the query vector, planted
+
+
 @_register(
     "ext_lsh_topk",
-    None,  # approximate by design; recall vs brute force in tests
-    "LSH-bucketed approximate cosine top-k (scale path)",
+    """
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_vectors,
+           true AS self_top1,
+           true AS planted_found
+    FROM embeddings
+    """,
+    "LSH approximate top-k gated as a planted-neighbor invariant",
 )
 def ext_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane sketches can't be mirrored in SQL, and fixture
+    embeddings are near-orthogonal (ANN recall on random vectors is
+    structurally low), so the declared invariant is the guarantee the
+    kernel actually makes: an EXACT duplicate of the query vector
+    (planted under a fresh id) has an identical sketch, lands in the
+    probed bucket, scores cosine 1.0 and so MUST appear in the top-k —
+    and the query's own row must rank first (score 1.0, lowest id).
+    Both bits are hash-deterministic; n_vectors anchors the data."""
     emb = load_table(spark, sf_dir, "embeddings")
+    id_type = dict(emb.dtypes)["vec_id"]
+    planted = emb.filter(F.col("vec_id") == TOPK_QUERY_VEC_ID).withColumn(
+        "vec_id", F.lit(LSH_PLANT_ID).cast(id_type)
+    )
+    aug = emb.unionByName(planted)
     q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
-    return sim_ops.lsh_topk(emb, q, k=TOPK_K)
+    res = sim_ops.lsh_topk(aug, q, k=TOPK_K)
+    rank_key = F.struct((-F.col("score")).alias("s"), F.col("vec_id").alias("v"))
+    inv = res.agg(
+        F.min_by("vec_id", rank_key).alias("_top1"),
+        F.max(F.when(F.col("vec_id") == LSH_PLANT_ID, 1).otherwise(0)).alias("_planted"),
+    )
+    n_vec = aug.agg(F.count("*").alias("n_vectors"))
+    return _scalar_join(n_vec, inv).select(
+        "n_vectors",
+        (F.col("_top1") == TOPK_QUERY_VEC_ID).alias("self_top1"),
+        (F.col("_planted") == 1).alias("planted_found"),
+    )
 
 
 # the IVF index (centroids + inverted-list assignment) is a train-once
@@ -194,12 +354,26 @@ def ext_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX: dict[str, tuple] = {}
 
 
+IVF_NPROBE = 8  # of 16 clusters; recall@10 measured 0.8-0.9 across SFs
+
+
 @_register(
     "ext_ivf_topk",
-    None,  # approximate by design; recall vs brute force in tests
-    "IVF approximate cosine top-k (k-means-lite centroids, nprobe probing)",
+    f"""
+    SELECT CAST(least({TOPK_K}, count(*)) AS BIGINT) AS n_results,
+           true AS self_top1,
+           true AS recall_ge_060
+    FROM embeddings
+    """,
+    "IVF approximate top-k gated on recall vs the exact brute force",
 )
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means-lite centroids aren't SQL-mirrorable, so the declared
+    output is the invariant pair: the query's own cluster is by
+    construction the nearest centroid, hence always probed (self_top1),
+    and nprobe=8/16 recall@10 vs the exact cosine top-k is bounded
+    below at 0.6 (measured 0.8-0.9 at every fixture SF — the bound
+    leaves margin for centroid drift under data regeneration)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
     if sf_dir not in _IVF_INDEX:
@@ -207,20 +381,67 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignment = sim_ops.ivf_assign(emb, cents).persist()
         _IVF_INDEX[sf_dir] = (cents, assignment)
     cents, assignment = _IVF_INDEX[sf_dir]
-    return sim_ops.ivf_topk(
-        emb, q, k=TOPK_K, centroids=cents, assignment=assignment
+    res = sim_ops.ivf_topk(
+        emb, q, k=TOPK_K, nprobe=IVF_NPROBE, centroids=cents, assignment=assignment
     )
+    exact = sim_ops.cosine_topk(emb, q, k=TOPK_K).select("vec_id")
+    rank_key = F.struct((-F.col("score")).alias("s"), F.col("vec_id").alias("v"))
+    inv = res.agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.min_by("vec_id", rank_key).alias("_top1"),
+    )
+    ov = res.select("vec_id").join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("_overlap")
+    )
+    n_exact = exact.agg(F.count("*").alias("_n_exact"))
+    return _scalar_join(inv, ov, n_exact).select(
+        "n_results",
+        (F.col("_top1") == TOPK_QUERY_VEC_ID).alias("self_top1"),
+        (F.col("_overlap") >= F.col("_n_exact") * F.lit(0.6)).alias("recall_ge_060"),
+    )
+
+
+EMB_PLANT_EVERY = 50       # plant a duplicate of every 50th vector
+EMB_PLANT_OFFSET = 10_000_000
 
 
 @_register(
     "ext_embedding_neardup",
-    None,  # fixture embeddings contain no high-cosine pairs; semantics
-    # verified on synthetic planted duplicates in tests
-    "embedding cosine near-duplicate pairs via LSH buckets",
+    f"""
+    SELECT CAST(count(*) FILTER (WHERE vec_id % {EMB_PLANT_EVERY} = 0) AS BIGINT)
+               AS n_planted,
+           true AS planted_recall_ok
+    FROM embeddings
+    """,
+    "embedding near-dup via LSH buckets, gated on planted duplicates",
 )
 def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture embeddings are near-orthogonal (max pairwise cosine
+    ~0.5-0.6), so a bare >= 0.95 pair query is degenerate at every SF.
+    The declared form plants an exact duplicate of every {every}th
+    vector under an offset id: identical vectors have identical
+    sketches (same bucket, guaranteed) and cosine exactly 1.0, so each
+    planted pair MUST be emitted — non-degenerate, deterministic, and
+    exercising the full sketch-bucket-verify path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_neardup_pairs(emb, threshold=0.95)
+    id_type = dict(emb.dtypes)["vec_id"]
+    seeds = emb.filter(F.col("vec_id") % EMB_PLANT_EVERY == 0)
+    planted = seeds.withColumn(
+        "vec_id", (F.col("vec_id") + EMB_PLANT_OFFSET).cast(id_type)
+    )
+    aug = emb.unionByName(planted)
+    found = sim_ops.cosine_neardup_pairs(aug, threshold=0.95).select("i", "j")
+    expected = seeds.select(
+        F.col("vec_id").alias("i"),
+        (F.col("vec_id") + EMB_PLANT_OFFSET).cast(id_type).alias("j"),
+    )
+    missed = expected.join(found, ["i", "j"], "left_anti").agg(
+        F.count("*").alias("_missed")
+    )
+    n_planted = expected.agg(F.count("*").alias("n_planted"))
+    return _scalar_join(n_planted, missed).select(
+        "n_planted", (F.col("_missed") == 0).alias("planted_recall_ok")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -231,15 +452,35 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "ext_approx_distinct",
-    None,  # approximate by design; relative-error bound asserted in
-    # tests/test_operators_unit.py
-    "HLL++ approx distinct users per day vs the exact-count scale story",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS log_date,
+           count(DISTINCT user_id) AS exact_users,
+           true AS within_5pct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "HLL++ approx distinct users per day, gated on a 5% error bound",
 )
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch isn't SQL-mirrorable, so the declared row per day
+    is (exact count, |approx - exact| <= 5% of exact): the oracle
+    recomputes the exact side and states the bound as the invariant.
+    rsd=0.02 leaves 2.5x margin under the 5% gate. At 100 TB the
+    approx plan is the one that survives: sketches merge map-side, so
+    the shuffle carries one HLL per (day, partition), not every key."""
     events = load_table(spark, sf_dir, "events")
+    per_day = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
     return (
-        events.groupBy(F.to_date("ts").alias("log_date"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        per_day.select(
+            F.date_format("d", "yyyy-MM-dd").alias("log_date"),
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
         .orderBy("log_date")
     )
 
@@ -726,22 +967,43 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ext_approx_quantiles",
-    None,  # approximate by design; rank-error bound asserted in
-    # tests/test_operators_unit.py (same policy as ext_approx_distinct)
-    "approx_percentile length profile — the 100 TB path for ext_length_quantiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           true AS p50_in_bounds, true AS p90_in_bounds
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "approx_percentile length profile, gated on rank-error bounds",
 )
 def ext_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch twin of ext_length_quantiles: t-digest
     style approx_percentile aggregates map-side and merges in the
     reduce, so the shuffle carries one sketch per (group, partition)
     instead of every value — the only viable percentile plan when a
-    group's values don't fit an executor."""
+    group's values don't fit an executor. The sketch isn't
+    SQL-mirrorable, so the declared invariant is rank tolerance: the
+    approx p50/p90 must land within the exact [p45, p55] / [p85, p95]
+    value bounds (accuracy=10k makes the sketch exact at fixture n;
+    the +/-0.05 rank window is the contract at scale)."""
     docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx("n_chars", 0.5, 10_000).alias("_a50"),
+        F.percentile_approx("n_chars", 0.9, 10_000).alias("_a90"),
+        F.expr("percentile(n_chars, 0.45)").alias("_lo50"),
+        F.expr("percentile(n_chars, 0.55)").alias("_hi50"),
+        F.expr("percentile(n_chars, 0.85)").alias("_lo90"),
+        F.expr("percentile(n_chars, 0.95)").alias("_hi90"),
+    )
     return (
-        docs.groupBy("lang")
-        .agg(
-            F.percentile_approx("n_chars", 0.5, 10_000).alias("p50"),
-            F.percentile_approx("n_chars", 0.9, 10_000).alias("p90"),
+        per_lang.select(
+            "lang",
+            "n_docs",
+            (
+                (F.col("_a50") >= F.col("_lo50")) & (F.col("_a50") <= F.col("_hi50"))
+            ).alias("p50_in_bounds"),
+            (
+                (F.col("_a90") >= F.col("_lo90")) & (F.col("_a90") <= F.col("_hi90"))
+            ).alias("p90_in_bounds"),
         )
         .orderBy("lang")
     )
@@ -819,11 +1081,23 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ext_decode_stub",
-    None,  # mapInPandas stage; deterministic fake decode, checked by
-    # schema/row-count invariants in tests/test_multimodal.py
+    """
+    SELECT CASE WHEN source IN ('web', 'wiki') THEN 'image' ELSE 'audio' END AS modality,
+           count(*) AS n_decoded,
+           CAST(sum(octet_length(encode(text)) % 640 + 1) AS BIGINT) AS sum_width,
+           CAST(sum(octet_length(encode(text)) % 16 + 1) AS BIGINT) AS sum_frames
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
     "stubbed media decode over Arrow-batched mapInPandas",
 )
 def ext_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode itself is a disclosed stub (no codecs in this
+    container), but the FAKE decode is a pure function of the payload
+    byte length — so the oracle can restate it relationally and the
+    driver gates the whole Arrow round trip (payload encode ->
+    mapInPandas batches -> typed DECODED_SCHEMA -> re-aggregation)
+    value-for-value, not just rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = mm_ops.decode_image_stub(mm_ops.attach_payload(docs))
     return (

@@ -340,9 +340,11 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q9 -- keyword AND-match + term filter (reference
-# PublisherServiceImpl.java:84-87): every token must appear; lang term
-# filter; page of doc ids + total alongside (the getTotal() envelope,
-# :108).
+# PublisherServiceImpl.java:84-87): ES analyzes both document and query
+# (lowercase, tokenize) before the operator=AND match — mirrored by the
+# analyzer-lite normalization on BOTH engines ("Spark," matches
+# "spark"); lang term filter; page of doc ids + total alongside (the
+# getTotal() envelope, :108).
 # ---------------------------------------------------------------------------
 @_register(
     "q9_keyword_search",
@@ -351,15 +353,15 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id
         FROM documents
         WHERE lang = '{SEARCH_LANG}'
-          AND list_contains(string_split(text, ' '), 'spark')
-          AND list_contains(string_split(text, ' '), 'join')
+          AND list_contains(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'spark')
+          AND list_contains(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'join')
     )
     SELECT doc_id, (SELECT count(*) FROM matches) AS total
     FROM matches
     ORDER BY doc_id
     LIMIT 10
     """,
-    "keyword AND-match with total-hits envelope",
+    "analyzed keyword AND-match with total-hits envelope",
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

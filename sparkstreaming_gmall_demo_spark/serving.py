@@ -101,11 +101,14 @@ def realtime_hours(dau: DataFrame, orders: DataFrame, id: str, date: str) -> dic
 def keyword_and_match(col, keyword: str):
     """ES match-with-AND-operator semantics
     (PublisherServiceImpl.java:86): every analyzed token of the keyword
-    must appear in the analyzed field. Standard-analyzer approximation:
-    lowercase whitespace tokens, exact token membership (Q9/F6)."""
-    tokens_col = F.split(F.lower(col), " ")
+    must appear in the analyzed field. Uses the shared analyzer-lite
+    normalization (operators/text.py:analyze — lowercase +
+    non-alphanumeric split on both field and query), same as Q9/F6."""
+    from .operators.text import analyze, analyze_keyword
+
+    tokens_col = analyze(col)
     cond = None
-    for tok in keyword.lower().split():
+    for tok in analyze_keyword(keyword):
         c = F.array_contains(tokens_col, tok)
         cond = c if cond is None else (cond & c)
     return cond if cond is not None else F.lit(True)

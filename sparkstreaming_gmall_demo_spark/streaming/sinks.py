@@ -115,7 +115,13 @@ def idempotent_append(
                 ]
             else:
                 parts = sorted(
-                    {tuple(r[c] for c in partition_cols) for r in tuples}
+                    {tuple(r[c] for c in partition_cols) for r in tuples},
+                    # None partition values are legal (null-partition
+                    # rows); sort them first via a typed key — bare
+                    # sorted() can't compare None with str
+                    key=lambda p: tuple(
+                        (v is not None, str(v)) for v in p
+                    ),
                 )
                 key_rows = [r[probe_col] for r in tuples]
             probe_bytes = 0
@@ -124,7 +130,13 @@ def idempotent_append(
                 for p in parts:
                     c = None
                     for col, v in zip(partition_cols, p):
-                        e = F.col(col) == F.lit(v)
+                        # eqNullSafe: a null partition value (e.g. a
+                        # parseable record without create_time) lands in
+                        # __HIVE_DEFAULT_PARTITION__ and reads back as
+                        # null; `== lit(None)` is never true, which
+                        # would hide those sink rows from the replay
+                        # guard and re-append them on every replay
+                        e = F.col(col).eqNullSafe(F.lit(v))
                         c = e if c is None else (c & e)
                     cond = c if cond is None else (cond | c)
                 existing = existing.filter(cond)
@@ -135,7 +147,10 @@ def idempotent_append(
                     _dir_bytes(
                         os.path.join(
                             out_path,
-                            *[f"{c}={v}" for c, v in zip(partition_cols, p)],
+                            *[
+                                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                                for c, v in zip(partition_cols, p)
+                            ],
                         )
                     )
                     for p in parts
@@ -159,16 +174,22 @@ def idempotent_append(
             and not truncated
             and probe_bytes > PROBE_ISIN_MIN_SINK_BYTES
         ):
-            # null keys can't collide through an anti-join (null != null)
-            # so excluding them from the IN list preserves semantics
+            # the IN list can't carry null, but null-keyed sink rows
+            # must stay visible to the null-safe anti-join below —
+            # otherwise a replayed null-keyed row re-appends
             existing = existing.filter(
                 F.col(probe_col).isin(sorted(set(key_rows) - {None}))
+                | F.col(probe_col).isNull()
             )
-        batch = batch.join(
-            existing.select(*key_cols).dropDuplicates(key_cols),
-            on=key_cols,
-            how="left_anti",
-        )
+        # null-SAFE anti-join: `on=key_cols` compares with `=` where
+        # null != null, so a replayed row with a null key component
+        # would never match its own prior write and duplicate forever
+        seen = existing.select(*key_cols).dropDuplicates(key_cols)
+        anti_cond = None
+        for c in key_cols:
+            e = batch[c].eqNullSafe(seen[c])
+            anti_cond = e if anti_cond is None else (anti_cond & e)
+        batch = batch.join(seen, on=anti_cond, how="left_anti")
     writer = batch.write.mode("append")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

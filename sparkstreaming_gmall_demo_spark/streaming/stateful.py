@@ -70,7 +70,13 @@ def sessionize(
                 if last is None:
                     start, last, n = t, t, 1
                 elif t - last <= gap_ms:
-                    last, n = t, n + 1
+                    # events can arrive out of order ACROSS batches
+                    # (late-but-within-watermark): the session end must
+                    # advance monotonically — rewinding `last` to an
+                    # earlier t could make the next event look
+                    # out-of-gap and split a session the batch
+                    # sessionizer (operators/sessions.py) keeps whole
+                    start, last, n = min(start, t), max(last, t), n + 1
                 else:
                     closed.append((k, start, last, n))
                     start, last, n = t, t, 1

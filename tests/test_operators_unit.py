@@ -400,13 +400,19 @@ def test_stratified_sample_rates_and_determinism(spark):
 
 def test_approx_quantiles_within_rank_error(spark, sf_dir="/root/testdata/sf0.01"):
     """percentile_approx(accuracy=10k) must land within 1% rank error
-    of the exact per-group quantile."""
-    from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+    of the exact per-group quantile. (The declared registry entry now
+    emits rank-bound invariant booleans; this pins the raw sketch.)"""
     from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
 
     approx = {
         r.lang: (r.p50, r.p90)
-        for r in REGISTRY["ext_approx_quantiles"].build(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx("n_chars", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("n_chars", 0.9, 10_000).alias("p90"),
+        )
+        .collect()
     }
     docs = load_table(spark, sf_dir, "documents")
     for lang, (p50, p90) in approx.items():
@@ -457,3 +463,39 @@ def test_pack_greedy_concat_and_cut(spark):
     # the bin containing their first token; the oversized doc (30)
     # opens bin 1's tail and the next doc starts at offset 48 -> bin 4
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 4}
+
+
+# ---------------------------------------------------------------------------
+# analyzer-lite keyword match (operators/text.py: analyze / keyword_and_match)
+# ---------------------------------------------------------------------------
+def test_keyword_match_is_case_and_punctuation_insensitive(spark):
+    """ES `match` analyzes both sides before the AND-match
+    (PublisherServiceImpl.java:84-87): "Spark" must match "spark" and
+    trailing punctuation must not block a token."""
+    from sparkstreaming_gmall_demo_spark.operators.text import (
+        analyze_keyword,
+        keyword_and_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark streaming JOIN deep-dive"),
+            (2, "spark join basics"),
+            (3, "a spark, then a join."),
+            (4, "sparkling joinery"),          # substrings must NOT match
+            (5, "spark only, no second term"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id for r in keyword_and_match(docs, "text", "Spark JOIN").collect()
+    }
+    assert got == {1, 2, 3}
+    # query-side analysis mirrors the field side
+    assert analyze_keyword("  Spark,JOIN! ") == ["spark", "join"]
+    # legacy whitespace-exact mode is still available for raw-term indexes
+    legacy = {
+        r.doc_id
+        for r in keyword_and_match(docs, "text", "spark join", analyzed=False).collect()
+    }
+    assert legacy == {2}

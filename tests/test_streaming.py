@@ -728,3 +728,106 @@ def test_compact_partition_preserves_rows_and_replay_guard(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
     # absent partition -> 0, no error
     assert compact_partition(spark, out, "d", "1999-12-31") == 0
+
+
+def test_idempotent_append_null_partition_replay(spark, tmp_path, monkeypatch):
+    """A parseable record without create_time lands in the
+    __HIVE_DEFAULT_PARTITION__ null partition; replaying its batch must
+    not re-append it (the partition prune and the anti-join must both
+    be null-safe). Exercised with the byte gate both closed and open."""
+    from sparkstreaming_gmall_demo_spark.streaming import sinks
+
+    for gate_open in (False, True):
+        if gate_open:
+            monkeypatch.setattr(sinks, "PROBE_ISIN_MIN_SINK_BYTES", 0)
+        out = str(tmp_path / f"sink_gate_{gate_open}")
+        batch = spark.createDataFrame(
+            [("k1", None, 1), ("k2", "2024-01-01", 2)],
+            "mid string, d string, v int",
+        )
+        sinks.idempotent_append(batch, out, key_cols=["mid"], partition_cols=["d"])
+        sinks.idempotent_append(batch, out, key_cols=["mid"], partition_cols=["d"])
+        got = sorted(
+            (r.mid, "" if r.d is None else str(r.d), r.v)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [("k1", "", 1), ("k2", "2024-01-01", 2)], gate_open
+
+
+def test_idempotent_append_null_key_replay(spark, tmp_path):
+    """Null KEY components must also dedupe across replays: the
+    anti-join compares null-safely, so `null != null` can't resurrect
+    an already-written row."""
+    from sparkstreaming_gmall_demo_spark.streaming import sinks
+
+    out = str(tmp_path / "sink_null_key")
+    batch = spark.createDataFrame(
+        [(None, "2024-01-01", 7), ("k1", "2024-01-01", 1)],
+        "mid string, d string, v int",
+    )
+    sinks.idempotent_append(batch, out, key_cols=["mid", "d"], partition_cols=["d"])
+    sinks.idempotent_append(batch, out, key_cols=["mid", "d"], partition_cols=["d"])
+    got = sorted(
+        (r.mid or "", str(r.d), r.v) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("", "2024-01-01", 7), ("k1", "2024-01-01", 1)]
+
+
+def test_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A late-but-within-watermark event that arrives in a LATER batch
+    must not rewind the open session's end: the next on-time event
+    would then look out-of-gap and split a session the batch
+    sessionizer keeps whole (round-1 advice)."""
+    from sparkstreaming_gmall_demo_spark.streaming import stateful
+
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, ts):
+        return {"mid": mid, "uid": "u", "appid": "gmall", "area": "a", "os": "ios",
+                "ch": "c", "type": "event", "evid": "view", "pgid": "p",
+                "npgid": "n", "itemid": "i", "ts": ts}
+
+    # gap 30s, watermark delay 10s. batch1: t=0, t=25s -> watermark
+    # 15s. batch2: LATE t=20s (> watermark 15s so it is NOT dropped,
+    # earlier than last=25s) — must NOT rewind last to 20s. batch3:
+    # t=52s — within gap of the true last 25s (27s diff) but NOT of
+    # the rewound 20s (32s diff): with the rewind bug this splits;
+    # correct behavior keeps ONE session spanning 0..52s, 4 events.
+    chunks = [
+        [ev("m1", BASE), ev("m1", BASE + 25_000)],
+        [ev("m1", BASE + 20_000)],
+        [ev("m1", BASE + 52_000)],
+        [ev("zz-sentinel", BASE + 3_600_000)],
+        [ev("zz-sentinel2", BASE + 7_200_000)],
+    ]
+
+    def sink(batch_df, batch_id):
+        if batch_df.count() > 0:
+            batch_df.write.mode("append").parquet(out)
+
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        q = (
+            stateful.sessionize(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ).select("mid", "event_ts"),
+                gap_seconds=30,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    sessions = sorted(
+        (r.mid, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in rows
+    )
+    b = BASE / 1000
+    assert sessions == [("m1", b, b + 52.0, 4)]
