@@ -16,7 +16,7 @@ swap in if diameters ever grow past tens.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -27,6 +27,14 @@ def connected_components(
     ``component`` = the minimum node id of its connected component.
     Nodes with no edges don't appear (singletons are trivially their
     own component — callers union them in if needed).
+
+    Each round is ONE job: the previous round's label rides the union
+    as a tagged self-row, so the min-label aggregation also knows the
+    old label, and the convergence signal (count of nodes whose label
+    changed) is collected by an ``observe`` metric DURING the job that
+    materializes the round's labels — no separate join + count action
+    (that second action per round doubled driver latency, which is the
+    term that multiplies at scale, not the per-row cost).
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -41,17 +49,28 @@ def connected_components(
         nbr = edges.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
-        new = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new.select(F.col("node").alias("n"), F.col("label").alias("new_l"))
-            .join(labels.select(F.col("node").alias("n"), F.col("label").alias("old_l")), "n")
-            .filter(F.col("new_l") != F.col("old_l"))
-            .count()
+        obs = Observation()
+        folded = (
+            labels.select("node", "label", F.lit(1).alias("is_self"))
+            .union(nbr.select("node", "label", F.lit(0).alias("is_self")))
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                # every node has exactly one self-row, so this is the
+                # previous round's label for the change comparison
+                F.max(F.when(F.col("is_self") == 1, F.col("label"))).alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
         )
-        labels = new
-        if changed == 0:
+        # eager localCheckpoint runs the round's single job; the
+        # observation is then available without another action
+        labels = folded.select("node", "label").localCheckpoint()
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
 

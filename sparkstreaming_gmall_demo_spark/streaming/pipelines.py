@@ -25,6 +25,8 @@ so serving queries partition-prune.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -238,6 +240,60 @@ def user_dim_pipeline(
 # ---------------------------------------------------------------------------
 # Sale detail (reference app/SaleDetailApp.scala:21-177)
 # ---------------------------------------------------------------------------
+# Per-batch fixed-cost amortization: the dim table changes only when the
+# user_dim pipeline rewrites it, yet the naive sink re-lists, re-reads
+# and re-projects it EVERY micro-batch — a measurable slice of the
+# ~1.6 s/batch fixed overhead (SURVEY §8.3). The snapshot is cached
+# keyed by (path, as_of) and invalidated by a file-listing signature
+# (name, mtime, size), the local stand-in for a table-format version.
+_DIM_CACHE: dict[tuple, tuple] = {}
+
+
+def _dim_signature(path: str) -> tuple:
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((path, st.st_mtime_ns, st.st_size),)
+    sig = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            sig.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(sorted(sig))
+
+
+def _cached_user_dim(spark: SparkSession, path: str, as_of: str):
+    """The projected user dim (u_id, user_gender, user_level, user_age)
+    as a persisted DataFrame, reused across foreachBatch invocations
+    until the files under ``path`` change. Returns None while the dim
+    is not yet populated (the reference would NPE; we enrich nulls)."""
+    sig = _dim_signature(path)
+    if not sig:
+        return None
+    key = (path, as_of)
+    hit = _DIM_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    try:
+        users = read_dim(spark, path, op_col="op")
+    except Exception:
+        return None
+    proj = users.select(
+        F.col("id").alias("u_id"),
+        F.col("gender").alias("user_gender"),
+        F.col("user_level"),
+        age_as_of("birthday", as_of).alias("user_age"),
+    ).persist()
+    proj.count()  # materialize now so every batch join reads cache
+    if hit is not None:
+        hit[1].unpersist()
+    _DIM_CACHE[key] = (sig, proj)
+    return proj
 def sale_detail_pipeline(
     spark: SparkSession,
     orders: DataFrame,
@@ -303,23 +359,15 @@ def sale_detail_pipeline(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        users = None
-        try:
-            # tombstone-aware read: a CDC-deleted user enriches as null
-            # from the batch after the delete lands (sinks.read_dim)
-            users = read_dim(spark, user_dim_path, op_col="op")
-        except Exception:
-            pass  # dim not yet populated: reference would NPE; we keep nulls
+        # tombstone-aware snapshot (sinks.read_dim), cached across
+        # batches and invalidated when the dim's files change — a
+        # CDC-deleted user still enriches as null from the batch after
+        # the delete lands, because the rewrite changes the signature
+        u = _cached_user_dim(spark, user_dim_path, as_of)
         wide = batch_df.withColumn(
             "join_key", F.coalesce("order_id", "d_order_id")
         ).withColumn("user_id", F.col("user_id"))
-        if users is not None:
-            u = users.select(
-                F.col("id").alias("u_id"),
-                F.col("gender").alias("user_gender"),
-                F.col("user_level"),
-                age_as_of("birthday", as_of).alias("user_age"),
-            )
+        if u is not None:
             wide = wide.join(
                 F.broadcast(u), wide["user_id"] == u["u_id"], "left"
             ).drop("u_id")

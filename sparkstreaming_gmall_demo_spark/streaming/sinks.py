@@ -85,8 +85,31 @@ def idempotent_append(
     """
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates(key_cols)
+    # the partitioned path runs TWO actions over the batch (the prune
+    # collect, then the anti-join + write): persist so the source
+    # re-read + dedup lineage is paid once per micro-batch, not twice —
+    # part of the fixed per-batch cost that dominates small batches
+    persisted = bool(partition_cols) and _target_exists(out_path)
+    if persisted:
+        batch = batch.persist()
+    try:
+        _idempotent_append_inner(spark, batch, out_path, key_cols, partition_cols)
+    finally:
+        if persisted:
+            batch.unpersist()
+
+
+def _idempotent_append_inner(
+    spark,
+    batch: DataFrame,
+    out_path: str,
+    key_cols: list,
+    partition_cols: list | None,
+) -> None:
     if _target_exists(out_path):
-        existing = spark.read.parquet(out_path)
+        # schema comes from the batch (what this pipeline writes IS the
+        # sink schema): skips the per-batch footer-read inference job
+        existing = spark.read.schema(batch.schema).parquet(out_path)
         probe_col = key_cols[0]
         key_rows, truncated = None, True
         if partition_cols:
@@ -376,7 +399,11 @@ def merge_last_write_wins(
     spark = batch_df.sparkSession
     merged = batch_df
     if _target_exists(out_path):
-        merged = spark.read.parquet(out_path).unionByName(batch_df)
+        # the sink's schema IS the batch schema (this writer produced
+        # it): skips the per-batch footer-read schema inference job
+        merged = spark.read.schema(batch_df.schema).parquet(out_path).unionByName(
+            batch_df
+        )
     # deterministic on version ties: fall back to a stable row hash so
     # replays of the same batch always keep the same winner
     w = F.row_number().over(
