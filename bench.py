@@ -33,11 +33,14 @@ def main() -> None:
         # the real query's codegen cold). Three timed fresh builds, best
         # taken -- "warm wall" per BASELINE.md methodology; best-of-3
         # because single-run wall times on this VM vary +/-40%.
-        spec.build(spark, sf_dir).collect()
+        # bench_build (when set) times the operator alone; the declared
+        # invariant build stays the driver's correctness entry.
+        build = spec.bench_build or spec.build
+        build(spark, sf_dir).collect()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            spec.build(spark, sf_dir).collect()
+            build(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

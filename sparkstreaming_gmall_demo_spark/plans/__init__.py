@@ -4,42 +4,50 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # The external correctness driver oracle-checks only the FIRST 50
 # registry entries (round-1 finding). Dict order therefore IS the
 # driver-visibility order: the 37 reference-parity queries first, then
-# the 13 extension entries whose driver row matters most this round —
-# the six approximate ops converted to deterministic invariant checks
-# (minhash/simhash/lsh/ivf/embedding-neardup/approx-distinct) and the
-# round-1 verdict's named set (tfidf, near-dup components, corpus
-# curation, chunking/packing, stratified sample, split assignment).
+# 13 extension entries. Round-3 rotation (round-2 verdict item 2): the
+# 11 entries that never had a driver row across rounds 1-2
+# (bpe_token_count .. table_profile) rotate IN; the entries that were
+# driver-green in r1 and/or r2 rotate OUT. Two r2-green entries are
+# kept because their contracts changed this round and the change
+# should be driver-validated: ext_ivf_topk (oracle re-anchored on the
+# invariant booleans, ADVICE round 2) and ext_minhash_neardup (its
+# candidate kernel gained the hot-bucket cap).
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.
 _DRIVER_VISIBLE_EXT = [
     "ext_minhash_neardup",
-    "ext_simhash_neardup",
-    "ext_lsh_topk",
     "ext_ivf_topk",
-    "ext_embedding_neardup",
-    "ext_approx_distinct",
-    "ext_tfidf_topterms",
-    "ext_neardup_components",
-    "ext_corpus_curation",
-    "ext_document_chunks",
-    "ext_context_packing",
-    "ext_stratified_sample",
-    "ext_split_assignment",
+    "ext_bpe_token_count",
+    "ext_rolling_fingerprint",
+    "ext_token_stats",
+    "ext_event_pairs_within_gap",
+    "ext_deterministic_sample",
+    "ext_length_quantiles",
+    "ext_approx_quantiles",
+    "ext_multimodal_meta",
+    "ext_decode_stub",
+    "ext_embedding_centroids",
+    "ext_table_profile",
 ]
 
 _DRIVER_CAP = 50
 
 
 def _reorder() -> None:
+    # Hard errors, not asserts: these import-time integrity checks must
+    # survive python -O (a mis-ordered or short registry would silently
+    # change what the driver verifies).
     core = [n for n in REGISTRY if not n.startswith("ext_")]
     rest = [n for n in REGISTRY if n.startswith("ext_") and n not in _DRIVER_VISIBLE_EXT]
     ordered = core + _DRIVER_VISIBLE_EXT + rest
-    assert sorted(ordered) == sorted(REGISTRY), "reorder dropped/duplicated entries"
-    assert len(core) + len(_DRIVER_VISIBLE_EXT) == _DRIVER_CAP, (
-        f"driver-visible prefix is {len(core) + len(_DRIVER_VISIBLE_EXT)}, "
-        f"want exactly {_DRIVER_CAP}"
-    )
+    if sorted(ordered) != sorted(REGISTRY):
+        raise RuntimeError("registry reorder dropped/duplicated entries")
+    if len(core) + len(_DRIVER_VISIBLE_EXT) != _DRIVER_CAP:
+        raise RuntimeError(
+            f"driver-visible prefix is {len(core) + len(_DRIVER_VISIBLE_EXT)}, "
+            f"want exactly {_DRIVER_CAP}"
+        )
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update({n: snapshot[n] for n in ordered})

@@ -30,7 +30,7 @@ from ..operators import rangejoin as rj_ops
 from ..operators import sampling as samp_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
-from .registry import _register
+from .registry import _bench, _register
 
 JACCARD_LANG = "de"
 JACCARD_THRESHOLD = 0.8
@@ -236,6 +236,17 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench("ext_minhash_neardup")
+def _bench_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: the MinHash+LSH scale path (one text pass, one
+    band shuffle, one dedup shuffle) without the exact n-gram-Jaccard
+    twin + full-outer recall compare the declared invariant runs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return nd_ops.minhash_near_duplicates(
+        docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
+    )
+
+
 @_register(
     "ext_simhash_neardup",
     f"""
@@ -272,6 +283,14 @@ def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalar_join(n_docs, mism).select(
         "n_docs", (F.col("_mismatched") == 0).alias("banding_complete")
     )
+
+
+@_bench("ext_simhash_neardup")
+def _bench_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: chunk-banded SimHash near-dup without the
+    brute-force all-pairs completeness compare."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    return nd_ops.simhash_near_duplicates(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -348,10 +367,29 @@ def ext_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench("ext_lsh_topk")
+def _bench_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: LSH multi-probe top-k without the planted-copy
+    augmentation of the declared invariant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    return sim_ops.lsh_topk(emb, q, k=TOPK_K)
+
+
 # the IVF index (centroids + inverted-list assignment) is a train-once
 # artifact, like the persisted index tables of a real deployment:
 # cached per dataset so repeated queries pay only probe + re-rank
 _IVF_INDEX: dict[str, tuple] = {}
+
+
+def _ivf_index(emb: DataFrame, sf_dir: str) -> tuple:
+    """Train-once, cache-per-dataset centroids + persisted inverted
+    lists (the in-session analog of ivf_write_index's on-disk index)."""
+    if sf_dir not in _IVF_INDEX:
+        cents = sim_ops.ivf_train(emb)
+        assignment = sim_ops.ivf_assign(emb, cents).persist()
+        _IVF_INDEX[sf_dir] = (cents, assignment)
+    return _IVF_INDEX[sf_dir]
 
 
 IVF_NPROBE = 8  # of 16 clusters; recall@10 measured 0.8-0.9 across SFs
@@ -360,7 +398,7 @@ IVF_NPROBE = 8  # of 16 clusters; recall@10 measured 0.8-0.9 across SFs
 @_register(
     "ext_ivf_topk",
     f"""
-    SELECT CAST(least({TOPK_K}, count(*)) AS BIGINT) AS n_results,
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
            true AS self_top1,
            true AS recall_ge_060
     FROM embeddings
@@ -373,31 +411,47 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction the nearest centroid, hence always probed (self_top1),
     and nprobe=8/16 recall@10 vs the exact cosine top-k is bounded
     below at 0.6 (measured 0.8-0.9 at every fixture SF — the bound
-    leaves margin for centroid drift under data regeneration)."""
+    leaves margin for centroid drift under data regeneration).
+
+    Anchors (round-2 advice): the only exact value pinned is the
+    corpus size — the old least(k, n) result-count pin assumed the
+    probed clusters always hold >= k vectors, which a fixture
+    regeneration could break while the recall invariant still holds.
+    recall_ge_060 already bounds |results| below (>= 0.6k overlap with
+    the exact top-k needs >= 6 rows), so no separate count anchor."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
-    if sf_dir not in _IVF_INDEX:
-        cents = sim_ops.ivf_train(emb)
-        assignment = sim_ops.ivf_assign(emb, cents).persist()
-        _IVF_INDEX[sf_dir] = (cents, assignment)
-    cents, assignment = _IVF_INDEX[sf_dir]
+    cents, assignment = _ivf_index(emb, sf_dir)
     res = sim_ops.ivf_topk(
         emb, q, k=TOPK_K, nprobe=IVF_NPROBE, centroids=cents, assignment=assignment
     )
     exact = sim_ops.cosine_topk(emb, q, k=TOPK_K).select("vec_id")
     rank_key = F.struct((-F.col("score")).alias("s"), F.col("vec_id").alias("v"))
     inv = res.agg(
-        F.count("*").cast("long").alias("n_results"),
         F.min_by("vec_id", rank_key).alias("_top1"),
     )
     ov = res.select("vec_id").join(exact, "vec_id", "left_semi").agg(
         F.count("*").alias("_overlap")
     )
     n_exact = exact.agg(F.count("*").alias("_n_exact"))
-    return _scalar_join(inv, ov, n_exact).select(
-        "n_results",
+    n_vec = emb.agg(F.count("*").alias("n_vectors"))
+    return _scalar_join(n_vec, inv, ov, n_exact).select(
+        "n_vectors",
         (F.col("_top1") == TOPK_QUERY_VEC_ID).alias("self_top1"),
         (F.col("_overlap") >= F.col("_n_exact") * F.lit(0.6)).alias("recall_ge_060"),
+    )
+
+
+@_bench("ext_ivf_topk")
+def _bench_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: probe + exact re-rank against the pre-trained
+    index (training happens in the untimed warm-up pass), without the
+    brute-force recall twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    cents, assignment = _ivf_index(emb, sf_dir)
+    return sim_ops.ivf_topk(
+        emb, q, k=TOPK_K, nprobe=IVF_NPROBE, centroids=cents, assignment=assignment
     )
 
 
@@ -444,6 +498,14 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_bench("ext_embedding_neardup")
+def _bench_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: LSH-bucketed embedding near-dup pairs over the
+    raw corpus (no planted duplicates, no expected-pairs anti-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_neardup_pairs(emb, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates (mergeable sketches — the 100 TB scale path
 # for Q1-style distinct counts: HLL++ partials merge map-side, so the
@@ -481,6 +543,20 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_users") * F.lit(0.05)
             ).alias("within_5pct"),
         )
+        .orderBy("log_date")
+    )
+
+
+@_bench("ext_approx_distinct")
+def _bench_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: the mergeable-sketch plan (one map-side HLL per
+    (day, partition) shuffles, not every distinct key) without the
+    exact count_distinct twin + error-bound compare."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("log_date"), "approx_users")
         .orderBy("log_date")
     )
 

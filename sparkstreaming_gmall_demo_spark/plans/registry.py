@@ -63,6 +63,14 @@ class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
     description: str
+    # Operator-only plan for the benchmark. The invariant-style entries
+    # (approximate op compared in-plan against its exact twin) are the
+    # right CORRECTNESS contract but the wrong THROUGHPUT measure: the
+    # declared build times approx + exact + full-outer compare, tripling
+    # the benched cost of an operator that did not get slower (round-2
+    # verdict). When set, bench.py times this plan; the driver's
+    # correctness check still runs ``build``.
+    bench_build: Optional[Callable[[SparkSession, str], DataFrame]] = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -71,6 +79,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 def _register(name: str, oracle: Optional[str], description: str):
     def deco(fn):
         REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def _bench(name: str):
+    """Attach an operator-only bench plan to an already-registered
+    entry (see QuerySpec.bench_build)."""
+
+    def deco(fn):
+        if name not in REGISTRY:
+            raise KeyError(f"_bench before _register for {name}")
+        REGISTRY[name].bench_build = fn
         return fn
 
     return deco
