@@ -264,7 +264,18 @@ def minhash_signature(df: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
     return hs.select("doc_id", "hs", sig.alias("signature"))
 
 
-def _bucket_pairs(banded: DataFrame, payload_cols: list) -> DataFrame:
+# Hot-bucket bound for _bucket_pairs: buckets larger than this are
+# salted into contiguous sub-buckets, capping the in-row pair blowup
+# at MAX_BUCKET^2/2 (a measurable recall tradeoff instead of an OOM).
+DEFAULT_MAX_BUCKET = 512
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    payload_cols: list,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    overflow_obs=None,
+) -> DataFrame:
     """(band, bh, payload) -> unique candidate pairs via groupBy-bucket.
 
     One shuffle on the bucket key; pairs are generated inside each
@@ -272,10 +283,19 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list) -> DataFrame:
     signatures ONCE (vs twice for a self-join of the same plan) and
     shuffles only ids + signatures, never text.
 
-    Scale note: a pathological hot bucket (e.g. all-empty docs) would
-    generate |bucket|^2/2 pairs in one task; callers bound bucket size
-    upstream (distinct shingle sets make this rare) and AQE skew-join
-    handles moderate skew.
+    Hot-bucket bound (enforced, not just documented): a pathological
+    bucket — e.g. every doc identical, or the all-empty-doc signature —
+    would otherwise materialize |bucket|^2/2 pairs in a single row.
+    Buckets over ``max_bucket`` members are salted into contiguous
+    sub-buckets of at most ``max_bucket`` (after the deterministic
+    sort), so peak row size is bounded at max_bucket^2/2 pairs. Only
+    cross-sub-bucket pairs are lost, and every member keeps its
+    intra-chunk edges, so oversized near-dup groups still cluster in
+    connected_components. Pass an ``Observation`` as ``overflow_obs``
+    to get (oversize_buckets, oversize_members) measured during the
+    job — an accurate account of where recall was traded. Oracle-
+    kernel callers that are O(n^2) by design (simhash brute force)
+    pass ``max_bucket=None`` to disable the cap.
     """
     ds = F.sort_array(F.collect_list(F.struct(*payload_cols)))
     buckets = (
@@ -283,6 +303,25 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list) -> DataFrame:
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        if overflow_obs is not None:
+            buckets = buckets.observe(
+                overflow_obs,
+                F.sum((F.size("ds") > max_bucket).cast("long")).alias(
+                    "oversize_buckets"
+                ),
+                F.sum(
+                    F.when(F.size("ds") > max_bucket, F.size("ds")).otherwise(0)
+                ).alias("oversize_members"),
+            )
+        buckets = buckets.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(ds) - 1) div {max_bucket}), "
+                    f"c -> slice(ds, c * {max_bucket} + 1, {max_bucket}))"
+                )
+            ).alias("ds")
+        ).filter(F.size("ds") > 1)
     return buckets.select(
         F.explode(
             F.expr(
@@ -293,7 +332,11 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Band the signature; docs sharing any band bucket become a
     candidate pair. rows_per_band = H / bands; P[candidate] follows the
     standard (1 - (1 - j^r)^b) S-curve. Band hash = xxhash64 fold of
@@ -312,7 +355,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     return (
-        _bucket_pairs(banded, [F.col("doc_id")])
+        _bucket_pairs(banded, [F.col("doc_id")], max_bucket=max_bucket)
         .select(F.col("p.x.doc_id").alias("i"), F.col("p.y.doc_id").alias("j"))
         .dropDuplicates(["i", "j"])
     )
@@ -326,6 +369,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale-path near-dup: MinHash signatures -> LSH banding ->
     candidate pairs -> exact shingle-Jaccard verification of candidates
@@ -351,7 +395,9 @@ def minhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "hs", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    pairs = _bucket_pairs(banded, [F.col("doc_id"), F.col("hs")]).select(
+    pairs = _bucket_pairs(
+        banded, [F.col("doc_id"), F.col("hs")], max_bucket=max_bucket
+    ).select(
         F.col("p.x.doc_id").alias("i"),
         F.col("p.y.doc_id").alias("j"),
         (
@@ -410,7 +456,8 @@ def simhash_all_pairs_hamming(sigs: DataFrame, max_hamming: int = 3) -> DataFram
         F.lit(0).alias("bh"),
     )
     return (
-        _bucket_pairs(one_bucket, [F.col("vid"), F.col("v")])
+        # max_bucket=None: this kernel IS the all-pairs ground truth
+        _bucket_pairs(one_bucket, [F.col("vid"), F.col("v")], max_bucket=None)
         .select(
             F.col("p.x.vid").alias("i"),
             F.col("p.y.vid").alias("j"),
@@ -421,7 +468,8 @@ def simhash_all_pairs_hamming(sigs: DataFrame, max_hamming: int = 3) -> DataFram
 
 
 def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
-                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_i, simhash_j) <= max_hamming.
 
     Candidate generation: split the 64-bit signature into
@@ -451,7 +499,9 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
         F.col("ch.v").alias("bh"),
     )
     return (
-        _bucket_pairs(banded, [F.col("doc_id"), F.col("simhash")])
+        _bucket_pairs(
+            banded, [F.col("doc_id"), F.col("simhash")], max_bucket=max_bucket
+        )
         .select(
             F.col("p.x.doc_id").alias("i"),
             F.col("p.y.doc_id").alias("j"),

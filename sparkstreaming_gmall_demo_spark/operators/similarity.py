@@ -10,10 +10,14 @@
   optionally 1-bit neighbors), brute-forcing only candidates.
 
 At 100 TB / billions of vectors: signatures are computed map-side in
-one scan; the bucket index is a narrow (bucket, vec_id) table that
-joins instead of scanning all vectors per query. An IVF variant would
-replace the hash bucketing with learned centroids; the plumbing
-(bucket -> candidates -> exact re-rank) is identical.
+ONE indexing scan and persisted (lsh_write_index) partitioned by a
+bucket prefix; a probe (lsh_index_topk) filters on the handful of
+prefixes reachable within the Hamming budget, so the scan is
+partition-pruned — only ~(prefix_bits + 1)/2^prefix_bits of the index
+files are ever read per query, and the corpus is never re-sketched.
+An IVF variant replaces the hash bucketing with learned centroids
+(ivf_write_index below); the plumbing (bucket -> candidates -> exact
+re-rank) is identical.
 """
 
 from __future__ import annotations
@@ -94,6 +98,78 @@ def lsh_topk(
         F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= probe_bits
     )
     scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_expr(vec_col, "q_vec"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def lsh_write_index(
+    embeddings: DataFrame,
+    path: str,
+    num_planes: int = 12,
+    prefix_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH sketch index partitioned by the sketch's high
+    ``prefix_bits`` bits. Full-bucket partitioning (2^num_planes dirs)
+    would drown in small files; a prefix keeps the directory count at
+    2^prefix_bits while still letting every multi-probe query
+    partition-prune: a Hamming-<=b probe can only reach buckets whose
+    prefix differs from the query's in <= b of the prefix bit
+    positions — at most sum_{i<=b} C(prefix_bits, i) prefixes, each a
+    literal in the probe filter."""
+    sk = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sketch_expr(vec_col, num_planes).alias("bucket"),
+    )
+    idx = sk.withColumn(
+        "bprefix", F.shiftright(F.col("bucket"), num_planes - prefix_bits).cast("int")
+    )
+    idx.write.mode("overwrite").partitionBy("bprefix").parquet(path)
+
+
+def lsh_read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def lsh_index_topk(
+    index: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    prefix_bits: int = 6,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted lsh_write_index table.
+
+    The query sketch is one driver-side scalar (the sketch expression
+    over the single-row query frame); the reachable bucket prefixes
+    under the Hamming budget are enumerated driver-side into a literal
+    IN filter, so the index scan partition-prunes before the exact
+    per-candidate Hamming check and cosine re-rank. Same output
+    contract as lsh_topk (score desc, id asc, 4dp)."""
+    from itertools import combinations
+
+    q_bucket = (
+        query.select(_sketch_expr("q_vec", num_planes).alias("b")).collect()[0][0]
+    )
+    shift = num_planes - prefix_bits
+    prefixes = {q_bucket >> shift}
+    for r in range(1, probe_bits + 1):
+        for bits in combinations(range(num_planes), r):
+            flipped = q_bucket
+            for b in bits:
+                flipped ^= 1 << b
+            prefixes.add(flipped >> shift)
+    cands = index.filter(F.col("bprefix").isin(sorted(prefixes))).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_bits
+    )
+    scored = cands.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
         F.round(cosine_expr(vec_col, "q_vec"), 4).alias("score"),
     )
@@ -258,6 +334,7 @@ def cosine_neardup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket candidates (equal
     sketch), exact cosine verification >= threshold. The O(n^2) blowup
@@ -266,16 +343,22 @@ def cosine_neardup_pairs(
     Same shape as neardup._bucket_pairs: the sketch is computed ONCE
     map-side, one shuffle on the bucket key, pairs generated inside
     each bucket — no self-join re-evaluating the sketch pipeline.
+    ``max_bucket=None`` inherits the kernel's DEFAULT_MAX_BUCKET
+    salting bound (the hot-bucket OOM guard).
     """
-    from .neardup import _bucket_pairs
+    from .neardup import DEFAULT_MAX_BUCKET, _bucket_pairs
 
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
     banded = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         F.lit(0).alias("band"),
         _sketch_expr(vec_col, num_planes).alias("bh"),
     )
-    pairs = _bucket_pairs(banded, [F.col("vid"), F.col("v")]).select(
+    pairs = _bucket_pairs(
+        banded, [F.col("vid"), F.col("v")], max_bucket=max_bucket
+    ).select(
         F.col("p.x.vid").alias("i"),
         F.col("p.y.vid").alias("j"),
         F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),

@@ -136,6 +136,96 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     ) or "cluster" in plan.split("PartitionFilters")[1][:80]
 
 
+def test_bucket_pairs_hot_bucket_cap(spark):
+    """Adversarial all-identical corpus: 600 members land in ONE
+    bucket, which uncapped would materialize 600^2/2 pairs in a single
+    row. With max_bucket=100 the bucket salts into 6 sub-buckets —
+    peak in-row pair count is bounded at 100^2/2 and the observation
+    reports exactly what was traded."""
+    import math
+
+    from pyspark.sql import Observation
+
+    n, cap = 600, 100
+    banded = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            F.lit(0).alias("bh"),
+        )
+    )
+    obs = Observation()
+    pairs = nd._bucket_pairs(
+        banded, [F.col("doc_id")], max_bucket=cap, overflow_obs=obs
+    ).select(F.col("p.x.doc_id").alias("i"), F.col("p.y.doc_id").alias("j"))
+    got = pairs.collect()
+    chunks = math.ceil(n / cap)
+    assert len(got) == chunks * (cap * (cap - 1) // 2)
+    assert len(got) == len({(r.i, r.j) for r in got})  # no dup pairs
+    assert obs.get["oversize_buckets"] == 1
+    assert obs.get["oversize_members"] == n
+    # every member keeps intra-chunk edges (no node orphaned by the cap)
+    nodes = {r.i for r in got} | {r.j for r in got}
+    assert len(nodes) == n
+
+    # uncapped kernel (oracle mode) still yields the full quadratic set
+    full = nd._bucket_pairs(banded, [F.col("doc_id")], max_bucket=None)
+    assert full.count() == n * (n - 1) // 2
+
+
+def test_bucket_pairs_cap_noop_on_small_buckets(spark, sf_dir):
+    """At fixture scale no bucket approaches the cap: minhash pairs
+    with the default cap equal the uncapped pairs (the cap is a
+    guardrail, not a semantics change). A tiny cap (2) on the same
+    corpus must still run bounded — candidate loss only, no crash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    capped = {
+        (r.i, r.j) for r in nd.minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    uncapped = {
+        (r.i, r.j)
+        for r in nd.minhash_near_duplicates(
+            docs, threshold=0.8, max_bucket=None
+        ).collect()
+    }
+    assert capped == uncapped
+    tiny = {
+        (r.i, r.j)
+        for r in nd.minhash_near_duplicates(docs, threshold=0.8, max_bucket=2).collect()
+    }
+    assert tiny <= uncapped
+
+
+def test_lsh_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    """lsh_write_index / lsh_index_topk: the probe must (a) return the
+    same result as the live (re-sketching) lsh_topk and (b) reach the
+    index as a partition-pruned scan on the bucket prefix — the probed
+    prefixes are driver-side literals, so PartitionFilters must show
+    them (never a full index scan per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_path = str(tmp_path / "lsh")
+    sim.lsh_write_index(emb, idx_path, num_planes=12, prefix_bits=6)
+    index = sim.lsh_read_index(spark, idx_path)
+
+    q = sim.query_vector(emb, 0)
+    from_index = sim.lsh_index_topk(
+        index, q, k=10, num_planes=12, prefix_bits=6, probe_bits=1
+    )
+    live = sim.lsh_topk(emb, q, k=10, num_planes=12, probe_bits=1)
+    assert [r.vec_id for r in from_index.collect()] == [
+        r.vec_id for r in live.collect()
+    ]
+    assert from_index.collect()[0].vec_id == 0  # self-match ranks first
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "bprefix" in pf, pf
+    # Hamming<=1 probe reaches at most prefix_bits+1 of 2^prefix_bits
+    # prefixes; the IN-list in the filter must reflect that bound
+    assert "IN (" in pf.upper() or "in (" in pf, pf
+
+
 def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
     """Prefix filtering must lose no pairs (exactness of the ppjoin
     prefix bound) across thresholds."""
