@@ -35,26 +35,41 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 ANALYZER_SPLIT = r"[^\p{L}\p{N}]+"  # split on non-letter/digit runs
 
+# Han ideograph ranges (URO + Ext-A + compatibility). ES's standard
+# tokenizer (UAX#29) emits one token PER ideograph — a CJK keyword
+# matches documents containing its characters in any segmentation, the
+# behavior the gmall stack's ik analyzer approximates with dictionary
+# segmentation (PublisherServiceImpl.java:84-87 runs match on the
+# ES-analyzed index). Explicit codepoint ranges, not \p{script=Han}:
+# the class must mean the same thing in Java regex (Spark), RE2
+# (DuckDB oracle), and Python re (driver-side keyword twin).
+CJK_CHAR_CLASS = "[㐀-䶿一-鿿豈-﫿]"
+
 
 def analyze(text_col) -> Column:
-    """Analyzer-lite tokenization: lowercase + split on non-alphanumeric
-    runs, empties dropped — the standard-analyzer approximation of what
-    ES runs before a ``match`` query ("Spark" matches "spark",
-    "join," matches "join"). Unicode classes keep CJK letters intact.
-    DuckDB twin: ``list_filter(string_split_regex(lower(x),
-    '[^\\p{L}\\p{N}]+'), t -> t != '')`` (same RE2-compatible class).
+    """Analyzer-lite tokenization: lowercase, split each Han ideograph
+    into its own token (ES standard-analyzer CJK behavior), then split
+    on non-alphanumeric runs with empties dropped — the approximation
+    of what ES runs before a ``match`` query ("Spark" matches "spark",
+    "join," matches "join", "数据库" matches any text containing 数+据+库).
+    DuckDB twin: ``list_filter(string_split_regex(regexp_replace(
+    lower(x), '(CJK)', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), t -> t != '')``
+    (same classes — RE2-compatible).
     """
     text_col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(
-        F.split(F.lower(text_col), ANALYZER_SPLIT), lambda t: t != F.lit("")
-    )
+    segmented = F.regexp_replace(F.lower(text_col), f"({CJK_CHAR_CLASS})", " $1 ")
+    return F.filter(F.split(segmented, ANALYZER_SPLIT), lambda t: t != F.lit(""))
 
 
 def analyze_keyword(keyword: str) -> list[str]:
-    """Driver-side twin of ``analyze`` for the query string."""
+    """Driver-side twin of ``analyze`` for the query string. The split
+    class is [\\W_] so underscore is a separator exactly as in the
+    document-side [^\\p{L}\\p{N}] class ('user_id' must tokenize to
+    ['user', 'id'] on BOTH sides or the AND-match can never hit)."""
     import re
 
-    return [t for t in re.split(r"[^\w]+", keyword.lower(), flags=re.UNICODE) if t]
+    segmented = re.sub(f"({CJK_CHAR_CLASS})", r" \1 ", keyword.lower())
+    return [t for t in re.split(r"[\W_]+", segmented, flags=re.UNICODE) if t]
 
 
 def keyword_and_match(df: DataFrame, text_col: str, keyword: str,

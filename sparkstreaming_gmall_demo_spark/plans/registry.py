@@ -374,8 +374,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id
         FROM documents
         WHERE lang = '{SEARCH_LANG}'
-          AND list_contains(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'spark')
-          AND list_contains(list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'join')
+          AND list_contains(list_filter(string_split_regex(regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿])', ' \\1 ', 'g'), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'spark')
+          AND list_contains(list_filter(string_split_regex(regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿])', ' \\1 ', 'g'), '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''), 'join')
     )
     SELECT doc_id, (SELECT count(*) FROM matches) AS total
     FROM matches

@@ -269,9 +269,19 @@ def _dim_signature(path: str) -> tuple:
 
 def _cached_user_dim(spark: SparkSession, path: str, as_of: str):
     """The projected user dim (u_id, user_gender, user_level, user_age)
-    as a persisted DataFrame, reused across foreachBatch invocations
-    until the files under ``path`` change. Returns None while the dim
-    is not yet populated (the reference would NPE; we enrich nulls)."""
+    as a materialized snapshot DataFrame, reused across foreachBatch
+    invocations until the files under ``path`` change. Returns None
+    while the dim is not yet populated (the reference would NPE; we
+    enrich nulls).
+
+    The snapshot is ``localCheckpoint(eager=True)``, NOT ``persist()``:
+    a persisted plan stays backed by the dim's parquet files, so if
+    cached partitions were evicted after the user_dim pipeline
+    overwrote those files, recomputation would read vanished paths and
+    fail the micro-batch (round-2 advice). The checkpoint severs the
+    lineage — the snapshot lives in executor storage independent of
+    the source files. Call ``clear_dim_cache()`` when streams stop to
+    release the blocks."""
     sig = _dim_signature(path)
     if not sig:
         return None
@@ -288,12 +298,28 @@ def _cached_user_dim(spark: SparkSession, path: str, as_of: str):
         F.col("gender").alias("user_gender"),
         F.col("user_level"),
         age_as_of("birthday", as_of).alias("user_age"),
-    ).persist()
-    proj.count()  # materialize now so every batch join reads cache
+    ).localCheckpoint(eager=True)
     if hit is not None:
-        hit[1].unpersist()
+        _release_snapshot(hit[1])
     _DIM_CACHE[key] = (sig, proj)
     return proj
+
+
+def _release_snapshot(df) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # releasing a snapshot is best-effort; GC reclaims blocks
+
+
+def clear_dim_cache() -> None:
+    """Release every cached dim snapshot. Invoke when the streams that
+    used _cached_user_dim stop — entries are otherwise reused across
+    streams by design (same dim path) and would hold executor storage
+    for the life of the session."""
+    for _sig, df in list(_DIM_CACHE.values()):
+        _release_snapshot(df)
+    _DIM_CACHE.clear()
 def sale_detail_pipeline(
     spark: SparkSession,
     orders: DataFrame,

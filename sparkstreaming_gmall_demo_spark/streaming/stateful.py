@@ -66,6 +66,28 @@ def sessionize(
             else:
                 start = last = None
                 n = 0
+            if last is not None and ts_ms:
+                # Late events older than the open session's backward
+                # reach (t < start - gap) can never merge with it — the
+                # batch sessionizer would emit them as separate earlier
+                # sessions, and `t - last <= gap` alone is trivially
+                # true for them (round-2 advice). They form a sorted
+                # prefix; chain them among themselves and close.
+                cut = 0
+                while cut < len(ts_ms) and ts_ms[cut] < start - gap_ms:
+                    cut += 1
+                pre, ts_ms = ts_ms[:cut], ts_ms[cut:]
+                ps = pl = pn = None
+                for t in pre:
+                    if pl is None:
+                        ps, pl, pn = t, t, 1
+                    elif t - pl <= gap_ms:
+                        pl, pn = t, pn + 1
+                    else:
+                        closed.append((k, ps, pl, pn))
+                        ps, pl, pn = t, t, 1
+                if pl is not None:
+                    closed.append((k, ps, pl, pn))
             for t in ts_ms:
                 if last is None:
                     start, last, n = t, t, 1
@@ -75,7 +97,10 @@ def sessionize(
                     # advance monotonically — rewinding `last` to an
                     # earlier t could make the next event look
                     # out-of-gap and split a session the batch
-                    # sessionizer (operators/sessions.py) keeps whole
+                    # sessionizer (operators/sessions.py) keeps whole.
+                    # The pre-chain above guarantees t >= start - gap
+                    # here, so the backward extension via min() is
+                    # bounded by one gap.
                     start, last, n = min(start, t), max(last, t), n + 1
                 else:
                     closed.append((k, start, last, n))

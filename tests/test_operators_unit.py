@@ -499,3 +499,80 @@ def test_keyword_match_is_case_and_punctuation_insensitive(spark):
         for r in keyword_and_match(docs, "text", "spark join", analyzed=False).collect()
     }
     assert legacy == {2}
+
+
+def test_keyword_underscore_is_a_separator_on_both_sides(spark):
+    """Round-2 advice: the document side splits on [^\\p{L}\\p{N}] (an
+    underscore separates), so the query side must too — a 'user_id'
+    keyword has to match text containing 'user id' AND text containing
+    'user_id', identically."""
+    from sparkstreaming_gmall_demo_spark.operators.text import (
+        analyze_keyword,
+        keyword_and_match,
+    )
+
+    assert analyze_keyword("user_id") == ["user", "id"]
+    docs = spark.createDataFrame(
+        [
+            (1, "the user_id column"),
+            (2, "user id mapping"),
+            (3, "userid lookup"),  # fused token: no match either side
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in keyword_and_match(docs, "text", "user_id").collect()}
+    assert got == {1, 2}
+
+
+def test_keyword_cjk_segments_per_ideograph(spark):
+    """ES standard-analyzer CJK behavior: one token per Han ideograph,
+    so a CJK keyword matches documents regardless of how either side
+    runs the characters together (the round-2 verdict's q9 gap)."""
+    from sparkstreaming_gmall_demo_spark.operators.text import (
+        analyze_keyword,
+        keyword_and_match,
+    )
+
+    assert analyze_keyword("数据库") == ["数", "据", "库"]
+    assert analyze_keyword("spark数据") == ["spark", "数", "据"]
+    docs = spark.createDataFrame(
+        [
+            (1, "实时数据库系统"),        # contains 数+据+库 in a run
+            (2, "数 据 库 three tokens"),  # pre-segmented
+            (3, "数据 only two of three"),  # missing 库
+            (4, "spark streaming 数据仓库"),  # 据 adjacency differs, chars all present? 数,据,仓,库 -> yes
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in keyword_and_match(docs, "text", "数据库").collect()}
+    assert got == {1, 2, 4}
+
+
+def test_cjk_analyze_matches_duckdb_twin(spark):
+    """The Spark analyzer and its documented DuckDB twin must tokenize
+    CJK-bearing fixture text identically (the q9 oracle contract)."""
+    import duckdb
+
+    from sparkstreaming_gmall_demo_spark.operators.text import analyze
+
+    texts = [
+        "实时数据库系统 realtime DB",
+        "Spark_SQL 数据仓库, mixed CJK/ascii!",
+        "plain ascii only",
+        "豈 compatibility ideograph",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    spark_toks = [r[0] for r in df.select(analyze("text")).collect()]
+    con = duckdb.connect()
+    duck_toks = []
+    for t in texts:
+        duck_toks.append(
+            con.execute(
+                "SELECT list_filter(string_split_regex(regexp_replace(lower($1), "
+                "'([㐀-䶿一-鿿豈-﫿])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), "
+                "t -> t != '')",
+                [t],
+            ).fetchone()[0]
+        )
+    con.close()
+    assert spark_toks == duck_toks

@@ -176,6 +176,33 @@ USER_STREAM = T.StructType(
 )
 
 
+def test_dim_snapshot_survives_source_overwrite(spark, tmp_path):
+    """The cached dim snapshot must be independent of the dim's parquet
+    files: after the user_dim pipeline overwrites/compacts them, a
+    recomputation of an evicted persist() would read vanished paths
+    and fail the micro-batch (round-2 advice). localCheckpoint severs
+    the lineage — deleting the source outright must not break the
+    snapshot. clear_dim_cache releases the entries."""
+    import shutil
+
+    dim = tmp_path / "dim"
+    spark.createDataFrame(
+        [("1", "M", "2", "1990-06-15"), ("2", "F", "1", "1985-01-02")],
+        ["id", "gender", "user_level", "birthday"],
+    ).write.parquet(str(dim))
+
+    snap = pipelines._cached_user_dim(spark, str(dim), "2024-01-01")
+    assert snap is not None and snap.count() == 2
+
+    shutil.rmtree(dim)  # the overwrite/eviction hazard, made total
+    assert snap.count() == 2  # snapshot still serves
+    # a vanished dim reads as not-populated (the pre-cache contract)
+    assert pipelines._cached_user_dim(spark, str(dim), "2024-01-01") is None
+
+    pipelines.clear_dim_cache()
+    assert pipelines._DIM_CACHE == {}
+
+
 def test_user_dim_last_write_wins(spark, tmp_path):
     topic = tmp_path / "topic"
     out = str(tmp_path / "out")
@@ -831,3 +858,68 @@ def test_sessionize_out_of_order_across_batches(spark, tmp_path):
     )
     b = BASE / 1000
     assert sessions == [("m1", b, b + 52.0, 4)]
+
+
+def test_sessionize_late_event_older_than_session_start(spark, tmp_path):
+    """A late event older than (session_start - gap) can NEVER belong
+    to the open session — `t - last <= gap` is trivially true for any
+    past t, so without the backward-reach guard it would merge and
+    stretch the session start back (round-2 advice). The batch
+    sessionizer emits it as a separate earlier session; the stateful
+    one must too."""
+    from sparkstreaming_gmall_demo_spark.streaming import stateful
+
+    topic = tmp_path / "topic"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(mid, ts):
+        return {"mid": mid, "uid": "u", "appid": "gmall", "area": "a", "os": "ios",
+                "ch": "c", "type": "event", "evid": "view", "pgid": "p",
+                "npgid": "n", "itemid": "i", "ts": ts}
+
+    # gap 30s, watermark 300s (late rows stay live). batch1 opens the
+    # session at t=100s/110s. batch2 delivers t=10s and t=20s — both
+    # older than start - gap = 70s: they must chain into their OWN
+    # earlier session (10..20s, 2 events), not stretch the open one.
+    # batch3 t=130s extends the open session (within gap of 110s).
+    chunks = [
+        [ev("m1", BASE + 100_000), ev("m1", BASE + 110_000)],
+        [ev("m1", BASE + 10_000), ev("m1", BASE + 20_000)],
+        [ev("m1", BASE + 130_000)],
+        [ev("zz-sentinel", BASE + 3_600_000)],
+        [ev("zz-sentinel2", BASE + 7_200_000)],
+    ]
+
+    def sink(batch_df, batch_id):
+        if batch_df.count() > 0:
+            batch_df.write.mode("append").parquet(out)
+
+    for i, chunk in enumerate(chunks):
+        write_chunk(topic, f"c{i}.jsonl", chunk)
+        q = (
+            stateful.sessionize(
+                sources.parse_topic(
+                    sources.file_topic_stream(spark, str(topic)), schemas.EVENT_LOG
+                ).select("mid", "event_ts"),
+                gap_seconds=30,
+                watermark="300 seconds",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = spark.read.parquet(out).filter(~F.col("mid").startswith("zz-")).collect()
+    sessions = sorted(
+        (r.mid, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in rows
+    )
+    b = BASE / 1000
+    assert sessions == [
+        ("m1", b + 10.0, b + 20.0, 2),
+        ("m1", b + 100.0, b + 130.0, 3),
+    ]
