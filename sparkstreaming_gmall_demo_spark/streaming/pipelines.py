@@ -97,7 +97,8 @@ def dau_pipeline(
             .drop("_rn", "_corrupt")
         )
         serving = lambda df: idempotent_append(  # noqa: E731
-            df, out_path, key_cols=["mid", "log_date"], partition_cols=["log_date"]
+            df, out_path, key_cols=["mid", "log_date"], partition_cols=["log_date"],
+            batch_id=batch_id,
         )
         if monitor_path is not None:
             fanout(
@@ -138,6 +139,7 @@ def gmv_pipeline(
             out_path,
             key_cols=["id"],
             partition_cols=["create_date"],
+            batch_id=batch_id,
         )
 
     return _start(derived.writeStream.foreachBatch(sink), checkpoint, trigger)
@@ -203,7 +205,8 @@ def alert_pipeline(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         idempotent_append(
-            batch_df, out_path, key_cols=["mid", "minute_bucket"], partition_cols=None
+            batch_df, out_path, key_cols=["mid", "minute_bucket"], partition_cols=None,
+            batch_id=batch_id,
         )
 
     return _start(
@@ -421,7 +424,10 @@ def sale_detail_pipeline(
                 keyed, bucket_table, "sale_detail_id", buckets, path=out_path
             )
         else:
-            idempotent_append(keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None)
+            idempotent_append(
+                keyed, out_path, key_cols=["sale_detail_id"], partition_cols=None,
+                batch_id=batch_id,
+            )
 
     return _start(joined.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -464,6 +470,7 @@ def session_pipeline(
         idempotent_append(
             batch_df, out_path,
             key_cols=["mid", "session_start"], partition_cols=None,
+            batch_id=batch_id,
         )
 
     return _start(

@@ -57,11 +57,40 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _hwm_path(guard_dir: str) -> str:
+    return os.path.join(guard_dir, "batch_hwm")
+
+
+def _read_hwm(guard_dir: str) -> int:
+    try:
+        with open(_hwm_path(guard_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _claim_batch(guard_dir: str, batch_id: int) -> None:
+    """Record ``batch_id`` as attempted BEFORE any data is written —
+    the ordering that makes the skip safe: a crash mid-append replays
+    with batch_id <= hwm and takes the full probe path. (Marker-after-
+    write would be wrong: crash between append and marker would replay
+    as never-seen and double-append.) Atomic via temp + rename."""
+    os.makedirs(guard_dir, exist_ok=True)
+    tmp = _hwm_path(guard_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _hwm_path(guard_dir))
+
+
 def idempotent_append(
     batch_df: DataFrame,
     out_path: str,
     key_cols: list,
     partition_cols: list | None = None,
+    batch_id: int | None = None,
+    guard_dir: str | None = None,
 ) -> None:
     """Append ``batch_df`` keeping exactly one row per key ever written.
 
@@ -70,6 +99,25 @@ def idempotent_append(
     reference handler/DauHandler.scala:17-22 sorts by ts and takes 1).
     Cross-batch/replay duplicates: left-anti join against keys already
     in the sink, restricted to the partitions this batch touches.
+
+    Batch-id high-water-mark (pass ``batch_id``): the replay-guard
+    probe only matters for batch ids that may have touched the sink
+    before. Structured Streaming batch ids are monotonic per
+    checkpoint, so a batch_id above the recorded high-water-mark has
+    never been attempted — the probe (prune collect + sink scan +
+    anti-join) is skipped entirely, removing most of the fixed
+    per-batch cost that dominates small batches (BASELINE §C). Safety
+    hinges on two placements: the mark is claimed BEFORE the write
+    (see _claim_batch), so a crash mid-append replays with
+    batch_id <= hwm and probes; and the mark lives INSIDE the sink
+    (``out_path/_replay_guard`` unless ``guard_dir`` overrides), so it
+    shares the SINK's lifecycle — wipe the checkpoint and restarted
+    ids 0..hwm all probe (conservative), wipe the sink and the mark
+    dies with the data it describes. Assumes a single writing stream
+    per sink, and that a key never legitimately recurs at NEW offsets
+    (duplicate records in the topic itself, e.g. producer retries,
+    are only caught while their batch id is <= hwm — callers needing
+    in-topic cross-batch key dedup should not pass ``batch_id``).
 
     Small-batch-vs-big-sink fast path: when the (pruned) sink side is
     large (> PROBE_ISIN_MIN_SINK_BYTES) and the batch's key set small
@@ -85,6 +133,16 @@ def idempotent_append(
     """
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates(key_cols)
+    if batch_id is not None:
+        if guard_dir is None:
+            guard_dir = os.path.join(out_path, "_replay_guard")
+        if batch_id > _read_hwm(guard_dir):
+            _claim_batch(guard_dir, batch_id)
+            writer = batch.write.mode("append")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(out_path)
+            return
     # the partitioned path runs TWO actions over the batch (the prune
     # collect, then the anti-join + write): persist so the source
     # re-read + dedup lineage is paid once per micro-batch, not twice —
@@ -305,10 +363,17 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
     """Kafka producer sink (K6, reference
     gamll-canal/.../utils/MyKafkaSender.java:27-32 — fire-and-forget
     string producer; here offset-checkpointed instead). Expects a
-    ``value`` string column. Requires the Kafka connector jar; not
-    exercisable in this container."""
+    ``value`` string column; an optional ``key`` column rides along
+    (StringSerializer on both, MyKafkaSender.java:16-17 — the
+    reference's send(topic, msg) is keyless, so key is pass-through,
+    never required). Requires the Kafka connector jar; contract tests
+    pin the option/projection surface and a broker-gated e2e covers
+    the wire round-trip when one is available."""
+    cols = [F.col("value").cast("string").alias("value")]
+    if "key" in df.columns:
+        cols.insert(0, F.col("key").cast("string").alias("key"))
     return (
-        df.select(F.col("value").cast("string").alias("value"))
+        df.select(*cols)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)

@@ -208,6 +208,58 @@ def test_keep_canonical_collapses_clusters(spark):
     assert kept == [0, 1, 3, 4]  # 2 and 5 collapse into 1 and 4
 
 
+def test_star_components_equal_minlabel_on_random_graphs(spark):
+    """Property: large-star/small-star and min-label propagation are
+    the same function — identical (node, component) sets on arbitrary
+    graphs (random edge soups with isolated pairs, chains, and merged
+    clusters; fixed seeds, so deterministic)."""
+    import random
+
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 23, 91):
+        rnd = random.Random(seed)
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "i long, j long")
+        minlabel = {
+            (r.node, r.component) for r in connected_components(pairs).collect()
+        }
+        star = {
+            (r.node, r.component)
+            for r in connected_components_star(pairs).collect()
+        }
+        assert star == minlabel, f"seed {seed}"
+
+
+def test_star_components_long_chain_log_rounds(spark):
+    """The reason the variant exists: a 64-node chain (diameter 63)
+    must converge in O(log n) rounds — min-label would need ~63
+    propagation rounds; star alternation halves label-tree depth per
+    round. Pin the log bound with margin."""
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "i long, j long"
+    )
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats  # log2(64)=6; margin for detection round
+
+
 # ---------------------------------------------------------------------------
 # bucketed interval self-join (operators/rangejoin.py)
 # ---------------------------------------------------------------------------

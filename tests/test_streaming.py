@@ -176,6 +176,60 @@ USER_STREAM = T.StructType(
 )
 
 
+def test_idempotent_append_batch_hwm_skips_probe_for_fresh_batches(
+    spark, tmp_path, monkeypatch
+):
+    """Batch-id high-water-mark (round-2 verdict item 8): a batch id
+    above the recorded mark has never touched the sink, so the probe
+    (prune collect + sink scan + anti-join) must be skipped outright;
+    a replayed id (crash before checkpoint commit) must take the full
+    guard and stay duplicate-free; the mark is claimed BEFORE the
+    write so the crash direction is safe."""
+    from sparkstreaming_gmall_demo_spark.streaming import sinks
+
+    import shutil
+
+    out = str(tmp_path / "out")
+    probed = []
+    orig = sinks._idempotent_append_inner
+    monkeypatch.setattr(
+        sinks,
+        "_idempotent_append_inner",
+        lambda *a, **k: (probed.append(1), orig(*a, **k))[1],
+    )
+
+    df1 = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"])
+    sinks.idempotent_append(df1, out, ["id"], None, batch_id=0)
+    assert probed == []  # fresh id: fast path, no probe
+    assert spark.read.parquet(out).count() == 2
+
+    # at-least-once replay of the SAME id: full guard, no duplicates
+    sinks.idempotent_append(df1, out, ["id"], None, batch_id=0)
+    assert probed == [1]
+    assert spark.read.parquet(out).count() == 2
+
+    # next fresh id: fast path again
+    df2 = spark.createDataFrame([("3", "c")], ["id", "v"])
+    sinks.idempotent_append(df2, out, ["id"], None, batch_id=1)
+    assert probed == [1]
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == ["1", "2", "3"]
+
+    # restart WITHOUT checkpoint over the kept sink: ids restart at
+    # 0 <= hwm (the mark lives in the SINK, not the checkpoint) — both
+    # re-fed batches take the full guard, nothing duplicates
+    sinks.idempotent_append(df1, out, ["id"], None, batch_id=0)
+    sinks.idempotent_append(df2, out, ["id"], None, batch_id=1)
+    assert probed == [1, 1, 1]
+    assert spark.read.parquet(out).count() == 3
+
+    # sink wiped: the mark dies with the data it describes — fresh
+    # fast path against the now-empty sink
+    shutil.rmtree(out)
+    sinks.idempotent_append(df1, out, ["id"], None, batch_id=2)
+    assert probed == [1, 1, 1]
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_dim_snapshot_survives_source_overwrite(spark, tmp_path):
     """The cached dim snapshot must be independent of the dim's parquet
     files: after the user_dim pipeline overwrites/compacts them, a
