@@ -1,0 +1,140 @@
+"""Transactional manifest-committed table (streaming/txn.py): the
+atomic-MERGE contract the plain directory-append sink cannot give
+(round-2 verdict "What's missing" #2). Covers the failure atlas from
+the module docstring: crashed staging, replays, snapshot isolation,
+and genuinely CONCURRENT writers racing the same commit version.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.streaming import txn
+
+
+def _rows(spark, table):
+    snap = txn.snapshot(spark, str(table))
+    return [] if snap is None else sorted((r.id, r.v) for r in snap.collect())
+
+
+def test_merge_inserts_and_replays_are_noops(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"])
+    assert txn.merge_keyed(df, t, ["id"]) == 2
+    assert _rows(spark, t) == [("1", "a"), ("2", "b")]
+    # exact replay: no-op, version unchanged (no empty commit)
+    v = txn.current_version(t)
+    assert txn.merge_keyed(df, t, ["id"]) == 0
+    assert txn.current_version(t) == v
+    # partial overlap: only the new key lands, existing row untouched
+    df2 = spark.createDataFrame([("2", "CHANGED"), ("3", "c")], ["id", "v"])
+    assert txn.merge_keyed(df2, t, ["id"]) == 1
+    assert _rows(spark, t) == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
+def test_null_key_component_replays_safely(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(None, "x"), ("1", "y")], ["id", "v"])
+    assert txn.merge_keyed(df, t, ["id"]) == 2
+    assert txn.merge_keyed(df, t, ["id"]) == 0  # null key must match itself
+    snap = txn.snapshot(spark, t)
+    assert snap.count() == 2
+
+
+def test_staged_but_uncommitted_is_invisible(spark, tmp_path):
+    """Snapshot isolation: data files exist on disk after _stage, but
+    no reader sees them until a manifest commits — a crash between
+    staging and commit leaves the table byte-identical."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(
+        spark.createDataFrame([("1", "a")], ["id", "v"]), t, ["id"]
+    )
+    before = _rows(spark, t)
+    # simulate the crash: stage directly, never commit
+    txn._stage(spark.createDataFrame([("9", "ghost")], ["id", "v"]), t)
+    assert _rows(spark, t) == before
+    # vacuum sweeps the orphan, never the live files
+    assert txn.vacuum(t) == 1
+    assert _rows(spark, t) == before
+
+
+def test_overwrite_swaps_snapshot_atomically(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.merge_keyed(
+        spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"]), t, ["id"]
+    )
+    compacted = txn.snapshot(spark, t).coalesce(1)
+    txn.overwrite(compacted, t)
+    assert _rows(spark, t) == [("1", "a"), ("2", "b")]
+    # old staging dirs are garbage after the swap
+    txn.vacuum(t)
+    assert _rows(spark, t) == [("1", "a"), ("2", "b")]
+
+
+def test_concurrent_disjoint_writers_both_land(spark, tmp_path):
+    """Two writers, disjoint keys, racing the same base version: the
+    CAS loser must rebase and still commit its rows — no lost update
+    (the failure mode the plain append sink has under concurrency)."""
+    t = str(tmp_path / "t")
+    errs = []
+
+    def writer(key, val):
+        try:
+            df = spark.createDataFrame([(key, val)], ["id", "v"])
+            txn.merge_keyed(df, t, ["id"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(str(i), f"w{i}")) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert _rows(spark, t) == [(str(i), f"w{i}") for i in range(4)]
+    assert txn.current_version(t) == 3  # four distinct commits, no gaps
+
+
+def test_concurrent_same_key_exactly_one_wins(spark, tmp_path):
+    """Two writers inserting the SAME key concurrently: exactly one
+    row for that key in the final snapshot (insert-only PK semantics —
+    the loser's rebase anti-joins its conflicting row away)."""
+    t = str(tmp_path / "t")
+    errs = []
+
+    def writer(val):
+        try:
+            df = spark.createDataFrame([("k", val), (val, val)], ["id", "v"])
+            txn.merge_keyed(df, t, ["id"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    snap = txn.snapshot(spark, t)
+    per_key = {r["id"]: r["cnt"] for r in snap.groupBy("id").agg(
+        F.count("*").alias("cnt")
+    ).collect()}
+    assert per_key["k"] == 1  # the contested key has exactly one row
+    assert set(per_key) == {"k", "w0", "w1", "w2"}
+
+
+def test_commit_cas_is_exclusive(tmp_path):
+    """The commit primitive itself: two attempts at the same version,
+    exactly one succeeds (O_EXCL semantics)."""
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    a = txn._try_commit(t, 0, ["_staged/x/part-0.parquet"])
+    b = txn._try_commit(t, 0, ["_staged/y/part-0.parquet"])
+    assert (a, b) == (True, False)
+    assert txn._read_manifest(t, 0) == ["_staged/x/part-0.parquet"]
