@@ -222,6 +222,71 @@ def token_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang", k
     )
 
 
+# PII patterns, deliberately restricted to constructs whose regex
+# semantics are identical in Java (Spark), RE2 (DuckDB oracle), and
+# Python re: no lookaround, no backreferences. Real deployments extend
+# the table; the plumbing (count-then-replace in one projection) is
+# the part that has to scale.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),  # account/phone-length digit runs
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: mask emails, IPv4s, and long digit
+    runs, counting what was redacted. One narrow projection — the
+    redaction count comes from regexp_extract_all BEFORE the replace
+    (count-then-replace keeps both engine-portable; regexp_count is
+    not in DuckDB), and replacements chain left-to-right in
+    PII_PATTERNS order so earlier masks can't create later matches
+    (<EMAIL> contains no digits/@). No shuffle, no UDF — at 100 TB
+    this is a map-only pass that pushes column pruning to the scan."""
+    text = F.col(text_col)
+    n_red = None
+    for _name, pat, _rep in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        n_red = c if n_red is None else (n_red + c)
+    clean = text
+    for _name, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.withColumn("n_redactions", n_red.cast("long")).withColumn(
+        "clean_text", clean
+    )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the dedup-adjacent per-document
+    filter every corpus pipeline runs before training):
+    - distinct_token_ratio: |distinct tokens| / |tokens|
+    - repeated_bigram_frac: 1 − |distinct bigrams| / |bigrams|
+    Low distinct ratios / high repeated fractions flag boilerplate and
+    generation loops. Pure array expressions over one tokenization —
+    narrow, no shuffle; 4dp rounding for oracle hashing."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    bigrams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2))) "
+        f"ELSE array() END"
+    )
+    n_big = F.size(bigrams)
+    return (
+        df.withColumn(
+            "distinct_token_ratio",
+            F.round(F.size(F.array_distinct(toks)) / n_tok, 4),
+        )
+        .withColumn(
+            "repeated_bigram_frac",
+            F.when(n_big > 0, F.round(1 - F.size(F.array_distinct(bigrams)) / n_big, 4))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

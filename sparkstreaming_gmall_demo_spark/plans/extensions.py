@@ -561,6 +561,83 @@ def _bench_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII suffix planted per doc (fixture text carries no PII, so the op
+# would be a degenerate no-op; planting from doc_id makes every row
+# exercise all three patterns deterministically — the same fixture-
+# augmentation pattern as the planted embedding duplicates)
+_PII_SUFFIX_SQL = (
+    "' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || ' acct ' "
+    "|| CAST(900000000 + doc_id AS VARCHAR)"
+)
+
+
+@_register(
+    "ext_pii_scrub",
+    f"""
+    WITH planted AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+              + len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+              + len(regexp_extract_all(text, '\\b\\d{{9,}}\\b')) AS BIGINT) AS n_redactions,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                 '\\b\\d{{9,}}\\b', '<NUM>', 'g')) AS clean_md5
+    FROM planted ORDER BY doc_id
+    """,
+    "PII scrub (email/IPv4/long-digit masking) over planted suffixes",
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-then-replace PII masking (operators/text.py:scrub_pii)
+    with a deterministic planted suffix per doc so every row exercises
+    every pattern. The md5 of the scrubbed text pins the replacement
+    byte-for-byte across engines — the patterns are restricted to the
+    Java/RE2-identical subset for exactly this reason."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"text || {_PII_SUFFIX_SQL}").alias("text")
+    )
+    scrubbed = text_ops.scrub_pii(docs, "text")
+    return scrubbed.select(
+        "doc_id", "n_redactions", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "ext_repetition_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS sp
+        FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp), 4)
+               AS distinct_token_ratio,
+           CASE WHEN len(sp) >= 2 THEN
+             round(1 - CAST(len(list_distinct(list_transform(range(1, len(sp)),
+                     i -> array_to_string(sp[i:i+1], ' ')))) AS DOUBLE)
+                     / (len(sp) - 1), 4)
+           ELSE 0.0 END AS repeated_bigram_frac
+    FROM t ORDER BY doc_id
+    """,
+    "per-document repetition signals (distinct-token ratio, repeated bigrams)",
+)
+def ext_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjacent per-document quality filter: low distinct-token
+    ratio / high repeated-bigram fraction flag boilerplate and
+    generation loops (operators/text.py:repetition_score). Narrow
+    map-only pass; the oracle recomputes both ratios relationally."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text_ops.repetition_score(docs, "text")
+        .select("doc_id", "distinct_token_ratio", "repeated_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # E3 family: text analysis
 # ---------------------------------------------------------------------------
