@@ -26,7 +26,8 @@ def main() -> None:
     spark = get_spark("gmall-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         # Warm-up executes the same plan shape end-to-end (collect, not
         # count: count() prunes to a different physical plan and leaves
@@ -35,26 +36,32 @@ def main() -> None:
         # because single-run wall times on this VM vary +/-40%.
         # bench_build (when set) times the operator alone; the declared
         # invariant build stays the driver's correctness entry.
+        # Per-query fault isolation: one raising build must not cost the
+        # round its entire bench artifact (BENCH_r03 lesson) — record
+        # the error, keep timing the rest, always emit the JSON line.
         build = spec.bench_build or spec.build
-        build(spark, sf_dir).collect()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        try:
             build(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate ANY query fault
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_warm_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_declared_query_warm_wall",
+        "value": round(sum(t for t in timings.values() if t is not None), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -79,6 +79,29 @@ def age_as_of(birthday, as_of: str) -> Column:
     return F.floor(F.datediff(F.lit(as_of).cast("date"), F.to_date(birthday)) / F.lit(365)).cast("int")
 
 
+def epoch_micros(ts) -> Column:
+    """Microseconds since epoch, accepting TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    ``unix_micros`` hard-rejects NTZ in Spark 4.x, and the driver
+    fixtures encode ``events.ts`` as plain ``timestamp[us]`` (no tz),
+    which parquet infers as NTZ. The cast to TIMESTAMP is wall-clock
+    preserving under the pinned UTC session timezone (session.py
+    RUNTIME_CONFS) — exactly the naive-UTC arithmetic the DuckDB
+    oracle's ``epoch_us`` performs — and is a no-op on an already-tz
+    TIMESTAMP column. Use this, never raw ``unix_micros``, on any
+    fixture-derived timestamp.
+    """
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def epoch_millis(ts) -> Column:
+    """Milliseconds since epoch; NTZ-safe twin of ``unix_millis``
+    (same UTC-cast rationale as :func:`epoch_micros`)."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_millis(ts.cast("timestamp"))
+
+
 def tokens(text) -> Column:
     """Whitespace tokenization of document text (fixture texts are
     single-space separated; mirrors ES whitespace analysis used by the

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import epoch_micros
+
 
 def interval_self_pairs(
     df: DataFrame,
@@ -48,7 +50,7 @@ def interval_self_pairs(
     # microsecond epoch: the gap compare must be exact at full
     # timestamp precision (unix_timestamp would truncate to seconds)
     gap_us = gap_seconds * 1_000_000
-    epoch = F.unix_micros(F.col(ts_col))
+    epoch = epoch_micros(ts_col)
     base = df.select(
         F.col(key).alias("k"),
         F.col(ts_col).alias("ts"),

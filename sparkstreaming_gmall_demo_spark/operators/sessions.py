@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_micros
+
 
 def sessionize_batch(
     df: DataFrame,
@@ -43,7 +45,7 @@ def sessionize_batch(
     """
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
-    ep = F.unix_micros(F.col(ts_col))
+    ep = epoch_micros(ts_col)
     is_new = (
         F.when(
             ep - F.lag(ep).over(w) > F.lit(gap_seconds * 1_000_000), 1

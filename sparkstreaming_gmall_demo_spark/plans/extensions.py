@@ -570,6 +570,9 @@ _PII_SUFFIX_SQL = (
     "|| CAST(doc_id % 256 AS VARCHAR) || ' acct ' "
     "|| CAST(900000000 + doc_id AS VARCHAR)"
 )
+# Spark's parser rejects bare VARCHAR (DATATYPE_MISSING_SIZE); STRING is
+# the identical type there. Keep the VARCHAR form for the DuckDB oracle.
+_PII_SUFFIX_SPARK = _PII_SUFFIX_SQL.replace("AS VARCHAR", "AS STRING")
 
 
 @_register(
@@ -597,7 +600,7 @@ def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte across engines — the patterns are restricted to the
     Java/RE2-identical subset for exactly this reason."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(f"text || {_PII_SUFFIX_SQL}").alias("text")
+        "doc_id", F.expr(f"text || {_PII_SUFFIX_SPARK}").alias("text")
     )
     scrubbed = text_ops.scrub_pii(docs, "text")
     return scrubbed.select(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import events_date_filter, load_table
+from .. import functions as gfn
 from ..functions import money, money_out, log_date, log_hour, permille
 from ..operators import agg as agg_ops
 from ..operators import asof as asof_ops
@@ -1612,6 +1613,6 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("max_events"),
         F.count_distinct("user_id").alias("n_users"),
         F.sum(
-            F.unix_micros("last_ts") - F.unix_micros("first_ts")
+            gfn.epoch_micros("last_ts") - gfn.epoch_micros("first_ts")
         ).cast("long").alias("total_active_us"),
     )

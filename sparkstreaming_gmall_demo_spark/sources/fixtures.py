@@ -1,11 +1,19 @@
 """Batch fixture reader for the driver parquet tables.
 
-Handles the one genuinely awkward ingestion detail: ``events.parquet``
-stores TIMESTAMP(NANOS), which Spark 4.x rejects by default. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
-nanos-since-epoch long; we convert with integer division (``ts DIV
-1000`` -> micros) -- NOT float division, which loses precision at 1e18
-magnitudes -- and ``timestamp_micros``.
+Timestamp encodings vary by driver round and are all handled here:
+
+- ``timestamp[us]`` with no timezone (current fixtures): parquet
+  infers TIMESTAMP_NTZ. We keep the column NTZ — casting to TIMESTAMP
+  at load would wrap every downstream predicate in a cast and kill
+  parquet filter pushdown. Instead, epoch arithmetic goes through the
+  NTZ-safe ``functions.epoch_micros`` (wall-clock-identical under the
+  pinned UTC session tz), and ``events_date_filter`` emits a range
+  predicate typed to the column so row-group skipping still works.
+- TIMESTAMP(NANOS) (legacy fixtures), which Spark 4.x rejects by
+  default: with ``spark.sql.legacy.parquet.nanosAsLong=true`` the
+  column arrives as a nanos-since-epoch long; we convert with integer
+  division (``ts DIV 1000`` -> micros, NOT float division, which
+  loses precision at 1e18 magnitudes) and ``timestamp_micros``.
 
 Scan hygiene at 100 TB: this reader adds no projection/filter of its
 own, so Catalyst pushes query-level filters and column pruning straight
@@ -50,11 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def events_date_filter(df: DataFrame, date: str) -> Column:
     """Day-equality predicate on events that reaches the parquet scan.
 
-    When the raw nanos long is available, the UTC day becomes a long
-    range filter (PushedFilters: GreaterThanOrEqual/LessThan on
-    ts_nanos) — exactly equivalent to ``to_date(ts) = date`` under the
-    UTC session timezone, but row-group-skippable. Falls back to the
-    timestamp expression for sources without the raw column.
+    ``to_date(ts) = d`` wraps the column in an expression Catalyst
+    cannot push through, so every row group decodes. Rewriting the day
+    as a half-open range predicate directly on the timestamp column
+    (``ts >= d AND ts < d+1day``) keeps the comparison on the bare
+    column — PushedFilters shows GreaterThanOrEqual/LessThan and
+    parquet row-group statistics skip everything outside the day. At
+    100 TB that's the difference between skipping a year of row groups
+    and decoding them.
+
+    Handles all three fixture encodings seen across driver rounds:
+    raw nanos long (legacy ``ts_nanos``), TIMESTAMP_NTZ (current
+    ``timestamp[us]`` fixtures), and tz-aware TIMESTAMP. The literal is
+    cast to the column's own type so no implicit cast lands on the
+    column side of the comparison (which would block pushdown). UTC
+    session tz makes all three day boundaries coincide.
     """
     if "ts_nanos" in df.columns:
         day = _dt.datetime.fromisoformat(date).replace(tzinfo=_dt.timezone.utc)
@@ -62,7 +80,15 @@ def events_date_filter(df: DataFrame, date: str) -> Column:
         return (F.col("ts_nanos") >= F.lit(start)) & (
             F.col("ts_nanos") < F.lit(start + _DAY_NANOS)
         )
-    return F.to_date("ts") == F.lit(date).cast("date")
+    target = (
+        "timestamp_ntz"
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+        else "timestamp"
+    )
+    next_day = (_dt.date.fromisoformat(date) + _dt.timedelta(days=1)).isoformat()
+    lo = F.lit(f"{date} 00:00:00").cast(target)
+    hi = F.lit(f"{next_day} 00:00:00").cast(target)
+    return (F.col("ts") >= lo) & (F.col("ts") < hi)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:

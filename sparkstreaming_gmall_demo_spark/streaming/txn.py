@@ -69,6 +69,9 @@ def current_version(table: str) -> int:
 
 
 def _read_manifest(table: str, version: int) -> list[str]:
+    # No partial-read tolerance needed: _try_commit publishes via
+    # os.link of a fully-written+fsync'd temp file, so a manifest that
+    # EXISTS always has complete content (content-then-name ordering).
     p = os.path.join(_txn_path(table), f"{version:08d}.json")
     with open(p) as f:
         return json.load(f)["files"]
@@ -104,21 +107,35 @@ def _stage(df: DataFrame, table: str) -> list[str]:
 
 
 def _try_commit(table: str, version: int, files: list[str]) -> bool:
-    """Atomically publish ``files`` as ``version``'s snapshot. O_EXCL
-    is the CAS: exactly one writer can create a given version file."""
-    os.makedirs(_txn_path(table), exist_ok=True)
-    path = os.path.join(_txn_path(table), f"{version:08d}.json")
+    """Atomically publish ``files`` as ``version``'s snapshot.
+
+    The CAS is ``os.link(tmp, path)`` — link fails with EEXIST iff the
+    version name is already taken, and the linked file carries the
+    COMPLETE fsync'd payload. The earlier O_CREAT|O_EXCL-then-write
+    form had a TOCTOU window: a reader could open the manifest between
+    creation and write and see empty bytes (caught once as a
+    JSONDecodeError flake in test_concurrent_disjoint_writers). Link
+    publishes content and name in one atomic step; the same
+    content-first contract maps to rename-without-overwrite on HDFS
+    and If-None-Match PUT on S3."""
+    txn_dir = _txn_path(table)
+    os.makedirs(txn_dir, exist_ok=True)
+    path = os.path.join(txn_dir, f"{version:08d}.json")
     payload = json.dumps({"version": version, "files": files}).encode()
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
+    tmp = os.path.join(txn_dir, f".tmp-{uuid.uuid4().hex}.json")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
         os.write(fd, payload)
         os.fsync(fd)
     finally:
         os.close(fd)
-    return True
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def merge_keyed(

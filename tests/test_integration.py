@@ -13,6 +13,7 @@ import json
 
 from pyspark.sql import functions as F
 
+from sparkstreaming_gmall_demo_spark import functions as gfn
 from sparkstreaming_gmall_demo_spark import serving
 from sparkstreaming_gmall_demo_spark.schemas import STARTUP_LOG
 from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
@@ -33,7 +34,7 @@ def test_fixture_events_through_dau_pipeline_to_serving(spark, sf_dir, tmp_path)
         load_table(spark, sf_dir, "events")
         .select(
             F.col("user_id").cast("string").alias("mid"),
-            (F.unix_millis(F.col("ts"))).alias("ts"),
+            gfn.epoch_millis("ts").alias("ts"),
         )
         .orderBy("ts")
         .collect()
