@@ -194,20 +194,6 @@ def prefix_filtered_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingles as a distinct array (built-ins only)."""
-    toks = tokens(text_col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.expr(
-                f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
-
-
 def shingle_sets(df: DataFrame, shingle_n: int = 2,
                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, toks = distinct word n-gram strings). Tokens are

@@ -264,26 +264,34 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     - repeated_bigram_frac: 1 − |distinct bigrams| / |bigrams|
     Low distinct ratios / high repeated fractions flag boilerplate and
     generation loops. Pure array expressions over one tokenization —
-    narrow, no shuffle; 4dp rounding for oracle hashing."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
+    narrow, no shuffle; 4dp rounding for oracle hashing.
+
+    The token array is materialized into a column BEFORE the bigram
+    lambda reads it: a ``split(...)`` inside the transform body is
+    re-evaluated per element (O(tokens^2) string splitting per doc —
+    measured 8.8 s vs 0.6 s on the sf0.1 corpus), the same trap
+    neardup.shingle_sets documents."""
+    tcol = "__rep_toks"
+    toked = df.withColumn(tcol, tokens(text_col))
+    n_tok = F.size(F.col(tcol))
     bigrams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2))) "
+        f"CASE WHEN size({tcol}) >= 2 THEN "
+        f"transform(sequence(1, size({tcol}) - 1), "
+        f"i -> concat_ws(' ', {tcol}[i-1], {tcol}[i])) "
         f"ELSE array() END"
     )
     n_big = F.size(bigrams)
     return (
-        df.withColumn(
+        toked.withColumn(
             "distinct_token_ratio",
-            F.round(F.size(F.array_distinct(toks)) / n_tok, 4),
+            F.round(F.size(F.array_distinct(F.col(tcol))) / n_tok, 4),
         )
         .withColumn(
             "repeated_bigram_frac",
             F.when(n_big > 0, F.round(1 - F.size(F.array_distinct(bigrams)) / n_big, 4))
             .otherwise(F.lit(0.0)),
         )
+        .drop(tcol)
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
 from ..operators import components as comp_ops
+from ..operators import decontam as decon_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
@@ -1434,4 +1435,159 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontam.py): flag corpus docs
+# whose 5-token shingles overlap the eval set. Fixture texts share no
+# long n-grams organically, so contamination is PLANTED the same way
+# pii suffixes are: every doc_id % 20 == 0 doc acts as the "benchmark",
+# and corpus docs with doc_id % 3 == 0 get the first 40 tokens of
+# their floor-to-20 eval doc appended — a deterministic, SF-portable
+# fixture augmentation both engines compute identically (concat_ws
+# skips the NULL snippet for ids below the first eval doc).
+# ---------------------------------------------------------------------------
+DECONTAM_SNIPPET_TOKENS = 40
+DECONTAM_SHINGLE_N = 5
+DECONTAM_THRESHOLD_PCT = 10
+
+
+@_register(
+    "ext_decontamination",
+    f"""
+    WITH eval_docs AS (
+        SELECT doc_id AS e_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    snips AS (
+        SELECT e_id,
+               array_to_string((string_split(text, ' '))[1:{DECONTAM_SNIPPET_TOKENS}], ' ')
+                   AS snippet
+        FROM eval_docs
+    ),
+    corpus AS (
+        SELECT d.doc_id,
+               concat_ws(' ', d.text,
+                         CASE WHEN d.doc_id % 3 = 0 THEN s.snippet END) AS text
+        FROM documents d
+        LEFT JOIN snips s ON s.e_id = d.doc_id - d.doc_id % 20
+        WHERE d.doc_id % 20 <> 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(
+            CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE_N}
+                 THEN list_transform(
+                        range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE_N - 2}),
+                        i -> array_to_string((string_split(text, ' '))[i:i + {DECONTAM_SHINGLE_N - 1}], ' '))
+                 ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS s
+        FROM eval_docs
+    ),
+    corpus_sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE_N}
+                 THEN list_transform(
+                        range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE_N - 2}),
+                        i -> array_to_string((string_split(text, ' '))[i:i + {DECONTAM_SHINGLE_N - 1}], ' '))
+                 ELSE [array_to_string(string_split(text, ' '), ' ')] END)) AS s
+        FROM corpus
+    )
+    SELECT c.doc_id,
+           count(*) AS n_shingles,
+           count(e.s) AS n_overlap,
+           (count(e.s) * 100 >= count(*) * {DECONTAM_THRESHOLD_PCT}) AS contaminated
+    FROM corpus_sh c LEFT JOIN eval_sh e ON c.s = e.s
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    "benchmark decontamination: eval-set n-gram overlap flags (planted)",
+)
+def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval shingle dictionary broadcasts (benchmarks are MB-scale by
+    nature); corpus scoring is a narrow map + broadcast probe + one
+    doc_id aggregation — the corpus text never shuffles. See
+    operators/decontam.py for the 100 TB plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("e_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
+        ).alias("snippet"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
+        .join(F.broadcast(snips), "e_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
+            ).alias("text"),
+        )
+    )
+    return decon_ops.flag_contaminated(
+        corpus, eval_docs,
+        shingle_n=DECONTAM_SHINGLE_N,
+        threshold_pct=DECONTAM_THRESHOLD_PCT,
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing weights: the sampling-weight table a training run reads
+# to hit a target data mix. Uniform-over-sources target with an epoch
+# cap (a rare source is repeated at most MAX_EPOCHS times rather than
+# upweighted without bound — the standard guard in published data
+# recipes). Weight is emitted in integer parts-per-million so the
+# driver hash never touches a float.
+# ---------------------------------------------------------------------------
+MIX_MAX_EPOCHS = 3.0
+
+
+@_register(
+    "ext_corpus_mix",
+    f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) / count(*) AS target FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(least({MIX_MAX_EPOCHS}, target / n_tokens) * 1000000 + 0.5)
+                AS BIGINT) AS weight_ppm
+    FROM per, tot ORDER BY source
+    """,
+    "per-source sampling weights for a uniform target mix, epoch-capped",
+)
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tiny aggregates (one row per source) and a single-row
+    target joined back broadcast-style via the q21 melt pattern's
+    simpler cousin: a literal crossJoin against a 1-row frame is safe
+    here because the per-source frame is itself bounded by source
+    cardinality (hundreds at most), but we still express it as a
+    broadcast to keep the no-cartesian guardrail honest."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("target")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.least(F.lit(MIX_MAX_EPOCHS), F.col("target") / F.col("n_tokens"))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long").alias("weight_ppm"),
+        )
+        .orderBy("source")
     )

@@ -22,7 +22,7 @@ from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
 def test_minhash_precision_and_recall(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
     # ground truth on the same shingle space as the minhash op
-    sh = docs.select(F.col("doc_id"), nd.shingles("text", 3).alias("sh"))
+    sh = nd.shingle_sets(docs, 3).withColumnRenamed("toks", "sh")
     a, b = sh.alias("a"), sh.alias("b")
     exact = (
         a.crossJoin(b)

@@ -628,3 +628,54 @@ def test_cjk_analyze_matches_duckdb_twin(spark):
         )
     con.close()
     assert spark_toks == duck_toks
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A doc carrying a benchmark 5-gram verbatim is flagged; a doc
+    with no 5-token run in common is not; short docs fall back to the
+    whole-text shingle."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    eval_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over" → overlap
+            (10, "he saw the quick brown fox jumps over a fence today maybe"),
+            # same words, different order → no shared 5-gram
+            (11, "dog lazy the over jumps fox brown quick the and more words"),
+            # short doc, not equal to any eval text → single shingle, clean
+            (12, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dc.flag_contaminated(corpus, eval_docs, shingle_n=5,
+                                      threshold_pct=10).collect()
+    }
+    assert rows[10].n_overlap > 0 and rows[10].contaminated
+    assert rows[11].n_overlap == 0 and not rows[11].contaminated
+    assert rows[12].n_shingles == 1 and not rows[12].contaminated
+
+
+def test_decontamination_threshold_integer_arithmetic(spark):
+    """contaminated is an exact integer compare: n_overlap*100 >=
+    n_shingles*pct — at exactly the threshold the doc IS flagged."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    eval_docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    # 10 distinct shingles, exactly 1 overlapping → 10% == threshold
+    corpus = spark.createDataFrame(
+        [(20, "a b c d e x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "doc_id long, text string",
+    )
+    row = dc.flag_contaminated(
+        corpus, eval_docs, shingle_n=5, threshold_pct=10
+    ).collect()[0]
+    assert row.n_shingles == 10 and row.n_overlap == 1
+    assert row.contaminated

@@ -53,6 +53,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ext_lsh_topk",
         "ext_ivf_topk",
         "ext_tfidf_topterms",
+        "ext_corpus_mix",  # per-source frame x broadcast 1-row target
     }
     for name in REGISTRY:
         if name in single_row_query_joins:
