@@ -41,8 +41,11 @@ from pyspark.sql import functions as F
 from sparkstreaming_gmall_demo_spark.session import get_spark
 from sparkstreaming_gmall_demo_spark.streaming import pipelines
 
+# ts matches the fixture's parquet encoding (timestamp[us], no tz →
+# TIMESTAMP_NTZ). Forcing `ts long` here would silently read the raw
+# micros and shift every event day to 1970 after the old nanos DIV.
 EVENTS_RAW = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 N_CHUNKS = 8
@@ -159,7 +162,7 @@ def event_stream(spark, input_dir: str):
         F.col("user_id").cast("string").alias("uid"),
         F.col("event_type").alias("evid"),
         F.col("event_type").alias("itemid"),
-        F.expr("timestamp_micros(ts DIV 1000)").alias("event_ts"),
+        F.col("ts").cast("timestamp").alias("event_ts"),
     )
 
 

@@ -1505,7 +1505,16 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature); corpus scoring is a narrow map + broadcast probe + one
     doc_id aggregation — the corpus text never shuffles. See
     operators/decontam.py for the 100 TB plan shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    # The fixture is ONE small parquet file -> one input partition, so
+    # BOTH shingle fan-outs (corpus probes and the eval dictionary)
+    # would serialize on a single core (measured 5.0 s vs ~1 s at
+    # sf0.1). The repartition is a fixture-shape correction, not part
+    # of the operator: a production corpus scan splits naturally
+    # (maxPartitionBytes), and flag_contaminated itself adds no
+    # shuffle beyond the per-doc aggregation.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     snips = eval_docs.select(
         F.col("doc_id").alias("e_id"),

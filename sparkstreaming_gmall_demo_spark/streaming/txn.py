@@ -77,14 +77,48 @@ def _read_manifest(table: str, version: int) -> list[str]:
         return json.load(f)["files"]
 
 
-def snapshot(spark: SparkSession, table: str, schema=None) -> DataFrame | None:
+def list_versions(table: str) -> list[int]:
+    """All committed versions, ascending (empty for an absent table)."""
+    try:
+        names = os.listdir(_txn_path(table))
+    except OSError:
+        return []
+    return sorted(
+        int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+    )
+
+
+def history(table: str) -> list[dict]:
+    """Commit log, oldest first: version + file count per snapshot —
+    the `DESCRIBE HISTORY` surface of the format."""
+    return [
+        {"version": v, "n_files": len(_read_manifest(table, v))}
+        for v in list_versions(table)
+    ]
+
+
+def snapshot(
+    spark: SparkSession, table: str, schema=None, version: int | None = None
+) -> DataFrame | None:
     """The committed table as a DataFrame (None when no version
-    exists). Reads exactly the current manifest's files — uncommitted
-    staged data is invisible by construction."""
-    v = current_version(table)
-    if v < 0:
-        return None
-    files = [os.path.join(table, f) for f in _read_manifest(table, v)]
+    exists). Reads exactly one manifest's files — uncommitted staged
+    data is invisible by construction.
+
+    ``version`` time-travels to an older snapshot: full-snapshot
+    manifests make every retained version directly readable (the
+    payoff of the O(files)-per-commit simplification — no delta
+    replay). Raises FileNotFoundError for a version that was never
+    committed or has been vacuumed past."""
+    if version is None:
+        version = current_version(table)
+        if version < 0:
+            return None
+    path = os.path.join(_txn_path(table), f"{version:08d}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} of {table} does not exist (vacuumed or never committed)"
+        )
+    files = [os.path.join(table, f) for f in _read_manifest(table, version)]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -198,21 +232,30 @@ def overwrite(df: DataFrame, table: str, max_retries: int = 20) -> None:
     raise RuntimeError(f"overwrite: gave up after {max_retries} attempts on {table}")
 
 
-def vacuum(table: str) -> int:
-    """Delete staged files not referenced by the CURRENT manifest —
-    the garbage from crashed writers and lost races. Returns the
-    number of directories removed. Run only with no writer in flight:
-    a writer that staged but has not yet committed would have its
-    files swept. (A production format retains N versions for time
-    travel and ages garbage by timestamp; the full-snapshot manifest
-    here makes only the latest version readable.)"""
+def vacuum(table: str, retain_versions: int = 1) -> int:
+    """Retention: keep the newest ``retain_versions`` snapshots
+    time-travelable, drop manifests older than that window, and delete
+    staged directories no retained manifest references — the garbage
+    from crashed writers, lost races, and expired versions. Returns
+    the number of staging directories removed.
+
+    Run only with no writer in flight: a writer that staged but has
+    not yet committed would have its files swept. (A production format
+    ages garbage by timestamp instead of sweeping eagerly, closing
+    that window; the single-writer-maintenance assumption is the same
+    one Delta's VACUUM documents.)"""
     import shutil
 
-    v = current_version(table)
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    vs = list_versions(table)
+    retained = vs[-retain_versions:]
     live: set[str] = set()
-    if v >= 0:
+    for v in retained:
         for f in _read_manifest(table, v):
             live.add(f.split(os.sep)[1])  # _staged/<uuid>/part-...
+    for v in vs[:-retain_versions]:
+        os.unlink(os.path.join(_txn_path(table), f"{v:08d}.json"))
     stage_root = os.path.join(table, _STAGE_DIR)
     removed = 0
     try:

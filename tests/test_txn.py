@@ -138,3 +138,43 @@ def test_commit_cas_is_exclusive(tmp_path):
     b = txn._try_commit(t, 0, ["_staged/y/part-0.parquet"])
     assert (a, b) == (True, False)
     assert txn._read_manifest(t, 0) == ["_staged/x/part-0.parquet"]
+
+
+def test_time_travel_reads_every_retained_version(spark, tmp_path):
+    t = str(tmp_path / "tt")
+    txn.merge_keyed(spark.createDataFrame([(1, "a")], "id int, v string"), t, ["id"])
+    txn.merge_keyed(spark.createDataFrame([(2, "b")], "id int, v string"), t, ["id"])
+    txn.overwrite(spark.createDataFrame([(9, "z")], "id int, v string"), t)
+    assert [h["version"] for h in txn.history(t)] == [0, 1, 2]
+    assert sorted(r.id for r in txn.snapshot(spark, t, version=0).collect()) == [1]
+    assert sorted(r.id for r in txn.snapshot(spark, t, version=1).collect()) == [1, 2]
+    assert sorted(r.id for r in txn.snapshot(spark, t).collect()) == [9]
+    with pytest.raises(FileNotFoundError):
+        txn.snapshot(spark, t, version=7)
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    t = str(tmp_path / "ret")
+    txn.merge_keyed(spark.createDataFrame([(1, "a")], "id int, v string"), t, ["id"])
+    txn.merge_keyed(spark.createDataFrame([(2, "b")], "id int, v string"), t, ["id"])
+    txn.overwrite(spark.createDataFrame([(9, "z")], "id int, v string"), t)
+    txn.vacuum(t, retain_versions=2)
+    # v0's manifest is gone; v1 and v2 still time-travelable
+    assert txn.list_versions(t) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        txn.snapshot(spark, t, version=0)
+    assert sorted(r.id for r in txn.snapshot(spark, t, version=1).collect()) == [1, 2]
+    assert sorted(r.id for r in txn.snapshot(spark, t).collect()) == [9]
+    # new commits continue from the retained head, not from zero
+    txn.merge_keyed(spark.createDataFrame([(3, "c")], "id int, v string"), t, ["id"])
+    assert txn.current_version(t) == 3
+
+
+def test_vacuum_default_keeps_only_current(spark, tmp_path):
+    t = str(tmp_path / "cur")
+    txn.merge_keyed(spark.createDataFrame([(1, "a")], "id int, v string"), t, ["id"])
+    txn.overwrite(spark.createDataFrame([(9, "z")], "id int, v string"), t)
+    removed = txn.vacuum(t)  # retain_versions=1: v0's exclusive staging goes
+    assert removed >= 1
+    assert txn.list_versions(t) == [1]
+    assert sorted(r.id for r in txn.snapshot(spark, t).collect()) == [9]
