@@ -328,3 +328,67 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", F.round("s", 4).alias("tfidf"))
     )
+
+
+def scored_search(
+    df: DataFrame,
+    text_col: str,
+    keyword: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Relevance-ORDERED keyword search: the ES score-sorted page the
+    reference serves (reference service/impl/PublisherServiceImpl.java:98-99
+    pages hits in ES practical-score order; keyword_and_match covers
+    only the match set). Returns the top ``k`` AND-matching rows as
+    (id, score), score descending, id ascending on ties.
+
+    The score is a tf×idf proxy in EXACT integer arithmetic:
+    ``score = Σ_t tf(t, doc) * (1_000_000 DIV df(t))`` — rarer terms
+    weigh more, repeated terms add linearly, and no float/log enters
+    the result, so ranking and values are bit-identical across engines
+    and partitionings (ES's float practical score cannot be mirrored
+    exactly; deterministic ordering is the documented semantic upgrade,
+    SURVEY §2.8).
+
+    Plan shape at 100 TB: per-doc tf columns are a narrow map over the
+    analyzed tokens; the per-term document frequencies are ONE 1-row
+    aggregate broadcast back (never a global window, which would drag
+    every row through a single partition); the top-k is a global
+    ORDER BY ... LIMIT k — Spark's TakeOrderedAndProject, per-partition
+    heaps + driver merge of k rows, no full sort materialization.
+    """
+    terms = analyze_keyword(keyword)
+    if not terms:
+        raise ValueError("keyword analyzes to no terms")
+    toks = analyze(text_col)
+
+    def _tf(term: str):
+        # NB: the predicate must be UNARY — a second (default) arg would
+        # make PySpark treat it as the (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    narrowed = df.select(
+        F.col(id_col),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    dfs = narrowed.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+    match_all = F.lit(True)
+    for i in range(len(terms)):
+        match_all = match_all & (F.col(f"tf_{i}") > 0)
+    score = None
+    for i in range(len(terms)):
+        term_score = F.expr(f"tf_{i} * (1000000 DIV df_{i})")
+        score = term_score if score is None else score + term_score
+    return (
+        narrowed.join(F.broadcast(dfs))
+        .filter(match_all)
+        .select(F.col(id_col), score.cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -10,8 +10,10 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #   (r3 red on the NTZ regression, now fixed), ext_pii_scrub (r3 parse
 #   error, now fixed), ext_repetition_scores (never seated);
 # - the 7 entries green only in r1 (oldest rows — refresh);
-# - 3 of the r2-only greens (simhash, lsh_topk, approx_distinct —
-#   approx_distinct also re-measures under the r3 bench_build split).
+# - 2 of the r2-only greens (lsh_topk, approx_distinct — the latter
+#   also re-measures under the r3 bench_build split). Only 12 ext
+#   slots this round: the new core q9b_scored_search takes the 38th
+#   core seat and gets its first driver row.
 # The 11 r3-green entries rotate out; remaining r2-only greens take
 # the window in r5 so every entry's latest row stays ≤3 rounds old.
 # Every entry past the cap stays oracle-paired and is verified by
@@ -28,7 +30,6 @@ _DRIVER_VISIBLE_EXT = [
     "ext_langid_confusion",
     "ext_quality_scores",
     "ext_token_counts",
-    "ext_simhash_neardup",
     "ext_lsh_topk",
     "ext_approx_distinct",
 ]

@@ -1616,3 +1616,46 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             gfn.epoch_micros("last_ts") - gfn.epoch_micros("first_ts")
         ).cast("long").alias("total_active_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9b -- relevance-ORDERED search page: closes the one declared semantic
+# gap vs the reference's ES-score pagination (PublisherServiceImpl.java:98-99
+# pages hits by practical score; q9/serving substitute id order). The
+# integer tf*(1e6 DIV df) proxy makes the ranking engine-exact — see
+# operators/text.py:scored_search for the 100 TB plan shape.
+# ---------------------------------------------------------------------------
+_ANALYZE_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'([㐀-䶿一-鿿豈-﫿])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), t -> t != '')"
+)
+
+
+@_register(
+    "q9b_scored_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter({_ANALYZE_SQL}, t -> t = 'spark')) AS BIGINT) AS tf_0,
+               CAST(len(list_filter({_ANALYZE_SQL}, t -> t = 'join')) AS BIGINT) AS tf_1
+        FROM documents WHERE lang = '{SEARCH_LANG}'
+    ),
+    dfs AS (
+        SELECT CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(tf_0 * (1000000 // df_0) + tf_1 * (1000000 // df_1) AS BIGINT) AS score
+    FROM base, dfs
+    WHERE tf_0 > 0 AND tf_1 > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    "relevance-ordered search page (integer tf/df score, deterministic ties)",
+)
+def q9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.scored_search(
+        docs.filter(F.col("lang") == SEARCH_LANG), "text", SEARCH_KEYWORD, k=10
+    )

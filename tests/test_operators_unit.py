@@ -679,3 +679,43 @@ def test_decontamination_threshold_integer_arithmetic(spark):
     ).collect()[0]
     assert row.n_shingles == 10 and row.n_overlap == 1
     assert row.contaminated
+
+
+def test_scored_search_ranks_rare_terms_higher(spark):
+    """tf*(1e6 DIV df) ordering: a doc hitting the rarer term more
+    outranks one loaded with the common term; ties order by id asc;
+    non-AND-matching docs are excluded entirely."""
+    from sparkstreaming_gmall_demo_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join"),        # tf: 2/2
+            (2, "spark spark spark spark join"), # tf: 4/1 — common-term heavy
+            (3, "spark join join join join"),    # tf: 1/4 — rare-term heavy
+            (4, "spark only here"),              # missing 'join' → excluded
+            (5, "spark join"),                   # tf: 1/1
+            (6, "spark spark"),                  # excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = t.scored_search(docs, "text", "spark join", k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 4 not in ids and 6 not in ids
+    # df(spark)=6? no — df over ALL input rows: spark in 1,2,3,4,5,6 → 6;
+    # join in 1,2,3,5 → 4. w_spark=166666, w_join=250000.
+    by_id = {r.doc_id: r.score for r in rows}
+    assert by_id[1] == 2 * 166666 + 2 * 250000
+    assert by_id[3] == 1 * 166666 + 4 * 250000
+    # rare-term-heavy doc 3 beats common-term-heavy doc 2
+    assert by_id[3] > by_id[2]
+    assert ids == [r.doc_id for r in sorted(rows, key=lambda r: (-r.score, r.doc_id))]
+
+
+def test_scored_search_tie_breaks_on_id(spark):
+    from sparkstreaming_gmall_demo_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(9, "a b"), (3, "a b"), (7, "a b")], "doc_id long, text string"
+    )
+    ids = [r.doc_id for r in t.scored_search(docs, "text", "a b", k=3).collect()]
+    assert ids == [3, 7, 9]

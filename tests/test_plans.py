@@ -54,6 +54,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ext_ivf_topk",
         "ext_tfidf_topterms",
         "ext_corpus_mix",  # per-source frame x broadcast 1-row target
+        "q9b_scored_search",  # per-doc tf frame x broadcast 1-row dfs
     }
     for name in REGISTRY:
         if name in single_row_query_joins:
@@ -125,3 +126,20 @@ def test_curation_scans_documents_once(spark):
     are projections; only the dedup window and final agg shuffle)."""
     plan = plan_of(spark, "ext_corpus_curation")
     assert plan.count("Scan parquet") == 2  # tree + details = one scan
+
+
+def test_decontam_shuffles_counts_not_shingles(spark):
+    """Decontamination: exploded shingle strings must be consumed by
+    the map-side partial aggregate — never cross a shuffle. The only
+    exchange allowed to carry document text is the declared
+    fixture-spread repartition (single-file fixture -> one input
+    partition; a production scan splits naturally)."""
+    plan = plan_of(spark, "ext_decontamination")
+    shuffles = plan.split("Exchange hashpartitioning")[1:]
+    text_sections = 0
+    for section in shuffles:
+        head = section[:400]
+        assert "s#" not in head, "exploded shingles crossed a shuffle"
+        if "text#" in head:
+            text_sections += 1
+    assert text_sections <= 1, "text crossed more than the declared spread"
