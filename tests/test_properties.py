@@ -154,3 +154,73 @@ def test_interval_pairs_match_python_model(spark):
                 if 0 < us_b - us_a <= gap_us:
                     want.add((id_a, id_b))
     assert got == want
+
+
+def _py_shingles(text: str, n: int = 5) -> set:
+    sp = text.split(" ")
+    if len(sp) >= n:
+        return {" ".join(sp[i:i + n]) for i in range(len(sp) - n + 1)}
+    return {" ".join(sp)}
+
+
+def test_decontamination_matches_python_model_and_partitioning(spark):
+    """flag_contaminated == the pure-Python set model on a generated
+    corpus, and the result is invariant under input repartitioning
+    (1 vs 16 partitions) — the engine-portability contract."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    vocab = [f"w{i}" for i in range(30)]
+    eval_rows = [
+        (e, " ".join(vocab[(e * 3 + k) % 30] for k in range(12)))
+        for e in range(3)
+    ]
+    corpus_rows = []
+    for d in range(40):
+        base = " ".join(vocab[(d * 7 + k) % 30] for k in range(4 + d % 9))
+        if d % 4 == 0:  # plant a verbatim eval run
+            base += " " + eval_rows[d % 3][1]
+        corpus_rows.append((100 + d, base))
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    corpus_df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    eval_sh = set().union(*[_py_shingles(t) for _, t in eval_rows])
+    want = {}
+    for i, t in corpus_rows:
+        sh = _py_shingles(t)
+        ov = len(sh & eval_sh)
+        want[i] = (len(sh), ov, ov * 100 >= len(sh) * 10)
+
+    for parts in (1, 16):
+        got = {
+            r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+            for r in dc.flag_contaminated(
+                corpus_df.repartition(parts), eval_df, 5, 10
+            ).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+
+def test_scored_search_matches_python_model(spark):
+    """scored_search == the pure-Python integer tf/df model, including
+    rank order, on a corpus where term frequencies and rarities vary."""
+    from sparkstreaming_gmall_demo_spark.operators import text as t
+
+    rows = [
+        (i, ("alpha " * (1 + i % 4)) + ("beta " * (1 + (i * 3) % 5)) +
+            ("gamma " * (i % 2)))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame([(i, s.strip()) for i, s in rows],
+                               "doc_id long, text string")
+    toks = {i: s.strip().split(" ") for i, s in rows}
+    terms = ["alpha", "gamma"]
+    dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    scored = [
+        (i, sum(v.count(q) * (1_000_000 // dfreq[q]) for q in terms))
+        for i, v in toks.items()
+        if all(q in v for q in terms)
+    ]
+    want = sorted(scored, key=lambda r: (-r[1], r[0]))[:10]
+    got = [(r.doc_id, r.score)
+           for r in t.scored_search(df, "text", "alpha gamma", k=10).collect()]
+    assert got == want
