@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.fixtures import load_table
+from ..sources.fixtures import load_table, spread_fixture
 from ..operators import components as comp_ops
 from ..operators import decontam as decon_ops
 from ..operators import multimodal as mm_ops
@@ -600,7 +600,9 @@ def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pattern. The md5 of the scrubbed text pins the replacement
     byte-for-byte across engines — the patterns are restricted to the
     Java/RE2-identical subset for exactly this reason."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread_fixture: the triple regex count+replace is the per-row
+    # cost here; one input partition would serialize it on a core
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(f"text || {_PII_SUFFIX_SPARK}").alias("text")
     )
     scrubbed = text_ops.scrub_pii(docs, "text")
@@ -633,8 +635,9 @@ def ext_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-adjacent per-document quality filter: low distinct-token
     ratio / high repeated-bigram fraction flag boilerplate and
     generation loops (operators/text.py:repetition_score). Narrow
-    map-only pass; the oracle recomputes both ratios relationally."""
-    docs = load_table(spark, sf_dir, "documents")
+    map-only pass (spread_fixture for local parallelism); the oracle
+    recomputes both ratios relationally."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return (
         text_ops.repetition_score(docs, "text")
         .select("doc_id", "distinct_token_ratio", "repeated_bigram_frac")
@@ -1505,16 +1508,11 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature); corpus scoring is a narrow map + broadcast probe + one
     doc_id aggregation — the corpus text never shuffles. See
     operators/decontam.py for the 100 TB plan shape."""
-    # The fixture is ONE small parquet file -> one input partition, so
-    # BOTH shingle fan-outs (corpus probes and the eval dictionary)
-    # would serialize on a single core (measured 5.0 s vs ~1 s at
-    # sf0.1). The repartition is a fixture-shape correction, not part
-    # of the operator: a production corpus scan splits naturally
-    # (maxPartitionBytes), and flag_contaminated itself adds no
-    # shuffle beyond the per-doc aggregation.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # spread_fixture: both shingle fan-outs (corpus probes and the
+    # eval dictionary) would otherwise serialize on one core
+    # (measured 5.0 s -> 2.8 s at sf0.1). flag_contaminated itself
+    # adds no shuffle beyond the per-doc aggregation.
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     snips = eval_docs.select(
         F.col("doc_id").alias("e_id"),

@@ -91,6 +91,22 @@ def events_date_filter(df: DataFrame, date: str) -> Column:
     return (F.col("ts") >= lo) & (F.col("ts") < hi)
 
 
+def spread_fixture(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Redistribute a single-file fixture across the local cores.
+
+    Every driver fixture is ONE parquet file with ONE row group, so a
+    scan yields a single input partition and any CPU-heavy per-row
+    kernel (regex scrub, shingling, tokenization) serializes on one
+    core. This is a fixture-shape artifact, not a property of the
+    design — a production corpus scan splits by row group /
+    maxPartitionBytes — so the correction lives here, clearly named,
+    instead of as anonymous repartitions in query builds. The shuffle
+    it introduces moves only this fixture's megabytes; never use it on
+    a source that already has input parallelism.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in tables:
