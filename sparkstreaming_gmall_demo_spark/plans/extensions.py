@@ -125,7 +125,10 @@ def ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact token-set Jaccard near-duplicate pairs (bounded partition)",
 )
 def ext_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    # spread_fixture: posting-list build parallelizes (1.6 -> 0.8 s sf0.1)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang") == JACCARD_LANG
+    )
     return nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD).orderBy("i", "j")
 
 
@@ -157,7 +160,7 @@ def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word order matters), the exact counterpart of the MinHash scale
     path's shingle space. Same sparse posting-list plan as
     token_jaccard_pairs, over 2-gram shingles."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
     # bigram shingles have bounded frequencies, so the bucket-pair
