@@ -478,3 +478,42 @@ def session_pipeline(
         checkpoint,
         trigger,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus decontamination (beyond-reference: the stream-static
+# twin of operators/decontam.py for continuous corpus ingest)
+# ---------------------------------------------------------------------------
+def decontamination_pipeline(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    shingle_n: int = 5,
+    threshold_pct: int = 10,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Flag each arriving document's eval-set n-gram overlap as it is
+    ingested — the gate a continuously-fed training corpus runs before
+    a document ever lands in a training shard.
+
+    Stream-static shape: the eval dictionary is STATIC (benchmarks
+    change by release, not by batch) and every metric is per-document
+    against that dictionary, so the operator needs NO streaming state —
+    each micro-batch is an independent map + broadcast probe + per-doc
+    aggregate, and streaming output ≡ batch output on the same rows by
+    construction. The idempotent sink key (doc_id) makes replays
+    no-ops; contaminated docs are kept WITH their flag (filtering is
+    the consumer's policy decision, the gate only scores)."""
+    from ..operators import decontam as decon_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flags = decon_ops.flag_contaminated(
+            batch_df, eval_docs, shingle_n=shingle_n, threshold_pct=threshold_pct
+        )
+        idempotent_append(
+            flags, out_path, key_cols=["doc_id"], partition_cols=None,
+            batch_id=batch_id,
+        )
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

@@ -977,3 +977,54 @@ def test_sessionize_late_event_older_than_session_start(spark, tmp_path):
         ("m1", b + 10.0, b + 20.0, 2),
         ("m1", b + 100.0, b + 130.0, 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination: stream-static gate ≡ batch operator
+# ---------------------------------------------------------------------------
+def test_decontamination_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Documents replayed in 3 chunks through the stream-static gate
+    produce exactly the batch flag_contaminated rows — per-doc metrics
+    against a static dictionary need no cross-batch state, and a
+    replayed chunk is a no-op through the keyed sink."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    # stage the corpus as 3 parquet chunk files
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = table.num_rows
+    step = (n + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for _ in range(2):  # second pass replays all files -> sink no-ops
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+            .filter(F.col("doc_id") % 20 != 0)
+        )
+        q = pipelines.decontamination_pipeline(
+            stream, eval_docs, out, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in dc.flag_contaminated(corpus, eval_docs).collect()
+    }
+    assert got == want
