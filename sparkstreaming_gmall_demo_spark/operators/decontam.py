@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import tokens
 from .neardup import shingle_sets
 
 
@@ -69,5 +70,81 @@ def flag_contaminated(
         .withColumn(
             "contaminated",
             F.col("n_overlap") * 100 >= F.col("n_shingles") * F.lit(threshold_pct),
+        )
+    )
+
+
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    buffer_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping a flagged doc,
+    remove exactly the token spans covered by eval-set shingles (±
+    ``buffer_tokens``) and keep the rest — the published refinement
+    (PaLM/Llama data cards drop the contaminated span, not the
+    document) that preserves the uncontaminated majority of long docs.
+
+    Output per doc: n_tokens, n_removed, clean_text (tokens outside
+    every covered span, single-space joined). Docs shorter than one
+    shingle are never scrubbed — a sub-n-gram match is below the
+    evidence threshold by definition.
+
+    Plan shape: positional shingles (posexplode-style transform) probe
+    the broadcast dictionary exactly like flag_contaminated; hit
+    positions fan out to covered token indexes (span arithmetic on
+    ints, never text); ONE aggregation collects the covered-index set
+    per doc; the clean text is rebuilt by a narrow indexed filter over
+    the original token array. Text crosses no shuffle — only (doc_id,
+    index) pairs do.
+    """
+    evals = eval_shingle_dict(eval_docs, shingle_n, id_col, text_col)
+    toked = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    # 1-based shingle start positions: shingle p covers tokens [p, p+n-1]
+    pos_sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {shingle_n} THEN "
+                f"transform(sequence(1, size(toks) - {shingle_n - 1}), "
+                f"i -> struct(i AS p, concat_ws(' ', slice(toks, i, {shingle_n})) AS s)) "
+                f"ELSE array() END"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.p").alias("p"), F.col("e.s").alias("s"))
+    hits = pos_sh.join(F.broadcast(evals), "s")
+    hi = shingle_n - 1 + buffer_tokens
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(greatest(1, p - {buffer_tokens}), p + {hi})")
+            ).alias("ci"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ci").alias("covered"))
+    )
+    # indexes past the token count (buffered spans at the tail) never
+    # match a real token, so clipping happens implicitly below
+    return (
+        toked.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN covered IS NULL THEN CAST(0 AS BIGINT) ELSE "
+                "CAST(size(filter(covered, ci -> ci <= size(toks))) AS BIGINT) END"
+            ).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', transform(filter("
+                "  transform(toks, (t, i) -> struct(t AS t, i + 1 AS ix)),"
+                "  x -> covered IS NULL OR NOT array_contains(covered, x.ix)"
+                "), x -> x.t))"
+            ).alias("clean_text"),
         )
     )

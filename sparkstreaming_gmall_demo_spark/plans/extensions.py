@@ -1601,3 +1601,100 @@ def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (operators/decontam.py:scrub_contaminated_spans)
+# over the SAME planted corpus as ext_decontamination: remove exactly
+# the eval-covered token spans, keep the rest of the doc. n_removed and
+# the md5 of the rebuilt clean text pin the scrub byte-for-byte.
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_decontam_scrub",
+    f"""
+    WITH eval_docs AS (
+        SELECT doc_id AS e_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    snips AS (
+        SELECT e_id,
+               array_to_string((string_split(text, ' '))[1:{DECONTAM_SNIPPET_TOKENS}], ' ')
+                   AS snippet
+        FROM eval_docs
+    ),
+    corpus AS (
+        SELECT d.doc_id,
+               concat_ws(' ', d.text,
+                         CASE WHEN d.doc_id % 3 = 0 THEN s.snippet END) AS text
+        FROM documents d
+        LEFT JOIN snips s ON s.e_id = d.doc_id - d.doc_id % 20
+        WHERE d.doc_id % 20 <> 0
+    ),
+    toked AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+    eval_sh AS (
+        SELECT DISTINCT unnest(
+            CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE_N}
+                 THEN list_transform(
+                        range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE_N - 2}),
+                        i -> array_to_string((string_split(text, ' '))[i:i + {DECONTAM_SHINGLE_N - 1}], ' '))
+                 ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS s
+        FROM eval_docs
+    ),
+    pos_sh AS (
+        SELECT doc_id, i AS p,
+               array_to_string(sp[i:i + {DECONTAM_SHINGLE_N - 1}], ' ') AS s
+        FROM toked, unnest(range(1, len(sp) - {DECONTAM_SHINGLE_N - 2})) AS u(i)
+        WHERE len(sp) >= {DECONTAM_SHINGLE_N}
+    ),
+    hits AS (
+        SELECT DISTINCT ps.doc_id, ps.p FROM pos_sh ps JOIN eval_sh e ON ps.s = e.s
+    ),
+    cov AS (
+        SELECT DISTINCT h.doc_id, c.ci
+        FROM hits h, unnest(range(h.p, h.p + {DECONTAM_SHINGLE_N})) AS c(ci)
+    ),
+    agg AS (SELECT doc_id, list(ci) AS covered FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.sp) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(a.covered), 0) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+               list_filter(t.sp, (x, i) -> a.covered IS NULL
+                                           OR NOT list_contains(a.covered, i)),
+               ' '), '')) AS clean_md5
+    FROM toked t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    "span-level decontamination: remove eval-covered token spans, keep the doc",
+)
+def ext_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-shingle probe against the broadcast eval dictionary;
+    covered spans become (doc_id, index) int pairs — the only thing
+    that shuffles — and the clean text is rebuilt by an indexed filter
+    over the original token array (operators/decontam.py docstring for
+    the full 100 TB plan shape)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("e_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
+        ).alias("snippet"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
+        .join(F.broadcast(snips), "e_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
+            ).alias("text"),
+        )
+    )
+    scrubbed = decon_ops.scrub_contaminated_spans(
+        corpus, eval_docs, shingle_n=DECONTAM_SHINGLE_N
+    )
+    return scrubbed.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
+    ).orderBy("doc_id")

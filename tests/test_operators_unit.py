@@ -719,3 +719,45 @@ def test_scored_search_tie_breaks_on_id(spark):
     )
     ids = [r.doc_id for r in t.scored_search(docs, "text", "a b", k=3).collect()]
     assert ids == [3, 7, 9]
+
+
+def test_scrub_spans_removes_exact_cover(spark):
+    """Span scrub: covered tokens go, the rest stay in order; no-hit
+    and shorter-than-shingle docs pass through untouched; a fully
+    covered doc scrubs to empty."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    eval_docs = spark.createDataFrame([(1, "q w e r t")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "a b q w e r t c d"),
+            (11, "a b c d e f"),
+            (12, "q w e r t"),
+            (13, "q w e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dc.scrub_contaminated_spans(corpus, eval_docs).collect()}
+    assert (rows[10].clean_text, rows[10].n_removed) == ("a b c d", 5)
+    assert (rows[11].clean_text, rows[11].n_removed) == ("a b c d e f", 0)
+    assert (rows[12].clean_text, rows[12].n_removed) == ("", 5)
+    assert (rows[13].clean_text, rows[13].n_removed) == ("q w e", 0)
+
+
+def test_scrub_spans_buffer_extends_cover(spark):
+    """buffer_tokens widens every covered span on both sides, clipped
+    at the document edges (n_removed counts only real tokens)."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    eval_docs = spark.createDataFrame([(1, "q w e r t")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "a b q w e r t c d"), (12, "q w e r t")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in dc.scrub_contaminated_spans(
+            corpus, eval_docs, buffer_tokens=1
+        ).collect()
+    }
+    assert (rows[10].clean_text, rows[10].n_removed) == ("a d", 7)
+    assert (rows[12].clean_text, rows[12].n_removed) == ("", 5)  # edge-clipped
