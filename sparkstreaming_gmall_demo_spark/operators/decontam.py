@@ -148,3 +148,42 @@ def scrub_contaminated_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-benchmark-item leak audit: for every eval document, how many
+    corpus documents share at least one of its shingles and how many
+    distinct (corpus doc, shingle) matches point at it — the report a
+    data team reads to decide whether a benchmark is burned before
+    trusting its scores.
+
+    The dictionary keeps provenance here — (eval id, shingle), still
+    broadcast-sized — and a shingle appearing in several eval docs
+    credits each of them (it contaminates every one). Same plan shape
+    as flag_contaminated; the aggregation key flips from corpus doc to
+    eval doc. Eval-doc count is benchmark-sized, so the final agg is
+    tiny; no skew because hot shingles are bounded by the dictionary's
+    own distinctness per eval doc.
+    """
+    evals = (
+        shingle_sets(eval_docs, shingle_n, id_col, text_col)
+        .select(F.col("doc_id").alias("e_id"), F.explode("toks").alias("s"))
+        .distinct()
+    )
+    probes = shingle_sets(corpus, shingle_n, id_col, text_col).select(
+        "doc_id", F.explode("toks").alias("s")
+    )
+    return (
+        probes.join(F.broadcast(evals), "s")
+        .groupBy("e_id")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs_hit"),
+            F.count("*").alias("n_shingle_hits"),
+        )
+    )

@@ -1698,3 +1698,89 @@ def ext_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrubbed.select(
         "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_md5")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Contamination audit report: the per-benchmark-item view of the same
+# planted corpus — which eval docs are leaked, how many corpus docs
+# carry them, and how many shingle matches point at each.
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_contamination_report",
+    f"""
+    WITH eval_docs AS (
+        SELECT doc_id AS e_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    snips AS (
+        SELECT e_id,
+               array_to_string((string_split(text, ' '))[1:{DECONTAM_SNIPPET_TOKENS}], ' ')
+                   AS snippet
+        FROM eval_docs
+    ),
+    corpus AS (
+        SELECT d.doc_id,
+               concat_ws(' ', d.text,
+                         CASE WHEN d.doc_id % 3 = 0 THEN s.snippet END) AS text
+        FROM documents d
+        LEFT JOIN snips s ON s.e_id = d.doc_id - d.doc_id % 20
+        WHERE d.doc_id % 20 <> 0
+    ),
+    eval_sh AS (
+        SELECT DISTINCT e_id, unnest(
+            CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE_N}
+                 THEN list_transform(
+                        range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE_N - 2}),
+                        i -> array_to_string((string_split(text, ' '))[i:i + {DECONTAM_SHINGLE_N - 1}], ' '))
+                 ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS s
+        FROM eval_docs
+    ),
+    corpus_sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split(text, ' ')) >= {DECONTAM_SHINGLE_N}
+                 THEN list_transform(
+                        range(1, len(string_split(text, ' ')) - {DECONTAM_SHINGLE_N - 2}),
+                        i -> array_to_string((string_split(text, ' '))[i:i + {DECONTAM_SHINGLE_N - 1}], ' '))
+                 ELSE [array_to_string(string_split(text, ' '), ' ')] END)) AS s
+        FROM corpus
+    )
+    SELECT e.e_id,
+           count(DISTINCT c.doc_id) AS n_docs_hit,
+           count(*) AS n_shingle_hits
+    FROM corpus_sh c JOIN eval_sh e ON c.s = e.s
+    GROUP BY e.e_id ORDER BY e.e_id
+    """,
+    "contamination audit: per-benchmark-item leak counts over the planted corpus",
+)
+def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same broadcast-dictionary probe as ext_decontamination with the
+    aggregation flipped to the eval id (operators/decontam.py:
+    contamination_report). The report is benchmark-sized output — the
+    natural daily audit artifact at 100 TB."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("e_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
+        ).alias("snippet"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
+        .join(F.broadcast(snips), "e_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
+            ).alias("text"),
+        )
+    )
+    return (
+        decon_ops.contamination_report(
+            corpus, eval_docs, shingle_n=DECONTAM_SHINGLE_N
+        )
+        .select("e_id", "n_docs_hit", "n_shingle_hits")
+        .orderBy("e_id")
+    )

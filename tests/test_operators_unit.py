@@ -761,3 +761,26 @@ def test_scrub_spans_buffer_extends_cover(spark):
     }
     assert (rows[10].clean_text, rows[10].n_removed) == ("a d", 7)
     assert (rows[12].clean_text, rows[12].n_removed) == ("", 5)  # edge-clipped
+
+
+def test_contamination_report_credits_every_leaked_eval_doc(spark):
+    """The audit flips the aggregation to the eval id: each eval doc
+    counts the corpus docs sharing any of its shingles; a shingle in
+    two eval docs credits both; clean eval docs produce no row."""
+    from sparkstreaming_gmall_demo_spark.operators import decontam as dc
+
+    eval_docs = spark.createDataFrame(
+        [(1, "q w e r t"), (2, "q w e r t z"), (3, "n o t h e r e x y")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a q w e r t b"), (11, "c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = {r.e_id: (r.n_docs_hit, r.n_shingle_hits)
+            for r in dc.contamination_report(corpus, eval_docs).collect()}
+    # doc 10 carries 'q w e r t' -> hits eval 1 (its only shingle) and
+    # eval 2 (which also contains that 5-gram); eval 3 is clean
+    assert rows[1] == (1, 1)
+    assert rows[2] == (1, 1)
+    assert 3 not in rows
