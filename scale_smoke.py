@@ -1,0 +1,111 @@
+"""10x scale smoke: amplify the sf0.1 fixtures in memory and run the
+shuffle-heaviest operators — the empirical answer to "would this plan
+survive a scale-up" that plan inspection alone can't give.
+
+Amplification is union-with-key-offset: copy c shifts every key by
+c * 10^9, so key cardinality grows 10x (realistic — more users, more
+docs) while per-key row counts stay constant (sessions/windows don't
+degenerate). Documents additionally keep their text VERBATIM in every
+copy: a corpus where every doc has 10 exact near-duplicates is
+precisely the hot-bucket regime the MinHash salting cap
+(operators/neardup.py:_bucket_pairs) exists for, so minhash here
+stress-tests the skew bound, not just throughput.
+
+Prints ONE JSON line: per-operator wall seconds at 1x and 10x and the
+scale factor ratio. A healthy linear-ish operator lands well under
+ratio 20 (10x data, 32 fixed cores, some shuffle superlinearity);
+a quadratic or hot-key-collapsed plan blows past it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
+from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
+from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
+from sparkstreaming_gmall_demo_spark.session import get_spark
+from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table, spread_fixture
+
+COPIES = 10
+OFF = 10**9
+
+
+def amplify(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
+    out = None
+    for c in range(copies):
+        part = df
+        for k in key_cols:
+            part = part.withColumn(k, F.col(k) + F.lit(c * OFF))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def timed(label: str, build, results: dict) -> None:
+    # warm pass first: JVM/codegen/broadcast warm-up must not inflate
+    # the 1x denominator (it made 10x sessionize look FASTER than 1x)
+    build().collect()
+    t0 = time.perf_counter()
+    build().collect()
+    results[label] = round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("gmall-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events1 = spread_fixture(load_table(spark, sf_dir, "events"), "event_id")
+    docs1 = spread_fixture(load_table(spark, sf_dir, "documents"))
+    events10 = amplify(events1, ["event_id", "user_id"], COPIES)
+    docs10 = amplify(docs1, ["doc_id"], COPIES)
+
+    runs = {}
+    for tag, ev, dc in (("1x", events1, docs1), ("10x", events10, docs10)):
+        r: dict[str, float] = {}
+        # sessionization: window shuffle+sort over 10x keys
+        timed("sessionize", lambda: (
+            sess_ops.session_stats(ev, "user_id", "ts", 1800, tiebreak="event_id")
+            .agg(F.count("*").alias("n"), F.sum("n_events").alias("e"))
+        ), r)
+        # range self-join: bucketed equi-join, pair fan-out
+        timed("range_join", lambda: (
+            rj_ops.interval_self_pairs(ev, "user_id", "ts", 300,
+                                       payload_cols=["event_type"])
+            .groupBy("a_event_type").count()
+        ), r)
+        # minhash near-dup: at 10x every doc has 9 exact twins ->
+        # hot-bucket salting cap must hold the pair blowup
+        timed("minhash", lambda: (
+            nd_ops.minhash_near_duplicates(dc, 0.8)
+            .agg(F.count("*").alias("pairs"))
+        ), r)
+        # distinct + windowed agg (DAU/GMV shape)
+        timed("daily_distinct", lambda: (
+            ev.groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count_distinct("user_id").alias("u"))
+        ), r)
+        runs[tag] = r
+
+    ratios = {k: round(runs["10x"][k] / runs["1x"][k], 1) for k in runs["1x"]}
+    print(json.dumps({
+        "metric": "scale_smoke_10x_ratio",
+        "copies": COPIES,
+        "sec_1x": runs["1x"],
+        "sec_10x": runs["10x"],
+        "ratio": ratios,
+        "max_ratio": max(ratios.values()),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
