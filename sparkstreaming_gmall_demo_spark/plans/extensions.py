@@ -1459,6 +1459,35 @@ DECONTAM_SHINGLE_N = 5
 DECONTAM_THRESHOLD_PCT = 10
 
 
+def _planted_decontam_corpus(spark: SparkSession, sf_dir: str):
+    """Shared fixture augmentation for the decontamination family:
+    (corpus, eval_docs) per the plant rule above. spread_fixture
+    because both shingle fan-outs would otherwise serialize on one
+    core (measured 5.0 s -> 2.8 s at sf0.1)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("e_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
+        ).alias("snippet"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
+        .join(F.broadcast(snips), "e_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
+            ).alias("text"),
+        )
+    )
+    return corpus, eval_docs
+
+
 @_register(
     "ext_decontamination",
     f"""
@@ -1511,31 +1540,7 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature); corpus scoring is a narrow map + broadcast probe + one
     doc_id aggregation — the corpus text never shuffles. See
     operators/decontam.py for the 100 TB plan shape."""
-    # spread_fixture: both shingle fan-outs (corpus probes and the
-    # eval dictionary) would otherwise serialize on one core
-    # (measured 5.0 s -> 2.8 s at sf0.1). flag_contaminated itself
-    # adds no shuffle beyond the per-doc aggregation.
-    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
-    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    snips = eval_docs.select(
-        F.col("doc_id").alias("e_id"),
-        F.array_join(
-            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
-        ).alias("snippet"),
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") % 20 != 0)
-        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
-        .join(F.broadcast(snips), "e_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("text"),
-                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
-            ).alias("text"),
-        )
-    )
+    corpus, eval_docs = _planted_decontam_corpus(spark, sf_dir)
     return decon_ops.flag_contaminated(
         corpus, eval_docs,
         shingle_n=DECONTAM_SHINGLE_N,
@@ -1671,27 +1676,7 @@ def ext_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shuffles — and the clean text is rebuilt by an indexed filter
     over the original token array (operators/decontam.py docstring for
     the full 100 TB plan shape)."""
-    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
-    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    snips = eval_docs.select(
-        F.col("doc_id").alias("e_id"),
-        F.array_join(
-            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
-        ).alias("snippet"),
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") % 20 != 0)
-        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
-        .join(F.broadcast(snips), "e_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("text"),
-                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
-            ).alias("text"),
-        )
-    )
+    corpus, eval_docs = _planted_decontam_corpus(spark, sf_dir)
     scrubbed = decon_ops.scrub_contaminated_spans(
         corpus, eval_docs, shingle_n=DECONTAM_SHINGLE_N
     )
@@ -1756,27 +1741,7 @@ def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation flipped to the eval id (operators/decontam.py:
     contamination_report). The report is benchmark-sized output — the
     natural daily audit artifact at 100 TB."""
-    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
-    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    snips = eval_docs.select(
-        F.col("doc_id").alias("e_id"),
-        F.array_join(
-            F.slice(F.split("text", " "), 1, DECONTAM_SNIPPET_TOKENS), " "
-        ).alias("snippet"),
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") % 20 != 0)
-        .withColumn("e_id", F.col("doc_id") - F.col("doc_id") % 20)
-        .join(F.broadcast(snips), "e_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("text"),
-                F.when(F.col("doc_id") % 3 == 0, F.col("snippet")),
-            ).alias("text"),
-        )
-    )
+    corpus, eval_docs = _planted_decontam_corpus(spark, sf_dir)
     return (
         decon_ops.contamination_report(
             corpus, eval_docs, shingle_n=DECONTAM_SHINGLE_N
