@@ -114,8 +114,36 @@ def keyword_and_match(col, keyword: str):
     return cond if cond is not None else F.lit(True)
 
 
+def _relevance_score(day: DataFrame, text_col: str, keyword: str):
+    """Integer tf×(1e6 DIV df) relevance of ``text_col`` vs the
+    analyzed keyword (operators/text.py:scored_search semantics).
+    Document frequencies are computed over ``day`` — the searchable
+    index, mirroring ES idf over the index rather than the hit set —
+    and arrive as one broadcast 1-row aggregate."""
+    from .operators.text import analyze, analyze_keyword
+
+    terms = analyze_keyword(keyword)
+    toks = analyze(F.col(text_col))
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    dfs = day.agg(
+        *[
+            F.sum((_tf(t) > 0).cast("long")).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = None
+    for i, t in enumerate(terms):
+        part = _tf(t).cast("long") * F.expr(f"1000000 DIV _df_{i}")
+        score = part if score is None else score + part
+    return dfs, score.cast("long")
+
+
 def sale_detail(
-    sale: DataFrame, date: str, keyword: str, startpage: int, size: int
+    sale: DataFrame, date: str, keyword: str, startpage: int, size: int,
+    order: str = "id",
 ) -> dict:
     """{"total": N, "stat": [age stat, gender stat], "detail": rows}.
 
@@ -124,11 +152,18 @@ def sale_detail(
     Spark analog of ES computing hits + aggs in one pass
     (PublisherServiceImpl.java:82-108).
 
-    Pagination upgrades ES from/size (relevance-ordered, unstable) to a
-    deterministic ORDER BY sale_detail_id (SURVEY §2.8 O2).
+    ``order="id"`` pages by a deterministic ORDER BY sale_detail_id
+    (SURVEY §2.8 O2). ``order="score"`` restores the reference's
+    relevance-ORDERED page (PublisherServiceImpl.java:98-99 pages ES
+    practical-score order) via the engine-exact integer tf/df proxy,
+    ties broken by sale_detail_id — same rank semantics, reproducible
+    across engines and partitionings.
     """
-    filtered = sale.filter(
-        (F.col("dt") == F.lit(date)) & keyword_and_match(F.col("sku_name"), keyword)
+    if order not in ("id", "score"):
+        raise ValueError(f"order must be 'id' or 'score', got {order!r}")
+    day = sale.filter(F.col("dt") == F.lit(date))
+    filtered = day.filter(
+        keyword_and_match(F.col("sku_name"), keyword)
     ).persist()
     try:
         total = filtered.count()
@@ -169,11 +204,17 @@ def sale_detail(
         ]
 
         start = (startpage - 1) * size  # Impl.java:98
-        page = (
-            filtered.orderBy("sale_detail_id")
-            .offset(start)
-            .limit(size)
-        )
+        if order == "score":
+            dfs, score = _relevance_score(day, "sku_name", keyword)
+            ordered = (
+                filtered.crossJoin(F.broadcast(dfs))
+                .withColumn("_score", score)
+                .orderBy(F.col("_score").desc(), F.col("sale_detail_id").asc())
+                .drop(*[c for c in dfs.columns], "_score")
+            )
+        else:
+            ordered = filtered.orderBy("sale_detail_id")
+        page = ordered.offset(start).limit(size)
         detail = [r.asDict() for r in page.collect()]
     finally:
         filtered.unpersist()

@@ -121,3 +121,43 @@ def test_sale_detail_empty_result(sale_table):
     got = serving.sale_detail(sale_table, "2023-11-14", "nonexistent-kw", 1, 5)
     assert got["total"] == 0 and got["detail"] == []
     assert [o["value"] for o in got["stat"][1]["options"]] == [0.0, 100.0]
+
+
+def test_sale_detail_score_order_ranks_by_relevance(spark):
+    """order="score": rows with more keyword-term occurrences (weighted
+    by rarity over the day's index) page first; ties fall back to
+    sale_detail_id; the hit SET equals the id-ordered variant's."""
+    rows = [
+        # widget appears in all 4 (common); red in 2 (rare -> heavier)
+        ("d0", "2023-11-14", "widget red red", 10, "M"),     # tf r=2
+        ("d1", "2023-11-14", "widget widget red", 20, "F"),  # tf r=1, w=2
+        ("d2", "2023-11-14", "widget red", 30, "M"),         # tf 1/1
+        ("d3", "2023-11-14", "widget blue", 40, "F"),        # no 'red' -> excluded
+    ]
+    sale = spark.createDataFrame(
+        rows, ["sale_detail_id", "dt", "sku_name", "user_age", "user_gender"]
+    ).withColumn("dt", F.to_date("dt"))
+    got = serving.sale_detail(sale, "2023-11-14", "widget red", 1, 10, order="score")
+    ids = [d["sale_detail_id"] for d in got["detail"]]
+    # df(widget)=4 -> w=250000; df(red)=3 -> w=333333
+    # d0: 1*250000+2*333333 = 916666 ; d1: 2*250000+1*333333 = 833333
+    # d2: 250000+333333 = 583333
+    assert ids == ["d0", "d1", "d2"]
+    by_id = serving.sale_detail(sale, "2023-11-14", "widget red", 1, 10)
+    assert sorted(ids) == sorted(d["sale_detail_id"] for d in by_id["detail"])
+    assert got["total"] == by_id["total"] == 3
+    # score column must not leak into the envelope
+    assert "_score" not in got["detail"][0]
+
+
+def test_sale_detail_score_order_tie_breaks_on_id(spark):
+    """Equal-score hits (identical sku_name token profile) keep the
+    deterministic id order within and across pages."""
+    rows = [(f"d{9 - i}", "2023-11-14", "widget red", 20, "M") for i in range(6)]
+    sale = spark.createDataFrame(
+        rows, ["sale_detail_id", "dt", "sku_name", "user_age", "user_gender"]
+    ).withColumn("dt", F.to_date("dt"))
+    p1 = serving.sale_detail(sale, "2023-11-14", "widget red", 1, 4, order="score")
+    p2 = serving.sale_detail(sale, "2023-11-14", "widget red", 2, 4, order="score")
+    ids = [d["sale_detail_id"] for d in p1["detail"] + p2["detail"]]
+    assert ids == ["d4", "d5", "d6", "d7", "d8", "d9"]
