@@ -14,8 +14,11 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #   also re-measures under the r3 bench_build split). Only 12 ext
 #   slots this round: the new core q9b_scored_search takes the 38th
 #   core seat and gets its first driver row.
-# The 11 r3-green entries rotate out; remaining r2-only greens take
-# the window in r5 so every entry's latest row stays ≤3 rounds old.
+# The 11 r3-green entries rotate out. R5 window should seat: the 4
+# round-4 entries without a driver row yet (ext_decontamination,
+# ext_corpus_mix, ext_decontam_scrub, ext_contamination_report) plus
+# the remaining r2-only greens, so every entry's latest row stays ≤3
+# rounds old.
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.

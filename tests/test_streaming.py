@@ -1028,3 +1028,42 @@ def test_decontamination_streaming_equals_batch(spark, sf_dir, tmp_path):
         for r in dc.flag_contaminated(corpus, eval_docs).collect()
     }
     assert got == want
+
+
+def test_deterministic_sample_is_stream_batch_identical(spark, sf_dir, tmp_path):
+    """Deterministic md5 sampling is a stateless pure-function filter,
+    so it selects the EXACT same rows on a stream as on the batch —
+    the property that makes train/eval membership stable when a corpus
+    arrives incrementally (df.sample() cannot promise this across
+    batch boundaries or reruns)."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import sampling as samp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r.doc_id for r in samp.deterministic_sample(docs, "doc_id", 0.3).collect()}
+
+    topic = tmp_path / "docs"
+    topic.mkdir()
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    sampled = samp.deterministic_sample(stream, "doc_id", 0.3).select("doc_id")
+    q = (
+        sampled.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want
