@@ -29,6 +29,7 @@ from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
 from ..operators import sampling as samp_ops
+from ..operators import scd2 as scd2_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from .registry import _bench, _register
@@ -1748,4 +1749,53 @@ def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e_id", "n_docs_hit", "n_shingle_hits")
         .orderBy("e_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (operators/scd2.py): the engine's answer to
+# "what was the value when the fact happened" — the reference keeps
+# dims LWW-only (K4). Observations: each order observes its customer's
+# priority; history collapses runs and closes validity intervals.
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_scd2_history",
+    """
+    WITH obs AS (
+        SELECT o_custkey AS cust, o_orderdate AS ts,
+               o_orderpriority AS priority, o_orderkey AS k
+        FROM orders WHERE o_custkey % 100 = 0
+    ),
+    marked AS (
+        SELECT cust, ts, priority, k,
+               (lag(priority) OVER w IS NULL
+                OR lag(priority) OVER w <> priority) AS changed
+        FROM obs WINDOW w AS (PARTITION BY cust ORDER BY ts, k)
+    ),
+    vers AS (SELECT cust, priority, ts, k FROM marked WHERE changed),
+    hist AS (
+        SELECT cust, priority, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY cust ORDER BY ts, k) AS valid_to
+        FROM vers
+    )
+    SELECT cust, priority, valid_from, valid_to
+    FROM hist ORDER BY cust, valid_from
+    """,
+    "SCD2 dimension history: validity-interval versions of customer priority",
+)
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle builds the whole history (lag change-detection and
+    lead interval-close share the key partitioning + sort — pinned by
+    test_scd2_single_shuffle). Composes with asof_lookup for
+    point-in-time-correct fact enrichment."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.filter(F.col("o_custkey") % 100 == 0).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return (
+        scd2_ops.scd2_history(obs, "cust", "ts", ["priority"], tiebreak="k")
+        .orderBy("cust", "valid_from")
     )

@@ -784,3 +784,74 @@ def test_contamination_report_credits_every_leaked_eval_doc(spark):
     assert rows[1] == (1, 1)
     assert rows[2] == (1, 1)
     assert 3 not in rows
+
+
+def test_scd2_history_collapses_runs_and_closes_intervals(spark):
+    """Consecutive equal observations collapse into one version; a
+    change opens a new version and closes the previous one at the
+    change instant; the current version stays open (NULL valid_to)."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2
+
+    obs = spark.createDataFrame(
+        [
+            (1, 10, "gold"), (1, 20, "gold"),      # run -> one version
+            (1, 30, "silver"),                      # change
+            (1, 40, "gold"),                        # back again -> NEW version
+            (2, 15, "bronze"),                      # single-version key
+        ],
+        "cust long, ts long, tier string",
+    )
+    rows = sorted(
+        (
+            (r.cust, r.tier, r.valid_from, r.valid_to)
+            for r in scd2.scd2_history(obs, "cust", "ts", ["tier"]).collect()
+        )
+    )
+    assert rows == [
+        (1, "gold", 10, 30),
+        (1, "gold", 40, None),
+        (1, "silver", 30, 40),
+        (2, "bronze", 15, None),
+    ]
+
+
+def test_scd2_asof_lookup_is_point_in_time_correct(spark):
+    """Facts pick the version valid AT their timestamp — not the
+    current one (the LWW trap SCD2 exists to fix); facts before the
+    first version or for unknown keys get NULL attributes."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2
+
+    obs = spark.createDataFrame(
+        [(1, 10, "gold"), (1, 30, "silver")], "cust long, ts long, tier string"
+    )
+    hist = scd2.scd2_history(obs, "cust", "ts", ["tier"])
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 29), (1, 30), (1, 99), (7, 50)],
+        "cust long, ts long",
+    )
+    got = {
+        (r.cust, r.ts): r.tier
+        for r in scd2.asof_lookup(hist, facts, "cust", "ts").collect()
+    }
+    assert got == {
+        (1, 5): None,        # before first version
+        (1, 10): "gold",     # inclusive lower bound
+        (1, 29): "gold",
+        (1, 30): "silver",   # exclusive upper bound of the old version
+        (1, 99): "silver",   # open current version
+        (7, 50): None,       # unknown key
+    }
+
+
+def test_scd2_single_shuffle(spark):
+    """The history build must plan ONE Exchange: change detection and
+    interval close share the key partitioning and sort."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2
+
+    obs = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "cust long, ts long, tier string"
+    )
+    plan = scd2.scd2_history(obs, "cust", "ts", ["tier"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # tree + details sections
