@@ -69,3 +69,40 @@ def exact_duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str) -> D
         .filter(F.col("dup_count") > 1)
         .drop("__h")
     )
+
+
+def fingerprint_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persistable corpus fingerprint index: distinct
+    ``md5(lower(text))`` digests. 32-char strings — narrow enough to
+    shuffle, persist (e.g. via streaming/txn.py merge_keyed) and probe
+    for years of incremental ingest without ever re-reading the corpus
+    text that produced them."""
+    return (
+        df.select(F.md5(F.lower(F.col(text_col))).alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+    )
+
+
+def novel_against_index(
+    df: DataFrame, index: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental dedup: keep only rows whose content fingerprint is
+    NOT in the existing corpus index — the "what is actually new in
+    today's crawl" gate every continuously-ingesting training-data
+    pipeline runs before anything else.
+
+    A left-anti hash join on the 32-char digest: the batch side
+    computes fingerprints map-side and only digests shuffle, never
+    text. At 100 TB of history the index is still only ~32 bytes per
+    unique document; bucket/partition the persisted index by a
+    fingerprint prefix and the probe co-partitions without a full
+    shuffle of the index side. Adds the ``fingerprint`` column so the
+    caller can append the survivors straight back into the index
+    (see streaming.pipelines.novelty_gate_pipeline for the streaming
+    form of exactly that loop)."""
+    fp = df.withColumn("fingerprint", F.md5(F.lower(F.col(text_col))))
+    return fp.join(
+        index.select("fingerprint").dropDuplicates(["fingerprint"]),
+        on="fingerprint",
+        how="left_anti",
+    )

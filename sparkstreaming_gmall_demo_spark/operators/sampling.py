@@ -109,3 +109,43 @@ def assign_split(key, splits: dict[str, float], salt: str = "") -> Column:
     for name, cut in reversed(cutoffs[:-1]):
         expr = F.when(digest < cut, F.lit(name)).otherwise(expr)
     return expr
+
+
+def weighted_priority(key, weight, salt: str = "") -> Column:
+    """Efraimidis–Spirakis A-Res priority: ln(u) / w with u drawn
+    deterministically from the key's md5 digest (u = (v + 0.5) / 16^8
+    over the first 8 hex chars — the +0.5 keeps u strictly inside
+    (0, 1)). Selecting the TOP-k by this priority is exactly weighted
+    sampling without replacement with inclusion probability
+    proportional to ``weight`` — and because u is a pure function of
+    (key, salt), the selected set is identical on every run, engine,
+    and partitioning, like every sampler in this module.
+
+    Oracle form (DuckDB): ``ln((CAST(concat('0x', substr(md5(k || salt),
+    1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / w`` — Spark's
+    ``conv(hex, 16, 10)`` and DuckDB's 0x-cast agree on the integer, and
+    both engines' IEEE-double ln/divide agree far beyond the 4dp the
+    declared outputs round to. Priorities are <= 0; LARGER (closer to
+    zero) wins, matching max u^(1/w)."""
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    v = F.conv(_digest(key, salt), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(_SPACE))
+    return F.log(u) / weight.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Top-k rows by A-Res priority (deterministic weighted sampling
+    without replacement; heavier rows proportionally likelier). Ties
+    break on the key for full determinism. Plans as
+    TakeOrderedAndProject — no global sort materialization, no RNG:
+    the 100 TB story is a single narrow map plus a top-k reduce."""
+    pr = weighted_priority(key, weight, salt)
+    return (
+        df.withColumn("_priority", pr)
+        .orderBy(F.desc("_priority"), F.asc(key))
+        .limit(k)
+        .drop("_priority")
+    )

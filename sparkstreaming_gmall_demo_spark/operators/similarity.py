@@ -364,3 +364,98 @@ def cosine_neardup_pairs(
         F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped: quantize to a codebook, dedup
+# within cells — Abbas et al. 2023, "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication")
+# ---------------------------------------------------------------------------
+def train_label_codebook(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic codebook: the per-label mean vector, ordered by
+    label ascending -> [(label, centroid), ...]. One distributed pass
+    (posexplode + groupBy(label, dim) avg); the result is k x dim
+    doubles on the driver — broadcast-literal material, like ivf_train.
+    Unlike ivf_train's hash-seeded k-means this codebook is exactly
+    reproducible in ANSI SQL, so semantic dedup keeps a full DuckDB
+    oracle."""
+    rows = (
+        embeddings.select(label_col, F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(label_col, "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(F.col(label_col).alias("lbl"), F.col("dm.m").alias("centroid"))
+        .orderBy("lbl")
+        .collect()
+    )
+    return [(r.lbl, _to_double_list(r.centroid)) for r in rows]
+
+
+def assign_codebook(
+    embeddings: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cluster`` column: the LABEL of the nearest codebook
+    centroid by squared L2 (ties -> lowest label; labels are sorted in
+    the codebook so argmin index order == label order). Narrow map
+    against broadcast-literal centroids — no join, no shuffle; a vector
+    may land on a different label than its own (that's quantization)."""
+    cents = [c for _, c in codebook]
+    labels = F.array(*[F.lit(int(l)) for l, _ in codebook])
+    return embeddings.withColumn("_cents", _centroid_literal(cents)).withColumn(
+        "cluster", F.element_at(labels, _assign_expr(vec_col, cents) + 1)
+    ).drop("_cents")
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs (i < j, cosine >= threshold,
+    4dp-rounded for engine portability). The O(n^2) is confined to a
+    codebook cell — the SemDeDup bargain: at 100 TB the codebook grows
+    (more cells, ~sqrt scaling per cell) and the hot-cell salting cap
+    bounds the worst case exactly like MinHash buckets."""
+    from .neardup import DEFAULT_MAX_BUCKET, _bucket_pairs
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    banded = assigned.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.lit(0).alias("band"),
+        F.col("cluster").alias("bh"),
+    )
+    pairs = _bucket_pairs(
+        banded, [F.col("vid"), F.col("v")], max_bucket=max_bucket
+    ).select(
+        F.col("p.x.vid").alias("i"),
+        F.col("p.y.vid").alias("j"),
+        F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup_keep(
+    assigned: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Keep-canonical selection: drop a vector iff some LOWER-id vector
+    in the same cell is cosine-similar to it (j of any qualifying pair
+    — min-id-wins, the same canonical rule as the fingerprint dedup
+    family). Anti-join on the pair's higher id; adds boolean ``kept``."""
+    dropped = pairs.select(F.col("j").alias(id_col)).distinct()
+    return assigned.join(dropped.withColumn("_drop", F.lit(True)),
+                         on=id_col, how="left").withColumn(
+        "kept", F.col("_drop").isNull()
+    ).drop("_drop")

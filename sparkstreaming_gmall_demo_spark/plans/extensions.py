@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..sources.fixtures import load_table, spread_fixture
 from ..operators import components as comp_ops
 from ..operators import decontam as decon_ops
+from ..operators import dedup as dedup_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
@@ -32,6 +33,7 @@ from ..operators import sampling as samp_ops
 from ..operators import scd2 as scd2_ops
 from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
+from ..operators import vocab as vocab_ops
 from .registry import _bench, _register
 
 JACCARD_LANG = "de"
@@ -1799,3 +1801,308 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_ops.scd2_history(obs, "cust", "ts", ["priority"], tiebreak="k")
         .orderBy("cust", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 family: tokenizer/vocab, LM-based quality, semantic dedup,
+# weighted corpus sampling, incremental ingest dedup
+# ---------------------------------------------------------------------------
+VOCAB_TOP_N = 64
+WEIGHTED_K = 50
+WEIGHTED_SALT = "mix_v1"
+INCR_BASE_FRACTION = 0.8
+INCR_SALT = "corpus_v1"
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_PLANT_EVERY = 50
+SEMDEDUP_PLANT_OFFSET = 10_000_000
+
+
+@_register(
+    "ext_vocab_build",
+    f"""
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INTEGER)
+               AS token_id,
+           token, cnt
+    FROM (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    )
+    ORDER BY cnt DESC, token ASC
+    LIMIT {VOCAB_TOP_N}
+    """,
+    "frequency-ordered corpus vocabulary with contiguous token ids",
+)
+def ext_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-building step: corpus token counts -> top-N by
+    (cnt DESC, token ASC) -> contiguous ids. Counting partial-aggregates
+    map-side; selection is TakeOrderedAndProject; the row_number window
+    orders N rows, never the corpus (operators/vocab.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_ops.vocab_build(docs, top_n=VOCAB_TOP_N).orderBy("token_id")
+
+
+@_register(
+    "ext_unigram_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {VOCAB_TOP_N}
+    ),
+    corpus AS (
+        SELECT count(*) AS total, (SELECT count(*) FROM vocab) AS v FROM toks
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               -ln((coalesce(w.cnt, 0) + 1.0) / (c.total + c.v + 1.0)) AS s
+        FROM toks t LEFT JOIN vocab w ON t.token = w.token, corpus c
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, count(*) AS n_tokens, avg(s) AS surprisal
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(surprisal), 4) AS avg_surprisal,
+           round(max(surprisal), 4) AS max_surprisal
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "per-language mean unigram surprisal under the corpus LM (quality signal)",
+)
+def ext_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scored by avg -ln p(token) under the add-one-smoothed
+    corpus unigram LM restricted to the top-N vocabulary — the cheap
+    LM-quality filter (high surprisal = off-distribution text). The
+    vocab is a broadcast (bounded at top-N + OOV fallback), so the
+    scoring pass never shuffles text (operators/vocab.py). The two
+    driver-side scalars (total token count, realized vocab size) are
+    one tiny aggregate action at build time."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=VOCAB_TOP_N)
+    total = (
+        vocab_ops.corpus_tokens(docs.select("text"))
+        .agg(F.count("*").alias("n"))
+        .collect()[0][0]
+    )
+    vsize = voc.count()
+    scored = vocab_ops.unigram_surprisal(
+        docs, voc, total_tokens=total, vocab_size=vsize
+    )
+    per_doc = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal"),
+            F.round(F.max("surprisal"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_bench("ext_unigram_surprisal")
+def _bench_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: score against a fixed-denominator LM (no second
+    pass for the exact corpus totals — a production pipeline amortizes
+    vocab construction across runs anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=VOCAB_TOP_N)
+    return vocab_ops.unigram_surprisal(
+        docs, voc, total_tokens=1_000_000, vocab_size=VOCAB_TOP_N
+    )
+
+
+@_register(
+    "ext_weighted_sample",
+    f"""
+    WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '{WEIGHTED_SALT}'), 1, 8)) AS BIGINT) + 0.5)
+                  / 4294967296.0) / n_chars AS priority
+        FROM documents
+    ),
+    sel AS (
+        SELECT * FROM pri ORDER BY priority DESC, doc_id ASC LIMIT {WEIGHTED_K}
+    )
+    SELECT lang, count(*) AS cnt,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+    "deterministic weighted sampling without replacement (A-Res, md5 priority)",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sampling (Efraimidis-Spirakis A-Res over
+    the md5 hash space, operators/sampling.py:weighted_sample): longer
+    documents proportionally likelier, selection a pure function of
+    (doc_id, salt) — identical rows on every engine and partitioning.
+    Top-k plans as TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = samp_ops.weighted_sample(
+        docs, key="doc_id", weight="n_chars", k=WEIGHTED_K, salt=WEIGHTED_SALT
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_incremental_dedup",
+    f"""
+    WITH base AS (
+        SELECT md5(lower(text)) AS fingerprint FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{INCR_SALT}'), 1, 8)
+              < '{'{:08x}'.format(int(INCR_BASE_FRACTION * 16 ** 8))}'
+        GROUP BY 1
+    ),
+    delta AS (
+        SELECT doc_id, lang, md5(lower(text)) AS fingerprint FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{INCR_SALT}'), 1, 8)
+              >= '{'{:08x}'.format(int(INCR_BASE_FRACTION * 16 ** 8))}'
+    )
+    SELECT d.lang,
+           count(*) AS delta_docs,
+           CAST(count(*) FILTER (WHERE b.fingerprint IS NULL) AS BIGINT) AS novel_docs,
+           CAST(count(*) FILTER (WHERE b.fingerprint IS NOT NULL) AS BIGINT) AS dup_docs,
+           CAST(coalesce(sum(d.doc_id) FILTER (WHERE b.fingerprint IS NULL), 0) AS BIGINT)
+               AS novel_id_sum
+    FROM delta d LEFT JOIN base b ON d.fingerprint = b.fingerprint
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    "incremental ingest dedup: new batch probed against the corpus fingerprint index",
+)
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest gate: split the corpus deterministically
+    into an existing 80% base and a 20% incoming delta (the same
+    md5-membership used by every sampler here), build the base's
+    fingerprint index, and anti-join the delta against it
+    (operators/dedup.py:novel_against_index) — only digests shuffle,
+    never text. The streaming twin is
+    streaming/pipelines.py:novelty_gate_pipeline, which runs this exact
+    probe per micro-batch against a txn-table index."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = samp_ops.sample_predicate("doc_id", INCR_BASE_FRACTION, INCR_SALT)
+    base, delta = docs.filter(pred), docs.filter(~pred)
+    index = dedup_ops.fingerprint_index(base)
+    novel = dedup_ops.novel_against_index(delta, index)
+    novel_stats = novel.groupBy("lang").agg(
+        F.count("*").alias("novel_docs"),
+        F.sum("doc_id").cast("long").alias("novel_id_sum"),
+    )
+    delta_stats = delta.groupBy("lang").agg(F.count("*").alias("delta_docs"))
+    return (
+        delta_stats.join(novel_stats, "lang", "left")
+        .select(
+            "lang",
+            "delta_docs",
+            F.coalesce("novel_docs", F.lit(0)).cast("long").alias("novel_docs"),
+            (F.col("delta_docs") - F.coalesce("novel_docs", F.lit(0)))
+            .cast("long")
+            .alias("dup_docs"),
+            F.coalesce("novel_id_sum", F.lit(0)).cast("long").alias("novel_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_semantic_dedup",
+    f"""
+    WITH aug AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SEMDEDUP_PLANT_OFFSET},
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), label
+        FROM embeddings WHERE vec_id % {SEMDEDUP_PLANT_EVERY} = 0
+    ),
+    flat AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM aug
+    ),
+    cent AS (
+        SELECT label AS clbl, pos, avg(val) AS c FROM flat GROUP BY 1, 2
+    ),
+    centv AS (SELECT clbl, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+    ranked AS (
+        SELECT a.vec_id, a.v, c.clbl,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_inner_product(
+                       list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]),
+                       list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2])) ASC,
+                       c.clbl ASC
+               ) AS rn
+        FROM aug a CROSS JOIN centv c
+    ),
+    assigned AS (SELECT vec_id, v, clbl AS cluster FROM ranked WHERE rn = 1),
+    pairs AS (
+        SELECT y.vec_id AS j
+        FROM assigned x JOIN assigned y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_inner_product(x.v, y.v)
+                    / (sqrt(list_inner_product(x.v, x.v))
+                       * sqrt(list_inner_product(y.v, y.v))), 4)
+              >= {SEMDEDUP_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT j FROM pairs)
+    SELECT a.cluster, count(*) AS n_vectors,
+           CAST(count(*) FILTER (WHERE d.j IS NOT NULL) AS BIGINT) AS n_dropped,
+           CAST(sum(a.vec_id) FILTER (WHERE d.j IS NULL) AS BIGINT) AS kept_id_sum
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.j
+    GROUP BY a.cluster ORDER BY a.cluster
+    """,
+    "semantic dedup: codebook-quantized cells, within-cell cosine keep-canonical",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): quantize
+    every vector to a deterministic codebook cell (per-label mean
+    centroids — exactly reproducible in SQL, unlike hash-seeded
+    k-means), then drop any vector with a LOWER-id cosine>=t partner in
+    its cell. Fixture vectors are near-orthogonal, so exact duplicates
+    of every {every}th vector are planted under offset ids: each plant
+    quantizes to the same cell as its seed, scores cosine 1.0, and MUST
+    be dropped (non-degenerate at every SF). The O(n^2) is confined to
+    a cell; the declared entry disables the hot-cell salting cap so the
+    oracle semantics are exact (the capped form is the scale path —
+    same trade as MinHash buckets, operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    id_type = dict(emb.dtypes)["vec_id"]
+    planted = emb.filter(F.col("vec_id") % SEMDEDUP_PLANT_EVERY == 0).withColumn(
+        "vec_id", (F.col("vec_id") + SEMDEDUP_PLANT_OFFSET).cast(id_type)
+    )
+    aug = emb.unionByName(planted)
+    codebook = sim_ops.train_label_codebook(aug)
+    assigned = sim_ops.assign_codebook(aug, codebook)
+    pairs = sim_ops.semantic_dedup_pairs(
+        assigned, threshold=SEMDEDUP_THRESHOLD, max_bucket=None
+    )
+    kept = sim_ops.semantic_dedup_keep(assigned, pairs)
+    return (
+        kept.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum((~F.col("kept")).cast("long")).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.col("vec_id"))).cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@_bench("ext_semantic_dedup")
+def _bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: assignment + capped within-cell pair generation
+    over the raw corpus (no plants; the production configuration with
+    the hot-cell salting bound engaged)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.train_label_codebook(emb)
+    assigned = sim_ops.assign_codebook(emb, codebook)
+    return sim_ops.semantic_dedup_pairs(assigned, threshold=SEMDEDUP_THRESHOLD)

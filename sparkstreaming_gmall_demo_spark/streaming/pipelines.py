@@ -517,3 +517,60 @@ def decontamination_pipeline(
         )
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def novelty_gate_pipeline(
+    docs: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Incremental-ingest dedup gate: per micro-batch, pass through
+    only documents whose content fingerprint is NOT already in the
+    corpus index, then commit the survivors' fingerprints back into
+    the index — the streaming form of ext_incremental_dedup's probe,
+    closed into a loop (today's novel docs are tomorrow's index).
+
+    The index is a txn-table (streaming/txn.py) keyed on the 32-char
+    md5 digest: ``merge_keyed`` makes the index update transactional
+    and replay-safe (a replayed batch anti-joins itself away), and the
+    keyed ``idempotent_append`` makes the doc sink replay-safe — so
+    the whole gate is exactly-once under micro-batch replay with NO
+    streaming state: cross-batch memory lives in the index table, the
+    same at 100 TB (32 bytes/doc) as here. Within-batch duplicates
+    collapse to the lowest doc_id before the probe, so a batch
+    carrying two copies of a new document emits one."""
+    from ..operators.dedup import novel_against_index
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if txn.current_version(index_table) >= 0:
+            index = txn.snapshot(spark, index_table)
+        else:
+            index = spark.createDataFrame([], "fingerprint string")
+        fresh = novel_against_index(batch_df, index)
+        first = (
+            fresh.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("fingerprint").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        out = first.persist()
+        try:
+            idempotent_append(
+                out.drop("fingerprint"), out_path, key_cols=["doc_id"],
+                partition_cols=None, batch_id=batch_id,
+            )
+            txn.merge_keyed(
+                out.select("fingerprint"), index_table, key_cols=["fingerprint"]
+            )
+        finally:
+            out.unpersist()
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

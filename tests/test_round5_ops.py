@@ -1,0 +1,264 @@
+"""Round-5 operator tests: vocabulary/unigram-LM scoring, weighted
+deterministic sampling, semantic dedup, and the incremental ingest
+dedup family (batch probe + streaming novelty gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+from sparkstreaming_gmall_demo_spark.operators import sampling as samp
+from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
+
+
+# ---------------------------------------------------------------------------
+# vocabulary + unigram surprisal
+# ---------------------------------------------------------------------------
+def test_vocab_build_frequency_order_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b b a a c a",), ("z b",)], ["text"]
+    )
+    rows = vocab_ops.vocab_build(df, top_n=3).collect()
+    # counts: a=3, b=3, c=1, z=1 -> tie a<b, then c (c<z)
+    assert [(r.token_id, r.token, r.cnt) for r in rows] == [
+        (0, "a", 3),
+        (1, "b", 3),
+        (2, "c", 1),
+    ]
+
+
+def test_unigram_surprisal_hand_case(spark):
+    # corpus: doc1 "a a b", doc2 "c"; vocab top-2 = a(2), b(1) (cnt desc,
+    # token asc drops c at the boundary tie b/c? counts b=1, c=1 -> b<c
+    # so vocab = [a, b]). total=4, V=2, denom=7.
+    df = spark.createDataFrame([(1, "a a b"), (2, "c")], ["doc_id", "text"])
+    voc = vocab_ops.vocab_build(df, top_n=2)
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal)
+        for r in vocab_ops.unigram_surprisal(
+            df, voc, total_tokens=4, vocab_size=2
+        ).collect()
+    }
+    p_a, p_b, p_oov = 3 / 7, 2 / 7, 1 / 7
+    want1 = (2 * -math.log(p_a) + -math.log(p_b)) / 3
+    want2 = -math.log(p_oov)
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - want2) < 1e-12
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=16)
+    plan = vocab_ops.unigram_surprisal(
+        docs, voc, total_tokens=1000, vocab_size=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted deterministic sampling
+# ---------------------------------------------------------------------------
+def test_weighted_sample_partitioning_invariant(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    a = {r.k for r in samp.weighted_sample(df, "k", "w", 100).collect()}
+    b = {
+        r.k
+        for r in samp.weighted_sample(df.repartition(13), "k", "w", 100).collect()
+    }
+    assert a == b and len(a) == 100
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 500 heavy (w=50) + 500 light (w=1): the heavy half must dominate
+    # the selection (deterministic — no flakiness, this is a fixed set).
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 50).otherwise(1).alias("w"),
+    )
+    sel = samp.weighted_sample(df, "k", "w", 100).collect()
+    heavy = sum(1 for r in sel if r.k < 500)
+    assert heavy > 85
+
+
+def test_weighted_sample_plans_takeordered(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(2).alias("w")
+    )
+    plan = (
+        samp.weighted_sample(df, "k", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_priority_matches_duckdb(spark):
+    """The A-Res priority arithmetic is engine-portable: DuckDB's
+    0x-cast and Spark's conv() produce the same integer, and the
+    ln/divide agree to well beyond output rounding."""
+    import duckdb
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5 + 1).alias("w")
+    )
+    got = {
+        r.k: r.p
+        for r in df.select(
+            "k", samp.weighted_priority("k", "w", "s1").alias("p")
+        ).collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            """
+            SELECT k, ln((CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || 's1'), 1, 8)) AS BIGINT) + 0.5)
+                         / 4294967296.0) / w
+            FROM (SELECT range AS k, range % 5 + 1 AS w FROM range(50))
+            """
+        )
+        .fetchall()
+    )
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch probe)
+# ---------------------------------------------------------------------------
+def test_novel_against_index_filters_known_content(spark):
+    index = dedup_ops.fingerprint_index(
+        spark.createDataFrame([("Hello World",)], ["text"])
+    )
+    batch = spark.createDataFrame(
+        [(1, "hello world"), (2, "brand new"), (3, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = dedup_ops.novel_against_index(batch, index)
+    # case-normalized dup of the index is gone; both copies of the new
+    # content survive the probe (within-batch collapse is the caller's
+    # choice — the streaming gate does it, the batch query counts both)
+    assert {r.doc_id for r in got.collect()} == {2, 3}
+    assert "fingerprint" in got.columns
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    rows = [
+        (1, _vec(1, 0, 0), 0),
+        (2, _vec(0.9, 0.1, 0), 0),
+        (3, _vec(0, 1, 0), 1),
+        (4, _vec(0, 0.9, 0.1), 1),
+        (100, _vec(1, 0, 0), 0),  # exact duplicate of vec 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    codebook = sim.train_label_codebook(emb)
+    assigned = sim.assign_codebook(emb, codebook)
+    pairs = sim.semantic_dedup_pairs(assigned, threshold=0.999)
+    kept = sim.semantic_dedup_keep(assigned, pairs)
+    status = {r.vec_id: r.kept for r in kept.collect()}
+    assert status == {1: True, 2: True, 3: True, 4: True, 100: False}
+
+
+def test_assign_codebook_quantizes_to_nearest_not_own_label(spark):
+    # vec 9 carries label 0 but sits on the label-1 centroid: assignment
+    # is quantization (nearest cell), not a passthrough of the label.
+    rows = [
+        (1, _vec(10, 0), 0),
+        (2, _vec(10, 0), 0),
+        (3, _vec(0, 10), 1),
+        (4, _vec(0, 10), 1),
+        (9, _vec(0, 9), 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    codebook = sim.train_label_codebook(emb)
+    assigned = {r.vec_id: r.cluster for r in sim.assign_codebook(emb, codebook).collect()}
+    assert assigned[9] == 1
+    assert assigned[1] == 0 and assigned[3] == 1
+
+
+def test_semantic_dedup_assignment_is_narrow_map(spark, sf_dir):
+    """Codebook assignment must not introduce a join or shuffle: the
+    centroids are broadcast literals inside a projection."""
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim.train_label_codebook(emb)
+    plan = (
+        sim.assign_codebook(emb, codebook)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming novelty gate
+# ---------------------------------------------------------------------------
+def test_novelty_gate_streaming_matches_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """Docs replayed in 3 chunks through the gate emit exactly the
+    batch-computed novel set (first doc_id per fingerprint), the txn
+    index ends at one row per distinct fingerprint, and a full replay
+    from a fresh checkpoint inserts nothing new anywhere."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    n = table.num_rows
+    step = (n + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    index_table = str(tmp_path / "fp_index")
+    out = str(tmp_path / "novel_docs")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.novelty_gate_pipeline(
+            stream, index_table, out, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.doc_id
+        for r in docs.withColumn("fp", F.md5(F.lower(F.col("text"))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want
+
+    n_fp = docs.select(F.md5(F.lower(F.col("text")))).distinct().count()
+    assert txn.snapshot(spark, index_table).count() == n_fp
+    v_before = txn.current_version(index_table)
+
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == want
+    assert txn.snapshot(spark, index_table).count() == n_fp
+    assert txn.current_version(index_table) == v_before
