@@ -32,6 +32,7 @@ from ..operators import rangejoin as rj_ops
 from ..operators import sampling as samp_ops
 from ..operators import scd2 as scd2_ops
 from ..operators import similarity as sim_ops
+from ..operators import sketch as sketch_ops
 from ..operators import text as text_ops
 from ..operators import vocab as vocab_ops
 from .registry import _bench, _register
@@ -2106,3 +2107,73 @@ def _bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = sim_ops.train_label_codebook(emb)
     assigned = sim_ops.assign_codebook(emb, codebook)
     return sim_ops.semantic_dedup_pairs(assigned, threshold=SEMDEDUP_THRESHOLD)
+
+
+HH_K = 5
+HH_DEPTH = 4
+HH_WIDTH = 1024
+
+
+@_register(
+    "ext_heavy_hitters",
+    f"""
+    SELECT token, cnt,
+           true AS never_undercounts,
+           true AS within_cm_bound
+    FROM (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    )
+    ORDER BY cnt DESC, token ASC
+    LIMIT {HH_K}
+    """,
+    "Count-Min heavy hitters gated against exact counts (mergeable-sketch scale twin)",
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ext_token_stats' exact top-k: a Count-Min
+    sketch (operators/sketch.py) bounds the frequency-merge shuffle at
+    depth x width cells regardless of the distinct-token tail. The
+    xxhash64 cells can't be mirrored in SQL, so the declared row per
+    exact-top-k token is (exact count, CM guarantees): never_undercounts
+    is CM's deterministic one-sided error, within_cm_bound checks
+    est <= exact + ceil(e/width * N) (the standard bound; deterministic
+    for a fixed hash family + corpus). The oracle states the exact
+    anchors with literal trues."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = vocab_ops.corpus_tokens(docs.select("text"))
+    sketch = sketch_ops.cm_build(toks, depth=HH_DEPTH, width=HH_WIDTH)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(HH_K)
+    )
+    est = sketch_ops.cm_estimate(sketch, exact, depth=HH_DEPTH, width=HH_WIDTH)
+    n_total = toks.count()
+    slack = int(math.ceil(math.e / HH_WIDTH * n_total))
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cm_est") >= F.col("cnt")).alias("never_undercounts"),
+            (F.col("cm_est") <= F.col("cnt") + F.lit(slack)).alias("within_cm_bound"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )
+
+
+@_bench("ext_heavy_hitters")
+def _bench_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only: sketch build + top-k estimate (no exact-count
+    comparison pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = vocab_ops.corpus_tokens(docs.select("text"))
+    sketch = sketch_ops.cm_build(toks, depth=HH_DEPTH, width=HH_WIDTH)
+    cands = toks.groupBy("token").agg(F.count("*").alias("cnt")).orderBy(
+        F.desc("cnt"), F.asc("token")
+    ).limit(HH_K)
+    return sketch_ops.cm_estimate(sketch, cands, depth=HH_DEPTH, width=HH_WIDTH)

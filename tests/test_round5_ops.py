@@ -262,3 +262,59 @@ def test_novelty_gate_streaming_matches_batch_and_replays_noop(spark, sf_dir, tm
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == want
     assert txn.snapshot(spark, index_table).count() == n_fp
     assert txn.current_version(index_table) == v_before
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+def test_cm_sketch_never_undercounts_and_is_tight_for_unique_hot_key(spark):
+    from sparkstreaming_gmall_demo_spark.operators import sketch as sk
+
+    # 1000 occurrences of "hot" + 200 distinct cold tokens
+    rows = [("hot",)] * 1000 + [(f"cold{i}",) for i in range(200)]
+    toks = spark.createDataFrame(rows, ["token"])
+    sketch = sk.cm_build(toks, depth=4, width=256)
+    cands = spark.createDataFrame([("hot",), ("cold7",), ("absent",)], ["token"])
+    est = {r.token: r.cm_est for r in sk.cm_estimate(
+        sketch, cands, depth=4, width=256).collect()}
+    assert est["hot"] >= 1000
+    assert est["cold7"] >= 1
+    # min-over-depth keeps overshoot below the e/width * N bound here
+    assert est["hot"] <= 1000 + 13  # ceil(e/256 * 1200)
+    assert est["absent"] <= 13
+
+
+def test_cm_sketch_is_mergeable_by_addition(spark):
+    """sketch(A ++ B) == cellwise sketch(A) + sketch(B) — the property
+    that makes the sketch partial-aggregable map-side and correct
+    across distributed merges."""
+    from pyspark.sql import functions as F2
+
+    from sparkstreaming_gmall_demo_spark.operators import sketch as sk
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, ["token"])
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 7, ["token"])
+    merged = {
+        (r.d, r.b): r.c for r in sk.cm_build(a.union(b), width=64).collect()
+    }
+    summed = {}
+    for part in (a, b):
+        for r in sk.cm_build(part, width=64).collect():
+            summed[(r.d, r.b)] = summed.get((r.d, r.b), 0) + r.c
+    assert merged == summed
+
+
+def test_cm_sketch_shuffle_is_bounded_by_cells(spark, sf_dir):
+    """The sketch aggregate must partial-aggregate map-side (cells, not
+    occurrences, cross the wire): the plan has a partial HashAggregate
+    below the exchange."""
+    from sparkstreaming_gmall_demo_spark.operators import sketch as sk
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vops
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = vops.corpus_tokens(docs.select("text"))
+    plan = (
+        sk.cm_build(toks)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial" in plan.lower()
