@@ -261,6 +261,7 @@ def _bucket_pairs(
     payload_cols: list,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     overflow_obs=None,
+    spread_pairs: int | None = None,
 ) -> DataFrame:
     """(band, bh, payload) -> unique candidate pairs via groupBy-bucket.
 
@@ -282,6 +283,16 @@ def _bucket_pairs(
     job — an accurate account of where recall was traded. Oracle-
     kernel callers that are O(n^2) by design (simhash brute force)
     pass ``max_bucket=None`` to disable the cap.
+
+    ``spread_pairs``: when the DOWNSTREAM per-pair work is heavy
+    (embedding cosine — tens of µs per pair vs the id-pair emission the
+    MinHash family does), set it to the desired parallelism. The bucket
+    aggregate's output is a handful of KB-sized array rows, so AQE
+    coalesces the post-shuffle stage to ONE partition and the entire
+    O(|bucket|²) scoring serializes on a single core; an explicit
+    round-robin repartition (user-specified numPartitions — AQE leaves
+    those alone) re-spreads the bucket rows for pennies (the arrays
+    move once) before the explode fans them out.
     """
     ds = F.sort_array(F.collect_list(F.struct(*payload_cols)))
     buckets = (
@@ -308,6 +319,8 @@ def _bucket_pairs(
                 )
             ).alias("ds")
         ).filter(F.size("ds") > 1)
+    if spread_pairs is not None:
+        buckets = buckets.repartition(spread_pairs)
     return buckets.select(
         F.explode(
             F.expr(

@@ -345,6 +345,11 @@ def cosine_neardup_pairs(
     each bucket — no self-join re-evaluating the sketch pipeline.
     ``max_bucket=None`` inherits the kernel's DEFAULT_MAX_BUCKET
     salting bound (the hot-bucket OOM guard).
+
+    Norms ride along in the bucket payload, computed once per VECTOR;
+    each of the O(|bucket|^2) pair scores is then one dot product plus
+    a divide — same arithmetic as cosine_expr (DOT / (NORM * NORM)),
+    just never recomputing a norm per pair.
     """
     from .neardup import DEFAULT_MAX_BUCKET, _bucket_pairs
 
@@ -353,15 +358,23 @@ def cosine_neardup_pairs(
     banded = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
+        F.expr(NORM.format(a=vec_col)).alias("nrm"),
         F.lit(0).alias("band"),
         _sketch_expr(vec_col, num_planes).alias("bh"),
     )
     pairs = _bucket_pairs(
-        banded, [F.col("vid"), F.col("v")], max_bucket=max_bucket
+        banded,
+        [F.col("vid"), F.col("v"), F.col("nrm")],
+        max_bucket=max_bucket,
+        spread_pairs=embeddings.sparkSession.sparkContext.defaultParallelism,
     ).select(
         F.col("p.x.vid").alias("i"),
         F.col("p.y.vid").alias("j"),
-        F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),
+        F.round(
+            F.expr(DOT.format(a="p.x.v", b="p.y.v"))
+            / (F.col("p.x.nrm") * F.col("p.y.nrm")),
+            4,
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -424,7 +437,10 @@ def semantic_dedup_pairs(
     4dp-rounded for engine portability). The O(n^2) is confined to a
     codebook cell — the SemDeDup bargain: at 100 TB the codebook grows
     (more cells, ~sqrt scaling per cell) and the hot-cell salting cap
-    bounds the worst case exactly like MinHash buckets."""
+    bounds the worst case exactly like MinHash buckets. Norms are
+    computed once per vector and carried in the cell payload, so each
+    pair score is a single dot product + divide (identical arithmetic
+    to cosine_expr, which also divides the dot by the norm product)."""
     from .neardup import DEFAULT_MAX_BUCKET, _bucket_pairs
 
     if max_bucket is None:
@@ -432,15 +448,23 @@ def semantic_dedup_pairs(
     banded = assigned.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
+        F.expr(NORM.format(a=vec_col)).alias("nrm"),
         F.lit(0).alias("band"),
         F.col("cluster").alias("bh"),
     )
     pairs = _bucket_pairs(
-        banded, [F.col("vid"), F.col("v")], max_bucket=max_bucket
+        banded,
+        [F.col("vid"), F.col("v"), F.col("nrm")],
+        max_bucket=max_bucket,
+        spread_pairs=assigned.sparkSession.sparkContext.defaultParallelism,
     ).select(
         F.col("p.x.vid").alias("i"),
         F.col("p.y.vid").alias("j"),
-        F.round(cosine_expr("p.x.v", "p.y.v"), 4).alias("cosine"),
+        F.round(
+            F.expr(DOT.format(a="p.x.v", b="p.y.v"))
+            / (F.col("p.x.nrm") * F.col("p.y.nrm")),
+            4,
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 

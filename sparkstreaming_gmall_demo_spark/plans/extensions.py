@@ -2075,7 +2075,7 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cell; the declared entry disables the hot-cell salting cap so the
     oracle semantics are exact (the capped form is the scale path —
     same trade as MinHash buckets, operators/similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_fixture(load_table(spark, sf_dir, "embeddings"), "vec_id")
     id_type = dict(emb.dtypes)["vec_id"]
     planted = emb.filter(F.col("vec_id") % SEMDEDUP_PLANT_EVERY == 0).withColumn(
         "vec_id", (F.col("vec_id") + SEMDEDUP_PLANT_OFFSET).cast(id_type)
@@ -2103,7 +2103,7 @@ def _bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only: assignment + capped within-cell pair generation
     over the raw corpus (no plants; the production configuration with
     the hot-cell salting bound engaged)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_fixture(load_table(spark, sf_dir, "embeddings"), "vec_id")
     codebook = sim_ops.train_label_codebook(emb)
     assigned = sim_ops.assign_codebook(emb, codebook)
     return sim_ops.semantic_dedup_pairs(assigned, threshold=SEMDEDUP_THRESHOLD)
