@@ -26,6 +26,7 @@ from ..sources.fixtures import load_table, spread_fixture
 from ..operators import components as comp_ops
 from ..operators import decontam as decon_ops
 from ..operators import dedup as dedup_ops
+from ..operators import graph as graph_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
@@ -2177,3 +2178,86 @@ def _bench_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cnt"), F.asc("token")
     ).limit(HH_K)
     return sketch_ops.cm_estimate(sketch, cands, depth=HH_DEPTH, width=HH_WIDTH)
+
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+@_register(
+    "ext_nation_pagerank",
+    f"""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    frac AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f FROM edges
+    ),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    r1 AS (
+        SELECT nodes.node,
+               (1 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * coalesce(sum(r0.rank * frac.f), 0) AS rank
+        FROM nodes
+        LEFT JOIN frac ON frac.dst = nodes.node
+        LEFT JOIN r0 ON r0.node = frac.src, nn
+        GROUP BY nodes.node, nn.n
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               (1 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * coalesce(sum(r1.rank * frac.f), 0) AS rank
+        FROM nodes
+        LEFT JOIN frac ON frac.dst = nodes.node
+        LEFT JOIN r1 ON r1.node = frac.src, nn
+        GROUP BY nodes.node, nn.n
+    ),
+    r3 AS (
+        SELECT nodes.node,
+               (1 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * coalesce(sum(r2.rank * frac.f), 0) AS rank
+        FROM nodes
+        LEFT JOIN frac ON frac.dst = nodes.node
+        LEFT JOIN r2 ON r2.node = frac.src, nn
+        GROUP BY nodes.node, nn.n
+    )
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
+    FROM r3 ORDER BY node
+    """,
+    "fixed-iteration weighted PageRank over the nation trade graph",
+)
+def ext_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority ranking (operators/graph.py): the edge list
+    is the customer-nation -> supplier-nation trade flow (a 3-way
+    fact/dim join aggregated to 25 nodes), then {PR_ITERS} distributed
+    Jacobi rounds — rank vector stays a keyed DataFrame end to end
+    (the crawl-corpus domain-ranking shape: at web scale nodes are
+    domains and both sides hash-partition on node id; nothing
+    node-sized ever reaches the driver or a broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = graph_ops.pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank")
+    ).orderBy("node")

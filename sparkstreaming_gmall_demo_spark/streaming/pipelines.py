@@ -574,3 +574,53 @@ def novelty_gate_pipeline(
             out.unpersist()
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def sketch_pipeline(
+    docs: DataFrame,
+    sketch_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous Count-Min sketch maintenance: each micro-batch's
+    token stream collapses to its own depth x width cell counts, and
+    the batch sketch is committed keyed by (batch_id, d, b).
+
+    Exactly-once by construction, with NO streaming state: the sketch
+    is mergeable by addition (operators/sketch.py), so instead of
+    read-modify-writing one global sketch (a lost-update hazard under
+    replay), each batch INSERTS its immutable partial keyed by
+    batch_id — ``txn.merge_keyed`` makes a replayed batch a no-op —
+    and readers merge at query time with ``cm_read_merged`` (sum cells
+    over batches, then min over depth as usual). Storage is
+    batches x depth x width rows of three ints; compact by summing
+    closed batches into one row-set if the batch count ever matters."""
+    from ..operators.sketch import cm_build
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        cells = cm_build(toks, depth=depth, width=width).select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "d", "b", "c"
+        )
+        txn.merge_keyed(cells, sketch_table, key_cols=["batch_id", "d", "b"])
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def cm_read_merged(spark: SparkSession, sketch_table: str) -> DataFrame:
+    """Merge the per-batch partial sketches into the current global
+    sketch (d, b, c): cellwise sum — the same merge a distributed
+    aggregation does map-side, applied across batches."""
+    from . import txn
+
+    return (
+        txn.snapshot(spark, sketch_table)
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )

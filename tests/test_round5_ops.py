@@ -318,3 +318,101 @@ def test_cm_sketch_shuffle_is_bounded_by_cells(spark, sf_dir):
         sk.cm_build(toks)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_sketch_pipeline_streaming_equals_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """The merged cross-batch sketch equals the one-shot batch sketch
+    over the same corpus (mergeable-by-addition, so chunking is
+    invisible), and a full replay from a fresh checkpoint changes
+    nothing (per-batch keys make reinserts no-ops)."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import sketch as sk
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vops
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    sketch_table = str(tmp_path / "cm_sketch")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.sketch_pipeline(
+            stream, sketch_table, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = vops.corpus_tokens(docs.select("text"))
+    want = {
+        (r.d, r.b): r.c for r in sk.cm_build(toks).collect()
+    }
+    got = {
+        (r.d, r.b): r.c
+        for r in pipelines.cm_read_merged(spark, sketch_table).collect()
+    }
+    assert got == want
+
+    v = txn.current_version(sketch_table)
+    run(str(tmp_path / "ck2"))  # full replay
+    got2 = {
+        (r.d, r.b): r.c
+        for r in pipelines.cm_read_merged(spark, sketch_table).collect()
+    }
+    assert got2 == want
+    assert txn.current_version(sketch_table) == v
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def test_pagerank_hand_case_two_node_cycle(spark):
+    """A <-> B symmetric cycle: uniform vector is the fixed point, so
+    every iteration returns exactly 0.5/0.5."""
+    from sparkstreaming_gmall_demo_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], ["src", "dst", "w"]
+    )
+    got = {r.node: r.rank for r in g.pagerank(edges, iters=3).collect()}
+    assert abs(got["a"] - 0.5) < 1e-12 and abs(got["b"] - 0.5) < 1e-12
+
+
+def test_pagerank_sink_gains_and_dangling_mass_evaporates(spark):
+    """Star a->c, b->c: c accumulates; c is dangling so total mass
+    shrinks below 1 (documented semantics, mirrored in the oracle)."""
+    from sparkstreaming_gmall_demo_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0)], ["src", "dst", "w"]
+    )
+    got = {r.node: r.rank for r in g.pagerank(edges, iters=2, damping=0.85).collect()}
+    # iter1: a=b=0.05, c=0.05 + 0.85*(1/3+1/3) = 0.6166...
+    # iter2: c = 0.05 + 0.85*(0.05+0.05) = 0.135
+    assert abs(got["c"] - 0.135) < 1e-9
+    assert abs(got["a"] - 0.05) < 1e-12
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_weights_split_contribution(spark):
+    """a splits 3:1 between b and c — contributions follow the edge
+    weights, not the edge count."""
+    from sparkstreaming_gmall_demo_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], ["src", "dst", "w"]
+    )
+    got = {r.node: r.rank for r in g.pagerank(edges, iters=1, damping=0.85).collect()}
+    assert abs(got["b"] - (0.05 + 0.85 * (1 / 3) * 0.75)) < 1e-12
+    assert abs(got["c"] - (0.05 + 0.85 * (1 / 3) * 0.25)) < 1e-12
