@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
 from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
+from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
 from sparkstreaming_gmall_demo_spark.session import get_spark
 from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table, spread_fixture
 
@@ -40,13 +41,20 @@ OFF = 10**9
 
 
 def amplify(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
-    out = None
-    for c in range(copies):
-        part = df
-        for k in key_cols:
-            part = part.withColumn(k, F.col(k) + F.lit(c * OFF))
-        out = part if out is None else out.unionByName(part)
-    return out
+    """Explode-based amplification (one narrow plan, no Union): each
+    row fans out into ``copies`` rows with keys shifted by c * OFF.
+    Semantically identical to a copies-way union but keeps the lineage
+    a single operator — Spark 4.1's Union constraint propagation
+    (UnionBase.rewriteConstraints) crashes with `key not found` on the
+    10-branch union feeding the codebook-assignment expressions."""
+    out = df.withColumn(
+        "_c", F.explode(F.array(*[F.lit(c) for c in range(copies)]))
+    )
+    for k in key_cols:
+        out = out.withColumn(
+            k, F.col(k) + F.col("_c").cast("long") * F.lit(OFF)
+        )
+    return out.drop("_c")
 
 
 def timed(label: str, build, results: dict) -> None:
@@ -65,11 +73,16 @@ def main() -> None:
 
     events1 = spread_fixture(load_table(spark, sf_dir, "events"), "event_id")
     docs1 = spread_fixture(load_table(spark, sf_dir, "documents"))
+    emb1 = spread_fixture(load_table(spark, sf_dir, "embeddings"), "vec_id")
     events10 = amplify(events1, ["event_id", "user_id"], COPIES)
     docs10 = amplify(docs1, ["doc_id"], COPIES)
+    emb10 = amplify(emb1, ["vec_id"], COPIES)
 
     runs = {}
-    for tag, ev, dc in (("1x", events1, docs1), ("10x", events10, docs10)):
+    for tag, ev, dc, em in (
+        ("1x", events1, docs1, emb1),
+        ("10x", events10, docs10, emb10),
+    ):
         r: dict[str, float] = {}
         # sessionization: window shuffle+sort over 10x keys
         timed("sessionize", lambda: (
@@ -92,6 +105,15 @@ def main() -> None:
         timed("daily_distinct", lambda: (
             ev.groupBy(F.to_date("ts").alias("d"))
             .agg(F.count_distinct("user_id").alias("u"))
+        ), r)
+        # semantic dedup: at 10x every codebook cell holds 10x the
+        # vectors (labels don't amplify) -> the hot-cell salting cap
+        # must bound the within-cell pair blowup (capped ~25x pairs
+        # here, vs 100x uncapped)
+        cb = sim_ops.train_label_codebook(em)
+        timed("semantic_dedup", lambda: (
+            sim_ops.semantic_dedup_pairs(sim_ops.assign_codebook(em, cb))
+            .agg(F.count("*").alias("pairs"))
         ), r)
         runs[tag] = r
 

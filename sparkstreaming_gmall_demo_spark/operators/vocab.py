@@ -103,3 +103,69 @@ def unigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         F.avg("surprisal_tok").alias("surprisal"),
     )
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    vocab: DataFrame,
+    n_docs: int,
+    min_cooccur: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information over token
+    PAIRS co-occurring in a document, restricted to the ``vocab``
+    frame — the phrase/topic-affinity signal corpus analyses build on.
+
+        pmi(a, b) = ln( N * df(a,b) / (df(a) * df(b)) )
+
+    with doc-frequency counts (presence, not occurrences) and N the
+    corpus document count.
+
+    Scale design: the vocabulary restriction is the whole story — the
+    pair space is bounded at |V|^2/2 regardless of corpus size, so the
+    co-occurrence aggregation partial-aggregates into at most that many
+    keys map-side. Tokens filter through a BROADCAST vocab join, each
+    doc collapses to its sorted distinct vocab-token array (bounded at
+    |V| entries), and pairs are generated per doc with the same array
+    combinatorics as the near-dup bucket kernel — text never shuffles,
+    and nothing the size of the corpus ever hits a wide key space.
+    Returns (a, b, cooccur, pmi4) with a < b."""
+    toks = corpus_tokens(df.select(id_col, text_col), text_col).join(
+        F.broadcast(vocab.select("token")), "token"
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("token")).alias("ts")
+    )
+    pairs = per_doc.filter(F.size("ts") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, k) -> "
+                "transform(slice(ts, k + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("cooccur"))
+    uni = (
+        toks.select(id_col, "token").distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    return (
+        cab.filter(F.col("cooccur") >= min_cooccur)
+        .join(F.broadcast(uni.withColumnRenamed("token", "a").withColumnRenamed("dfreq", "dfa")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("token", "b").withColumnRenamed("dfreq", "dfb")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("cooccur").cast("long").alias("cooccur"),
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("cooccur")
+                    / (F.col("dfa") * F.col("dfb"))
+                ),
+                4,
+            ).alias("pmi4"),
+        )
+    )

@@ -2261,3 +2261,58 @@ def ext_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank")
     ).orderBy("node")
+
+
+PMI_VOCAB_N = 64
+PMI_MIN_CO = 5
+PMI_TOP = 20
+
+
+@_register(
+    "ext_token_pmi",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    voc AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {PMI_VOCAB_N}
+    ),
+    dt AS (
+        SELECT DISTINCT t.doc_id, t.token FROM toks t
+        JOIN voc v ON t.token = v.token
+    ),
+    pairs AS (
+        SELECT x.token AS a, y.token AS b, count(*) AS cooccur
+        FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.token < y.token
+        GROUP BY 1, 2
+    ),
+    uni AS (SELECT token, count(*) AS dfreq FROM dt GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+    SELECT p.a, p.b, CAST(p.cooccur AS BIGINT) AS cooccur,
+           round(ln(nd.n * p.cooccur / (ua.dfreq * ub.dfreq)), 4) AS pmi4
+    FROM pairs p
+    JOIN uni ua ON p.a = ua.token
+    JOIN uni ub ON p.b = ub.token, nd
+    WHERE p.cooccur >= {PMI_MIN_CO}
+    ORDER BY pmi4 DESC, a ASC, b ASC
+    LIMIT {PMI_TOP}
+    """,
+    "PMI collocation mining over the top-N vocabulary (doc-level co-occurrence)",
+)
+def ext_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic/phrase-affinity mining (operators/vocab.py:
+    token_pmi_pairs): the pair space is bounded by the broadcast
+    vocabulary restriction (|V|^2/2 keys however large the corpus), so
+    the co-occurrence aggregation partial-aggregates map-side and text
+    never shuffles. Top pairs by 4dp-rounded PMI, (a, b) tiebreak —
+    identical ordering on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=PMI_VOCAB_N)
+    n_docs = docs.count()
+    pmi = vocab_ops.token_pmi_pairs(
+        docs, voc, n_docs=n_docs, min_cooccur=PMI_MIN_CO
+    )
+    return pmi.orderBy(
+        F.desc("pmi4"), F.asc("a"), F.asc("b")
+    ).limit(PMI_TOP)

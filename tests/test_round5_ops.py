@@ -416,3 +416,40 @@ def test_pagerank_weights_split_contribution(spark):
     got = {r.node: r.rank for r in g.pagerank(edges, iters=1, damping=0.85).collect()}
     assert abs(got["b"] - (0.05 + 0.85 * (1 / 3) * 0.75)) < 1e-12
     assert abs(got["c"] - (0.05 + 0.85 * (1 / 3) * 0.25)) < 1e-12
+
+
+def test_token_pmi_hand_case(spark):
+    """Three docs; pair (a,b) co-occurs in 2 of 3, df(a)=3, df(b)=2:
+    pmi = ln(3 * 2 / (3 * 2)) = 0. Pair (a,c): co-occurs once -> below
+    min_cooccur=2 -> dropped."""
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vops
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    voc = vops.vocab_build(docs, top_n=8)
+    got = {
+        (r.a, r.b): (r.cooccur, r.pmi4)
+        for r in vops.token_pmi_pairs(docs, voc, n_docs=3, min_cooccur=2).collect()
+    }
+    assert got == {("a", "b"): (2, 0.0)}
+
+
+def test_token_pmi_positive_for_exclusive_pair(spark):
+    """x and y appear ONLY together (2 of 4 docs): pmi = ln(4*2/(2*2))
+    = ln 2 > 0; the independent pair (x, z) is dropped by min_cooccur."""
+    import math
+
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vops
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "z w"), (4, "z w")], ["doc_id", "text"]
+    )
+    voc = vops.vocab_build(docs, top_n=8)
+    got = {
+        (r.a, r.b): r.pmi4
+        for r in vops.token_pmi_pairs(docs, voc, n_docs=4, min_cooccur=2).collect()
+    }
+    assert got[("x", "y")] == round(math.log(2), 4)
+    assert got[("w", "z")] == round(math.log(2), 4)
+    assert ("x", "z") not in got
