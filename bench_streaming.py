@@ -72,13 +72,17 @@ def write_chunked(table, input_dir: str, n: int) -> int:
     return rows
 
 
-def stage_chunks(input_dir: str, fixture: str, n: int) -> int:
-    """Split the events fixture into ``n`` time-ordered parquet files."""
+def stage_chunks(input_dir: str, fixture: str, n: int, sort_key: str = "ts") -> int:
+    """Split a fixture into ``n`` parquet files ordered by ``sort_key``
+    (event time for streams with watermarks; any stable key, e.g.
+    doc_id, for stateless-gate topics)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     table = pq.read_table(fixture)
-    table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
+    table = table.take(
+        pc.sort_indices(table, sort_keys=[(sort_key, "ascending")])
+    )
     return write_chunked(table, input_dir, n)
 
 
@@ -96,6 +100,9 @@ ORDER_SCHEMA = (
 DETAIL_SCHEMA = (
     "id string, order_id string, sku_id string, sku_name string, "
     "order_price double, sku_num long, event_ts timestamp"
+)
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
 )
 
 
@@ -192,6 +199,12 @@ def main() -> None:
             work, sf_dir, N_CHUNKS
         )
         sale_rows = o_rows + d_rows
+        doc_dir = os.path.join(work, "docs_input")
+        os.makedirs(doc_dir)
+        doc_rows = stage_chunks(
+            doc_dir, f"{sf_dir.rstrip('/')}/documents.parquet", N_CHUNKS,
+            sort_key="doc_id",
+        )
         rates = {
             "dau": run(
                 "dau",
@@ -219,6 +232,20 @@ def main() -> None:
                 ),
                 o_rows, work,
             ),
+            # incremental-ingest dedup gate: per-batch txn-index probe
+            # + insert-only index commit (docs fixture is small, so
+            # this measures the per-batch fixed cost of the index loop
+            # — snapshot read, anti-join, link-CAS commit — not
+            # per-row throughput; same overhead-bound regime as gmv)
+            "novelty_gate": run(
+                "novelty_gate",
+                lambda out, ckpt: pipelines.novelty_gate_pipeline(
+                    parquet_stream(spark, doc_dir, DOC_SCHEMA),
+                    os.path.join(work, "novelty_gate", "fp_index"),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                doc_rows, work,
+            ),
             # the state-heaviest pipeline: stream-stream full outer join
             # + broadcast dim enrichment + unpartitioned replay guard
             "sale_detail": run(
@@ -240,11 +267,16 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "streaming_rows_per_sec",
-                "value": min(rates.values()),
+                # headline = min over the REFERENCE pipelines; the
+                # novelty gate runs on the (tiny) documents fixture and
+                # measures per-batch index-loop fixed cost, not rows/s
+                "value": min(
+                    v for k, v in rates.items() if k != "novelty_gate"
+                ),
                 "unit": "rows/sec",
                 "pipelines": rates,
                 "rows": {"events": n_rows, "orders": o_rows,
-                         "sale_detail": sale_rows},
+                         "sale_detail": sale_rows, "documents": doc_rows},
                 "batches": N_CHUNKS,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
