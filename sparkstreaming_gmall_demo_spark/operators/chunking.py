@@ -87,3 +87,36 @@ def pack_greedy(
         F.lit(0),
     )
     return df.withColumn("bin_id", F.floor(prefix / F.lit(budget)).cast("long"))
+
+
+def shard_assign(
+    df: DataFrame,
+    shard_key_cols: list,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic shard label for training-file layout: the md5
+    hash-space bucket of the concatenated key columns, modulo
+    ``n_shards``. The same (key, salt) lands in the same shard on any
+    engine and any partitioning — the property a resumable export
+    needs so a re-run overwrites the SAME shard files instead of
+    reshuffling the corpus (``df.repartition(n)`` round-robin cannot
+    promise that). Same digest convention as operators/sampling.py."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in shard_key_cols])
+    digest = F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8)
+    return df.withColumn(
+        "shard", (F.conv(digest, 16, 10).cast("long") % n_shards).cast("int")
+    )
+
+
+def write_training_shards(
+    bins: DataFrame, path: str, n_shards: int, salt: str = ""
+) -> None:
+    """Materialize packed contexts as shard-partitioned parquet
+    (shard=K/ directories): one deterministic layout step from packed
+    bins to the files a training loader mounts. Shard assignment is
+    content-keyed (``shard_assign`` on (group, bin)), so re-exports
+    rewrite identical shards and a loader's shard->worker mapping
+    stays valid across corpus refreshes."""
+    sharded = shard_assign(bins, ["lang", "bin_id"], n_shards, salt)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)

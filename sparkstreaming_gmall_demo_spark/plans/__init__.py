@@ -11,12 +11,13 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #   ext_scd2_history;
 # - 7 of the 9 entries green only in r2 (the oldest remaining rows).
 # The r4 window (event_pairs/pii_scrub/repetition + the r1-only
-# refreshes) rotates out. R6 window should seat: the 8 round-5 entries
+# refreshes) rotates out. R6 window should seat: the 9 round-5 entries
 # without a driver row yet (ext_vocab_build, ext_unigram_surprisal,
 # ext_weighted_sample, ext_incremental_dedup, ext_semantic_dedup,
-# ext_heavy_hitters, ext_nation_pagerank, ext_token_pmi) plus the 2
-# remaining r2-only greens (ext_split_assignment, ext_corpus_curation),
-# so every entry's latest row stays ≤3 rounds old.
+# ext_heavy_hitters, ext_nation_pagerank, ext_token_pmi,
+# ext_training_shards) plus the 2 remaining r2-only greens
+# (ext_split_assignment, ext_corpus_curation) — 11 of 12 slots; the
+# 12th refreshes the oldest r3-green.
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.

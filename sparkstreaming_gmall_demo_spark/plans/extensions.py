@@ -2316,3 +2316,82 @@ def ext_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi.orderBy(
         F.desc("pmi4"), F.asc("a"), F.asc("b")
     ).limit(PMI_TOP)
+
+
+SHARD_N = 8
+SHARD_MIN_TOKENS = 5
+
+
+@_register(
+    "ext_training_shards",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               md5(lower(text)) AS fp
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHARD_MIN_TOKENS}
+    ),
+    canon AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM base
+        ) WHERE rn = 1
+    ),
+    binned AS (
+        SELECT lang, n_tokens,
+               CAST(floor(
+                   (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM canon
+    ),
+    bins AS (
+        SELECT lang, bin_id, sum(n_tokens) AS bin_tokens
+        FROM binned GROUP BY 1, 2
+    ),
+    sharded AS (
+        SELECT lang, bin_id, bin_tokens,
+               CAST(CAST(concat('0x', substr(md5(concat_ws('|', lang,
+                    CAST(bin_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                    % {SHARD_N} AS INTEGER) AS shard
+        FROM bins
+    )
+    SELECT shard, count(*) AS n_contexts,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+    "corpus -> packed contexts -> deterministic training shards (export layout)",
+)
+def ext_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export capstone: length floor -> exact-fingerprint
+    keep-canonical dedup -> concat-and-cut packing into
+    {PACK_BUDGET}-token contexts -> content-keyed shard assignment
+    (operators/chunking.py:shard_assign). Every stage is the declared
+    operator from its own entry; this gates the COMPOSITION — and the
+    shard labels are exactly what write_training_shards lays on disk,
+    so the stats here are the manifest of the real export."""
+    from ..operators import chunking as chunk_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+    ).filter(F.col("n_tokens") >= SHARD_MIN_TOKENS)
+    canon = dedup_ops.first_per_group(base, ["fp"], ["doc_id"]).drop("fp")
+    binned = chunk_ops.pack_greedy(canon, "lang", "doc_id", "n_tokens", PACK_BUDGET)
+    bins = binned.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    sharded = chunk_ops.shard_assign(bins, ["lang", "bin_id"], SHARD_N)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_contexts"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

@@ -224,3 +224,85 @@ def test_scored_search_matches_python_model(spark):
     got = [(r.doc_id, r.score)
            for r in t.scored_search(df, "text", "alpha gamma", k=10).collect()]
     assert got == want
+
+
+def _py_priority(k: int, w: float, salt: str) -> float:
+    import hashlib
+
+    v = int(hashlib.md5((str(k) + salt).encode()).hexdigest()[:8], 16)
+    return math.log((v + 0.5) / 16 ** 8) / w
+
+
+def test_weighted_sample_matches_python_model(spark):
+    """The Spark A-Res selection == the pure-Python model selection for
+    several (weights, k, salt) shapes — including all-equal weights
+    (degenerates to uniform md5 order) and extreme weight skew."""
+    from sparkstreaming_gmall_demo_spark.operators.sampling import weighted_sample
+
+    cases = [
+        ("uniform", [1] * 300, 40, ""),
+        ("skewed", [1000 if i % 10 == 0 else 1 for i in range(300)], 40, "s"),
+        ("ramp", [i + 1 for i in range(300)], 25, "r2"),
+    ]
+    for name, weights, k, salt in cases:
+        rows = [(i, float(w)) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, ["k", "w"])
+        got = sorted(
+            r.k for r in weighted_sample(df, "k", "w", k, salt=salt).collect()
+        )
+        want = sorted(
+            sorted(rows, key=lambda r: (-_py_priority(r[0], r[1], salt), r[0]))[:k]
+        )
+        assert got == [kk for kk, _ in want], name
+
+
+def test_pagerank_matches_python_model(spark):
+    """Spark PageRank == dense pure-Python Jacobi on a random-ish but
+    deterministic 30-node weighted digraph, for 1..4 iterations."""
+    from sparkstreaming_gmall_demo_spark.operators.graph import pagerank
+
+    edges = []
+    for i in range(30):
+        for j in ((i * 7 + 1) % 30, (i * 13 + 5) % 30, (i * 3 + 11) % 30):
+            if i != j:
+                edges.append((i, j, float((i + j) % 5 + 1)))
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    for iters in (1, 2, 4):
+        damping = 0.85
+        rank = {v: 1.0 / len(nodes) for v in nodes}
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in nodes}
+            for s, d, w in edges:
+                contrib[d] += rank[s] * (w / out_w[s])
+            rank = {
+                v: (1 - damping) / len(nodes) + damping * contrib[v] for v in nodes
+            }
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        got = {r.node: r.rank for r in pagerank(df, iters=iters).collect()}
+        for v in nodes:
+            assert abs(got[v] - rank[v]) < 1e-9, (iters, v)
+
+
+def test_cm_estimate_matches_python_model_bounds(spark):
+    """For every token in a zipf-ish synthetic corpus: est >= exact
+    (CM's one-sided guarantee, checked exhaustively, not sampled)."""
+    from sparkstreaming_gmall_demo_spark.operators.sketch import cm_build, cm_estimate
+
+    rows = []
+    for i in range(80):
+        rows.extend([(f"t{i}",)] * (80 // (i + 1)))
+    toks = spark.createDataFrame(rows, ["token"])
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    sketch = cm_build(toks, depth=4, width=128)
+    cands = spark.createDataFrame([(t,) for t in exact], ["token"])
+    est = {
+        r.token: r.cm_est
+        for r in cm_estimate(sketch, cands, depth=4, width=128).collect()
+    }
+    for t, c in exact.items():
+        assert est[t] >= c, t

@@ -453,3 +453,47 @@ def test_token_pmi_positive_for_exclusive_pair(spark):
     assert got[("x", "y")] == round(math.log(2), 4)
     assert got[("w", "z")] == round(math.log(2), 4)
     assert ("x", "z") not in got
+
+
+# ---------------------------------------------------------------------------
+# training shard export
+# ---------------------------------------------------------------------------
+def test_shard_assign_is_deterministic_and_partitioning_invariant(spark):
+    from sparkstreaming_gmall_demo_spark.operators import chunking as ch
+
+    df = spark.createDataFrame(
+        [(l, b) for l in ("en", "de") for b in range(50)], ["lang", "bin_id"]
+    )
+    a = {(r.lang, r.bin_id): r.shard for r in ch.shard_assign(df, ["lang", "bin_id"], 8).collect()}
+    b = {
+        (r.lang, r.bin_id): r.shard
+        for r in ch.shard_assign(df.repartition(7), ["lang", "bin_id"], 8).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+    assert len(set(a.values())) > 1  # spreads across shards
+
+
+def test_write_training_shards_layout_and_stability(spark, tmp_path):
+    """Shards land as shard=K directories, and a re-export of the same
+    bins produces the identical shard membership (the content-keyed
+    layout promise a training loader relies on)."""
+    import os
+
+    from sparkstreaming_gmall_demo_spark.operators import chunking as ch
+
+    bins = spark.createDataFrame(
+        [("en", b, 100 + b) for b in range(20)], ["lang", "bin_id", "bin_tokens"]
+    )
+    out = str(tmp_path / "shards")
+    ch.write_training_shards(bins, out, n_shards=4)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+    first = {
+        (r.lang, r.bin_id): r.shard for r in spark.read.parquet(out).collect()
+    }
+    ch.write_training_shards(bins, out, n_shards=4)  # re-export
+    second = {
+        (r.lang, r.bin_id): r.shard for r in spark.read.parquet(out).collect()
+    }
+    assert first == second and len(first) == 20
