@@ -483,3 +483,23 @@ def semantic_dedup_keep(
                          on=id_col, how="left").withColumn(
         "kept", F.col("_drop").isNull()
     ).drop("_drop")
+
+
+def ivf_append_index(
+    new_embeddings: DataFrame,
+    centroids: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors with the
+    FROZEN trained centroids and append their inverted-list rows into
+    the existing partitioned layout. Freezing the codebook is the
+    production pattern (FAISS/IVF alike): assignments stay consistent
+    with everything already indexed, probes need no re-read of old
+    data, and retraining is an explicit offline event (rewrite via
+    ivf_write_index when drift warrants it). The append only writes
+    files under the cluster= partitions the batch touches."""
+    ivf_assign(new_embeddings, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(path)

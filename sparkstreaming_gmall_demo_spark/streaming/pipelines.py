@@ -624,3 +624,30 @@ def cm_read_merged(spark: SparkSession, sketch_table: str) -> DataFrame:
         .groupBy("d", "b")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def ann_ingest_pipeline(
+    vectors: DataFrame,
+    centroids: list,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous ANN-index ingest: each micro-batch of vectors is
+    assigned to its inverted list with the FROZEN trained centroids
+    (operators/similarity.py:ivf_append_index rationale) and appended
+    through the keyed idempotent sink — one row per vec_id ever
+    indexed, replays no-ops, and the cluster= partitioning is
+    preserved so probes keep partition-pruning as the index grows.
+    No streaming state: assignment is a pure narrow map against
+    broadcast-literal centroids."""
+    from ..operators.similarity import ivf_assign
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign(batch_df, centroids)
+        idempotent_append(
+            assigned, index_path, key_cols=["vec_id"],
+            partition_cols=["cluster"], batch_id=batch_id,
+        )
+
+    return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)

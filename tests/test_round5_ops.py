@@ -497,3 +497,84 @@ def test_write_training_shards_layout_and_stability(spark, tmp_path):
         (r.lang, r.bin_id): r.shard for r in spark.read.parquet(out).collect()
     }
     assert first == second and len(first) == 20
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN index maintenance
+# ---------------------------------------------------------------------------
+def test_ivf_append_finds_new_vectors_with_frozen_centroids(spark, sf_dir, tmp_path):
+    """Build the index on a base corpus, append a delta (including an
+    exact duplicate of the query vector under a fresh id) with FROZEN
+    centroids: the probe must surface the newly appended near-neighbor
+    via the partition-pruned index scan, without touching centroids."""
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    plant = emb.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.lit(77_000_000).cast(dict(emb.dtypes)["vec_id"])
+    )
+    cents = sim.ivf_train(base, k=8, iters=2)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_write_index(base, cents, path)
+    sim.ivf_append_index(delta.unionByName(plant), cents, path)
+
+    index = sim.ivf_read_index(spark, path)
+    assert index.count() == emb.count() + 1
+    q = sim.query_vector(emb, 1)
+    got = sim.ivf_topk(
+        emb, q, k=5, centroids=cents, assignment=index
+    ).collect()
+    ids = [r.vec_id for r in got]
+    assert 77_000_000 in ids and 1 in ids
+    top2 = {r.vec_id for r in got[:2]}
+    assert top2 == {1, 77_000_000}  # both cosine 1.0, id tiebreak
+
+
+def test_ann_ingest_streaming_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """Vectors streamed in 3 chunks land once each in the partitioned
+    index; a full replay from a fresh checkpoint adds nothing."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_train(emb, k=8, iters=2)
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    topic = tmp_path / "vec_topic"
+    topic.mkdir()
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    index_path = str(tmp_path / "ivf_stream_index")
+    schema = "vec_id long, embedding array<float>, label int"
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.ann_ingest_pipeline(
+            stream, cents, index_path, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    n = emb.count()
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+
+    run(str(tmp_path / "ck2"))  # full replay
+    assert spark.read.parquet(index_path).count() == n
+
+    # streamed assignments == batch assignments under the same frozen
+    # centroids (pure function -> chunking is invisible)
+    want = {r.vec_id: r.cluster for r in sim.ivf_assign(emb, cents).collect()}
+    got = {r.vec_id: r.cluster for r in spark.read.parquet(index_path).collect()}
+    assert got == want
