@@ -23,6 +23,10 @@ Semantics: rank' = (1-d)/N + d * sum_{in-edges} rank * frac. Dangling
 mass (nodes with no out-edges) evaporates rather than being
 redistributed — the common simplification; deterministic and mirrored
 exactly in the DuckDB oracle (plans/extensions.py:ext_nation_pagerank).
+
+Reference anchor: none — the reference has no graph analytics; this is
+a beyond-reference extension of the LLM-corpus-curation family
+(SURVEY §2.14), like operators/vocab.py and operators/sketch.py.
 """
 
 from __future__ import annotations

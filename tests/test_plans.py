@@ -143,3 +143,38 @@ def test_decontam_shuffles_counts_not_shingles(spark):
         if "text#" in head:
             text_sections += 1
     assert text_sections <= 1, "text crossed more than the declared spread"
+
+
+def test_pmi_vocab_probe_broadcasts_and_preaggregates(spark):
+    """ext_token_pmi: the vocabulary restriction must be a broadcast
+    probe (the bounded side), and the co-occurrence count must
+    partial-aggregate below its exchange — together these are what
+    bound the op at 100 TB (V^2/2 keys, text never shuffles)."""
+    plan = plan_of(spark, "ext_token_pmi")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_incremental_dedup_probe_is_anti_join_on_digests(spark):
+    """ext_incremental_dedup: the index probe must plan as a LeftAnti
+    hash join (one pass, no subquery re-scan per row)."""
+    plan = plan_of(spark, "ext_incremental_dedup")
+    assert "LeftAnti" in plan
+
+
+def test_pagerank_iterations_read_checkpoint_not_parquet(spark):
+    """ext_nation_pagerank: after the eager localCheckpoint, the
+    iteration plan must source from the materialized RDDs — a parquet
+    scan in the final plan means every Jacobi round re-derives the
+    3-way edge join (the 2x regression this pin guards)."""
+    plan = plan_of(spark, "ext_nation_pagerank")
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+
+
+def test_heavy_hitter_estimate_broadcasts_the_sketch(spark):
+    """ext_heavy_hitters: the sketch (depth x width cells) is the tiny
+    side — candidate estimation must broadcast it, never shuffle the
+    probe stream against it."""
+    plan = plan_of(spark, "ext_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
