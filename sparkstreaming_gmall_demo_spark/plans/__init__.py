@@ -4,36 +4,36 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # The external correctness driver oracle-checks only the FIRST 50
 # registry entries (round-1 finding). Dict order therefore IS the
 # driver-visibility order: the 38 reference-parity queries first, then
-# 12 extension entries. Round-5 rotation, from the cross-round green
-# ledger (CORRECTNESS_r01..r03 + the r4 window):
-# - the 5 round-4 entries with NO driver row yet: ext_decontamination,
-#   ext_corpus_mix, ext_decontam_scrub, ext_contamination_report,
-#   ext_scd2_history;
-# - 7 of the 9 entries green only in r2 (the oldest remaining rows).
-# The r4 window (event_pairs/pii_scrub/repetition + the r1-only
-# refreshes) rotates out. R6 window should seat: the 9 round-5 entries
-# without a driver row yet (ext_vocab_build, ext_unigram_surprisal,
-# ext_weighted_sample, ext_incremental_dedup, ext_semantic_dedup,
-# ext_heavy_hitters, ext_nation_pagerank, ext_token_pmi,
-# ext_training_shards) plus the 2 remaining r2-only greens
-# (ext_split_assignment, ext_corpus_curation) — 11 of 12 slots; the
-# 12th refreshes the oldest r3-green.
+# 12 extension entries. Round-4 rotation (the round restarted before
+# the prior r4 window was ever recorded, so the ledger is still just
+# CORRECTNESS_r01..r03). Seated, in priority order:
+# - 3 entries with a RED or absent r03 row whose fixes need a driver
+#   confirmation: ext_event_pairs_within_gap (NTZ red in r03, fixed),
+#   ext_pii_scrub (parse error, fixed), ext_repetition_scores (never
+#   driver-checked);
+# - the 5 decontamination-era entries with NO driver row yet;
+# - 4 of the 9 corpus-curation entries without a driver row
+#   (vocab_build, weighted_sample, incremental_dedup, heavy_hitters).
+# Next-round window should seat the remaining curation entries
+# (ext_unigram_surprisal, ext_semantic_dedup, ext_nation_pagerank,
+# ext_token_pmi, ext_training_shards), the 2 remaining r2-only greens
+# (ext_split_assignment, ext_corpus_curation), and any new entries.
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.
 _DRIVER_VISIBLE_EXT = [
+    "ext_event_pairs_within_gap",
+    "ext_pii_scrub",
+    "ext_repetition_scores",
     "ext_decontamination",
     "ext_corpus_mix",
     "ext_decontam_scrub",
     "ext_contamination_report",
     "ext_scd2_history",
-    "ext_simhash_neardup",
-    "ext_embedding_neardup",
-    "ext_tfidf_topterms",
-    "ext_neardup_components",
-    "ext_document_chunks",
-    "ext_context_packing",
-    "ext_stratified_sample",
+    "ext_vocab_build",
+    "ext_weighted_sample",
+    "ext_incremental_dedup",
+    "ext_heavy_hitters",
 ]
 
 _DRIVER_CAP = 50
