@@ -106,3 +106,46 @@ def novel_against_index(
         on="fingerprint",
         how="left_anti",
     )
+
+
+def novel_against_index_bloom(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    nbits: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Bloom-prefiltered twin of :func:`novel_against_index` with
+    IDENTICAL output (one-sided-error composition, not an
+    approximation): a Bloom filter built over the index digests is
+    broadcast to the probe stream; rows whose fingerprint the filter
+    rejects are DEFINITELY novel (Bloom has no false negatives) and
+    bypass the join entirely, and only the might-contain sliver —
+    true duplicates plus the (1-e^(-kn/m))^k false-positive residue —
+    pays the exact anti-join shuffle.
+
+    At 100 TB of daily ingest where most content is novel, this turns
+    the gate's shuffle from O(batch) to O(duplicates + fp·batch) while
+    the filter itself stays nbits/8 bytes however large the index grows
+    (size nbits for the expected index cardinality; ~10 bits/key gives
+    ~1% fp)."""
+    from . import sketch as sketch_ops
+
+    kw = {}
+    if nbits is not None:
+        kw["nbits"] = nbits
+    if k is not None:
+        kw["k"] = k
+    bloom = sketch_ops.bloom_build(
+        index.select("fingerprint").dropDuplicates(["fingerprint"]), "fingerprint", **kw
+    )
+    fp = df.withColumn("fingerprint", F.md5(F.lower(F.col(text_col))))
+    probed = sketch_ops.bloom_might_contain(fp, bloom, "fingerprint", **kw)
+    definitely_novel = probed.filter(~F.col("might_contain")).drop("might_contain")
+    maybe = probed.filter(F.col("might_contain")).drop("might_contain")
+    checked = maybe.join(
+        index.select("fingerprint").dropDuplicates(["fingerprint"]),
+        on="fingerprint",
+        how="left_anti",
+    )
+    return definitely_novel.unionByName(checked)

@@ -134,6 +134,89 @@ def weighted_priority(key, weight, salt: str = "") -> Column:
     return F.log(u) / weight.cast("double")
 
 
+def quota_rank(key, salt: str = "") -> Column:
+    """The within-group ordering used by ``quota_sample`` — the shared
+    md5 hash space again, so the kept set is a pure function of
+    (key, salt): stable under repartitioning, engines agree, and a
+    group's survivors don't change when OTHER groups grow (each row
+    competes only on its own digest). Oracle form:
+    ``row_number() OVER (PARTITION BY g ORDER BY substr(md5(k||salt),
+    1, 8), k)``."""
+    return _digest(key, salt)
+
+
+def quota_sample(
+    df: DataFrame, group_col: str, key: str, quota: int, salt: str = ""
+) -> DataFrame:
+    """Per-group cap: keep at most ``quota`` rows from every group —
+    the domain-quota rule of web-corpus curation (no single source may
+    dominate the training mix), applied deterministically: each group
+    keeps its ``quota`` lexicographically-smallest digests, ties broken
+    on the key. Under-quota groups are kept whole.
+
+    Plan shape: one hash-partition on the group + an in-group sort —
+    the same single shuffle a groupBy needs. At 100 TB the hazard is a
+    skewed giant group (one domain with 1e9 docs) serializing its sort
+    into one task; ``quota_sample_prefiltered`` is the scale path for
+    that regime."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(quota_rank(key, salt), F.col(key))
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= quota)
+        .drop("_qrn")
+    )
+
+
+def quota_sample_prefiltered(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    quota: int,
+    salt: str = "",
+    expected_group_size: int = 0,
+    margin: float = 4.0,
+) -> DataFrame:
+    """Skew-safe twin of ``quota_sample`` with IDENTICAL output.
+
+    Because the in-group rank is a uniform hash, a group's top-``quota``
+    digests almost surely sit below a cheap global threshold t chosen so
+    the expected number of survivors per full-sized group is
+    ``margin * quota``. Rows above t are discarded by a narrow map-side
+    filter BEFORE the shuffle — the giant group's sort sees ~margin*quota
+    rows instead of 1e9. Groups that end up with fewer than ``quota``
+    survivors under t (small groups, or a one-in-many-sigma hash draw)
+    are detected by a post-count and recomputed exactly from the
+    unfiltered input, so the result is equal to ``quota_sample`` on
+    every input, not just in expectation."""
+    if expected_group_size <= 0:
+        raise ValueError("expected_group_size must be positive")
+    frac = min(1.0, margin * quota / float(expected_group_size))
+    survivors = df.filter(sample_predicate(key, frac, salt))
+    capped = quota_sample(survivors, group_col, key, quota, salt)
+    # Groups where the prefilter might have cost rows: fewer than
+    # `quota` survivors overall means rows above t could have ranked
+    # inside the quota. (Groups with >= quota survivors are exact: the
+    # quota smallest digests of the survivors ARE the quota smallest of
+    # the group, since the filter keeps a digest prefix.)
+    short = (
+        survivors.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") < quota)
+        .select(group_col)
+    )
+    all_groups = df.select(group_col).distinct()
+    missing = all_groups.join(survivors.select(group_col).distinct(), group_col, "left_anti")
+    redo_groups = short.unionByName(missing).distinct()
+    redo = quota_sample(
+        df.join(F.broadcast(redo_groups), group_col, "left_semi"),
+        group_col, key, quota, salt,
+    )
+    kept = capped.join(F.broadcast(redo_groups), group_col, "left_anti")
+    return kept.unionByName(redo)
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: str, k: int, salt: str = ""
 ) -> DataFrame:

@@ -53,6 +53,85 @@ def cm_build(
     return cells.groupBy("d", "b").agg(F.count("*").alias("c"))
 
 
+BLOOM_K = 5
+BLOOM_NBITS = 1 << 16
+
+
+def _bloom_positions_sql(key_col: str, k: int, nbits: int) -> str:
+    """SQL fragment for the ``k`` bit positions a key sets/probes —
+    ONE definition shared by build and probe (same seeded-xxhash64
+    family as the Count-Min cells; seed is the hash index), so the two
+    sides agree by construction and the filter is reproducible run to
+    run."""
+    return f"transform(sequence(0, {k - 1}), i -> pmod(xxhash64(i, {key_col}), {nbits}))"
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "fingerprint",
+    nbits: int = BLOOM_NBITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter over ``df[key_col]`` as ONE row holding
+    ``bits: array<long>`` (nbits/64 words) — the broadcastable set
+    sketch an incremental-ingest gate probes before paying for an exact
+    anti-join.
+
+    Build is a narrow explode (k ints per key) → per-word ``bit_or``
+    partial-aggregated map-side → one bounded shuffle of at most
+    nbits/64 rows → a single-group assembly into the dense word array
+    (zero-filling words no key touched). Nothing key-count-sized ever
+    reaches the driver; the one-row result is `nbits/8` bytes however
+    many keys went in."""
+    nwords = (nbits + 63) // 64
+    cells = (
+        df.select(
+            F.explode(F.expr(_bloom_positions_sql(key_col, k, nbits))).alias("pos")
+        )
+        .select(
+            F.expr("cast(pos div 64 as int) as w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int)) as m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    return cells.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {nwords - 1}), w -> coalesce(m[w], 0L))"
+        ).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "fingerprint",
+    nbits: int = BLOOM_NBITS,
+    k: int = BLOOM_K,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Adds ``out_col``: false ⇒ the key is DEFINITELY not in the
+    built set (Bloom's one-sided guarantee — no false negatives);
+    true ⇒ present or a collision, at the standard
+    (1 - e^(-kn/m))^k false-positive rate.
+
+    The filter joins in as a broadcast one-row frame, so probing is a
+    shuffle-free narrow map over the probe stream — the whole point:
+    at 100 TB of daily ingest against a billions-strong index, the
+    overwhelmingly-novel majority short-circuits here and only the
+    might-contain sliver pays the exact anti-join shuffle
+    (operators/dedup.py:novel_against_index_bloom)."""
+    probe = df.crossJoin(F.broadcast(bloom))
+    hit = F.expr(
+        f"forall({_bloom_positions_sql(key_col, k, nbits)}, p -> "
+        "(element_at(bits, cast(p div 64 as int) + 1) & "
+        "shiftleft(1L, cast(p % 64 as int))) != 0)"
+    )
+    return probe.withColumn(out_col, hit).drop("bits")
+
+
 def cm_estimate(
     sketch: DataFrame,
     candidates: DataFrame,

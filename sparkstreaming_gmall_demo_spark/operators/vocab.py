@@ -33,6 +33,7 @@ extension for LLM corpus curation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,6 +103,221 @@ def unigram_surprisal(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.avg("surprisal_tok").alias("surprisal"),
+    )
+
+
+END_OF_WORD = "</w>"
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the ONLY corpus-sized pass BPE
+    training makes. Everything after operates on this table, whose row
+    count is the distinct-word vocabulary (bounded by language, not by
+    corpus size) — the classic Sennrich et al. 2016 trick that makes
+    BPE training tractable at 100 TB: iterate on word *types* weighted
+    by frequency, never on the token stream."""
+    return (
+        corpus_tokens(df.select(text_col), text_col)
+        .filter(F.col("token") != "")
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _word_symbols(word) -> "F.Column":
+    """Initial symbol sequence: one symbol per character plus the
+    end-of-word marker (so merges can't cross word boundaries and a
+    word-final symbol is distinct from the same char mid-word)."""
+    word = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.split(word, ""), F.array(F.lit(END_OF_WORD)))
+
+
+def _adjacent_pairs(syms) -> "F.Column":
+    """struct(a, b) per adjacent symbol position."""
+    syms = F.col(syms) if isinstance(syms, str) else syms
+    return F.transform(
+        F.slice(syms, 1, F.size(syms) - 1),
+        lambda x, i: F.struct(x.alias("a"), F.element_at(syms, i + F.lit(2)).alias("b")),
+    )
+
+
+def _apply_merge(syms, a: str, b: str) -> "F.Column":
+    """Greedy left-to-right merge of every adjacent (a, b) into the
+    concatenated symbol — a left fold (``F.aggregate``), so [a,a,a]
+    under merge (a,a) becomes [aa, a] exactly like the sequential
+    reference algorithm. Pure built-ins: stays in codegen, no UDF."""
+    syms = F.col(syms) if isinstance(syms, str) else syms
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+    max_word_types: int = 2_000_000,
+) -> list[dict]:
+    """Train ``n_merges`` BPE merge rules on the corpus. Returns the
+    merge table [{step, left, right, merged, freq}] in training order
+    — the artifact a tokenizer ships.
+
+    Architecture (the one every production BPE trainer uses, Sennrich
+    et al. 2016 onward): the CORPUS-sized work is exactly one
+    distributed pass — the word-type frequency histogram
+    (:func:`word_freqs`). The merge loop then runs on that histogram,
+    which is bounded by the language's word-type vocabulary (a few
+    million rows ≈ tens of MB), NOT by corpus size — 100 TB of text
+    and 100 GB of text produce comparably-sized histograms. So the
+    loop is a driver-side computation over a provably bounded table, a
+    deliberate exception to the no-collect rule (and the reason real
+    tokenizer trainers are single-node after the counting stage: 30k
+    sequential merge rounds against corpus-sized state would be absurd).
+    If the histogram exceeds ``max_word_types`` the training falls back
+    to :func:`bpe_train_distributed`, which keeps all state in
+    DataFrames at ~2 Spark jobs per merge round.
+
+    Determinism: merge choice is (freq DESC, left ASC, right ASC) —
+    engine-portable, no RNG; both paths and the pure-Python reference
+    model in tests agree exactly."""
+    wf = word_freqs(df, text_col)
+    if wf.limit(max_word_types + 1).count() > max_word_types:
+        return bpe_train_distributed(df, n_merges, text_col, min_freq)
+    words: dict[tuple, int] = {}
+    for r in wf.collect():
+        words[tuple(list(r["word"]) + [END_OF_WORD])] = int(r["freq"])
+    merges: list[dict] = []
+    for step in range(n_merges):
+        pair_counts: dict[tuple, int] = {}
+        for syms, freq in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+        if not pair_counts:
+            break
+        (a, b), pfreq = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pfreq < min_freq:
+            break
+        merges.append(
+            {"step": step, "left": a, "right": b, "merged": a + b, "freq": int(pfreq)}
+        )
+        rewritten: dict[tuple, int] = {}
+        for syms, freq in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            key = tuple(out)
+            rewritten[key] = rewritten.get(key, 0) + freq
+        words = rewritten
+    return merges
+
+
+def bpe_train_distributed(
+    df: DataFrame, n_merges: int, text_col: str = "text", min_freq: int = 2
+) -> list[dict]:
+    """All-DataFrame BPE training for histograms too large to collect:
+    each round is adjacent-pair counts over the word-type table
+    (explode + partial-aggregated groupBy — the pair key space is
+    bounded by the symbol vocabulary), a single-row argmax collect by
+    (freq DESC, pair ASC), and the fold-kernel rewrite
+    (:func:`_apply_merge`). ``localCheckpoint`` truncates per-round
+    lineage (same discipline as operators/graph.py:pagerank) so round
+    k's plan doesn't replay rounds 1..k-1.
+
+    The loop is inherently sequential (merge k+1's counts depend on
+    merge k's rewrite) — the parallelism is WITHIN each round, which
+    is all BPE training admits anywhere. Produces EXACTLY the same
+    merge table as :func:`bpe_train` (pinned by test)."""
+    words = (
+        word_freqs(df, text_col)
+        .select(_word_symbols("word").alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[dict] = []
+    for step in range(n_merges):
+        best = (
+            words.select(F.explode(_adjacent_pairs("syms")).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pfreq"))
+            .orderBy(F.desc("pfreq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pfreq"] < min_freq:
+            break
+        a, b, pfreq = best[0]["a"], best[0]["b"], int(best[0]["pfreq"])
+        merges.append(
+            {"step": step, "left": a, "right": b, "merged": a + b, "freq": pfreq}
+        )
+        words = words.select(
+            _apply_merge("syms", a, b).alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table to the corpus: (id_col, n_tokens,
+    n_chars) per document, where n_tokens counts BPE symbols after all
+    merges (the number a loader budgets context length with).
+
+    The merge list is a driver-side constant (a tokenizer artifact of
+    a few thousand rules); applying rules sequentially per word is an
+    inherently iterative inner loop, so this is the documented
+    Pandas-UDF case (Arrow-batched, broadcast-free: the rules travel in
+    the closure) rather than ``n_merges`` chained fold projections that
+    would blow past codegen's expression budget at real rule counts."""
+    rules = [(m["left"], m["right"]) for m in merges]
+
+    @F.pandas_udf("int")
+    def n_bpe_tokens(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def encode_word(word: str) -> int:
+            # encoding is a pure function of the word, and natural text
+            # repeats words heavily — memoize per worker (Zipf's law
+            # makes the hit rate ~= 1 - typeRate, huge in practice)
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [END_OF_WORD]
+            for a, b in rules:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            memo[word] = len(syms)
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_word(w) for w in t.split(" ") if w) if t else 0
+        )
+
+    return df.select(
+        id_col,
+        n_bpe_tokens(F.col(text_col)).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
     )
 
 

@@ -26,6 +26,7 @@ from ..sources.fixtures import load_table, spread_fixture
 from ..operators import components as comp_ops
 from ..operators import decontam as decon_ops
 from ..operators import dedup as dedup_ops
+from ..operators import diff as diff_ops
 from ..operators import graph as graph_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
@@ -2394,4 +2395,220 @@ def ext_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: domain quotas, dataset versioning diff, Bloom-gated
+# incremental dedup, BPE tokenizer training/application.
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_SOURCE = 10
+BPE_MERGES = 24
+_DIFF_FP = (
+    "md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), ''),"
+    " coalesce(lang, ''), coalesce(source, '')))"
+)
+
+
+@_register(
+    "ext_quota_sample",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {QUOTA_PER_SOURCE}
+    ORDER BY source, doc_id
+    """,
+    "per-source domain quota (deterministic web-corpus source cap)",
+)
+def ext_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-quota curation rule: no source may contribute more than
+    QUOTA_PER_SOURCE documents, survivors chosen by the shared md5
+    priority space (operators/sampling.py:quota_sample) so the kept
+    set is stable under repartitioning and engine-portable. The
+    skew-safe twin (quota_sample_prefiltered) is output-identical and
+    pinned so by tests/test_round6_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        samp_ops.quota_sample(docs, "source", "doc_id", QUOTA_PER_SOURCE)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@_register(
+    "ext_snapshot_diff",
+    f"""
+    WITH mod AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+               lang, source
+        FROM documents WHERE doc_id % 7 != 0
+    ),
+    added AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               'fresh crawl ' || CAST(doc_id AS VARCHAR) AS text,
+               lang, source
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id, {_DIFF_FP} AS old_fp FROM documents),
+    n AS (
+        SELECT doc_id, {_DIFF_FP} AS new_fp
+        FROM (SELECT * FROM mod UNION ALL SELECT * FROM added)
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           old_fp, new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
+    ORDER BY doc_id
+    """,
+    "corpus snapshot diff: added/removed/changed between two versions",
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning churn report (operators/diff.py): the new
+    snapshot drops every 7th doc, edits every 5th, and gains a fresh
+    crawl slice — the diff classifies every key by comparing per-side
+    row fingerprints (a narrow md5 map per side), so the full-outer
+    join shuffles digests, never text. Composes with
+    streaming/txn.py snapshots for real versioned tables."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    mod = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("fresh crawl "), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+    )
+    new = mod.unionByName(added)
+    return diff_ops.snapshot_diff(
+        docs, new, "doc_id", ["text", "lang", "source"]
+    ).orderBy("doc_id")
+
+
+@_register(
+    "ext_bloom_gate",
+    """
+    SELECT lang, count(*) AS n_novel,
+           true AS no_false_negatives,
+           true AS gate_equals_exact
+    FROM documents
+    WHERE md5(lower(text)) NOT IN (
+        SELECT DISTINCT md5(lower(text)) FROM documents WHERE doc_id % 2 = 0
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+    "Bloom-prefiltered incremental-ingest gate, proven equal to the exact anti-join",
+)
+def ext_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ingest gate: a Bloom filter over the persisted
+    fingerprint index (operators/sketch.py:bloom_build) is broadcast to
+    the incoming batch; definitely-novel rows (filter says no — Bloom's
+    one-sided guarantee) skip the anti-join entirely and only the
+    might-contain sliver pays the shuffle
+    (operators/dedup.py:novel_against_index_bloom). The declared row
+    per language carries the exact novel count (SQL anchor) plus two
+    in-plan invariants: the filter never rejected an indexed key, and
+    the composed gate's output is IDENTICAL to the exact anti-join's."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup_ops.fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0))
+    novel = dedup_ops.novel_against_index_bloom(docs, index)
+    exact = dedup_ops.novel_against_index(docs, index)
+    bloom = sketch_ops.bloom_build(index)
+    n_false_neg = (
+        sketch_ops.bloom_might_contain(index, bloom)
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    sym_diff = (
+        novel.select("doc_id").exceptAll(exact.select("doc_id")).count()
+        + exact.select("doc_id").exceptAll(novel.select("doc_id")).count()
+    )
+    return (
+        novel.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+        .select(
+            "lang",
+            "n_novel",
+            F.lit(n_false_neg == 0).alias("no_false_negatives"),
+            F.lit(sym_diff == 0).alias("gate_equals_exact"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_bench("ext_bloom_gate")
+def _bench_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only bench plan: the gate itself, without the
+    exact-twin comparison the invariant build pays for."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup_ops.fingerprint_index(docs.filter(F.col("doc_id") % 2 == 0))
+    return (
+        dedup_ops.novel_against_index_bloom(docs, index)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "ext_bpe_train",
+    None,  # iterative, data-dependent argmax per round: not SQL-expressible.
+    "BPE tokenizer training on word types (merge-rule table)",
+)
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGES merge rules on the corpus
+    (operators/vocab.py:bpe_train — Sennrich-style word-type training:
+    the corpus is touched ONCE for word frequencies; every merge round
+    iterates the small word-type table). Deterministic end to end
+    (freq DESC, pair ASC tie-break), but the per-round argmax makes it
+    genuinely non-SQL-expressible, so this entry is rows-only for the
+    driver; exact parity with a pure-Python reference implementation is
+    pinned by tests/test_round6_ops.py at two SFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = vocab_ops.bpe_train(docs, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, freq long"
+    ).orderBy("step")
+
+
+@_register(
+    "ext_bpe_encode",
+    None,  # consumes the trained (data-dependent) merge table.
+    "apply trained BPE merges to the corpus (per-language compression profile)",
+)
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the just-trained merge table
+    (operators/vocab.py:bpe_encode — the documented Pandas-UDF case:
+    per-word sequential rule application, Arrow-batched, merge rules in
+    the closure). Output: per-language token-compression profile, the
+    number a context-length budget planner consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = vocab_ops.bpe_train(docs, BPE_MERGES)
+    enc = vocab_ops.bpe_encode(docs, merges)
+    return (
+        docs.select("doc_id", "lang")
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_bpe_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )

@@ -55,6 +55,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ext_tfidf_topterms",
         "ext_corpus_mix",  # per-source frame x broadcast 1-row target
         "q9b_scored_search",  # per-doc tf frame x broadcast 1-row dfs
+        "ext_bloom_gate",  # probe stream x broadcast 1-row bloom bits
     }
     for name in REGISTRY:
         if name in single_row_query_joins:
@@ -178,3 +179,46 @@ def test_heavy_hitter_estimate_broadcasts_the_sketch(spark):
     probe stream against it."""
     plan = plan_of(spark, "ext_heavy_hitters")
     assert "BroadcastHashJoin" in plan
+
+
+def test_quota_sample_single_shuffle_window(spark):
+    """ext_quota_sample: one hash-partition on the group (+ the
+    declared orderBy's range exchange), and — the scale property —
+    WindowGroupLimit BELOW the exchange: each map task pre-drops rows
+    that can't rank inside the quota, so a skewed giant source ships
+    ~quota rows, not its whole partition share."""
+    import re
+
+    plan = plan_of(spark, "ext_quota_sample")
+    tree = plan.split("(1) Scan")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    # the pushed (Partial) group-limit must sit under the shuffle
+    exch_pos = tree.index("Exchange (5)")
+    assert "WindowGroupLimit" in tree[exch_pos:]
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    """ext_snapshot_diff: each side collapses to (key, md5) BEFORE the
+    full-outer join — the text column must not cross the exchange."""
+    plan = plan_of(spark, "ext_snapshot_diff")
+    joins = [
+        seg for seg in plan.split("\n\n") if "SortMergeJoin" in seg or "ShuffledHashJoin" in seg
+    ]
+    assert "FullOuter" in plan
+    # every exchange feeding the join carries fp columns, never text
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_bloom_probe_is_broadcast_and_gate_keeps_anti_join(spark):
+    """ext_bloom_gate (bench build = the gate itself): the one-row
+    filter joins in as a broadcast (never an Exchange of the probe
+    stream against it) and the might-contain sliver still ends in the
+    exact LeftAnti join."""
+    df = REGISTRY["ext_bloom_gate"].bench_build(spark, ORACLE_SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan

@@ -1,0 +1,313 @@
+"""Round-6 operator tests: per-source domain quotas, snapshot diff,
+Bloom-gated incremental dedup, and BPE tokenizer training/encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+from sparkstreaming_gmall_demo_spark.operators import diff as diff_ops
+from sparkstreaming_gmall_demo_spark.operators import sampling as samp
+from sparkstreaming_gmall_demo_spark.operators import sketch as sketch_ops
+from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
+
+
+# ---------------------------------------------------------------------------
+# quota sampling
+# ---------------------------------------------------------------------------
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_quota_sample_caps_every_group(spark):
+    q = samp.quota_sample(_docs(spark), "source", "doc_id", 5)
+    sizes = q.groupBy("source").count().collect()
+    assert sizes and all(r["count"] <= 5 for r in sizes)
+
+
+def test_quota_sample_keeps_small_groups_whole(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100, "tiny"), (101, "tiny")],
+        ["doc_id", "source"],
+    )
+    q = samp.quota_sample(df, "source", "doc_id", 10)
+    by = {r.source: r["count"] for r in q.groupBy("source").count().collect()}
+    assert by == {"big": 10, "tiny": 2}
+
+
+def test_quota_sample_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in samp.quota_sample(df, "source", "doc_id", 7).collect()}
+    b = {
+        r.doc_id
+        for r in samp.quota_sample(df.repartition(17), "source", "doc_id", 7).collect()
+    }
+    assert a == b
+
+
+def test_quota_sample_group_local(spark):
+    """A row's survival depends only on its own group — growing OTHER
+    sources never changes a group's kept set."""
+    df = _docs(spark)
+    small = df.filter(F.col("source") != "")
+    extra = df.withColumn("source", F.concat(F.lit("other_"), F.col("source"))).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+    grown = small.unionByName(extra)
+    base = {
+        r.doc_id
+        for r in samp.quota_sample(small, "source", "doc_id", 7).collect()
+    }
+    after = {
+        r.doc_id
+        for r in samp.quota_sample(grown, "source", "doc_id", 7)
+        .filter(~F.col("source").startswith("other_"))
+        .collect()
+    }
+    assert base == after
+
+
+@pytest.mark.parametrize("expected,margin", [(100, 4.0), (25, 1.2), (1000, 8.0)])
+def test_quota_prefiltered_identical(spark, expected, margin):
+    df = _docs(spark)
+    plain = {r.doc_id for r in samp.quota_sample(df, "source", "doc_id", 8).collect()}
+    fast = {
+        r.doc_id
+        for r in samp.quota_sample_prefiltered(
+            df, "source", "doc_id", 8, expected_group_size=expected, margin=margin
+        ).collect()
+    }
+    assert plain == fast
+
+
+def test_quota_prefiltered_recovers_undershot_groups(spark):
+    # margin so tight the prefilter strands groups below quota: the
+    # recompute path must restore exactness anyway.
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], ["doc_id", "source"]
+    )
+    plain = {r.doc_id for r in samp.quota_sample(df, "source", "doc_id", 20).collect()}
+    fast = {
+        r.doc_id
+        for r in samp.quota_sample_prefiltered(
+            df, "source", "doc_id", 20, expected_group_size=10000, margin=1.0
+        ).collect()
+    }
+    assert plain == fast
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")], ["id", "text", "lang"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "en"), (2, "B", "en"), (4, "d", "fr")], ["id", "text", "lang"]
+    )
+    got = {
+        r.id: r.change
+        for r in diff_ops.snapshot_diff(old, new, "id", ["text", "lang"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_include_unchanged_and_null_safety(spark):
+    old = spark.createDataFrame([(1, "a", None), (2, None, "x")], ["id", "t", "u"])
+    new = spark.createDataFrame([(1, "a", None), (2, "", "x")], ["id", "t", "u"])
+    full = diff_ops.snapshot_diff(old, new, "id", ["t", "u"], include_unchanged=True)
+    got = {r.id: r.change for r in full.collect()}
+    # NULL and '' encode identically in the fingerprint (documented
+    # coalesce) -> id 2 reads as unchanged; id 1 identical.
+    assert got == {1: "unchanged", 2: "unchanged"}
+
+
+def test_snapshot_diff_column_order_significant(spark):
+    old = spark.createDataFrame([(1, "ab", "c")], ["id", "x", "y"])
+    new = spark.createDataFrame([(1, "a", "bc")], ["id", "x", "y"])
+    got = diff_ops.snapshot_diff(old, new, "id", ["x", "y"]).collect()
+    assert len(got) == 1 and got[0].change == "changed"
+
+
+def test_diff_summary_counts(spark):
+    old = spark.createDataFrame([(i, str(i)) for i in range(10)], ["id", "t"])
+    new = spark.createDataFrame(
+        [(i, str(i) if i % 2 else "X") for i in range(8)], ["id", "t"]
+    )
+    s = {r.change: r.n for r in diff_ops.diff_summary(
+        diff_ops.snapshot_diff(old, new, "id", ["t"])
+    ).collect()}
+    assert s == {"changed": 4, "removed": 2}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + gated incremental dedup
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives(spark):
+    idx = dedup_ops.fingerprint_index(_docs(spark))
+    bloom = sketch_ops.bloom_build(idx)
+    probed = sketch_ops.bloom_might_contain(idx, bloom)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_fp_rate_within_bound(spark):
+    import math
+
+    idx = dedup_ops.fingerprint_index(_docs(spark))
+    n = idx.count()
+    bloom = sketch_ops.bloom_build(idx)
+    absent = spark.range(20000).select(
+        F.md5(F.concat(F.lit("absent"), F.col("id").cast("string"))).alias(
+            "fingerprint"
+        )
+    )
+    fp = (
+        sketch_ops.bloom_might_contain(absent, bloom)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    expected = (1 - math.exp(-sketch_ops.BLOOM_K * n / sketch_ops.BLOOM_NBITS)) ** (
+        sketch_ops.BLOOM_K
+    )
+    # generous slack over the analytic rate; mostly guards against a
+    # build/probe hash mismatch (which would send fp toward 0% with
+    # false negatives, or toward 100%)
+    assert fp / 20000.0 <= max(5 * expected, 0.01)
+
+
+def test_bloom_gate_equals_exact_anti_join(spark):
+    docs = _docs(spark)
+    idx = dedup_ops.fingerprint_index(docs.filter(F.col("doc_id") % 3 == 0))
+    exact = {r.doc_id for r in dedup_ops.novel_against_index(docs, idx).collect()}
+    fast = {
+        r.doc_id for r in dedup_ops.novel_against_index_bloom(docs, idx).collect()
+    }
+    assert exact == fast and exact
+
+
+def test_bloom_tiny_filter_still_exact(spark):
+    """Saturate a deliberately undersized filter: everything reads
+    might-contain, the anti-join does all the work, output unchanged."""
+    docs = _docs(spark)
+    idx = dedup_ops.fingerprint_index(docs.filter(F.col("doc_id") % 3 == 0))
+    exact = {r.doc_id for r in dedup_ops.novel_against_index(docs, idx).collect()}
+    fast = {
+        r.doc_id
+        for r in dedup_ops.novel_against_index_bloom(
+            docs, idx, nbits=64, k=2
+        ).collect()
+    }
+    assert exact == fast
+
+
+# ---------------------------------------------------------------------------
+# BPE training + encoding
+# ---------------------------------------------------------------------------
+def _py_bpe(word_freq: dict, n_merges: int, min_freq: int = 2) -> list:
+    """Sequential reference implementation (Sennrich et al. 2016
+    algorithm 1, deterministic tie-break freq DESC then pair ASC)."""
+    words = {tuple(list(w) + [vocab_ops.END_OF_WORD]): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(n_merges):
+        pc: dict = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+        if not pc:
+            break
+        (a, b), f = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if f < min_freq:
+            break
+        merges.append((step, a, b, a + b, f))
+        out_words: dict = {}
+        for syms, fr in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            out_words[tuple(out)] = out_words.get(tuple(out), 0) + fr
+        words = out_words
+    return merges
+
+
+def _word_freqs_py(texts: list) -> dict:
+    wf: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def test_bpe_train_matches_python_model_on_fixture(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = vocab_ops.bpe_train(docs, 12)
+    wf = _word_freqs_py([r.text for r in docs.select("text").collect()])
+    want = _py_bpe(wf, 12)
+    assert [(m["step"], m["left"], m["right"], m["merged"], m["freq"]) for m in got] == want
+
+
+def test_bpe_distributed_path_identical(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = vocab_ops.bpe_train(docs, 10)
+    dist = vocab_ops.bpe_train_distributed(docs, 10)
+    assert fast == dist
+    # forcing the fallback through the public entry point agrees too
+    forced = vocab_ops.bpe_train(docs, 10, max_word_types=1)
+    assert forced == fast
+
+
+def test_bpe_greedy_left_to_right(spark):
+    # 'aaa' under merge (a,a) must become [aa, a], not [a, aa]
+    df = spark.createDataFrame([("aaa aaa",)], ["text"])
+    merges = vocab_ops.bpe_train(df, 1)
+    assert merges[0]["left"] == "a" and merges[0]["right"] == "a"
+    enc = vocab_ops.bpe_encode(
+        df.withColumn("doc_id", F.lit(1)), merges
+    ).collect()[0]
+    # per word: [aa, a, </w>] = 3 symbols, two words -> 6
+    assert enc.n_tokens == 6
+
+
+def test_bpe_train_early_stop_below_min_freq(spark):
+    df = spark.createDataFrame([("ab cd",)], ["text"])
+    # every adjacent pair occurs once < min_freq=2 -> no merges
+    assert vocab_ops.bpe_train(df, 5) == []
+
+
+def test_bpe_encode_matches_sequential_model(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = vocab_ops.bpe_train(docs, 8)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in vocab_ops.bpe_encode(docs, merges).collect()
+    }
+    rules = [(m["left"], m["right"]) for m in merges]
+
+    def encode_word(word):
+        syms = list(word) + [vocab_ops.END_OF_WORD]
+        for a, b in rules:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    for r in docs.select("doc_id", "text").collect():
+        want = sum(encode_word(w) for w in r.text.split(" ") if w)
+        assert got[r.doc_id] == want
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m12 = vocab_ops.bpe_train(docs, 12)
+    t4 = vocab_ops.bpe_encode(docs, m12[:4]).agg(F.sum("n_tokens")).first()[0]
+    t12 = vocab_ops.bpe_encode(docs, m12).agg(F.sum("n_tokens")).first()[0]
+    assert t12 <= t4
