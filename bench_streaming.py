@@ -222,6 +222,19 @@ def main() -> None:
                 ),
                 n_rows, work,
             ),
+            # continuous rolling-distinct maintenance: per-batch HLL
+            # day-partials committed to a txn table (immutable
+            # partials, no streaming state — same regime as the CM
+            # sketch pipeline); measures the per-batch sketch-agg +
+            # link-CAS commit cost over the full event topic
+            "hll_partials": run(
+                "hll_partials",
+                lambda out, ckpt: pipelines.hll_pipeline(
+                    parquet_stream(spark, input_dir, EVENTS_RAW),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                n_rows, work,
+            ),
             # stateless ingest with the partitioned keyed replay guard
             # (the Phoenix-upsert path) over the same order topic
             "gmv": run(

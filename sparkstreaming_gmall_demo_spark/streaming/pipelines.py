@@ -651,3 +651,54 @@ def ann_ingest_pipeline(
         )
 
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def hll_pipeline(
+    events: DataFrame,
+    sketch_table: str,
+    checkpoint: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lgk: int = 12,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous rolling-distinct maintenance: each micro-batch
+    collapses to one HLL sketch per day it touched, committed keyed by
+    (batch_id, d) — the same immutable-partials/no-streaming-state
+    discipline as :func:`sketch_pipeline` (exactly-once: a replayed
+    batch re-inserts existing keys, which ``txn.merge_keyed`` makes a
+    no-op). Readers merge at query time (:func:`hll_read_daily`), and
+    because HLL registers are max-merged, chunking is invisible: the
+    merged estimate is bit-identical to a one-shot batch sketch over
+    the same rows. Storage: one ~2^lgk-byte blob per (batch, day).
+
+    This is the streaming half of operators/sketch.py:
+    hll_daily_partials — together they answer DAU/WAU/MAU over any
+    range without ever re-scanning events (reference twin: the Redis
+    per-day dedup set of handler/DauHandler.scala:26-60, generalized to
+    a mergeable estimate with bounded storage)."""
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(F.to_date(F.col(ts_col)).alias("d"), F.col(key).alias("k"))
+            .groupBy("d")
+            .agg(F.hll_sketch_agg("k", F.lit(lgk)).alias("sketch"))
+            .select(F.lit(batch_id).cast("long").alias("batch_id"), "d", "sketch")
+        )
+        txn.merge_keyed(partials, sketch_table, key_cols=["batch_id", "d"])
+
+    return _start(events.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def hll_read_daily(spark: SparkSession, sketch_table: str) -> DataFrame:
+    """Merge the per-batch partials into one sketch per day
+    (d, sketch) — directly consumable by
+    operators/sketch.py:hll_prefix_estimates for rolling rollups."""
+    from . import txn
+
+    return (
+        txn.snapshot(spark, sketch_table)
+        .groupBy("d")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )

@@ -389,3 +389,62 @@ def test_pq_dim_not_divisible_raises(spark):
 
     with pytest.raises(ValueError):
         sim.pq_train(_emb(spark), m=5, ksub=8, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL partials
+# ---------------------------------------------------------------------------
+def test_hll_pipeline_streaming_equals_batch_and_replays_noop(spark, tmp_path):
+    """Chunked streaming ingestion must yield byte-identical merged
+    day-sketches to the one-shot batch partials (HLL registers are
+    max-merged — chunking invisible), and a fresh-checkpoint replay
+    must be a no-op on the txn table."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    sf_dir = "/root/testdata/sf0.01"
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    topic = tmp_path / "events_topic"
+    topic.mkdir()
+    step = (table.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    sketch_table = str(tmp_path / "hll_partials")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.hll_pipeline(
+            stream, sketch_table, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = sketch_ops.hll_prefix_estimates(sketch_ops.hll_daily_partials(ev))
+    streamed = sketch_ops.hll_prefix_estimates(
+        pipelines.hll_read_daily(spark, sketch_table)
+    )
+    want = sorted((r.d, r.est_daily, r.est_cum) for r in batch.collect())
+    got = sorted((r.d, r.est_daily, r.est_cum) for r in streamed.collect())
+    assert got == want
+
+    v = txn.current_version(sketch_table)
+    run(str(tmp_path / "ck2"))  # full replay from a fresh checkpoint
+    got2 = sorted(
+        (r.d, r.est_daily, r.est_cum)
+        for r in sketch_ops.hll_prefix_estimates(
+            pipelines.hll_read_daily(spark, sketch_table)
+        ).collect()
+    )
+    assert got2 == want
+    assert txn.current_version(sketch_table) == v
