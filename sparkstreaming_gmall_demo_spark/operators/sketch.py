@@ -24,7 +24,7 @@ against the exact counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CM_DEPTH = 4
@@ -182,18 +182,14 @@ def hll_prefix_estimates(partials: DataFrame) -> DataFrame:
     """(d, est_daily, est_cum): per-day estimate plus the
     estimate over the union of all partials up to d — computed purely
     by MERGING sketches (``hll_union_agg``), never re-touching events.
-    The prefix closure is a day x day self-join: day-count-sized
-    (bounded by the calendar, ~365 rows/year), irrelevant at any data
-    scale."""
-    est_daily = partials.select(
-        "d", F.hll_sketch_estimate("sketch").alias("est_daily")
+    The prefix closure is a running-union window over the day frame:
+    one pass over O(#days) kB-sized sketches (bounded by the calendar,
+    ~365 rows/year — the single-partition window is irrelevant at any
+    data scale, and strictly cheaper than the day x day inequality
+    self-join it replaces, which planned as a nested-loop)."""
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return partials.select(
+        "d",
+        F.hll_sketch_estimate("sketch").alias("est_daily"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("est_cum"),
     )
-    prefixes = (
-        partials.alias("a")
-        .join(partials.alias("b"), F.col("b.d") <= F.col("a.d"))
-        .groupBy(F.col("a.d").alias("d"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sketch"))).alias("est_cum")
-        )
-    )
-    return est_daily.join(prefixes, "d")

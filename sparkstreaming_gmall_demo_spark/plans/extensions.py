@@ -19,7 +19,7 @@ tests/test_neardup.py and tests/test_operators_unit.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table, spread_fixture
@@ -2656,11 +2656,21 @@ def ext_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firstd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
     fd_counts = firstd.groupBy("fd").agg(F.count("*").alias("nf"))
+    # exact_cum(d) = sum(nf) over fd <= d. Every fd is itself an event
+    # day, so instead of an inequality join (plans as a nested-loop even
+    # at day granularity) we equi-join the day frames and take a running
+    # sum — a one-partition window over O(#days) rows.
     cum = (
         daily.select("d")
-        .join(fd_counts, fd_counts["fd"] <= F.col("d"))
-        .groupBy("d")
-        .agg(F.sum("nf").cast("long").alias("exact_cum"))
+        .join(fd_counts, daily["d"] == fd_counts["fd"], "left")
+        .select("d", F.coalesce("nf", F.lit(0)).alias("nf"))
+        .select(
+            "d",
+            F.sum("nf")
+            .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("exact_cum"),
+        )
     )
     ok = lambda e, x: (  # noqa: E731
         F.abs(e.cast("double") - F.col(x)) <= F.col(x) * F.lit(HLL_RTOL)

@@ -56,6 +56,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ext_corpus_mix",  # per-source frame x broadcast 1-row target
         "q9b_scored_search",  # per-doc tf frame x broadcast 1-row dfs
         "ext_bloom_gate",  # probe stream x broadcast 1-row bloom bits
+        "ext_pq_topk",  # rerank-sized candidates x broadcast 1-row query vec
     }
     for name in REGISTRY:
         if name in single_row_query_joins:
