@@ -392,3 +392,171 @@ def scored_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    keyword: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 OR-match top-k: the length-normalized upgrade of
+    :func:`scored_search` (ES's actual default similarity — the
+    reference's match queries run BM25 under the hood,
+    service/impl/PublisherServiceImpl.java:84-87; scored_search keeps
+    the integer proxy for bit-exact paging, this entry exposes the real
+    scoring model). Returns (id, score) for the top ``k`` documents
+    matching ANY query term, score = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)) with the Lucene idf
+    ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape at 100 TB (same discipline as scored_search): per-doc
+    term frequencies and length are a narrow map over the token array
+    (no explode — the shuffle-free path since the query has O(1)
+    terms); N, avgdl and per-term dfs are ONE 1-row aggregate broadcast
+    back; the top-k is ORDER BY … LIMIT — TakeOrderedAndProject,
+    per-partition heaps, no global sort. Ordering uses the ROUNDED
+    score (4 dp) with id tiebreak so ranking is reproducible across
+    engines and partitionings.
+    """
+    terms = [t for t in keyword.split(" ") if t]
+    if not terms:
+        raise ValueError("keyword has no terms")
+    toks = tokens(text_col)
+
+    def _tf(term: str):
+        # unary predicate — see scored_search note
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    narrowed = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        *[_tf(t).cast("double").alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = narrowed.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    match_any = F.lit(False)
+    score = None
+    for i in range(len(terms)):
+        match_any = match_any | (F.col(f"tf_{i}") > 0)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        term_score = idf * (
+            F.col(f"tf_{i}")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        narrowed.join(F.broadcast(stats))
+        .filter(match_any)
+        .select(F.col(id_col), F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 6,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, df): token n-grams occurring in at least ``min_df``
+    DISTINCT documents — the corpus-derived boilerplate dictionary
+    (CCNet/RefinedWeb-style repeated-passage detection: headers,
+    navigation chrome, license blurbs repeat verbatim across pages;
+    high document frequency at n≥6 tokens is the standard signal).
+
+    Plan: one tokenize pass; per-doc n-gram DISTINCT before the gram
+    shuffle (a doc never votes twice), then a count per gram — the
+    shuffle carries (gram, doc_id) pairs bounded by corpus n-gram
+    diversity, the same budget as the decontamination shingle join."""
+    grams = _positioned_ngrams(df, n, id_col, text_col)
+    return (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def _positioned_ngrams(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gram): every token n-gram with its 1-based start
+    position — a narrow map (array arithmetic) then one explode."""
+    return df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {n} THEN "
+                f"transform(sequence(1, size(_toks) - {n} + 1), "
+                f"i -> struct(i AS pos, array_join(slice(_toks, i, {n}), ' ') AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    n: int = 6,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate audit: (id, n_tokens, covered_tokens,
+    keep_ratio) where covered_tokens counts token positions lying under
+    ANY occurrence of a boilerplate n-gram (coverage semantics — order-
+    and overlap-independent, so the result is well-defined however the
+    occurrences tile, unlike greedy removal whose output depends on
+    scan order). keep_ratio = kept/total rounded 4 dp; a curation
+    pipeline drops or trims documents below a floor.
+
+    Plan: occurrences join the boilerplate dictionary on gram (shuffle
+    carries grams + int positions, never text), covered positions fan
+    out as an int explode with a per-doc distinct, and the final frame
+    is one left join back to per-doc lengths. Document text crosses no
+    shuffle at any point."""
+    occ = _positioned_ngrams(df, n, id_col, text_col)
+    bp = boilerplate_ngrams(df, n, min_df, id_col, text_col)
+    covered = (
+        occ.join(bp.select("gram"), "gram")
+        .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    lengths = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return lengths.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.coalesce("covered_tokens", F.lit(0)))
+            / F.col("n_tokens"),
+            4,
+        ).alias("keep_ratio"),
+    )

@@ -31,6 +31,7 @@ from ..operators import graph as graph_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
+from ..operators import retrieval as retr_ops
 from ..operators import sampling as samp_ops
 from ..operators import scd2 as scd2_ops
 from ..operators import similarity as sim_ops
@@ -2798,3 +2799,167 @@ def _bench_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_BENCH_BOOKS[sf_dir] = books
     codes = sim_ops.pq_encode(emb, books)
     return sim_ops.pq_topk(emb, codes, books, q, k=TOPK_K, rerank=PQ_RERANK)
+
+
+# ---------------------------------------------------------------------------
+# Round-7: retrieval quality (BM25, hybrid RRF) + corpus boilerplate audit
+# ---------------------------------------------------------------------------
+BM25_KEYWORD = "spark join window"
+BM25_K = 10
+RRF_DEPTH = 50
+BOILERPLATE_N = 6
+BOILERPLATE_MIN_DF = 3
+
+# The shared BM25 CTE chain (DuckDB side). Terms are inlined literally
+# so the oracle states the same fixed query as the Spark build; dl is
+# integer-valued, so avg(dl) is an exact integer sum / N in BOTH
+# engines regardless of summation order — the only corpus-level float
+# the formula consumes is therefore bit-identical.
+_BM25_SQL_CTES = """
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    corpus AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d),
+    pt AS (
+        SELECT doc_id, len(t)::DOUBLE AS dl,
+               len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf_0,
+               len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf_1,
+               len(list_filter(t, x -> x = 'window'))::DOUBLE AS tf_2
+        FROM d
+    ),
+    dfs AS (
+        SELECT sum((tf_0 > 0)::INT)::DOUBLE AS df_0,
+               sum((tf_1 > 0)::INT)::DOUBLE AS df_1,
+               sum((tf_2 > 0)::INT)::DOUBLE AS df_2
+        FROM pt
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               round(
+                 ln(1 + (n - df_0 + 0.5) / (df_0 + 0.5))
+                   * (tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                 + ln(1 + (n - df_1 + 0.5) / (df_1 + 0.5))
+                   * (tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                 + ln(1 + (n - df_2 + 0.5) / (df_2 + 0.5))
+                   * (tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                 4) AS score
+        FROM pt, corpus, dfs
+        WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+    )
+"""
+
+
+@_register(
+    "ext_bm25_topk",
+    f"""
+    WITH {_BM25_SQL_CTES}
+    SELECT doc_id, score FROM bm25
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_K}
+    """,
+    "BM25 OR-match top-k over documents (length-normalized relevance)",
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real ES scoring model behind the reference's match queries
+    (service/impl/PublisherServiceImpl.java:84-99 — q9b's integer proxy
+    keeps paging bit-exact; this entry exposes Lucene-BM25 itself).
+    Narrow-map tfs + one broadcast stats row + TakeOrderedAndProject;
+    see operators/text.py:bm25_topk for the 100 TB shape."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.bm25_topk(docs, BM25_KEYWORD, k=BM25_K)
+
+
+@_register(
+    "ext_hybrid_rrf",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    sparse AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                   AS rank_sparse
+        FROM (SELECT doc_id, score FROM bm25
+              ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH})
+    ),
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {TOPK_QUERY_VEC_ID}
+    ),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               round(
+                 list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                 / (sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_inner_product(qv, qv))), 4) AS score
+        FROM embeddings, q
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH}
+    ),
+    dense AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+                   AS rank_dense
+        FROM cos
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id, rank_sparse, rank_dense
+        FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
+    )
+    SELECT doc_id,
+           round(COALESCE(1.0 / (60 + rank_sparse), 0)
+                 + COALESCE(1.0 / (60 + rank_dense), 0), 6) AS rrf,
+           rank_sparse, rank_dense
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {BM25_K}
+    """,
+    "hybrid search: reciprocal-rank fusion of BM25 and cosine arms",
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse + dense retrieval fused by RRF over the row-aligned
+    documents/embeddings pair (operators/retrieval.py). The brute
+    cosine arm keeps the entry oracle-exact; any ANN index variant
+    drops in with identical fusion."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retr_ops.hybrid_rrf(
+        docs, emb, BM25_KEYWORD, TOPK_QUERY_VEC_ID, k=BM25_K, depth=RRF_DEPTH
+    )
+
+
+@_register(
+    "ext_boilerplate_coverage",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    o AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[i:i + {BOILERPLATE_N} - 1], ' ') AS gram
+        FROM d, unnest(generate_series(1, len(t) - {BOILERPLATE_N} + 1)) AS g(i)
+    ),
+    bp AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS df FROM o GROUP BY 1
+        ) WHERE df >= {BOILERPLATE_MIN_DF}
+    ),
+    cov AS (
+        SELECT DISTINCT o.doc_id, c.p
+        FROM o JOIN bp USING (gram),
+             unnest(generate_series(o.pos, o.pos + {BOILERPLATE_N} - 1)) AS c(p)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY 1)
+    SELECT d.doc_id,
+           len(t) AS n_tokens,
+           COALESCE(cnt.covered_tokens, 0) AS covered_tokens,
+           round((len(t) - COALESCE(cnt.covered_tokens, 0)) / len(t), 4) AS keep_ratio
+    FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    ORDER BY d.doc_id
+    """,
+    "per-doc boilerplate audit: corpus-repeated n-gram coverage",
+)
+def ext_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style repeated-passage detection: token
+    6-grams present in >= 3 distinct documents are boilerplate; each
+    doc reports how many token positions they cover (coverage
+    semantics — overlap/order independent, see
+    operators/text.py:boilerplate_coverage)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.boilerplate_coverage(
+        docs, n=BOILERPLATE_N, min_df=BOILERPLATE_MIN_DF
+    ).orderBy("doc_id")
