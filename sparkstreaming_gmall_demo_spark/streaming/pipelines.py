@@ -702,3 +702,60 @@ def hll_read_daily(spark: SparkSession, sketch_table: str) -> DataFrame:
         .groupBy("d")
         .agg(F.hll_union_agg("sketch").alias("sketch"))
     )
+
+
+def boilerplate_pipeline(
+    docs: DataFrame,
+    gram_table: str,
+    checkpoint: str,
+    n: int = 6,
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous boilerplate-dictionary maintenance: each micro-batch
+    collapses to its own (gram, document-frequency) partial — per-doc
+    DISTINCT n-grams so a doc never votes twice — committed keyed by
+    (batch_id, gram). Because every document arrives in exactly one
+    batch, summing per-batch dfs IS the global distinct-doc count: the
+    partial is mergeable by addition, the same
+    immutable-partials/no-streaming-state discipline as
+    :func:`sketch_pipeline` (a replayed batch re-inserts existing
+    keys, which ``txn.merge_keyed`` makes a no-op). Readers derive the
+    current dictionary at query time
+    (:func:`boilerplate_read_dictionary`) and feed it straight into
+    operators/text.py:boilerplate_coverage — so the repeated-passage
+    audit of a 100 TB corpus never re-scans ingested text; new batches
+    only ever ADD gram votes. Storage: (batches x batch-distinct
+    grams) short rows, compactable by re-keying closed batches."""
+    from ..operators.text import _positioned_ngrams
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            _positioned_ngrams(batch_df, n, "doc_id", text_col)
+            .select("doc_id", "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .select(F.lit(batch_id).cast("long").alias("batch_id"), "gram", "df")
+        )
+        txn.merge_keyed(partial, gram_table, key_cols=["batch_id", "gram"])
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def boilerplate_read_dictionary(
+    spark: SparkSession, gram_table: str, min_df: int = 3
+) -> DataFrame:
+    """(gram, df): the current corpus-wide boilerplate dictionary —
+    per-batch dfs summed (exact, since each doc lands in one batch),
+    thresholded at ``min_df``. Mirrors the batch
+    operators/text.py:boilerplate_ngrams output exactly."""
+    from . import txn
+
+    return (
+        txn.snapshot(spark, gram_table)
+        .groupBy("gram")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )

@@ -202,3 +202,62 @@ def test_boilerplate_no_text_crosses_shuffle(spark):
     plan = _plan(text_ops.boilerplate_coverage(docs, n=6, min_df=3))
     for section in plan.split("Exchange")[1:]:
         assert "text#" not in section[:400], "document text crossed a shuffle"
+
+
+# ---------------------------------------------------------------------------
+# streaming boilerplate-dictionary maintenance
+# ---------------------------------------------------------------------------
+def test_boilerplate_pipeline_streaming_equals_batch_and_replays_noop(spark, tmp_path):
+    """Chunked streaming ingestion must yield the exact batch
+    dictionary (per-batch dfs sum exactly — each doc arrives once),
+    and a fresh-checkpoint replay must be a no-op on the txn table."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    sf_dir = "/root/testdata/sf0.01"
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    step = (table.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    gram_table = str(tmp_path / "gram_df")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.boilerplate_pipeline(
+            stream, gram_table, ckpt, n=6, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(
+        (r.gram, r.df)
+        for r in text_ops.boilerplate_ngrams(docs, n=6, min_df=3).collect()
+    )
+    got = sorted(
+        (r.gram, r.df)
+        for r in pipelines.boilerplate_read_dictionary(
+            spark, gram_table, min_df=3
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    v = txn.current_version(gram_table)
+    run(str(tmp_path / "ck2"))  # full replay from a fresh checkpoint
+    got2 = sorted(
+        (r.gram, r.df)
+        for r in pipelines.boilerplate_read_dictionary(
+            spark, gram_table, min_df=3
+        ).collect()
+    )
+    assert got2 == want
+    assert txn.current_version(gram_table) == v
