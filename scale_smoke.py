@@ -33,6 +33,7 @@ from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
 from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
 from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
+from sparkstreaming_gmall_demo_spark.operators import text as text_ops
 from sparkstreaming_gmall_demo_spark.session import get_spark
 from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table, spread_fixture
 
@@ -110,6 +111,16 @@ def main() -> None:
         # vectors (labels don't amplify) -> the hot-cell salting cap
         # must bound the within-cell pair blowup (capped ~25x pairs
         # here, vs 100x uncapped)
+        # boilerplate audit: text copies are VERBATIM at 10x, so every
+        # gram's df crosses the threshold -> full-coverage worst case:
+        # the dictionary join fans out every occurrence and the int
+        # position explode covers every token. Occurrences scale 10x,
+        # distinct grams stay ~1x — a linear plan should land ~10x.
+        timed("boilerplate", lambda: (
+            text_ops.boilerplate_coverage(dc, n=6, min_df=3)
+            .agg(F.count("*").alias("docs"),
+                 F.sum("covered_tokens").alias("covered"))
+        ), r)
         cb = sim_ops.train_label_codebook(em)
         timed("semantic_dedup", lambda: (
             sim_ops.semantic_dedup_pairs(sim_ops.assign_codebook(em, cb))

@@ -602,6 +602,8 @@ def sketch_pipeline(
     from . import txn
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= txn.table_meta(sketch_table).get("compacted_through", -1):
+            return  # replayed batch already folded by compact_partials
         toks = batch_df.select(
             F.explode(F.split(F.col(text_col), " ")).alias("token")
         )
@@ -680,6 +682,8 @@ def hll_pipeline(
     from . import txn
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= txn.table_meta(sketch_table).get("compacted_through", -1):
+            return  # replayed batch already folded by compact_partials
         partials = (
             batch_df.select(F.to_date(F.col(ts_col)).alias("d"), F.col(key).alias("k"))
             .groupBy("d")
@@ -731,6 +735,8 @@ def boilerplate_pipeline(
     from . import txn
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= txn.table_meta(gram_table).get("compacted_through", -1):
+            return  # replayed batch already folded by compact_partials
         partial = (
             _positioned_ngrams(batch_df, n, "doc_id", text_col)
             .select("doc_id", "gram")
@@ -758,4 +764,79 @@ def boilerplate_read_dictionary(
         .groupBy("gram")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") >= min_df)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial-table compaction: bounded storage for the continuous
+# sketch/dictionary pipelines
+# ---------------------------------------------------------------------------
+def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
+    """Collapse a per-batch partials table (CM cells / HLL day
+    sketches / boilerplate gram-dfs) into ONE merged row-set, keeping
+    the pipeline exactly-once: the merged rows commit under sentinel
+    batch_id -1 and the commit records ``compacted_through`` = the
+    highest batch id folded in; the sinks skip any replayed batch at
+    or below that watermark, so a partial that no longer exists as its
+    own (batch_id, ...) keys can never be re-inserted. The replace
+    itself is one transactional ``txn.overwrite`` — readers flip
+    atomically and merged reads are unchanged (merge_fn is exactly the
+    read-side merge). Returns rows after compaction.
+
+    Contract: batch ids come from the pipeline's checkpoint, so the
+    watermark guard assumes checkpoint continuity — the same source-
+    of-truth rule Structured Streaming's own foreachBatch exactly-once
+    gives. (A FULL fresh-checkpoint replay over identical input stays
+    a no-op: every replayed id falls at or below the watermark.) Run
+    with no concurrent compactor, like txn.vacuum.
+
+    ``merge_fn``: snapshot-minus-batch_id -> merged frame with the
+    same non-batch columns."""
+    from . import txn
+
+    snap = txn.snapshot(spark, table)
+    if snap is None:
+        return 0
+    hwm = snap.agg(F.max("batch_id")).collect()[0][0]
+    prev = txn.table_meta(table).get("compacted_through", -1)
+    merged = (
+        merge_fn(snap.drop("batch_id"))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .select(*snap.columns)
+        .persist()
+    )
+    try:
+        n = merged.count()
+        txn.overwrite(
+            merged, table, meta={"compacted_through": max(int(hwm), int(prev))}
+        )
+    finally:
+        merged.unpersist()
+    return n
+
+
+def compact_sketch_partials(spark: SparkSession, sketch_table: str) -> int:
+    """Fold all per-batch CM partials into one cellwise-summed sketch
+    (storage: exactly depth x width rows however many batches ran)."""
+    return compact_partials(
+        spark, sketch_table,
+        lambda df: df.groupBy("d", "b").agg(F.sum("c").alias("c")),
+    )
+
+
+def compact_hll_partials(spark: SparkSession, sketch_table: str) -> int:
+    """Fold all per-batch HLL day-partials into one max-merged sketch
+    per day (storage: one ~kB blob per calendar day)."""
+    return compact_partials(
+        spark, sketch_table,
+        lambda df: df.groupBy("d").agg(F.hll_union_agg("sketch").alias("sketch")),
+    )
+
+
+def compact_boilerplate_dictionary(spark: SparkSession, gram_table: str) -> int:
+    """Fold all per-batch gram-df partials into one summed row per
+    gram (storage: corpus gram diversity, independent of batch count)."""
+    return compact_partials(
+        spark, gram_table,
+        lambda df: df.groupBy("gram").agg(F.sum("df").alias("df")),
     )

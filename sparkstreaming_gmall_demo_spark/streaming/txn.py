@@ -140,7 +140,22 @@ def _stage(df: DataFrame, table: str) -> list[str]:
     ]
 
 
-def _try_commit(table: str, version: int, files: list[str]) -> bool:
+def table_meta(table: str, version: int | None = None) -> dict:
+    """The commit's metadata dict (e.g. the compaction watermark
+    ``compacted_through`` a partial-table maintenance pass records) —
+    the commitInfo slice of the manifest. Empty for absent tables and
+    pre-metadata commits."""
+    v = current_version(table) if version is None else version
+    if v < 0:
+        return {}
+    p = os.path.join(_txn_path(table), f"{v:08d}.json")
+    with open(p) as f:
+        return json.load(f).get("meta", {})
+
+
+def _try_commit(
+    table: str, version: int, files: list[str], meta: dict | None = None
+) -> bool:
     """Atomically publish ``files`` as ``version``'s snapshot.
 
     The CAS is ``os.link(tmp, path)`` — link fails with EEXIST iff the
@@ -155,7 +170,9 @@ def _try_commit(table: str, version: int, files: list[str]) -> bool:
     txn_dir = _txn_path(table)
     os.makedirs(txn_dir, exist_ok=True)
     path = os.path.join(txn_dir, f"{version:08d}.json")
-    payload = json.dumps({"version": version, "files": files}).encode()
+    payload = json.dumps(
+        {"version": version, "files": files, "meta": meta or {}}
+    ).encode()
     tmp = os.path.join(txn_dir, f".tmp-{uuid.uuid4().hex}.json")
     fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
@@ -212,7 +229,10 @@ def merge_keyed(
         finally:
             remaining.unpersist()
         base = _read_manifest(table, v) if v >= 0 else []
-        if _try_commit(table, v + 1, base + staged):
+        # metadata (e.g. the compaction watermark) carries forward:
+        # a merge must never silently drop what maintenance recorded
+        meta = table_meta(table, v) if v >= 0 else None
+        if _try_commit(table, v + 1, base + staged, meta):
             return n_new
         # lost the race: v+1 exists now — loop rebases against it
     raise RuntimeError(
@@ -220,14 +240,18 @@ def merge_keyed(
     )
 
 
-def overwrite(df: DataFrame, table: str, max_retries: int = 20) -> None:
+def overwrite(
+    df: DataFrame, table: str, max_retries: int = 20, meta: dict | None = None
+) -> None:
     """Transactional full-snapshot replace (the compaction/maintenance
     primitive): stage, then commit a manifest listing ONLY the staged
-    files. Readers flip atomically from the old snapshot to the new."""
+    files. Readers flip atomically from the old snapshot to the new.
+    ``meta`` records commit metadata (compaction watermark etc.) that
+    later ``merge_keyed`` commits carry forward."""
     staged = _stage(df, table)
     for _ in range(max_retries):
         v = current_version(table)
-        if _try_commit(table, v + 1, staged):
+        if _try_commit(table, v + 1, staged, meta):
             return
     raise RuntimeError(f"overwrite: gave up after {max_retries} attempts on {table}")
 

@@ -384,6 +384,23 @@ def test_pq_adc_is_deterministic(spark):
     assert a == b
 
 
+def test_pq_persisted_index_search_equals_fresh_encode(spark, tmp_path):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = _emb(spark)
+    q = sim.query_vector(emb, 0)
+    books = sim.pq_train(emb, m=8, ksub=16, iters=1)
+    path = str(tmp_path / "pq_codes")
+    sim.pq_write_index(emb, books, path)
+    stored = sim.pq_read_index(spark, path)
+    fresh = sim.pq_encode(emb, books)
+    got = [(r.vec_id, r.l2sq) for r in
+           sim.pq_topk(emb, stored, books, q, k=5, rerank=50).collect()]
+    want = [(r.vec_id, r.l2sq) for r in
+            sim.pq_topk(emb, fresh, books, q, k=5, rerank=50).collect()]
+    assert got == want
+
+
 def test_pq_dim_not_divisible_raises(spark):
     from sparkstreaming_gmall_demo_spark.operators import similarity as sim
 
