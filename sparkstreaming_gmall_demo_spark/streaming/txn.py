@@ -291,3 +291,28 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
             shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
             removed += 1
     return removed
+
+
+def compact_files(
+    spark: SparkSession, table: str, target_files: int = 8
+) -> tuple[int, int]:
+    """Small-file maintenance: rewrite the current snapshot into
+    ``target_files`` data files and commit the replacement atomically
+    (every keyed merge appends its own staged files, so a long-running
+    ingest loop accretes one file-set per batch — the classic
+    small-file decay; at scale this is the OPTIMIZE/bin-packing pass).
+    Row-level metadata (e.g. a partial-table compaction watermark) is
+    preserved. Returns (files_before, files_after). Run with no
+    concurrent compactor, like vacuum; concurrent WRITERS are safe —
+    if one commits first, the rewrite rebases on a fresh snapshot."""
+    for _ in range(20):
+        v = current_version(table)
+        if v < 0:
+            return (0, 0)
+        before = len(_read_manifest(table, v))
+        snap = snapshot(spark, table, version=v)
+        staged = _stage(snap.repartition(target_files), table)
+        if _try_commit(table, v + 1, staged, table_meta(table, v)):
+            return (before, len(staged))
+        # lost the race: a writer landed v+1 — rebase on its snapshot
+    raise RuntimeError(f"compact_files: gave up after 20 attempts on {table}")

@@ -205,3 +205,35 @@ def test_cm_compaction_counts_unchanged(spark, tmp_path):
         for r in pipelines.cm_read_merged(spark, sketch_table).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# small-file maintenance
+# ---------------------------------------------------------------------------
+def test_compact_files_reduces_count_preserves_rows_and_meta(spark, tmp_path):
+    table = str(tmp_path / "t")
+    txn.overwrite(
+        spark.createDataFrame([(0, "v0")], ["k", "v"]),
+        table, meta={"compacted_through": 3},
+    )
+    for i in range(1, 7):
+        txn.merge_keyed(
+            spark.createDataFrame([(i, f"v{i}")], ["k", "v"]), table, key_cols=["k"]
+        )
+    v = txn.current_version(table)
+    before_files = len(txn._read_manifest(table, v))
+    assert before_files >= 7  # one file-set per merge commit
+    want = sorted((r.k, r.v) for r in txn.snapshot(spark, table).collect())
+
+    b, a = txn.compact_files(spark, table, target_files=2)
+    assert b == before_files and a <= 2
+    got = sorted((r.k, r.v) for r in txn.snapshot(spark, table).collect())
+    assert got == want
+    assert txn.table_meta(table) == {"compacted_through": 3}
+    # old snapshot still time-travelable until vacuumed
+    old = sorted((r.k, r.v) for r in txn.snapshot(spark, table, version=v).collect())
+    assert old == want
+
+
+def test_compact_files_empty_table_noop(spark, tmp_path):
+    assert txn.compact_files(spark, str(tmp_path / "none"), 2) == (0, 0)
