@@ -584,6 +584,7 @@ def sketch_pipeline(
     depth: int = 4,
     width: int = 1024,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous Count-Min sketch maintenance: each micro-batch's
     token stream collapses to its own depth x width cell counts, and
@@ -596,8 +597,11 @@ def sketch_pipeline(
     batch_id — ``txn.merge_keyed`` makes a replayed batch a no-op —
     and readers merge at query time with ``cm_read_merged`` (sum cells
     over batches, then min over depth as usual). Storage is
-    batches x depth x width rows of three ints; compact by summing
-    closed batches into one row-set if the batch count ever matters."""
+    batches x depth x width rows of three ints; ``compact_every=N``
+    opts into folding the partials (:func:`compact_sketch_partials`)
+    every N batches from inside the sink — safe because the sink is
+    the table's only writer — keeping storage at ~depth x width rows
+    however long the pipeline runs."""
     from ..operators.sketch import cm_build
     from . import txn
 
@@ -611,6 +615,8 @@ def sketch_pipeline(
             F.lit(batch_id).cast("long").alias("batch_id"), "d", "b", "c"
         )
         txn.merge_keyed(cells, sketch_table, key_cols=["batch_id", "d", "b"])
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_sketch_partials(batch_df.sparkSession, sketch_table)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -663,6 +669,7 @@ def hll_pipeline(
     ts_col: str = "ts",
     lgk: int = 12,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous rolling-distinct maintenance: each micro-batch
     collapses to one HLL sketch per day it touched, committed keyed by
@@ -691,6 +698,8 @@ def hll_pipeline(
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "d", "sketch")
         )
         txn.merge_keyed(partials, sketch_table, key_cols=["batch_id", "d"])
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_hll_partials(batch_df.sparkSession, sketch_table)
 
     return _start(events.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -715,6 +724,7 @@ def boilerplate_pipeline(
     n: int = 6,
     text_col: str = "text",
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous boilerplate-dictionary maintenance: each micro-batch
     collapses to its own (gram, document-frequency) partial — per-doc
@@ -746,6 +756,8 @@ def boilerplate_pipeline(
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "gram", "df")
         )
         txn.merge_keyed(partial, gram_table, key_cols=["batch_id", "gram"])
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_boilerplate_dictionary(batch_df.sparkSession, gram_table)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 

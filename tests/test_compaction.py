@@ -237,3 +237,41 @@ def test_compact_files_reduces_count_preserves_rows_and_meta(spark, tmp_path):
 
 def test_compact_files_empty_table_noop(spark, tmp_path):
     assert txn.compact_files(spark, str(tmp_path / "none"), 2) == (0, 0)
+
+
+def test_boilerplate_auto_compaction_every_two_batches(spark, tmp_path):
+    """compact_every=2 from inside the sink: the final table holds
+    only sentinel + post-compaction batches, reads stay exact."""
+    sf_dir = "/root/testdata/sf0.01"
+    topic, _ = _chunked_topic(tmp_path, f"{sf_dir}/documents.parquet", "docs")
+    gram_table = str(tmp_path / "gram_df")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.boilerplate_pipeline(
+        stream, gram_table, str(tmp_path / "ck"), n=6,
+        trigger={"availableNow": True}, compact_every=2,
+    )
+    q.awaitTermination()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(
+        (r.gram, r.df)
+        for r in text_ops.boilerplate_ngrams(docs, n=6, min_df=3).collect()
+    )
+    got = sorted(
+        (r.gram, r.df)
+        for r in pipelines.boilerplate_read_dictionary(
+            spark, gram_table, min_df=3
+        ).collect()
+    )
+    assert got == want
+    # 4 batches, compacted after 2 and 4: only the sentinel remains
+    ids = sorted(
+        r.batch_id
+        for r in txn.snapshot(spark, gram_table).select("batch_id").distinct().collect()
+    )
+    assert ids == [-1]
+    assert txn.table_meta(gram_table)["compacted_through"] == 3
