@@ -331,6 +331,32 @@ def _bucket_pairs(
     )
 
 
+def signature_bands(
+    sigs: DataFrame, bands: int = 16, payload_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, *payload, band, bh): the LSH banding of a signature
+    frame — band hash = xxhash64 fold of the band's signature slice,
+    the same expression lsh_candidate_pairs / minhash_near_duplicates
+    inline. Exposed so an INDEX of admitted documents' buckets can be
+    persisted and probed incrementally (streaming near-dup gate)."""
+    return sigs.select(
+        "doc_id",
+        *payload_cols,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), "
+                f"b -> named_struct('band', b, 'bh', "
+                f"aggregate(slice(signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands}), cast(b as bigint), "
+                f"(acc, x) -> xxhash64(acc, x))))"
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", *payload_cols,
+        F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,

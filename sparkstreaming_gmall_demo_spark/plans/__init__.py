@@ -17,7 +17,12 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # Next-round window should seat the remaining curation entries
 # (ext_unigram_surprisal, ext_semantic_dedup, ext_nation_pagerank,
 # ext_token_pmi, ext_training_shards), the 2 remaining r2-only greens
-# (ext_split_assignment, ext_corpus_curation), and any new entries.
+# (ext_split_assignment, ext_corpus_curation), and the newest entries
+# still without any driver row: ext_quota_sample, ext_snapshot_diff,
+# ext_bloom_gate, ext_bpe_train, ext_bpe_encode, ext_hll_partials,
+# ext_pq_topk, ext_bm25_topk, ext_hybrid_rrf, ext_boilerplate_coverage
+# (all oracle-verified at both SFs by tests/test_oracle_queries.py in
+# the meantime).
 # Every entry past the cap stays oracle-paired and is verified by
 # tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
 # nothing is unchecked — the cap only decides who gets a driver row.

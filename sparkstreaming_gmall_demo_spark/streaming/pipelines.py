@@ -852,3 +852,142 @@ def compact_boilerplate_dictionary(spark: SparkSession, gram_table: str) -> int:
         spark, gram_table,
         lambda df: df.groupBy("gram").agg(F.sum("df").alias("df")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate novelty gate: the fuzzy upgrade of novelty_gate_pipeline
+# ---------------------------------------------------------------------------
+def neardup_gate_admit(
+    batch_df: DataFrame,
+    sigs_table: str,
+    bands_table: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One admission round of the near-dup gate, shared verbatim by the
+    streaming sink and any batch backfill driver. Returns the admitted
+    subset of ``batch_df`` and commits the admitted documents' MinHash
+    index rows (shingle-hash sets + band buckets).
+
+    Admission rule (deterministic): a document is REJECTED if (a) it
+    LSH-collides with an already-admitted document and exact
+    shingle-hash Jaccard >= threshold, or (b) within the batch's
+    survivors it belongs to a near-dup component and is not the
+    component's minimum doc_id (keep-canonical). Everything else is
+    admitted and indexed.
+
+    Why replays converge: two admitted documents are never near-dups of
+    each other (the later one would have been rejected at its own
+    probe), so a replayed admitted doc only self-collides — the probe
+    excludes self-matches by doc_id — and is re-admitted, which every
+    downstream keyed sink no-ops; a replayed rejected doc still finds
+    its killer in the index. The index commits are ordered sigs-first
+    so a crash between the two commits leaves a discoverable-by-verify
+    but not-yet-bucketed doc — the replay re-commits both, and
+    merge_keyed makes the repeats no-ops.
+
+    Scale shape: the probe shuffles (band, bh) ints against the bucket
+    index (partitionable by band); verification joins only the
+    COLLIDING ids' hash sets; batch text is tokenized twice (signature
+    pass + within-batch pair pass) but never shuffles."""
+    from ..operators import components as comp_ops
+    from ..operators import neardup as nd_ops
+    from . import txn
+
+    spark = batch_df.sparkSession
+    sigs = nd_ops.minhash_signature(
+        batch_df, num_hashes, shingle_n
+    ).persist()
+    try:
+        banded = nd_ops.signature_bands(sigs, bands)
+        dup_ids = None
+        if txn.current_version(bands_table) >= 0:
+            idx_bands = txn.snapshot(spark, bands_table)
+            idx_sigs = txn.snapshot(spark, sigs_table)
+            cand = (
+                banded.join(
+                    idx_bands.withColumnRenamed("doc_id", "old_id"),
+                    ["band", "bh"],
+                )
+                .filter(F.col("doc_id") != F.col("old_id"))
+                .select("doc_id", "old_id")
+                .dropDuplicates()
+            )
+            dup_ids = (
+                cand.join(sigs.select("doc_id", "hs"), "doc_id")
+                .join(
+                    idx_sigs.select(
+                        F.col("doc_id").alias("old_id"), F.col("hs").alias("old_hs")
+                    ),
+                    "old_id",
+                )
+                .filter(
+                    F.size(F.array_intersect("hs", "old_hs"))
+                    / F.size(F.array_union("hs", "old_hs"))
+                    >= threshold
+                )
+                .select("doc_id")
+                .dropDuplicates()
+            )
+        fresh = batch_df
+        if dup_ids is not None:
+            fresh = fresh.join(dup_ids, "doc_id", "left_anti")
+        pairs = nd_ops.minhash_near_duplicates(
+            fresh, threshold, num_hashes, bands, shingle_n
+        )
+        labels = comp_ops.connected_components(pairs.select("i", "j"))
+        losers = labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        admit = fresh.join(losers, "doc_id", "left_anti").persist()
+        admit_ids = admit.select("doc_id")
+        txn.merge_keyed(
+            sigs.join(admit_ids, "doc_id").select("doc_id", "hs"),
+            sigs_table, key_cols=["doc_id"],
+        )
+        txn.merge_keyed(
+            banded.join(admit_ids, "doc_id").select("doc_id", "band", "bh"),
+            bands_table, key_cols=["doc_id", "band"],
+        )
+        return admit
+    finally:
+        sigs.unpersist()
+
+
+def neardup_gate_pipeline(
+    docs: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Near-duplicate ingest gate: the MinHash/LSH upgrade of
+    :func:`novelty_gate_pipeline` — instead of passing documents whose
+    EXACT fingerprint is new, pass documents that are not NEAR-dups
+    (band collision + exact shingle-Jaccard >= threshold) of anything
+    already admitted; survivors' signatures and band buckets join the
+    persisted index, closing the loop. Exactly-once with NO streaming
+    state: all cross-batch memory is the two txn index tables, the doc
+    sink is keyed idempotent_append, and full replays converge (see
+    :func:`neardup_gate_admit`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit = neardup_gate_admit(
+            batch_df, index_table + "_sigs", index_table + "_bands",
+            threshold, num_hashes, bands, shingle_n,
+        )
+        try:
+            idempotent_append(
+                admit, out_path, key_cols=["doc_id"],
+                partition_cols=None, batch_id=batch_id,
+            )
+        finally:
+            admit.unpersist()
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

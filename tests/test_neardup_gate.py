@@ -1,0 +1,153 @@
+"""Near-duplicate novelty gate: streaming MinHash/LSH ingest dedup
+against a persisted band index (the fuzzy upgrade of the exact
+fingerprint gate)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
+from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+DOC_SCHEMA = "doc_id long, text string"
+BANDS = 16
+
+
+def _text(i: int) -> str:
+    # 30 disjoint-token sentences: no accidental near-dups
+    return " ".join(f"w{i}x{j}" for j in range(30))
+
+
+def _write_chunk(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(path),
+    )
+
+
+def _stage_topic(tmp_path):
+    """chunk0: originals 0..19; chunk1: originals 20..39; chunk2:
+    exact copies of 0..9 (ids 1000+) plus a NEW text duplicated
+    within the chunk (ids 2000, 2001)."""
+    topic = tmp_path / "docs"
+    topic.mkdir()
+    _write_chunk(topic / "c0.parquet", [(i, _text(i)) for i in range(20)])
+    _write_chunk(topic / "c1.parquet", [(i, _text(i)) for i in range(20, 40)])
+    _write_chunk(
+        topic / "c2.parquet",
+        [(1000 + i, _text(i)) for i in range(10)]
+        + [(2000, _text(99)), (2001, _text(99))],
+    )
+    return topic
+
+
+def _run(spark, topic, index_table, out_path, ckpt):
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.neardup_gate_pipeline(
+        stream, index_table, out_path, ckpt,
+        threshold=0.8, bands=BANDS, trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+
+def test_neardup_gate_admits_only_novel_documents(spark, tmp_path):
+    topic = _stage_topic(tmp_path)
+    index_table = str(tmp_path / "nd_index")
+    out_path = str(tmp_path / "admitted")
+    _run(spark, topic, index_table, out_path, str(tmp_path / "ck"))
+
+    admitted = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    # cross-batch copies rejected; within-batch dup keeps min id
+    assert admitted == set(range(40)) | {2000}
+
+    # the gate's core guarantee: no two admitted docs are near-dups
+    survivors = spark.read.parquet(out_path)
+    assert nd_ops.minhash_near_duplicates(survivors, 0.8).count() == 0
+
+    # index holds exactly the admitted docs
+    sigs = txn.snapshot(spark, index_table + "_sigs")
+    bands = txn.snapshot(spark, index_table + "_bands")
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == admitted
+    assert bands.count() == len(admitted) * BANDS
+
+
+def test_neardup_gate_replay_is_noop(spark, tmp_path):
+    topic = _stage_topic(tmp_path)
+    index_table = str(tmp_path / "nd_index")
+    out_path = str(tmp_path / "admitted")
+    _run(spark, topic, index_table, out_path, str(tmp_path / "ck1"))
+
+    want = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    v_sigs = txn.current_version(index_table + "_sigs")
+    v_bands = txn.current_version(index_table + "_bands")
+
+    # full replay from a fresh checkpoint: admitted docs only
+    # self-collide (excluded by doc_id), rejected docs still find
+    # their killers -> every sink no-ops
+    _run(spark, topic, index_table, out_path, str(tmp_path / "ck2"))
+    got = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert got == want
+    assert txn.current_version(index_table + "_sigs") == v_sigs
+    assert txn.current_version(index_table + "_bands") == v_bands
+
+
+def test_neardup_gate_admit_batch_twin(spark, tmp_path):
+    """Driving the shared admission function chunk-by-chunk from a
+    batch loop produces the identical admitted set (the streaming sink
+    IS this function)."""
+    topic = _stage_topic(tmp_path)
+    index_table = str(tmp_path / "nd_index_batch")
+    chunks = sorted(str(p) for p in topic.glob("c*.parquet"))
+    admitted_ids: list[int] = []
+    for c in chunks:
+        admit = pipelines.neardup_gate_admit(
+            spark.read.schema(DOC_SCHEMA).parquet(c),
+            index_table + "_sigs", index_table + "_bands",
+            threshold=0.8, bands=BANDS,
+        )
+        admitted_ids.extend(r.doc_id for r in admit.collect())
+        admit.unpersist()
+    assert sorted(admitted_ids) == sorted(set(range(40)) | {2000})
+
+
+def test_neardup_gate_near_but_below_threshold_admitted(spark, tmp_path):
+    """A doc sharing only a MINORITY of shingles with an indexed doc
+    collides in some band only rarely and fails exact verification —
+    it must be admitted."""
+    index_table = str(tmp_path / "nd_thresh")
+    base = spark.createDataFrame([(1, _text(1))], DOC_SCHEMA)
+    a1 = pipelines.neardup_gate_admit(
+        base, index_table + "_sigs", index_table + "_bands", threshold=0.8
+    )
+    assert [r.doc_id for r in a1.collect()] == [1]
+    a1.unpersist()
+    # half the tokens replaced: Jaccard far below 0.8
+    half = " ".join(
+        (f"w1x{j}" if j < 15 else f"q{j}") for j in range(30)
+    )
+    probe = spark.createDataFrame([(2, half)], DOC_SCHEMA)
+    a2 = pipelines.neardup_gate_admit(
+        probe, index_table + "_sigs", index_table + "_bands", threshold=0.8
+    )
+    assert [r.doc_id for r in a2.collect()] == [2]
+    a2.unpersist()
+    # and a 97%-overlap doc is caught
+    near = _text(1) + " extraword"
+    probe2 = spark.createDataFrame([(3, near)], DOC_SCHEMA)
+    a3 = pipelines.neardup_gate_admit(
+        probe2, index_table + "_sigs", index_table + "_bands", threshold=0.8
+    )
+    assert a3.count() == 0
+    a3.unpersist()
