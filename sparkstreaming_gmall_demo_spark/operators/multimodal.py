@@ -159,3 +159,50 @@ def frame_sample_stub(df: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def payload_shingle_hashes(
+    df: DataFrame,
+    n_bytes: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(doc_id, hs): distinct 64-bit hashes of the payload's strided
+    byte n-grams — content fingerprinting that needs NO codec, so it
+    applies uniformly to image/audio/video blobs (the fuzzy-hash
+    family: overlapping-byte-window digests a la ssdeep/CTPH, here as
+    a hash SET so similarity is plain Jaccard). ``stride`` > 1 samples
+    every stride-th window: 1/stride the hashes with near-identical
+    resolution for payloads whose edits are byte-local. One narrow map
+    over the binary column; payload bytes never leave the row."""
+    expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(octet_length({payload_col}) - {n_bytes} + 1, 1), {stride}), "
+        f"i -> xxhash64(substring({payload_col}, i, {n_bytes}))))"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("hs"))
+
+
+def payload_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_bytes: int = 8,
+    stride: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(i, j, jaccard): near-duplicate binary payloads — byte-shingle
+    fingerprints through the SAME MinHash/LSH machinery as text
+    near-dup (operators/neardup.py:signature_from_hash_sets /
+    near_duplicates_from_signatures): signatures map-side, candidates
+    from band buckets, exact hash-set Jaccard verification. At 100 TB
+    only ids + fingerprint sets shuffle; raw media bytes never do —
+    the dedup a multimodal ingest runs BEFORE paying for any decode."""
+    from . import neardup as nd
+
+    hs = payload_shingle_hashes(df, n_bytes, stride, id_col, payload_col)
+    sigs = nd.signature_from_hash_sets(hs, num_hashes)
+    return nd.near_duplicates_from_signatures(sigs, threshold, bands)

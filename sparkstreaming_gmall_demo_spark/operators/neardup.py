@@ -407,19 +407,33 @@ def minhash_near_duplicates(
     dedup shuffle — no joins back to the corpus.
     """
     sigs = minhash_signature(df, num_hashes, shingle_n, id_col, text_col)
-    banded = sigs.select(
-        "doc_id",
-        "hs",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands} - 1), "
-                f"b -> named_struct('band', b, 'bh', "
-                f"aggregate(slice(signature, b * (size(signature) div {bands}) + 1, "
-                f"size(signature) div {bands}), cast(b as bigint), "
-                f"(acc, x) -> xxhash64(acc, x))))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "hs", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return near_duplicates_from_signatures(sigs, threshold, bands, max_bucket)
+
+
+def signature_from_hash_sets(hs_df: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, hs, signature) from a (doc_id, hs array<bigint>) frame
+    — the content-agnostic half of :func:`minhash_signature`: any
+    shingling (token n-grams, byte n-grams of a binary payload, …)
+    that yields a 64-bit hash set plugs into the same MinHash/LSH
+    machinery through this."""
+    sig = F.expr(
+        "transform(sequence(0, {h} - 1), "
+        "seed -> array_min(transform(hs, h -> xxhash64(h, seed))))".format(h=num_hashes)
+    )
+    return hs_df.select("doc_id", "hs", sig.alias("signature"))
+
+
+def near_duplicates_from_signatures(
+    sigs: DataFrame,
+    threshold: float,
+    bands: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(i, j, jaccard >= threshold) from a (doc_id, hs, signature)
+    frame: LSH banding -> bucket candidate pairs -> exact hash-set
+    Jaccard verification. The shared back half of the MinHash family
+    (text and binary-payload callers)."""
+    banded = signature_bands(sigs, bands, payload_cols=("hs",))
     pairs = _bucket_pairs(
         banded, [F.col("doc_id"), F.col("hs")], max_bucket=max_bucket
     ).select(

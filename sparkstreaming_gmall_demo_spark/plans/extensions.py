@@ -3029,3 +3029,50 @@ def ext_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.boilerplate_coverage(
         docs, n=BOILERPLATE_N, min_df=BOILERPLATE_MIN_DF
     ).orderBy("doc_id")
+
+
+PAYLOAD_NGRAM_BYTES = 8
+PAYLOAD_STRIDE = 4
+PAYLOAD_THRESHOLD = 0.8
+
+
+@_register(
+    "ext_payload_neardup",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(text) - {PAYLOAD_NGRAM_BYTES} + 1, 1) + 1,
+                  {PAYLOAD_STRIDE}),
+            i -> substring(text, i, {PAYLOAD_NGRAM_BYTES}))) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {PAYLOAD_THRESHOLD}
+    ORDER BY i, j
+    """,
+    "binary-payload near-dup: strided byte-shingle MinHash fingerprints",
+)
+def ext_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free multimodal dedup (operators/multimodal.py:
+    payload_near_duplicates): the payload here is the utf-8 encoding
+    of the text column (attach_payload — fixtures carry no real
+    media), so the DuckDB oracle can state the SAME strided byte
+    shingles as character substrings; on real media bytes the plan is
+    identical. The oracle is the exact all-pairs Jaccard; the Spark
+    build is the MinHash/LSH scale path whose verified-candidate
+    output must equal it (the planted duplicates are byte-near-exact,
+    far above the LSH S-curve knee at 0.8)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    with_payload = mm_ops.attach_payload(docs)
+    return mm_ops.payload_near_duplicates(
+        with_payload,
+        threshold=PAYLOAD_THRESHOLD,
+        n_bytes=PAYLOAD_NGRAM_BYTES,
+        stride=PAYLOAD_STRIDE,
+    ).orderBy("i", "j")

@@ -66,3 +66,60 @@ def test_frame_sample_fanout_counts(spark, sf_dir):
     one = frames.orderBy("doc_id", "frame_idx").first()
     again = mm.frame_sample_stub(with_payload, every_k=4).orderBy("doc_id", "frame_idx").first()
     assert one == again
+
+
+# ---------------------------------------------------------------------------
+# byte-shingle payload near-dup (codec-free fuzzy hashing)
+# ---------------------------------------------------------------------------
+def test_payload_neardup_finds_exact_binary_copies(spark):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    rows = [
+        (1, bytearray(range(256)) * 4),
+        (2, bytearray(range(256)) * 4),          # exact copy of 1
+        (3, bytes(reversed(bytearray(range(256)) * 4))),  # different
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.i, r.j): r.jaccard
+             for r in mm.payload_near_duplicates(df, threshold=0.8,
+                                                 id_col="doc_id").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_payload_neardup_localized_edit_stays_above_threshold(spark):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    base = bytes(range(256)) * 8  # 2 KiB
+    edited = bytearray(base)
+    edited[100:104] = b"\xff\xff\xff\xff"  # 4-byte local edit
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(edited))], "doc_id long, payload binary"
+    )
+    pairs = mm.payload_near_duplicates(df, threshold=0.8).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard >= 0.95
+
+
+def test_payload_neardup_unrelated_blobs_not_paired(spark):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    import hashlib
+
+    def blob(seed: int) -> bytes:
+        out = b""
+        for i in range(64):
+            out += hashlib.md5(f"{seed}-{i}".encode()).digest()
+        return out
+
+    df = spark.createDataFrame(
+        [(i, blob(i)) for i in range(6)], "doc_id long, payload binary"
+    )
+    assert mm.payload_near_duplicates(df, threshold=0.5).count() == 0
+
+
+def test_payload_shingle_hashes_short_payload(spark):
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    rows = mm.payload_shingle_hashes(df, n_bytes=8, stride=4).collect()
+    assert len(rows) == 1 and len(rows[0].hs) == 1  # one clamped window
