@@ -232,3 +232,69 @@ def weighted_sample(
         .limit(k)
         .drop("_priority")
     )
+
+
+def temperature_quotas(
+    df: DataFrame, group_col: str, alpha: float, budget: int
+) -> DataFrame:
+    """(group, n, weight, quota): temperature-flattened mixture
+    allocation — weight_g = n_g^alpha / Σ n^alpha, quota_g =
+    min(n_g, floor(budget · weight_g)). alpha=1 reproduces natural
+    proportions, alpha=0 uniform; alpha≈0.3-0.7 is the standard
+    low-resource up-weighting for multilingual/multi-source corpora
+    (the UniMax/mT5 mixing family). Floor allocation: the remainder
+    stays unallocated, deterministically.
+
+    Engine parity: the weight is rounded to 12 dp before scaling and
+    the scaled value to 6 dp before floor — the double-precision sums
+    of n^alpha differ across engines only in the last ulp, and the
+    rounds keep a boundary value like budget·(1/k) = exact-integer
+    from flooring differently on each side."""
+    c = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum(F.pow("n", F.lit(alpha))).alias("s"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n",
+            F.round(F.pow("n", F.lit(alpha)) / F.col("s"), 12).alias("weight"),
+        )
+        .select(
+            group_col,
+            "n",
+            "weight",
+            F.least(
+                F.col("n"),
+                F.floor(F.round(F.lit(float(budget)) * F.col("weight"), 6)).cast(
+                    "long"
+                ),
+            ).alias("quota"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    alpha: float,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Select each group's ``quota_g`` rows (see
+    :func:`temperature_quotas`) by the shared md5 priority space —
+    :func:`quota_sample` with a PER-GROUP quota, so one pass builds a
+    temperature-balanced training mix: low-resource groups keep
+    (nearly) everything, dominant groups are capped sub-linearly.
+    Same single group-shuffle + in-group sort plan as quota_sample;
+    the quota frame is group-count-sized and broadcasts."""
+    from pyspark.sql.window import Window
+
+    quotas = temperature_quotas(df, group_col, alpha, budget)
+    w = Window.partitionBy(group_col).orderBy(quota_rank(key, salt), F.col(key))
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .join(F.broadcast(quotas.select(group_col, "quota")), group_col)
+        .filter(F.col("_qrn") <= F.col("quota"))
+        .drop("_qrn", "quota")
+    )

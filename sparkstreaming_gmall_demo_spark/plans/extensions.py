@@ -3076,3 +3076,46 @@ def ext_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes=PAYLOAD_NGRAM_BYTES,
         stride=PAYLOAD_STRIDE,
     ).orderBy("i", "j")
+
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 300
+
+
+@_register(
+    "ext_temperature_mix",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    s AS (SELECT sum(pow(n, {MIX_ALPHA})) AS s FROM c),
+    q AS (
+        SELECT source,
+               least(n, CAST(floor(round({MIX_BUDGET} *
+                   round(pow(n, {MIX_ALPHA}) / s.s, 12), 6)) AS BIGINT)) AS quota
+        FROM c, s
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+    WHERE rn <= quota
+    ORDER BY source, doc_id
+    """,
+    "temperature-flattened source mix (UniMax-style sub-linear caps)",
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: per-source quotas proportional to
+    n^alpha (operators/sampling.py:temperature_sample) — dominant
+    sources capped sub-linearly, low-resource sources kept whole,
+    selection by the shared md5 priority space so the mix is stable
+    under repartitioning and engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        samp_ops.temperature_sample(docs, "source", "doc_id", MIX_ALPHA, MIX_BUDGET)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

@@ -465,3 +465,55 @@ def test_hll_pipeline_streaming_equals_batch_and_replays_noop(spark, tmp_path):
     )
     assert got2 == want
     assert txn.current_version(sketch_table) == v
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing
+# ---------------------------------------------------------------------------
+def test_temperature_quotas_alpha_one_is_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)], ["k", "g"]
+    )
+    q = {r.g: r.quota for r in samp.temperature_quotas(df, "g", 1.0, 50).collect()}
+    assert q == {"a": 40, "b": 10}  # natural proportions
+
+
+def test_temperature_alpha_flattens_toward_uniform(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], ["k", "g"]
+    )
+    # budget small enough that the group-size cap never binds
+    q1 = {r.g: r.quota for r in samp.temperature_quotas(df, "g", 1.0, 16).collect()}
+    q0 = {r.g: r.quota for r in samp.temperature_quotas(df, "g", 0.0, 16).collect()}
+    # alpha=0: equal weights; alpha=1: 9:1
+    assert q0["big"] == q0["small"] == 8
+    assert q1["big"] / max(q1["small"], 1) >= 8
+    # intermediate alpha lies between
+    qh = {r.g: r.quota for r in samp.temperature_quotas(df, "g", 0.5, 16).collect()}
+    assert q0["big"] <= qh["big"] <= q1["big"]
+
+
+def test_temperature_quota_never_exceeds_group_size(spark):
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 3 else "huge") for i in range(100)], ["k", "g"]
+    )
+    q = {r.g: (r.n, r.quota) for r in
+         samp.temperature_quotas(df, "g", 0.0, 1000).collect()}
+    assert q["tiny"][1] <= q["tiny"][0] == 3
+
+
+def test_temperature_sample_respects_quotas_and_is_stable(spark):
+    docs = _docs(spark)
+    out = samp.temperature_sample(docs, "source", "doc_id", 0.5, 300)
+    quotas = {r.source: r.quota for r in
+              samp.temperature_quotas(docs, "source", 0.5, 300).collect()}
+    sizes = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(sizes[s] == min(quotas[s], sizes.get(s, 0)) or sizes[s] <= quotas[s]
+               for s in sizes)
+    # repartition invariance (the shared md5 priority space)
+    again = samp.temperature_sample(
+        docs.repartition(13), "source", "doc_id", 0.5, 300
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
