@@ -120,3 +120,59 @@ def write_training_shards(
     stays valid across corpus refreshes."""
     sharded = shard_assign(bins, ["lang", "bin_id"], n_shards, salt)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    boundaries: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """(cap, n_docs, sum_tokens, padded_tokens, truncated_tokens,
+    pad_pct): the padding-waste audit behind sequence-length bucketing
+    — a training loader that pads every example to its bucket's cap
+    wastes ``cap - len`` tokens per doc, and docs longer than the top
+    cap are truncated. Bucket = smallest boundary >= length (the top
+    boundary catches everything longer, as truncation). A curation
+    pass reads this table to choose boundaries that bound waste before
+    committing to a packing layout (context packing, the zero-padding
+    alternative, is :func:`pack_documents`).
+
+    One narrow map (length + CASE chain) and one bounded aggregation —
+    the output is |boundaries| rows whatever the corpus size."""
+    bs = sorted(boundaries)
+    if not bs:
+        raise ValueError("boundaries must be non-empty")
+    n = F.size(F.split(F.col(text_col), " "))
+    cap = F.lit(bs[-1])
+    for b in reversed(bs[:-1]):
+        cap = F.when(n <= b, b).otherwise(cap)
+    return (
+        df.select(
+            n.alias("_n"),
+            cap.alias("cap"),
+        )
+        .groupBy("cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+            F.sum(F.greatest(F.col("cap") - F.col("_n"), F.lit(0)))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.sum(F.greatest(F.col("_n") - F.col("cap"), F.lit(0)))
+            .cast("long")
+            .alias("truncated_tokens"),
+        )
+        .select(
+            "cap",
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            "truncated_tokens",
+            F.round(
+                F.col("padded_tokens")
+                / (F.col("n_docs").cast("double") * F.col("cap")),
+                4,
+            ).alias("pad_pct"),
+        )
+        .orderBy("cap")
+    )

@@ -3119,3 +3119,37 @@ def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+LENGTH_BUCKETS = [16, 32, 64]
+
+
+@_register(
+    "ext_length_buckets",
+    f"""
+    WITH t AS (
+        SELECT len(string_split(text, ' ')) AS n,
+               CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+                    WHEN len(string_split(text, ' ')) <= 32 THEN 32
+                    ELSE 64 END AS cap
+        FROM documents
+    )
+    SELECT cap,
+           count(*) AS n_docs,
+           sum(n) AS sum_tokens,
+           sum(greatest(cap - n, 0)) AS padded_tokens,
+           sum(greatest(n - cap, 0)) AS truncated_tokens,
+           round(sum(greatest(cap - n, 0)) / (count(*) * 1.0 * cap), 4) AS pad_pct
+    FROM t GROUP BY cap ORDER BY cap
+    """,
+    "sequence-length bucketing audit: padding + truncation waste per cap",
+)
+def ext_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The padding-waste audit a training loader's bucketing policy is
+    chosen from (operators/chunking.py:length_bucket_stats); context
+    packing (ext_context_packing) is the zero-padding alternative this
+    table justifies or rejects."""
+    from ..operators import chunking as chunk_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_ops.length_bucket_stats(docs, LENGTH_BUCKETS)

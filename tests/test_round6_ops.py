@@ -517,3 +517,28 @@ def test_temperature_sample_respects_quotas_and_is_stable(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# length bucketing
+# ---------------------------------------------------------------------------
+def test_length_bucket_hand_case(spark):
+    from sparkstreaming_gmall_demo_spark.operators import chunking as chunk_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, " ".join("x" * 1 for _ in range(9)))],
+        ["doc_id", "text"],
+    )
+    got = {r.cap: (r.n_docs, r.padded_tokens, r.truncated_tokens)
+           for r in chunk_ops.length_bucket_stats(df, [4, 8]).collect()}
+    # len 3 -> cap 4 (pad 1); len 5 -> cap 8 (pad 3); len 9 -> cap 8 (trunc 1)
+    assert got[4] == (1, 1, 0)
+    assert got[8] == (2, 3, 1)
+
+
+def test_length_bucket_pad_pct_bounds(spark):
+    from sparkstreaming_gmall_demo_spark.operators import chunking as chunk_ops
+
+    rows = chunk_ops.length_bucket_stats(_docs(spark), [16, 32, 64]).collect()
+    assert rows and all(0.0 <= r.pad_pct < 1.0 for r in rows)
+    assert sum(r.n_docs for r in rows) == _docs(spark).count()
