@@ -385,3 +385,69 @@ def token_pmi_pairs(
             ).alias("pmi4"),
         )
     )
+
+
+UNK = "<unk>"
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    vocab_tokens: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, surprisal): per-document mean bigram surprisal
+    ``avg(-ln p(w2|w1))`` under the add-one-smoothed corpus bigram LM
+    over the closed symbol set vocab ∪ {<unk>} (every off-vocab token
+    maps to <unk> BEFORE pairing, so the model space is bounded at
+    (V+1)² however large the corpus — the same boundedness trick as
+    token_pmi):
+
+        p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V + 1)
+
+    with c(w1·) the count of bigram occurrences led by w1 and V+1 the
+    symbol-set size. The order-sensitive upgrade of
+    :func:`unigram_surprisal` — repetitive or shuffled text scores
+    high even when its unigram profile looks natural.
+
+    Plan shape: symbol mapping is a narrow map against the LITERAL
+    vocab array (no join — V is driver-bounded by construction);
+    bigrams fan out per position; the count tables are (V+1)²-bounded
+    aggregates broadcast back into the scoring pass; the only
+    corpus-keyed shuffle is the final per-doc aggregation."""
+    v_syms = len(vocab_tokens) + 1  # + <unk>
+    lit_vocab = F.array(*[F.lit(t) for t in vocab_tokens])
+    syms = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda t: F.when(F.array_contains(lit_vocab, t), t).otherwise(F.lit(UNK)),
+    )
+    bg = df.select(F.col(id_col), syms.alias("_syms")).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_syms) >= 2 THEN "
+                "transform(sequence(1, size(_syms) - 1), "
+                "i -> struct(element_at(_syms, i) AS w1, element_at(_syms, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.lit(float(v_syms + 1)))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.avg("s").alias("surprisal"),
+    )

@@ -3153,3 +3153,73 @@ def ext_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_ops.length_bucket_stats(docs, LENGTH_BUCKETS)
+
+
+BIGRAM_VOCAB_N = 30
+
+
+@_register(
+    "ext_bigram_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS cnt FROM toks GROUP BY token
+            ORDER BY cnt DESC, token ASC LIMIT {BIGRAM_VOCAB_N}
+        )
+    ),
+    vlist AS (SELECT list(token) AS vs FROM vocab),
+    d AS (
+        SELECT doc_id, lang,
+               list_transform(string_split(text, ' '),
+                   t -> CASE WHEN list_contains(vl.vs, t) THEN t
+                             ELSE '<unk>' END) AS s
+        FROM documents, vlist vl
+    ),
+    bg AS (
+        SELECT doc_id, lang, s[i] AS w1, s[i + 1] AS w2
+        FROM d, unnest(generate_series(1, len(s) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id, bg.lang,
+               -ln((c12.c12 + 1.0) / (c1.c1 + {BIGRAM_VOCAB_N + 1} + 1.0)) AS s
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, count(*) AS n_bigrams, avg(s) AS surprisal
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(surprisal), 4) AS avg_surprisal,
+           round(max(surprisal), 4) AS max_surprisal
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "per-language mean bigram surprisal (order-sensitive LM quality signal)",
+)
+def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-sensitive LM quality filter: documents scored by
+    avg -ln p(w2|w1) under the add-one-smoothed corpus bigram LM over
+    the closed top-N ∪ <unk> symbol set
+    (operators/vocab.py:bigram_surprisal). The vocab literal is a
+    driver-bounded top-N collect (same discipline as the unigram
+    entry's two scalars); both count tables are (V+1)²-bounded
+    broadcasts, so corpus text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=BIGRAM_VOCAB_N)
+    vocab_tokens = [r.token for r in voc.orderBy(F.desc("cnt"), F.asc("token")).collect()]
+    scored = vocab_ops.bigram_surprisal(docs, vocab_tokens)
+    per_doc = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal"),
+            F.round(F.max("surprisal"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang")
+    )

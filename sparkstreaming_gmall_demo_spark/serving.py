@@ -219,3 +219,38 @@ def sale_detail(
     finally:
         filtered.unpersist()
     return {"total": total, "stat": stat, "detail": detail}
+
+
+def search_documents(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    keyword: str,
+    query_vec_id: int,
+    page: int = 1,
+    size: int = 10,
+    depth: int = 50,
+) -> dict:
+    """Hybrid document search envelope — the engine-side extension of
+    the reference's scored search surface (PublisherServiceImpl.java
+    pages ES-scored hits; this fuses that sparse arm with a dense ANN
+    arm by RRF, operators/retrieval.py). Returns
+    ``{"total": N, "page": p, "size": s, "hits": [...]}`` where total
+    counts BM25 OR-matches and hits are the requested page of the
+    fused ranking (rrf desc, doc_id tiebreak — deterministic paging,
+    SURVEY §2.8 discipline).
+
+    ``depth`` bounds both arms; pages beyond the fused depth return
+    empty — by design, like ES's max_result_window: deep paging over
+    rank fusion is a product smell, not an engine feature."""
+    from .operators.retrieval import hybrid_rrf
+    from .operators.text import bm25_topk
+
+    if page < 1 or size < 1:
+        raise ValueError("page and size must be >= 1")
+    total = bm25_topk(docs, keyword, k=2**31 - 1).count()
+    fused = hybrid_rrf(
+        docs, embeddings, keyword, query_vec_id, k=depth, depth=depth
+    )
+    start = (page - 1) * size
+    hits = [r.asDict() for r in fused.offset(start).limit(size).collect()]
+    return {"total": total, "page": page, "size": size, "hits": hits}

@@ -261,3 +261,28 @@ def test_boilerplate_pipeline_streaming_equals_batch_and_replays_noop(spark, tmp
     )
     assert got2 == want
     assert txn.current_version(gram_table) == v
+
+
+# ---------------------------------------------------------------------------
+# serving envelope
+# ---------------------------------------------------------------------------
+def test_search_documents_envelope(spark):
+    from sparkstreaming_gmall_demo_spark import serving
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    env = serving.search_documents(docs, emb, "spark join window", 0, page=1, size=5)
+    assert set(env) == {"total", "page", "size", "hits"}
+    assert env["page"] == 1 and env["size"] == 5 and len(env["hits"]) == 5
+    # page 1 hits == top-5 of the fused op, same order
+    fused = retr_ops.hybrid_rrf(docs, emb, "spark join window", 0, k=5, depth=50)
+    assert [h["doc_id"] for h in env["hits"]] == [r.doc_id for r in fused.collect()]
+    # total counts BM25 OR-matches
+    assert env["total"] == text_ops.bm25_topk(docs, "spark join window", k=2**31 - 1).count()
+    # page 2 continues without overlap; beyond depth -> empty
+    env2 = serving.search_documents(docs, emb, "spark join window", 0, page=2, size=5)
+    assert not set(h["doc_id"] for h in env2["hits"]) & set(
+        h["doc_id"] for h in env["hits"]
+    )
+    deep = serving.search_documents(docs, emb, "spark join window", 0, page=99, size=10)
+    assert deep["hits"] == []

@@ -542,3 +542,61 @@ def test_length_bucket_pad_pct_bounds(spark):
     rows = chunk_ops.length_bucket_stats(_docs(spark), [16, 32, 64]).collect()
     assert rows and all(0.0 <= r.pad_pct < 1.0 for r in rows)
     assert sum(r.n_docs for r in rows) == _docs(spark).count()
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal
+# ---------------------------------------------------------------------------
+def test_bigram_surprisal_matches_sequential_model(spark):
+    import math
+
+    texts = ["a b a b c", "b a b a", "c c c"]
+    vocab = ["a", "b"]  # 'c' maps to <unk>
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # sequential model
+    def sym(t):
+        return t if t in vocab else "<unk>"
+    bgs = []
+    for t in texts:
+        s = [sym(x) for x in t.split(" ")]
+        bgs.extend(zip(s, s[1:]))
+    from collections import Counter
+    c12 = Counter(bgs)
+    c1 = Counter(w1 for w1, _ in bgs)
+    V = len(vocab) + 1
+    want = {}
+    for i, t in enumerate(texts):
+        s = [sym(x) for x in t.split(" ")]
+        ss = [-math.log((c12[(a, b)] + 1.0) / (c1[a] + V + 1.0))
+              for a, b in zip(s, s[1:])]
+        want[i] = (len(ss), round(sum(ss) / len(ss), 10))
+    got = {r.doc_id: (r.n_bigrams, round(r.surprisal, 10))
+           for r in vocab_ops.bigram_surprisal(df, vocab).collect()}
+    assert got == want
+
+
+def test_bigram_surprisal_order_sensitivity(spark):
+    """Same unigram profile, different order: the natural-order corpus
+    text must score lower than a doc with the same tokens reversed
+    relative to the corpus's dominant direction."""
+    # both contexts frequent (a->b and b->b dominate), so add-one
+    # smoothing can't hand a rare context free probability mass; the
+    # two probes share one token multiset {a,b,b} and differ only in
+    # order
+    rows = [(i, "a b") for i in range(30)] + [(50 + i, "b b") for i in range(30)]
+    probe_natural = (100, "a b b")
+    probe_reversed = (101, "b b a")
+    df = spark.createDataFrame(
+        rows + [probe_natural, probe_reversed], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.surprisal
+           for r in vocab_ops.bigram_surprisal(df, ["a", "b"]).collect()}
+    assert got[100] < got[101]
+
+
+def test_bigram_surprisal_single_token_doc_absent(spark):
+    df = spark.createDataFrame([(1, "only"), (2, "two tokens")], ["doc_id", "text"])
+    rows = {r.doc_id for r in vocab_ops.bigram_surprisal(df, ["two"]).collect()}
+    assert rows == {2}  # no bigrams -> no row
