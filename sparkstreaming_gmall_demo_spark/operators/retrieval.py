@@ -90,3 +90,46 @@ def hybrid_rrf(
         "doc_id",
     )
     return rrf_fuse(sparse, dense, "doc_id", k, k0)
+
+
+RERANKED_SCHEMA = "doc_id long, rerank_score double"
+
+
+def rerank_stub(
+    candidates: DataFrame, query: str, strict: bool = False
+) -> DataFrame:
+    """STUB learned reranker — the cross-encoder slot of a retrieval
+    stack: the first-stage arms (BM25 / ANN / RRF) cut the corpus to a
+    query-bounded candidate frame, and ONLY those rows pay for a model
+    forward pass, batched through Arrow ``mapInPandas`` (the same
+    honest-stub discipline as operators/multimodal.py:decode_image_stub
+    — no model runtime in this container). strict=True raises; the
+    default emits a deterministic fake score that is a pure function of
+    (doc_id, query) in the shared md5 hash space, so the oracle can
+    restate it relationally and the driver gates the whole Arrow round
+    trip value-for-value. Real impl: replace the hash with tokenizer +
+    model inference inside the same batch loop — plumbing unchanged.
+
+    Scale shape: candidates are top-``depth``-bounded upstream, so the
+    Python stage touches O(depth) rows per query however large the
+    corpus; this is exactly where per-row Python cost is affordable."""
+    import hashlib
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "no reranker model runtime in this environment; "
+                    "swap this block for a cross-encoder forward pass"
+                )
+            s = pdf["doc_id"].map(
+                lambda d: int(
+                    hashlib.md5(f"{d}|{query}".encode()).hexdigest()[:8], 16
+                )
+                / 4294967296.0
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rerank_score": s})
+
+    return candidates.select("doc_id").mapInPandas(score, RERANKED_SCHEMA)

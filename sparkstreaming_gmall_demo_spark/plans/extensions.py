@@ -3223,3 +3223,40 @@ def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+RERANK_K = 10
+
+
+@_register(
+    "ext_rerank_stub",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    cand AS (
+        SELECT doc_id FROM bm25
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+               '|', '{BM25_KEYWORD}')), 1, 8)) AS BIGINT) / 4294967296.0
+               AS rerank_score
+    FROM cand
+    ORDER BY rerank_score DESC, doc_id ASC
+    LIMIT {RERANK_K}
+    """,
+    "stubbed learned reranker over the BM25 candidate stage",
+)
+def ext_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder slot (operators/retrieval.py:rerank_stub): BM25
+    cuts the corpus to a query-bounded candidate frame, only those
+    rows pass through the Arrow-batched scorer. The fake score is a
+    pure md5 function of (doc_id, query) — the exact representable
+    double i/2^32, no rounding needed — so the driver gates the whole
+    mapInPandas round trip value-for-value."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    cand = text_ops.bm25_topk(docs, BM25_KEYWORD, k=RRF_DEPTH)
+    return (
+        retr_ops.rerank_stub(cand, BM25_KEYWORD)
+        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        .limit(RERANK_K)
+    )

@@ -286,3 +286,27 @@ def test_search_documents_envelope(spark):
     )
     deep = serving.search_documents(docs, emb, "spark join window", 0, page=99, size=10)
     assert deep["hits"] == []
+
+
+# ---------------------------------------------------------------------------
+# reranker stub
+# ---------------------------------------------------------------------------
+def test_rerank_stub_matches_python_model_and_strict_raises(spark):
+    import hashlib
+
+    cand = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    got = {r.doc_id: r.rerank_score
+           for r in retr_ops.rerank_stub(cand, "q1").collect()}
+    want = {
+        i: int(hashlib.md5(f"{i}|q1".encode()).hexdigest()[:8], 16) / 2**32
+        for i in range(7)
+    }
+    assert got == want
+    # query-sensitivity: a different query reorders scores
+    got2 = {r.doc_id: r.rerank_score
+            for r in retr_ops.rerank_stub(cand, "q2").collect()}
+    assert got2 != got
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        retr_ops.rerank_stub(cand, "q1", strict=True).collect()
