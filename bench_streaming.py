@@ -259,6 +259,19 @@ def main() -> None:
                 ),
                 doc_rows, work,
             ),
+            # near-dup ingest gate: per-batch MinHash signature pass +
+            # band-index probe + two index commits (docs fixture is
+            # small -> measures the per-batch fixed cost of the fuzzy
+            # gate loop, same overhead-bound regime as novelty_gate)
+            "neardup_gate": run(
+                "neardup_gate",
+                lambda out, ckpt: pipelines.neardup_gate_pipeline(
+                    parquet_stream(spark, doc_dir, DOC_SCHEMA),
+                    os.path.join(work, "neardup_gate", "nd_index"),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                doc_rows, work,
+            ),
             # continuous boilerplate-dictionary maintenance: per-batch
             # (gram, df) partials into a txn table (same immutable-
             # partials regime as hll/cm); docs fixture is small, so
@@ -299,7 +312,8 @@ def main() -> None:
                 # (index loop / gram-agg commit), not rows/s
                 "value": min(
                     v for k, v in rates.items()
-                    if k not in ("novelty_gate", "boilerplate_dict")
+                    if k not in ("novelty_gate", "boilerplate_dict",
+                                 "neardup_gate")
                 ),
                 "unit": "rows/sec",
                 "pipelines": rates,
