@@ -890,8 +890,9 @@ def neardup_gate_admit(
 
     Scale shape: the probe shuffles (band, bh) ints against the bucket
     index (partitionable by band); verification joins only the
-    COLLIDING ids' hash sets; batch text is tokenized twice (signature
-    pass + within-batch pair pass) but never shuffles."""
+    COLLIDING ids' hash sets; batch text is tokenized ONCE (the
+    persisted signature frame feeds both the cross-batch probe and the
+    within-batch pair pass) and never shuffles."""
     from ..operators import components as comp_ops
     from ..operators import neardup as nd_ops
     from . import txn
@@ -932,10 +933,15 @@ def neardup_gate_admit(
                 .dropDuplicates()
             )
         fresh = batch_df
+        fresh_sigs = sigs
         if dup_ids is not None:
             fresh = fresh.join(dup_ids, "doc_id", "left_anti")
-        pairs = nd_ops.minhash_near_duplicates(
-            fresh, threshold, num_hashes, bands, shingle_n
+            fresh_sigs = sigs.join(dup_ids, "doc_id", "left_anti")
+        # within-batch pairs REUSE the already-computed signature frame
+        # (the factored kernel back half) — one text pass per batch,
+        # not two
+        pairs = nd_ops.near_duplicates_from_signatures(
+            fresh_sigs, threshold, bands
         )
         labels = comp_ops.connected_components(pairs.select("i", "j"))
         losers = labels.filter(F.col("node") != F.col("component")).select(
