@@ -298,3 +298,28 @@ def temperature_sample(
         .filter(F.col("_qrn") <= F.col("quota"))
         .drop("_qrn", "quota")
     )
+
+
+def dedup_aware_split(
+    df: DataFrame,
+    labels: DataFrame,
+    splits: dict,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    document's near-dup COMPONENT canonical id (``labels`` =
+    (node, component) from operators/components.py over a near-dup
+    pair graph; unpaired docs are their own component), so two
+    near-duplicate documents can never straddle a split boundary — the
+    contamination a naive per-doc hash split silently allows whenever
+    the corpus still contains fuzzy duplicates. Pure composition of
+    gated kernels: one left join against the (pair-graph-sized) label
+    frame, then the standard md5-bucket :func:`assign_split` on the
+    group key. Returns df + (group_key, split)."""
+    joined = df.join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("group_key", F.coalesce("component", F.col(id_col)))
+    return joined.drop("component").withColumn(
+        "split", assign_split("group_key", splits, salt)
+    )

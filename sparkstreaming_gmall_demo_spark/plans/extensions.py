@@ -3260,3 +3260,60 @@ def ext_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
         .limit(RERANK_K)
     )
+
+
+@_register(
+    "ext_leakage_safe_splits",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT a, a FROM edges),
+    labels AS (SELECT a AS node, min(b) AS component FROM closure GROUP BY a),
+    keyed AS (
+        SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_key
+        FROM d LEFT JOIN labels l ON d.doc_id = l.node
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT group_key) AS n_groups
+    FROM (SELECT group_key, {_split_case_sql('group_key')} AS split FROM keyed)
+    GROUP BY split ORDER BY split
+    """,
+    "leakage-safe splits: near-dup components share train/val/test fate",
+)
+def ext_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware splitting (operators/sampling.py:dedup_aware_split):
+    the split hash keys on the near-dup component canonical id, so
+    fuzzy duplicates can never land train-side AND eval-side — the
+    leakage a per-doc hash split allows whenever dedup wasn't perfect.
+    Composition of three gated kernels (exact Jaccard pairs ->
+    connected components -> md5 split buckets); the oracle restates
+    the same fixpoint as a recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = comp_ops.connected_components(pairs)
+    assigned = samp_ops.dedup_aware_split(docs, labels, SPLITS)
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("group_key").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

@@ -600,3 +600,38 @@ def test_bigram_surprisal_single_token_doc_absent(spark):
     df = spark.createDataFrame([(1, "only"), (2, "two tokens")], ["doc_id", "text"])
     rows = {r.doc_id for r in vocab_ops.bigram_surprisal(df, ["two"]).collect()}
     assert rows == {2}  # no bigrams -> no row
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits
+# ---------------------------------------------------------------------------
+def test_dedup_aware_split_components_share_fate(spark):
+    from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
+
+    # 3 near-dup pairs + 4 singletons; labels from a hand pair graph
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["i", "j"])
+    labels = comp_ops.connected_components(pairs)
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21]], ["doc_id"])
+    out = samp.dedup_aware_split(
+        docs, labels, {"train": 0.5, "test": 0.5}
+    ).collect()
+    by_doc = {r.doc_id: (r.group_key, r.split) for r in out}
+    # chain {1,2,3} one split, pair {10,11} one split
+    assert len({by_doc[i][1] for i in (1, 2, 3)}) == 1
+    assert by_doc[10][1] == by_doc[11][1]
+    assert by_doc[1][0] == 1 and by_doc[10][0] == 10  # min-label canonical
+
+
+def test_dedup_aware_split_singletons_match_plain_split(spark):
+    from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
+
+    pairs = spark.createDataFrame([], "i long, j long")
+    labels = comp_ops.connected_components(pairs)
+    docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out = {r.doc_id: r.split for r in samp.dedup_aware_split(
+        docs, labels, {"train": 0.8, "val": 0.2}
+    ).collect()}
+    plain = {r.doc_id: r.split for r in docs.withColumn(
+        "split", samp.assign_split("doc_id", {"train": 0.8, "val": 0.2})
+    ).collect()}
+    assert out == plain  # no pairs -> identical to the per-doc split
