@@ -186,8 +186,13 @@ def hll_prefix_estimates(partials: DataFrame) -> DataFrame:
     one pass over O(#days) kB-sized sketches (bounded by the calendar,
     ~365 rows/year — the single-partition window is irrelevant at any
     data scale, and strictly cheaper than the day x day inequality
-    self-join it replaces, which planned as a nested-loop)."""
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    self-join it replaces, which planned as a nested-loop). The frame
+    is RANGE-based so an input carrying several partial rows for one
+    day (e.g. a raw per-batch partials snapshot, not yet folded by
+    hll_read_daily) still unions ALL same-day siblings into each
+    row's est_cum — a rows-frame would make duplicate-day rows
+    tie-order dependent."""
+    w = Window.orderBy("d").rangeBetween(Window.unboundedPreceding, 0)
     return partials.select(
         "d",
         F.hll_sketch_estimate("sketch").alias("est_daily"),

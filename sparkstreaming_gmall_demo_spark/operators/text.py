@@ -422,10 +422,15 @@ def bm25_topk(
     score (4 dp) with id tiebreak so ranking is reproducible across
     engines and partitionings.
     """
-    terms = [t for t in keyword.split(" ") if t]
+    # the SAME analyzer-lite tokenization as scored_search/q9 (lowercase
+    # + CJK per-ideograph + non-alphanumeric split) — BM25 claims to be
+    # the real model behind ES match, so it must see what the analyzer
+    # sees ('Spark' matches 'spark', 'join,' matches 'join'); a raw
+    # whitespace split would silently drop case/punctuation variants
+    terms = analyze_keyword(keyword)
     if not terms:
-        raise ValueError("keyword has no terms")
-    toks = tokens(text_col)
+        raise ValueError("keyword analyzes to no terms")
+    toks = analyze(text_col)
 
     def _tf(term: str):
         # unary predicate — see scored_search note
@@ -537,7 +542,12 @@ def boilerplate_coverage(
     carries grams + int positions, never text), covered positions fan
     out as an int explode with a per-doc distinct, and the final frame
     is one left join back to per-doc lengths. Document text crosses no
-    shuffle at any point."""
+    shuffle at any point. The audit is a TWO-pass op by design (the
+    dictionary pass and the coverage pass each tokenize the corpus —
+    Spark does not share identical subplans across join arms, and
+    caching the exploded n-gram frame would cost more memory than the
+    second narrow pass costs CPU); the streaming pipeline amortizes
+    the dictionary pass away entirely (boilerplate_read_dictionary)."""
     occ = _positioned_ngrams(df, n, id_col, text_col)
     bp = boilerplate_ngrams(df, n, min_df, id_col, text_col)
     covered = (

@@ -442,7 +442,7 @@ def bigram_surprisal(
             (
                 -F.log(
                     (F.col("c12") + F.lit(1.0))
-                    / (F.col("c1") + F.lit(float(v_syms + 1)))
+                    / (F.col("c1") + F.lit(float(v_syms)))
                 )
             ).alias("s"),
         )

@@ -2877,12 +2877,19 @@ BOILERPLATE_N = 6
 BOILERPLATE_MIN_DF = 3
 
 # The shared BM25 CTE chain (DuckDB side). Terms are inlined literally
-# so the oracle states the same fixed query as the Spark build; dl is
-# integer-valued, so avg(dl) is an exact integer sum / N in BOTH
-# engines regardless of summation order — the only corpus-level float
-# the formula consumes is therefore bit-identical.
+# so the oracle states the same fixed query as the Spark build; the
+# tokenizer is the documented analyze() DuckDB twin (same as q9's
+# oracle), so case/punctuation/CJK behavior matches the Spark
+# expression, not just the fixture's happy path; dl is integer-valued,
+# so avg(dl) is an exact integer sum / N in BOTH engines regardless of
+# summation order — the only corpus-level float the formula consumes
+# is therefore bit-identical.
 _BM25_SQL_CTES = """
-    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    d AS (SELECT doc_id,
+                 list_filter(string_split_regex(regexp_replace(lower(text),
+                     '([㐀-䶿一-鿿豈-﫿])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'),
+                     t -> t != '') AS t
+          FROM documents),
     corpus AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d),
     pt AS (
         SELECT doc_id, len(t)::DOUBLE AS dl,
@@ -3187,7 +3194,7 @@ BIGRAM_VOCAB_N = 30
     c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
     scored AS (
         SELECT bg.doc_id, bg.lang,
-               -ln((c12.c12 + 1.0) / (c1.c1 + {BIGRAM_VOCAB_N + 1} + 1.0)) AS s
+               -ln((c12.c12 + 1.0) / (c1.c1 + {BIGRAM_VOCAB_N + 1}.0)) AS s
         FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
     ),
     per_doc AS (

@@ -243,11 +243,18 @@ def search_documents(
     empty — by design, like ES's max_result_window: deep paging over
     rank fusion is a product smell, not an engine feature."""
     from .operators.retrieval import hybrid_rrf
-    from .operators.text import bm25_topk
+    from .operators.text import analyze, analyze_keyword
 
     if page < 1 or size < 1:
         raise ValueError("page and size must be >= 1")
-    total = bm25_topk(docs, keyword, k=2**31 - 1).count()
+    # total = OR-match count only: a bare filter + count, NOT the BM25
+    # top-k plan — ordering work would be 100% discarded by count(),
+    # and with k unbounded Spark can't use TakeOrderedAndProject (it
+    # would fall back to a full global sort)
+    terms = analyze_keyword(keyword)
+    total = docs.filter(
+        F.arrays_overlap(analyze("text"), F.array(*[F.lit(t) for t in terms]))
+    ).count()
     fused = hybrid_rrf(
         docs, embeddings, keyword, query_vec_id, k=depth, depth=depth
     )

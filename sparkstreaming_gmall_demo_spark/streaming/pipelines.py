@@ -799,8 +799,14 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
     watermark guard assumes checkpoint continuity — the same source-
     of-truth rule Structured Streaming's own foreachBatch exactly-once
     gives. (A FULL fresh-checkpoint replay over identical input stays
-    a no-op: every replayed id falls at or below the watermark.) Run
-    with no concurrent compactor, like txn.vacuum.
+    a no-op: every replayed id falls at or below the watermark.)
+    COROLLARY / operator warning: pointing a NEW checkpoint at a
+    compacted table while feeding NEW input silently drops the new
+    data — restarted batch ids 0..hwm all read as replays. The guard
+    cannot distinguish the two cases (that is what makes replays
+    no-op), so a checkpoint reset must pair with a fresh table (or a
+    re-key of the compacted table). Run with no concurrent compactor,
+    like txn.vacuum.
 
     ``merge_fn``: snapshot-minus-batch_id -> merged frame with the
     same non-batch columns."""
@@ -857,6 +863,11 @@ def compact_boilerplate_dictionary(spark: SparkSession, gram_table: str) -> int:
 # ---------------------------------------------------------------------------
 # Near-duplicate novelty gate: the fuzzy upgrade of novelty_gate_pipeline
 # ---------------------------------------------------------------------------
+# Hot-bucket bound for the cross-batch band-index probe: at most this
+# many verification candidates per probe doc (see neardup_gate_admit).
+NEARDUP_GATE_CAND_CAP = 64
+
+
 def neardup_gate_admit(
     batch_df: DataFrame,
     sigs_table: str,
@@ -871,26 +882,39 @@ def neardup_gate_admit(
     subset of ``batch_df`` and commits the admitted documents' MinHash
     index rows (shingle-hash sets + band buckets).
 
-    Admission rule (deterministic): a document is REJECTED if (a) it
-    LSH-collides with an already-admitted document and exact
-    shingle-hash Jaccard >= threshold, or (b) within the batch's
-    survivors it belongs to a near-dup component and is not the
-    component's minimum doc_id (keep-canonical). Everything else is
-    admitted and indexed.
+    Admission rule (deterministic): near-dup components are computed
+    over the WHOLE batch (not just index survivors — that would make
+    the partition of the batch into components depend on the index
+    state, which changes between a run and its replay); each
+    component's survivor is its minimum doc_id among members NOT
+    rejected by the index probe, and a document is admitted iff it is
+    its component's survivor (singletons with no index match are their
+    own survivor).
 
-    Why replays converge: two admitted documents are never near-dups of
-    each other (the later one would have been rejected at its own
-    probe), so a replayed admitted doc only self-collides — the probe
-    excludes self-matches by doc_id — and is re-admitted, which every
-    downstream keyed sink no-ops; a replayed rejected doc still finds
-    its killer in the index. The index commits are ordered sigs-first
-    so a crash between the two commits leaves a discoverable-by-verify
-    but not-yet-bucketed doc — the replay re-commits both, and
-    merge_keyed makes the repeats no-ops.
+    Why replays converge: the component structure is a pure function
+    of batch CONTENT, so it is replay-identical; the probe's dup marks
+    can only change in ways that leave the survivor fixed — an
+    admitted doc never gains a killer (anything near it that arrived
+    later was rejected at its own probe, so never indexed; its own
+    index row is self-excluded by doc_id), and a doc smaller than the
+    survivor was dup-marked on the original run and its killer is
+    still indexed. A naive "drop index-dups, THEN component-collapse
+    the remainder" rule is NOT replay-stable for chain-shaped
+    components (A~B, B~C, A!~C: original run components {A,B,C} admit
+    A; on replay B is index-rejected first, leaving C pairless and
+    wrongly admitted) — regression-pinned by
+    test_neardup_gate_chain_component_replay_is_noop. The index
+    commits are ordered sigs-first so a crash between the two commits
+    leaves a discoverable-by-verify but not-yet-bucketed doc — the
+    replay re-commits both, and merge_keyed makes the repeats no-ops.
 
     Scale shape: the probe shuffles (band, bh) ints against the bucket
-    index (partitionable by band); verification joins only the
-    COLLIDING ids' hash sets; batch text is tokenized ONCE (the
+    index (partitionable by band); a hot index bucket (boilerplate-y
+    pages colliding with everything) is bounded by the per-probe-doc
+    candidate cap ``NEARDUP_GATE_CAND_CAP`` (smallest old_ids kept — a
+    deterministic recall tradeoff, the same philosophy as
+    neardup.DEFAULT_MAX_BUCKET's salting cap); verification joins only
+    the COLLIDING ids' hash sets; batch text is tokenized ONCE (the
     persisted signature frame feeds both the cross-batch probe and the
     within-batch pair pass) and never shuffles."""
     from ..operators import components as comp_ops
@@ -916,6 +940,19 @@ def neardup_gate_admit(
                 .select("doc_id", "old_id")
                 .dropDuplicates()
             )
+            # hot-bucket bound: at most CAND_CAP verification
+            # candidates per probe doc (smallest old_ids win —
+            # deterministic; only pathological buckets lose recall)
+            cand = (
+                cand.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("doc_id").orderBy("old_id")
+                    ),
+                )
+                .filter(F.col("_rn") <= NEARDUP_GATE_CAND_CAP)
+                .drop("_rn")
+            )
             dup_ids = (
                 cand.join(sigs.select("doc_id", "hs"), "doc_id")
                 .join(
@@ -932,23 +969,38 @@ def neardup_gate_admit(
                 .select("doc_id")
                 .dropDuplicates()
             )
-        fresh = batch_df
-        fresh_sigs = sigs
-        if dup_ids is not None:
-            fresh = fresh.join(dup_ids, "doc_id", "left_anti")
-            fresh_sigs = sigs.join(dup_ids, "doc_id", "left_anti")
-        # within-batch pairs REUSE the already-computed signature frame
-        # (the factored kernel back half) — one text pass per batch,
-        # not two
-        pairs = nd_ops.near_duplicates_from_signatures(
-            fresh_sigs, threshold, bands
-        )
+        # whole-batch components (replay-identical: a pure function of
+        # batch content) from the already-computed signature frame —
+        # one text pass per batch
+        pairs = nd_ops.near_duplicates_from_signatures(sigs, threshold, bands)
         labels = comp_ops.connected_components(pairs.select("i", "j"))
-        losers = labels.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
+        members = (
+            batch_df.select("doc_id")
+            .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("comp"),
+            )
         )
-        admit = fresh.join(losers, "doc_id", "left_anti").persist()
-        admit_ids = admit.select("doc_id")
+        if dup_ids is not None:
+            members = members.join(
+                dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
+            )
+        else:
+            members = members.withColumn("_dup", F.lit(False))
+        survivors = (
+            members.filter(~F.col("_dup"))
+            .groupBy("comp")
+            .agg(F.min("doc_id").alias("survivor"))
+        )
+        admit_ids = (
+            members.join(survivors, "comp")
+            .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
+            .select("doc_id")
+        )
+        admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
         txn.merge_keyed(
             sigs.join(admit_ids, "doc_id").select("doc_id", "hs"),
             sigs_table, key_cols=["doc_id"],

@@ -151,3 +151,48 @@ def test_neardup_gate_near_but_below_threshold_admitted(spark, tmp_path):
     )
     assert a3.count() == 0
     a3.unpersist()
+
+
+def test_neardup_gate_chain_component_replay_is_noop(spark, tmp_path):
+    """Chain-shaped component in ONE batch: A~B, B~C, A!~C (Jaccard is
+    not transitive). The whole-batch component rule admits only A, and
+    a fresh-checkpoint replay must not resurrect C — the regression of
+    the naive drop-dups-then-collapse rule, where replayed B is
+    index-rejected first, leaving C pairless and wrongly admitted."""
+    base = [f"t{j}" for j in range(30)]
+    a = ["ax" + str(j) for j in range(5)] + base[5:]        # differs from B in 0..4
+    b = base
+    c = base[:25] + ["cx" + str(j) for j in range(5)]       # differs from B in 25..29
+    texts = {1: " ".join(a), 2: " ".join(b), 3: " ".join(c)}
+    topic = tmp_path / "docs"
+    topic.mkdir()
+    _write_chunk(topic / "c0.parquet", [(i, t) for i, t in texts.items()])
+
+    # verify the chain shape at threshold 0.5 with the gate's own kernel
+    df = spark.createDataFrame(list(texts.items()), DOC_SCHEMA)
+    pairs = {(r.i, r.j) for r in
+             nd_ops.minhash_near_duplicates(df, 0.5).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+
+    index_table = str(tmp_path / "nd_index")
+    out_path = str(tmp_path / "admitted")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.neardup_gate_pipeline(
+            stream, index_table, out_path, ckpt,
+            threshold=0.5, bands=BANDS, trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == {1}
+
+    v_sigs = txn.current_version(index_table + "_sigs")
+    run(str(tmp_path / "ck2"))  # full replay, fresh checkpoint
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == {1}
+    assert txn.current_version(index_table + "_sigs") == v_sigs

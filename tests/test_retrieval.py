@@ -310,3 +310,14 @@ def test_rerank_stub_matches_python_model_and_strict_raises(spark):
 
     with _pytest.raises(Exception):
         retr_ops.rerank_stub(cand, "q1", strict=True).collect()
+
+
+def test_bm25_analyzer_matches_case_and_punctuation_variants(spark):
+    """BM25 runs the same analyzer-lite tokenization as the ES match
+    path it models: 'Spark' and 'join,' must match the query."""
+    texts = ["Spark outperforms; join, window functions", "nothing relevant here"]
+    ids = {
+        r["doc_id"]
+        for r in text_ops.bm25_topk(_corpus(spark, texts), "spark join", k=10).collect()
+    }
+    assert ids == {0}

@@ -569,7 +569,7 @@ def test_bigram_surprisal_matches_sequential_model(spark):
     want = {}
     for i, t in enumerate(texts):
         s = [sym(x) for x in t.split(" ")]
-        ss = [-math.log((c12[(a, b)] + 1.0) / (c1[a] + V + 1.0))
+        ss = [-math.log((c12[(a, b)] + 1.0) / (c1[a] + V))
               for a, b in zip(s, s[1:])]
         want[i] = (len(ss), round(sum(ss) / len(ss), 10))
     got = {r.doc_id: (r.n_bigrams, round(r.surprisal, 10))
@@ -635,3 +635,32 @@ def test_dedup_aware_split_singletons_match_plain_split(spark):
         "split", samp.assign_split("doc_id", {"train": 0.8, "val": 0.2})
     ).collect()}
     assert out == plain  # no pairs -> identical to the per-doc split
+
+
+def test_hll_prefix_estimates_duplicate_day_rows(spark):
+    """A raw per-batch partials snapshot can hold several rows for one
+    day; the range-framed running union must give every same-day row
+    the SAME est_cum (all siblings included), equal to the folded
+    frame's value."""
+    ev = spark.range(300).select(
+        F.to_date(F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string"))).alias("d"),
+        F.col("id").alias("k"),
+    )
+    # two partial rows per day (split by parity), vs one folded row
+    split_partials = (
+        ev.withColumn("half", F.col("k") % 2)
+        .groupBy("d", "half")
+        .agg(F.hll_sketch_agg("k").alias("sketch"))
+        .drop("half")
+    )
+    folded = ev.groupBy("d").agg(F.hll_sketch_agg("k").alias("sketch"))
+    got = {
+        (r.d, r.est_cum)
+        for r in sketch_ops.hll_prefix_estimates(split_partials).collect()
+    }
+    want = {
+        (r.d, r.est_cum)
+        for r in sketch_ops.hll_prefix_estimates(folded).collect()
+    }
+    # every split row's est_cum matches the folded day's value
+    assert {d: c for d, c in got} == {d: c for d, c in want}
