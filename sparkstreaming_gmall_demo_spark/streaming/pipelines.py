@@ -971,17 +971,26 @@ def neardup_gate_admit(
             )
         # whole-batch components (replay-identical: a pure function of
         # batch content) from the already-computed signature frame —
-        # one text pass per batch
+        # one text pass per batch. Fast path: most batches carry NO
+        # within-batch near-dups, and the component loop is the gate's
+        # dominant fixed cost (several jobs per iteration) — one cheap
+        # isEmpty() action skips it; semantics unchanged (every doc is
+        # its own component).
         pairs = nd_ops.near_duplicates_from_signatures(sigs, threshold, bands)
-        labels = comp_ops.connected_components(pairs.select("i", "j"))
-        members = (
-            batch_df.select("doc_id")
-            .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("component", F.col("doc_id")).alias("comp"),
+        if pairs.isEmpty():
+            members = batch_df.select(
+                "doc_id", F.col("doc_id").alias("comp")
             )
-        )
+        else:
+            labels = comp_ops.connected_components(pairs.select("i", "j"))
+            members = (
+                batch_df.select("doc_id")
+                .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("comp"),
+                )
+            )
         if dup_ids is not None:
             members = members.join(
                 dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
