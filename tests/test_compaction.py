@@ -275,3 +275,35 @@ def test_boilerplate_auto_compaction_every_two_batches(spark, tmp_path):
     )
     assert ids == [-1]
     assert txn.table_meta(gram_table)["compacted_through"] == 3
+
+
+def test_compaction_then_vacuum_full_maintenance_cycle(spark, tmp_path):
+    """The complete maintenance lifecycle: ingest partials -> fold
+    (compact_partials) -> bin-pack (compact_files) -> age old
+    snapshots (vacuum). Reads stay exact throughout and storage ends
+    at one version of few files."""
+    sf_dir = "/root/testdata/sf0.01"
+    topic, _ = _chunked_topic(tmp_path, f"{sf_dir}/documents.parquet", "docs")
+    gram_table = str(tmp_path / "gram_df")
+    _run_boilerplate(spark, topic, gram_table, str(tmp_path / "ck"))
+
+    want = sorted(
+        (r.gram, r.df)
+        for r in pipelines.boilerplate_read_dictionary(
+            spark, gram_table, min_df=3
+        ).collect()
+    )
+    pipelines.compact_boilerplate_dictionary(spark, gram_table)
+    txn.compact_files(spark, gram_table, target_files=2)
+    removed = txn.vacuum(gram_table, retain_versions=1)
+    assert removed > 0  # old per-batch file-sets swept
+    assert len(txn.list_versions(gram_table)) == 1
+    got = sorted(
+        (r.gram, r.df)
+        for r in pipelines.boilerplate_read_dictionary(
+            spark, gram_table, min_df=3
+        ).collect()
+    )
+    assert got == want
+    # watermark survives the whole cycle
+    assert txn.table_meta(gram_table)["compacted_through"] >= 0
