@@ -4,7 +4,18 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
 Methodology matches BASELINE.md section B: warm timing — each query
 runs once untimed (JVM/codegen warm-up, file listing), then the timed
-run. ``value`` is the summed warm wall time across queries.
+run. ``value`` is the summed warm wall time across ALL registry
+queries.
+
+Emission contract (BENCH_r04 lesson): the driver records only the
+LAST ~2000 characters of stdout and parses the final JSON line — a
+101-entry full-precision line overflows that window and arrives
+head-truncated (``parsed: null``). So the printed line is compact
+(no spaces, 3-dp) and carries per-query timings for the DRIVER WINDOW
+(the first _DRIVER_CAP registry entries — the same 50 the correctness
+driver checks); it is printed LAST and self-checked against the
+capture budget. The full-precision, all-queries record (timings +
+errors) is written to the ``BENCH_full.json`` sidecar every run.
 """
 
 from __future__ import annotations
@@ -16,8 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+from sparkstreaming_gmall_demo_spark.plans import _DRIVER_CAP, REGISTRY
 from sparkstreaming_gmall_demo_spark.session import get_spark
+
+# The driver's stdout capture window (observed 2000 chars in
+# BENCH_r04); leave headroom for a trailing newline / stray log line.
+_LINE_BUDGET = 1900
 
 
 def main() -> None:
@@ -52,17 +67,50 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    total = round(sum(t for t in timings.values() if t is not None), 4)
+
+    # Full-precision sidecar: every query, every error, machine-readable
+    # regardless of the driver's capture window.
+    full = {
         "metric": "total_declared_query_warm_wall",
-        "value": round(sum(t for t in timings.values() if t is not None), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sf": sf_val,
+        "n_queries": len(timings),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+
+    # Compact driver line: window timings at 3 dp, no spaces, LAST line.
+    window = list(REGISTRY)[:_DRIVER_CAP]
+    out = {
+        "metric": "total_declared_query_warm_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            n: (round(timings[n], 3) if timings[n] is not None else None)
+            for n in window
+        },
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    # Self-check: never emit a line the driver's tail capture would
+    # behead. Shed window entries (the full record lives in the
+    # sidecar) until the line fits.
+    while len(line) > _LINE_BUDGET and out["queries"]:
+        out["queries"].pop(next(iter(out["queries"])))
+        out["n_dropped"] = len(timings) - len(out["queries"])
+        line = json.dumps(out, separators=(",", ":"))
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

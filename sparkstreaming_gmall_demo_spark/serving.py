@@ -247,11 +247,18 @@ def search_documents(
 
     if page < 1 or size < 1:
         raise ValueError("page and size must be >= 1")
+    terms = analyze_keyword(keyword)
+    # validate BEFORE paying the count job: a keyword that analyzes to
+    # zero terms would build an untyped empty array for arrays_overlap
+    # and only fail later inside bm25_topk — late and inconsistent
+    if not terms:
+        raise ValueError(
+            f"keyword {keyword!r} analyzes to zero terms; nothing to search"
+        )
     # total = OR-match count only: a bare filter + count, NOT the BM25
     # top-k plan — ordering work would be 100% discarded by count(),
     # and with k unbounded Spark can't use TakeOrderedAndProject (it
     # would fall back to a full global sort)
-    terms = analyze_keyword(keyword)
     total = docs.filter(
         F.arrays_overlap(analyze("text"), F.array(*[F.lit(t) for t in terms]))
     ).count()

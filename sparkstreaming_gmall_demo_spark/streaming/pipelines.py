@@ -809,28 +809,36 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
     like txn.vacuum.
 
     ``merge_fn``: snapshot-minus-batch_id -> merged frame with the
-    same non-batch columns."""
+    same non-batch columns. Concurrent WRITERS are safe: overwrite
+    raises on a lost CAS (its staged merge would miss the racing
+    writer's just-committed batch) and this loop re-derives the merge
+    from the fresh snapshot — the same rebase rule txn.compact_files
+    uses. Run with no concurrent COMPACTOR, like txn.vacuum."""
     from . import txn
 
-    snap = txn.snapshot(spark, table)
-    if snap is None:
-        return 0
-    hwm = snap.agg(F.max("batch_id")).collect()[0][0]
-    prev = txn.table_meta(table).get("compacted_through", -1)
-    merged = (
-        merge_fn(snap.drop("batch_id"))
-        .withColumn("batch_id", F.lit(-1).cast("long"))
-        .select(*snap.columns)
-        .persist()
-    )
-    try:
-        n = merged.count()
-        txn.overwrite(
-            merged, table, meta={"compacted_through": max(int(hwm), int(prev))}
+    for _ in range(20):
+        snap = txn.snapshot(spark, table)
+        if snap is None:
+            return 0
+        hwm = snap.agg(F.max("batch_id")).collect()[0][0]
+        prev = txn.table_meta(table).get("compacted_through", -1)
+        merged = (
+            merge_fn(snap.drop("batch_id"))
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+            .select(*snap.columns)
+            .persist()
         )
-    finally:
-        merged.unpersist()
-    return n
+        try:
+            n = merged.count()
+            txn.overwrite(
+                merged, table, meta={"compacted_through": max(int(hwm), int(prev))}
+            )
+            return n
+        except txn.ConcurrentWriteError:
+            continue  # a writer landed mid-merge: re-derive on its snapshot
+        finally:
+            merged.unpersist()
+    raise RuntimeError(f"compact_partials: gave up after 20 attempts on {table}")
 
 
 def compact_sketch_partials(spark: SparkSession, sketch_table: str) -> int:
@@ -892,13 +900,16 @@ def neardup_gate_admit(
     own survivor).
 
     Why replays converge: the component structure is a pure function
-    of batch CONTENT, so it is replay-identical; the probe's dup marks
-    can only change in ways that leave the survivor fixed — an
-    admitted doc never gains a killer (anything near it that arrived
-    later was rejected at its own probe, so never indexed; its own
-    index row is self-excluded by doc_id), and a doc smaller than the
-    survivor was dup-marked on the original run and its killer is
-    still indexed. A naive "drop index-dups, THEN component-collapse
+    of batch CONTENT, so it is replay-identical; and the probe
+    anti-joins the batch's own doc ids out of the index side, so dup
+    marks are a pure function of (batch, pre-batch index) — on a
+    replay the batch's previously-admitted rows sit in the index but
+    never enter the probe, so they can neither displace a doc's
+    original killer out of the candidate cap nor verify a pair the
+    within-batch pass already owns. Both inputs being replay-identical
+    makes the admitted set replay-identical, with no reliance on a
+    survivor-stability argument that caps could undermine. A naive
+    "drop index-dups, THEN component-collapse
     the remainder" rule is NOT replay-stable for chain-shaped
     components (A~B, B~C, A!~C: original run components {A,B,C} admit
     A; on replay B is index-rejected first, leaving C pairless and
@@ -939,6 +950,21 @@ def neardup_gate_admit(
                 .filter(F.col("doc_id") != F.col("old_id"))
                 .select("doc_id", "old_id")
                 .dropDuplicates()
+            )
+            # Replay determinism: on a replay the index already holds
+            # THIS batch's admitted docs; if they entered the probe
+            # they could displace a doc's original killer out of the
+            # candidate cap below (or verify a pair the within-batch
+            # pass chunked past), flipping a component survivor so the
+            # replay admits a doc the original run rejected. Anti-join
+            # the batch's own ids out of old_id so the probe always
+            # sees exactly the pre-batch index — dup marks are then a
+            # pure function of (batch, pre-batch index) and replays
+            # converge regardless of cap pressure.
+            cand = cand.join(
+                sigs.select(F.col("doc_id").alias("old_id")),
+                "old_id",
+                "left_anti",
             )
             # hot-bucket bound: at most CAND_CAP verification
             # candidates per probe doc (smallest old_ids win —

@@ -240,20 +240,34 @@ def merge_keyed(
     )
 
 
-def overwrite(
-    df: DataFrame, table: str, max_retries: int = 20, meta: dict | None = None
-) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """A full-snapshot replace lost its CAS to a concurrent commit."""
+
+
+def overwrite(df: DataFrame, table: str, meta: dict | None = None) -> None:
     """Transactional full-snapshot replace (the compaction/maintenance
     primitive): stage, then commit a manifest listing ONLY the staged
     files. Readers flip atomically from the old snapshot to the new.
     ``meta`` records commit metadata (compaction watermark etc.) that
-    later ``merge_keyed`` commits carry forward."""
+    later ``merge_keyed`` commits carry forward.
+
+    Conflict rule: the replacement is derived from the snapshot the
+    caller read BEFORE calling (compact_partials reads, merges, then
+    replaces), so committing over a version that landed in between
+    would silently discard that concurrent writer's rows — the staged
+    data was derived without them. A lost CAS therefore RAISES
+    ``ConcurrentWriteError`` instead of retrying at the next version;
+    the caller must re-derive from the fresh snapshot and call again
+    (``compact_files`` does exactly that re-derive loop inline).
+    Single-maintenance-writer deployments never hit this path."""
+    v = current_version(table)
     staged = _stage(df, table)
-    for _ in range(max_retries):
-        v = current_version(table)
-        if _try_commit(table, v + 1, staged, meta):
-            return
-    raise RuntimeError(f"overwrite: gave up after {max_retries} attempts on {table}")
+    if not _try_commit(table, v + 1, staged, meta):
+        raise ConcurrentWriteError(
+            f"overwrite of {table}: version {v + 1} was committed concurrently; "
+            "the staged replacement is stale — re-derive from the new snapshot "
+            "and retry"
+        )
 
 
 def vacuum(table: str, retain_versions: int = 1) -> int:

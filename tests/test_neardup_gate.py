@@ -153,6 +153,66 @@ def test_neardup_gate_near_but_below_threshold_admitted(spark, tmp_path):
     a3.unpersist()
 
 
+def test_neardup_gate_replay_stable_under_candidate_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Replay determinism under cap pressure: on a replay the band
+    index holds the batch's OWN admitted docs; if they entered the
+    probe, a smaller batch id could displace a rejected doc's original
+    killer out of the candidate cap and flip the admission. The probe
+    therefore anti-joins the batch's ids out of old_id — this pins it
+    with the adversarial layout (cap=1, batch doc id < killer id).
+
+    Layout: killer K=100 (text T) is indexed. Batch = victim V=50
+    (exact copy of T, must stay rejected) + W=10 (Jaccard 0.75 to T:
+    band-colliding but below the 0.8 threshold, admitted). Replay with
+    cap=1: without the fix, W(10) displaces K(100) from V's single
+    candidate slot, V verifies against W at 0.75 < 0.8 and is wrongly
+    admitted."""
+    t_tokens = [f"t{j}" for j in range(30)]
+    T = " ".join(t_tokens)
+    # 4 trailing tokens replaced -> 24/32 shingle Jaccard = 0.75
+    W_text = " ".join(t_tokens[:26] + [f"z{j}" for j in range(4)])
+
+    # precondition: W band-collides with T (else the displacement
+    # scenario is vacuous) and sits below the verify threshold
+    two = spark.createDataFrame([(1, T), (2, W_text)], DOC_SCHEMA)
+    sigs = nd_ops.minhash_signature(two, 64, 3)
+    banded = nd_ops.signature_bands(sigs, BANDS)
+    a = banded.filter(F.col("doc_id") == 1).select("band", "bh")
+    b = banded.filter(F.col("doc_id") == 2).select("band", "bh")
+    assert a.join(b, ["band", "bh"]).count() >= 1
+    assert nd_ops.minhash_near_duplicates(two, 0.8).count() == 0
+
+    index_table = str(tmp_path / "nd_cap")
+    monkeypatch.setattr(pipelines, "NEARDUP_GATE_CAND_CAP", 1)
+
+    seed = pipelines.neardup_gate_admit(
+        spark.createDataFrame([(100, T)], DOC_SCHEMA),
+        index_table + "_sigs", index_table + "_bands",
+        threshold=0.8, bands=BANDS,
+    )
+    assert [r.doc_id for r in seed.collect()] == [100]
+    seed.unpersist()
+
+    batch = spark.createDataFrame([(50, T), (10, W_text)], DOC_SCHEMA)
+    first = pipelines.neardup_gate_admit(
+        batch, index_table + "_sigs", index_table + "_bands",
+        threshold=0.8, bands=BANDS,
+    )
+    assert sorted(r.doc_id for r in first.collect()) == [10]
+    first.unpersist()
+
+    # replay the identical batch: W=10 is now indexed, but must not
+    # enter V=50's probe — the admitted set is replay-identical
+    replay = pipelines.neardup_gate_admit(
+        batch, index_table + "_sigs", index_table + "_bands",
+        threshold=0.8, bands=BANDS,
+    )
+    assert sorted(r.doc_id for r in replay.collect()) == [10]
+    replay.unpersist()
+
+
 def test_neardup_gate_chain_component_replay_is_noop(spark, tmp_path):
     """Chain-shaped component in ONE batch: A~B, B~C, A!~C (Jaccard is
     not transitive). The whole-batch component rule admits only A, and
