@@ -145,6 +145,8 @@ def main() -> None:
         ), r)
         runs[tag] = r
 
+    ivf = ivf_maintenance_smoke(spark, emb1)
+
     ratios = {k: round(runs["10x"][k] / runs["1x"][k], 1) for k in runs["1x"]}
     print(json.dumps({
         "metric": "scale_smoke_10x_ratio",
@@ -153,8 +155,71 @@ def main() -> None:
         "sec_10x": runs["10x"],
         "ratio": ratios,
         "max_ratio": max(ratios.values()),
+        "ivf_maintenance_10x": ivf,
     }))
     spark.stop()
+
+
+def ivf_maintenance_smoke(spark, emb1: DataFrame) -> dict:
+    """Incremental ANN index maintenance at 10x: build the persisted
+    IVF index on the 1x corpus, then ingest the 9 amplified copies as
+    successive frozen-centroid appends (the production maintenance
+    loop — the codebook never retrains per batch). The probe must (a)
+    partition-prune (only nprobe cluster= partitions scanned) and (b)
+    hold recall against the exact brute-force top-k over the FULL 10x
+    corpus — verbatim vector copies mean the exact answer is dominated
+    by identical twins, so a probe that mis-assigns any appended copy
+    shows up as lost recall immediately."""
+    import shutil
+    import tempfile
+
+    K = 10
+    work = tempfile.mkdtemp(prefix="gmall_ivf_smoke_")
+    try:
+        path = os.path.join(work, "ivf_index")
+        cents = sim_ops.ivf_train(emb1, k=16, iters=2)
+        t0 = time.perf_counter()
+        sim_ops.ivf_write_index(emb1, cents, path)
+        for c in range(1, COPIES):
+            batch = emb1.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(c).cast("long") * F.lit(OFF)
+            )
+            sim_ops.ivf_append_index(batch, cents, path)
+        build_sec = time.perf_counter() - t0
+
+        emb10 = amplify(emb1, ["vec_id"], COPIES)
+        index = sim_ops.ivf_read_index(spark, path)
+        q = sim_ops.query_vector(emb1, 1)
+        probe = sim_ops.ivf_topk(
+            emb10, q, k=K, nprobe=4, centroids=cents, assignment=index
+        )
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pruned = (
+            "PartitionFilters" in plan
+            and "cluster" in plan.split("PartitionFilters")[1][:120]
+        )
+        t0 = time.perf_counter()
+        got = [r.vec_id for r in probe.collect()]
+        probe_sec = time.perf_counter() - t0
+        exact = [
+            r.vec_id for r in sim_ops.cosine_topk(emb10, q, k=K).collect()
+        ]
+        recall = len(set(got) & set(exact)) / K
+        index_rows = index.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "index_rows": index_rows,
+        "append_batches": COPIES - 1,
+        "build_sec": round(build_sec, 2),
+        "probe_sec": round(probe_sec, 2),
+        "partition_pruned": pruned,
+        "recall_at_10": round(recall, 2),
+    }
 
 
 if __name__ == "__main__":

@@ -875,6 +875,40 @@ def compact_boilerplate_dictionary(spark: SparkSession, gram_table: str) -> int:
 # many verification candidates per probe doc (see neardup_gate_admit).
 NEARDUP_GATE_CAND_CAP = 64
 
+# Within-batch component collapse: pair graphs up to this size are
+# solved by a driver-side union-find (micro-batch near-dup graphs are
+# tiny — a verbatim-duplicate 12.5k-doc batch yields ~10k pairs — and
+# the iterative DataFrame algorithm pays several JOBS per round, the
+# gate's dominant fixed cost); larger graphs fall back to the
+# distributed connected_components. 1M (i, j) longs is ~16 MB on the
+# driver — the same bounded-collect discipline as the BPE word-type
+# histogram.
+NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
+
+
+def _driver_union_find(pair_rows) -> dict[int, int]:
+    """Min-label union-find over collected (i, j) pairs: same contract
+    as operators.components.connected_components (component = minimum
+    member id), chosen deterministically regardless of edge order —
+    the smaller root always wins the union, so the final root of every
+    tree is its component's minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pair_rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in list(parent)}
+
 
 def neardup_gate_admit(
     batch_df: DataFrame,
@@ -1002,10 +1036,66 @@ def neardup_gate_admit(
         # dominant fixed cost (several jobs per iteration) — one cheap
         # isEmpty() action skips it; semantics unchanged (every doc is
         # its own component).
-        pairs = nd_ops.near_duplicates_from_signatures(sigs, threshold, bands)
-        if pairs.isEmpty():
+        # Within-batch pairs reuse the probe's payload-free ``banded``
+        # frame: candidates are generated from (doc_id, band, bh) ints
+        # only, then verified by joining the hash sets back from the
+        # PERSISTED sigs — the generic kernel
+        # (near_duplicates_from_signatures) instead rides every doc's
+        # full hs array through all ``bands`` band rows of the bucket
+        # shuffle, which at 12.5k-doc batches moved ~16x more bytes
+        # than the verification needs (measured ~2 s/batch -> the
+        # join-back is the right trade when hs sets are large and the
+        # signature frame is already cached). Same banding expression,
+        # same DEFAULT_MAX_BUCKET salting cap, same deterministic
+        # chunking -> candidate set and replay behavior are identical.
+        # Pinned: isEmpty() and the component pass's edge checkpoint
+        # would otherwise each evaluate the bucket shuffle.
+        cand_wb = (
+            nd_ops._bucket_pairs(banded, [F.col("doc_id")])
+            .select(
+                F.col("p.x.doc_id").alias("i"), F.col("p.y.doc_id").alias("j")
+            )
+            .dropDuplicates()
+        )
+        pairs = (
+            cand_wb.join(
+                sigs.select(F.col("doc_id").alias("i"), F.col("hs").alias("hs_i")),
+                "i",
+            )
+            .join(
+                sigs.select(F.col("doc_id").alias("j"), F.col("hs").alias("hs_j")),
+                "j",
+            )
+            .filter(
+                F.size(F.array_intersect("hs_i", "hs_j"))
+                / F.size(F.array_union("hs_i", "hs_j"))
+                >= threshold
+            )
+            .select("i", "j")
+            .persist()
+        )
+        n_pairs = pairs.count()
+        if n_pairs == 0:
             members = batch_df.select(
                 "doc_id", F.col("doc_id").alias("comp")
+            )
+        elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
+            # bounded graph: one collect + in-memory union-find beats
+            # several distributed jobs per min-label round; labels
+            # re-enter the plan as a (tiny) broadcastable frame
+            comp_map = _driver_union_find(pairs.collect())
+            id_type = dict(batch_df.dtypes)["doc_id"]
+            labels = spark.createDataFrame(
+                list(comp_map.items()),
+                f"doc_id {id_type}, component {id_type}",
+            )
+            members = (
+                batch_df.select("doc_id")
+                .join(F.broadcast(labels), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("comp"),
+                )
             )
         else:
             labels = comp_ops.connected_components(pairs.select("i", "j"))
@@ -1017,6 +1107,7 @@ def neardup_gate_admit(
                     F.coalesce("component", F.col("doc_id")).alias("comp"),
                 )
             )
+        pairs.unpersist()
         if dup_ids is not None:
             members = members.join(
                 dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
@@ -1025,6 +1116,16 @@ def neardup_gate_admit(
             )
         else:
             members = members.withColumn("_dup", F.lit(False))
+        # members is the junction every downstream action hangs off —
+        # the two index merges, the admit semi-join, and the caller's
+        # sink each trigger their own job, and without pinning it here
+        # EVERY one of those re-ran the probe+verify join and the
+        # component labels from scratch (measured ~4x the batch's real
+        # work at 12.5k-doc batches). Persist the 3-int-column frame
+        # (O(batch) rows) and materialize it once; everything after is
+        # a cheap re-derive against the cache.
+        members = members.persist()
+        members.count()
         survivors = (
             members.filter(~F.col("_dup"))
             .groupBy("comp")
@@ -1036,14 +1137,20 @@ def neardup_gate_admit(
             .select("doc_id")
         )
         admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
-        txn.merge_keyed(
-            sigs.join(admit_ids, "doc_id").select("doc_id", "hs"),
-            sigs_table, key_cols=["doc_id"],
-        )
-        txn.merge_keyed(
-            banded.join(admit_ids, "doc_id").select("doc_id", "band", "bh"),
-            bands_table, key_cols=["doc_id", "band"],
-        )
+        try:
+            # materialize admit while members is still cached, so the
+            # caller's sink replays the cache, not the full chain
+            admit.count()
+            txn.merge_keyed(
+                sigs.join(admit_ids, "doc_id").select("doc_id", "hs"),
+                sigs_table, key_cols=["doc_id"],
+            )
+            txn.merge_keyed(
+                banded.join(admit_ids, "doc_id").select("doc_id", "band", "bh"),
+                bands_table, key_cols=["doc_id", "band"],
+            )
+        finally:
+            members.unpersist()
         return admit
     finally:
         sigs.unpersist()

@@ -153,6 +153,39 @@ def test_neardup_gate_near_but_below_threshold_admitted(spark, tmp_path):
     a3.unpersist()
 
 
+def test_driver_union_find_matches_distributed_components(spark):
+    """The gate's bounded-graph fast path (driver union-find) must
+    produce the identical (node -> min member id) labeling as the
+    distributed connected_components it replaces — pinned on a graph
+    with chains, a cycle, disjoint comps, and duplicate/reversed
+    edges, under several shuffled edge orders (the labeling must be
+    edge-order independent)."""
+    import random
+
+    from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
+
+    edges = [
+        (5, 3), (3, 9), (9, 5),          # cycle -> min 3
+        (10, 11), (11, 12), (12, 13),     # chain -> min 10
+        (20, 21), (21, 20), (20, 21),     # dup + reversed -> min 20
+        (7, 30),                          # pair -> min 7
+    ]
+    want = {5: 3, 3: 3, 9: 3, 10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20, 7: 7, 30: 7}
+    rng = random.Random(11)
+    for _ in range(4):
+        shuffled = list(edges)
+        rng.shuffle(shuffled)
+        assert pipelines._driver_union_find(shuffled) == want
+    dist = {
+        r.node: r.component
+        for r in comp_ops.connected_components(
+            spark.createDataFrame(edges, "i long, j long")
+        ).collect()
+    }
+    assert dist == want
+
+
 def test_neardup_gate_replay_stable_under_candidate_cap(
     spark, tmp_path, monkeypatch
 ):
