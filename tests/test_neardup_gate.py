@@ -153,6 +153,35 @@ def test_neardup_gate_near_but_below_threshold_admitted(spark, tmp_path):
     a3.unpersist()
 
 
+def test_neardup_gate_survives_index_compaction_midstream(spark, tmp_path):
+    """Operational loop: the gate's sigs/bands txn tables accrete one
+    file-set per batch (small-file decay); txn.compact_files between
+    batches must leave admissions, rejections, and replay behavior
+    identical — the maintenance pass is invisible to the gate."""
+    topic = _stage_topic(tmp_path)
+    index_table = str(tmp_path / "nd_index")
+    chunks = sorted(str(p) for p in topic.glob("c*.parquet"))
+    admitted_ids: list[int] = []
+    for n, c in enumerate(chunks):
+        admit = pipelines.neardup_gate_admit(
+            spark.read.schema(DOC_SCHEMA).parquet(c),
+            index_table + "_sigs", index_table + "_bands",
+            threshold=0.8, bands=BANDS,
+        )
+        admitted_ids.extend(r.doc_id for r in admit.collect())
+        admit.unpersist()
+        if n == 1:  # bin-pack mid-stream, before the dup-heavy chunk
+            for t in (index_table + "_sigs", index_table + "_bands"):
+                before, after = txn.compact_files(spark, t, target_files=2)
+                assert after <= 2 <= before
+                txn.vacuum(t)
+    # same admitted set as the uncompacted batch-twin run
+    assert sorted(admitted_ids) == sorted(set(range(40)) | {2000})
+    # index content intact: every admitted doc still has its 16 bands
+    bands = txn.snapshot(spark, index_table + "_bands")
+    assert bands.count() == len(admitted_ids) * BANDS
+
+
 def test_driver_union_find_matches_distributed_components(spark):
     """The gate's bounded-graph fast path (driver union-find) must
     produce the identical (node -> min member id) labeling as the

@@ -286,6 +286,12 @@ def test_search_documents_envelope(spark):
     )
     deep = serving.search_documents(docs, emb, "spark join window", 0, page=99, size=10)
     assert deep["hits"] == []
+    # a keyword that analyzes to zero terms fails up front with a clear
+    # ValueError — before the count job, not deep inside bm25_topk
+    import pytest
+
+    with pytest.raises(ValueError, match="zero terms"):
+        serving.search_documents(docs, emb, "!!! ...", 0, page=1, size=5)
 
 
 # ---------------------------------------------------------------------------

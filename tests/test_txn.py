@@ -75,6 +75,76 @@ def test_overwrite_swaps_snapshot_atomically(spark, tmp_path):
     assert _rows(spark, t) == [("1", "a"), ("2", "b")]
 
 
+def test_overwrite_raises_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A full-snapshot replace derives its data from the snapshot read
+    BEFORE the call; if another commit lands in between, committing the
+    stale replacement would silently discard that writer's rows — the
+    replace must fail loudly instead of retrying at the next version."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(
+        spark.createDataFrame([("1", "a")], ["id", "v"]), t, ["id"]
+    )
+    compacted = txn.snapshot(spark, t).coalesce(1)
+
+    orig_stage = txn._stage
+    raced = {"done": False}
+
+    def racing_stage(df, table):
+        files = orig_stage(df, table)
+        if not raced["done"]:  # the nested merge stages through here too
+            raced["done"] = True
+            # a concurrent merge_keyed commits while our replace stages
+            txn.merge_keyed(
+                spark.createDataFrame([("9", "z")], ["id", "v"]), table, ["id"]
+            )
+        return files
+
+    monkeypatch.setattr(txn, "_stage", racing_stage)
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn.overwrite(compacted, t)
+    # the racing writer's row survived — nothing was clobbered
+    assert _rows(spark, t) == [("1", "a"), ("9", "z")]
+
+
+def test_compact_partials_rederives_after_lost_cas(spark, tmp_path, monkeypatch):
+    """compact_partials racing a concurrent merge_keyed writer: the
+    first replace attempt loses its CAS (raises), the loop re-derives
+    the merge from the fresh snapshot, and the final compacted table
+    contains the racing writer's batch — the exact scenario the old
+    blind-retry overwrite silently dropped."""
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    t = str(tmp_path / "p")
+    txn.merge_keyed(
+        spark.createDataFrame([(0, "k1", 5), (0, "k2", 7)], ["batch_id", "k", "c"]),
+        t, ["batch_id", "k"],
+    )
+
+    orig_stage = txn._stage
+    raced = {"done": False}
+
+    def racing_stage(df, table):
+        files = orig_stage(df, table)
+        if not raced["done"]:
+            raced["done"] = True
+            txn.merge_keyed(
+                spark.createDataFrame([(1, "k1", 3)], ["batch_id", "k", "c"]),
+                table, ["batch_id", "k"],
+            )
+        return files
+
+    monkeypatch.setattr(txn, "_stage", racing_stage)
+    n = pipelines.compact_partials(
+        spark, t, lambda df: df.groupBy("k").agg(F.sum("c").alias("c"))
+    )
+    assert n == 2
+    snap = txn.snapshot(spark, t)
+    got = sorted((r.k, r.c) for r in snap.collect())
+    # k1 folds BOTH the original batch and the racing writer's batch
+    assert got == [("k1", 8), ("k2", 7)]
+    assert txn.table_meta(t)["compacted_through"] == 1
+
+
 def test_concurrent_disjoint_writers_both_land(spark, tmp_path):
     """Two writers, disjoint keys, racing the same base version: the
     CAS loser must rebase and still commit its rows — no lost update
