@@ -170,3 +170,38 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def keep_best(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: keep per near-dup component
+    the member with the HIGHEST ``score_col`` (ties -> minimum id),
+    plus every un-clustered document — the practical upgrade of
+    :func:`keep_canonical`, which keeps the minimum id regardless of
+    quality (near-dup groups usually mix a clean original with
+    truncated/boilerplate-wrapped copies; min-id picks arbitrarily
+    among them, this picks the one worth training on).
+
+    Scale shape: one left join against the (node, component) label
+    frame — tiny relative to the corpus, broadcastable — and ONE
+    window shuffle keyed on the component label; unclustered docs
+    label as themselves, so their "component" is unique and the window
+    partition is a singleton (no hot key). Text never shuffles twice:
+    the window orders (score, id) pairs only."""
+    from pyspark.sql.window import Window
+
+    labeled = docs.join(
+        components.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("_comp", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("_comp").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_comp", "component")
+    )

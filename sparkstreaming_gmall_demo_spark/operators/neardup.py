@@ -137,6 +137,73 @@ def bucket_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric containment pairs over token sets — see
+    :func:`array_containment_pairs`."""
+    return array_containment_pairs(token_sets(df, id_col, text_col), threshold)
+
+
+def array_containment_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """All ORDERED pairs (contained, container) with set containment
+    |A ∩ B| / |A| >= threshold — the asymmetric complement of Jaccard
+    dedup: a short document quoted inside a long one scores near-1
+    containment but low Jaccard (the union is dominated by the long
+    doc), so symmetric dedup never sees it. Quote/snippet reuse
+    detection is exactly this query (Broder's containment measure,
+    "On the resemblance and containment of documents", 1997).
+
+    Exact kernel, same shape as array_jaccard_pairs: one posting
+    self-join counts each unordered pair's intersection ONCE, then both
+    directions are emitted with their own denominators and filtered —
+    no second join pass for the flipped direction. Identical scale
+    posture and caveats as the Jaccard kernels (this is the
+    verification/oracle kernel on a bounded partition; at corpus scale,
+    candidates come from the same MinHash band index — band collision
+    probability is driven by Jaccard, so containment probing of very
+    asymmetric sizes uses the contained side's prefix, the ppjoin
+    adaptation in prefix_filtered_jaccard_pairs)."""
+    sizes = sets.select("doc_id", F.size("toks").alias("sz"))
+    posting = sets.select("doc_id", F.explode("toks").alias("token"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    sized = (
+        inter.join(sa, F.col("i") == F.col("sa.doc_id"))
+        .join(sb, F.col("j") == F.col("sb.doc_id"))
+        .select("i", "j", "inter", F.col("sa.sz").alias("szi"), F.col("sb.sz").alias("szj"))
+    )
+    fwd = sized.select(
+        F.col("i").alias("contained"),
+        F.col("j").alias("container"),
+        (F.col("inter") / F.col("szi")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("j").alias("contained"),
+        F.col("i").alias("container"),
+        (F.col("inter") / F.col("szj")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained", "container", F.round("containment", 4).alias("containment")
+        )
+    )
+
+
 def prefix_filtered_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard pairs with ppjoin-style prefix filtering.
 

@@ -3332,3 +3332,119 @@ def ext_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 queue: registered past the r5 driver window (plans/__init__
+# seats them in the r6 rotation), oracle-verified by pytest at both
+# SFs from day one like every other entry.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+_CLOSURE_CTES = f"""
+    d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT a, a FROM edges),
+    labels AS (SELECT a AS node, min(b) AS component FROM closure GROUP BY a)
+"""
+
+
+@_register(
+    "ext_keep_best_dedup",
+    f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    m AS (
+        SELECT doc_id, n_chars FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    lab AS (
+        SELECT m.doc_id, coalesce(l.component, m.doc_id) AS comp, m.n_chars
+        FROM m LEFT JOIN labels l ON m.doc_id = l.node
+    ),
+    best AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM lab
+    )
+    SELECT doc_id, n_chars FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    "quality-aware dedup: keep each near-dup component's best-scoring member",
+)
+def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (operators/components.py:keep_best): near-dup groups mix a clean
+    original with truncated/boilerplate-wrapped copies; min-id
+    keep_canonical picks arbitrarily among them, this keeps the member
+    worth training on (here: longest by n_chars, ties -> min id). One
+    window shuffle on the component label; the oracle restates the
+    component fixpoint as a recursive transitive closure plus the same
+    argmax window."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = comp_ops.connected_components(pairs)
+    return (
+        comp_ops.keep_best(docs, labels, score_col="n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "ext_containment_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.toks, b.toks)) AS inter,
+               len(a.toks) AS szi, len(b.toks) AS szj
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) > 0
+    ),
+    directed AS (
+        SELECT i AS contained, j AS container,
+               round(inter * 1.0 / szi, 4) AS containment FROM p
+        UNION ALL
+        SELECT j, i, round(inter * 1.0 / szj, 4) FROM p
+    )
+    SELECT contained, container, containment
+    FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained, container
+    """,
+    "asymmetric containment pairs: quote/snippet reuse symmetric Jaccard misses",
+)
+def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment |A∩B|/|A| >= 0.9 over token sets
+    (operators/neardup.py:array_containment_pairs): a short document
+    quoted inside a long one scores near-1 containment but low Jaccard
+    (the union is dominated by the long doc), so symmetric dedup never
+    flags it. One posting self-join counts each unordered pair's
+    intersection ONCE; both directions are emitted with their own
+    denominators. Exact kernel on the bounded language partition —
+    the corpus-scale candidate path is the shared MinHash band index."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    return nd_ops.token_containment_pairs(docs, CONTAINMENT_THRESHOLD).orderBy(
+        "contained", "container"
+    )

@@ -208,6 +208,60 @@ def test_keep_canonical_collapses_clusters(spark):
     assert kept == [0, 1, 3, 4]  # 2 and 5 collapse into 1 and 4
 
 
+def test_keep_best_prefers_score_over_min_id(spark):
+    """keep_best keeps each component's highest-scoring member (ties ->
+    min id) and every unclustered doc — where keep_canonical would keep
+    the minimum id regardless of quality."""
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components,
+        keep_best,
+        keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 5), (2, 50), (3, 7), (4, 9), (5, 9)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], "i long, j long")
+    labels = connected_components(pairs)
+    best = sorted(r.doc_id for r in keep_best(docs, labels, "score").collect())
+    # comp {1,2}: 2 wins on score; comp {4,5}: tie at 9 -> min id 4
+    assert best == [0, 2, 3, 4]
+    canon = sorted(r.doc_id for r in keep_canonical(docs, labels).collect())
+    assert canon == [0, 1, 3, 4]  # min-id picks 1 — the quality gap
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A 10-token doc fully quoted inside a 100-token doc: containment
+    (short -> long) is 1.0 while Jaccard is 0.1 — the asymmetric pair
+    must be emitted exactly once, in the contained->container
+    direction, and never by the symmetric kernel at any useful
+    threshold."""
+    from sparkstreaming_gmall_demo_spark.operators import neardup as nd
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long_doc = short + " " + " ".join(f"w{i}" for i in range(90))
+    other = " ".join(f"z{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    got = [
+        (r.contained, r.container, r.containment)
+        for r in nd.token_containment_pairs(docs, 0.9).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+    assert nd.token_jaccard_pairs(docs, 0.5).count() == 0
+    # symmetric near-identical pair: containment fires BOTH directions
+    twin = spark.createDataFrame(
+        [(1, short), (2, short + " extra")], "doc_id long, text string"
+    )
+    both = sorted(
+        (r.contained, r.container)
+        for r in nd.token_containment_pairs(twin, 0.9).collect()
+    )
+    assert both == [(1, 2), (2, 1)]
+
+
 def test_star_components_equal_minlabel_on_random_graphs(spark):
     """Property: large-star/small-star and min-label propagation are
     the same function — identical (node, component) sets on arbitrary
