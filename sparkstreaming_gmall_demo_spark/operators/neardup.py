@@ -160,13 +160,13 @@ def array_containment_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     Exact kernel, same shape as array_jaccard_pairs: one posting
     self-join counts each unordered pair's intersection ONCE, then both
     directions are emitted with their own denominators and filtered —
-    no second join pass for the flipped direction. Identical scale
-    posture and caveats as the Jaccard kernels (this is the
-    verification/oracle kernel on a bounded partition; at corpus scale,
-    candidates come from the same MinHash band index — band collision
-    probability is driven by Jaccard, so containment probing of very
-    asymmetric sizes uses the contained side's prefix, the ppjoin
-    adaptation in prefix_filtered_jaccard_pairs)."""
+    no second join pass for the flipped direction. This is the
+    verification/oracle kernel on a bounded partition; the scale path
+    is :func:`prefix_filtered_containment_pairs` — NOT the MinHash
+    band index, whose collision probability is driven by JACCARD: a
+    10-token quote inside a 100-token page has containment 1.0 but
+    Jaccard 0.1 and essentially never band-collides, exactly the pair
+    this operator exists to find."""
     sizes = sets.select("doc_id", F.size("toks").alias("sz"))
     posting = sets.select("doc_id", F.explode("toks").alias("token"))
     a, b = posting.alias("a"), posting.alias("b")
@@ -201,6 +201,74 @@ def array_containment_pairs(sets: DataFrame, threshold: float) -> DataFrame:
         .select(
             "contained", "container", F.round("containment", 4).alias("containment")
         )
+    )
+
+
+def prefix_filtered_containment_pairs(
+    sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Same contract and output as :func:`array_containment_pairs`,
+    with the ppjoin prefix filter adapted to the ASYMMETRIC measure —
+    the scale path for quote/snippet detection, where the naive
+    posting join's sum(freq²) blowup on common tokens dominates.
+
+    Theorem (containment prefix): order every set by one global
+    canonical order; if |A ∩ B| / |A| >= t, then the prefix of length
+    |A| - ceil(t·|A|) + 1 of A shares at least one element with B
+    (drop the whole prefix and the remaining |A| - prefix < t·|A|
+    elements cannot reach the bound even if all hit). Only the
+    CONTAINED side gets a prefix — the container must stay complete
+    (a containing superset has no obligation to share A's rare
+    elements in ITS prefix). With canonical order = ascending global
+    frequency, the contained side's prefix holds its RAREST tokens, so
+    the candidate join probes only short posting lists even though the
+    container side is unrestricted — that asymmetry is what makes the
+    filter effective where the symmetric ppjoin prefix would be
+    unsound here.
+
+    Candidates are verified exactly on the full arrays; both
+    directions of every unordered pair are considered independently
+    (A's prefix against all of B, and B's prefix against all of A)."""
+    from pyspark.sql.window import Window
+
+    posting = sets.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    )
+    freq = posting.groupBy("tok").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("f"), F.asc("tok"))
+    prefix = (
+        posting.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "tok")
+    )
+    a, b = prefix.alias("a"), posting.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .dropDuplicates(["contained", "container"])
+    )
+    sa = sets.select(F.col("doc_id").alias("contained"), F.col("toks").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("container"), F.col("toks").alias("tb"))
+    verified = cands.join(sa, "contained").join(sb, "container").select(
+        "contained",
+        "container",
+        (F.size(F.array_intersect("ta", "tb")) / F.size("ta")).alias(
+            "containment"
+        ),
+    )
+    return verified.filter(F.col("containment") >= threshold).select(
+        "contained", "container", F.round("containment", 4).alias("containment")
     )
 
 

@@ -3441,7 +3441,11 @@ def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags it. One posting self-join counts each unordered pair's
     intersection ONCE; both directions are emitted with their own
     denominators. Exact kernel on the bounded language partition —
-    the corpus-scale candidate path is the shared MinHash band index."""
+    the corpus-scale path is prefix_filtered_containment_pairs (the
+    asymmetric ppjoin adaptation: prefix on the contained side only,
+    proven pair-identical by test_neardup.py; MinHash banding cannot
+    serve here — band collisions track Jaccard, which is ~0.1 for
+    exactly the quote-in-page pairs this operator exists to find)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang") == JACCARD_LANG
     )

@@ -237,6 +237,24 @@ def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
         assert fast == naive, f"threshold {t}"
 
 
+def test_prefix_filtered_containment_equals_naive(spark, sf_dir):
+    """The containment-adapted prefix filter (prefix on the CONTAINED
+    side only, container unrestricted) must lose no ordered pairs
+    across thresholds — exactness of the asymmetric prefix bound."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    for sets in (nd.token_sets(docs), nd.shingle_sets(docs, 2)):
+        for t in (0.5, 0.9):
+            naive = {
+                (r.contained, r.container, r.containment)
+                for r in nd.array_containment_pairs(sets, t).collect()
+            }
+            fast = {
+                (r.contained, r.container, r.containment)
+                for r in nd.prefix_filtered_containment_pairs(sets, t).collect()
+            }
+            assert fast == naive, f"threshold {t}"
+
+
 def test_bucket_jaccard_equals_selfjoin(spark, sf_dir):
     """The two exact kernels are physical variants of the same
     operator: identical output on both element spaces (unigram tokens
