@@ -103,10 +103,11 @@ def main() -> None:
     }
     line = json.dumps(out, separators=(",", ":"))
     # Self-check: never emit a line the driver's tail capture would
-    # behead. Shed window entries (the full record lives in the
-    # sidecar) until the line fits.
+    # behead. Shed window entries from the TAIL (the head holds the
+    # core sentinels; the full record lives in the sidecar) until the
+    # line fits.
     while len(line) > _LINE_BUDGET and out["queries"]:
-        out["queries"].pop(next(iter(out["queries"])))
+        out["queries"].popitem()
         out["n_dropped"] = len(timings) - len(out["queries"])
         line = json.dumps(out, separators=(",", ":"))
     spark.stop()

@@ -228,7 +228,17 @@ def prefix_filtered_containment_pairs(
 
     Candidates are verified exactly on the full arrays; both
     directions of every unordered pair are considered independently
-    (A's prefix against all of B, and B's prefix against all of A)."""
+    (A's prefix against all of B, and B's prefix against all of A).
+
+    Element-space guidance (measured at 10x scale smoke): the filter's
+    effectiveness rests on the contained side having genuinely RARE
+    elements. Over unigram tokens of a templated/small-vocabulary
+    corpus every "rare" token still has a long posting list and the
+    candidate join degenerates toward all-pairs; over word n-gram
+    shingles (n >= 2) frequencies stay bounded and the filter holds —
+    and shingles are the semantically right space for quote/snippet
+    detection anyway, since quotes preserve token ORDER that bag-of-
+    unigram containment ignores."""
     from pyspark.sql.window import Window
 
     posting = sets.select(

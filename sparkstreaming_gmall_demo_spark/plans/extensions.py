@@ -3411,8 +3411,11 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_containment_pairs",
     f"""
     WITH d AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                             i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS toks
         FROM documents WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= 2
     ),
     p AS (
         SELECT a.doc_id AS i, b.doc_id AS j,
@@ -3434,21 +3437,25 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asymmetric containment pairs: quote/snippet reuse symmetric Jaccard misses",
 )
 def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broder containment |A∩B|/|A| >= 0.9 over token sets
+    """Broder containment |A∩B|/|A| >= 0.9 over word-BIGRAM shingles
     (operators/neardup.py:array_containment_pairs): a short document
     quoted inside a long one scores near-1 containment but low Jaccard
     (the union is dominated by the long doc), so symmetric dedup never
-    flags it. One posting self-join counts each unordered pair's
-    intersection ONCE; both directions are emitted with their own
-    denominators. Exact kernel on the bounded language partition —
-    the corpus-scale path is prefix_filtered_containment_pairs (the
-    asymmetric ppjoin adaptation: prefix on the contained side only,
-    proven pair-identical by test_neardup.py; MinHash banding cannot
-    serve here — band collisions track Jaccard, which is ~0.1 for
-    exactly the quote-in-page pairs this operator exists to find)."""
+    flags it. Shingles, not unigram tokens, are the quote-detection
+    space — quotes preserve token ORDER, and on this templated corpus
+    unigram containment is mostly vocabulary-overlap noise (168k
+    directed pairs at sf0.1 vs the meaningful shingle set). One
+    posting self-join counts each unordered pair's intersection ONCE;
+    both directions are emitted with their own denominators. Exact
+    kernel on the bounded language partition — the corpus-scale path
+    is prefix_filtered_containment_pairs (the asymmetric ppjoin
+    adaptation: prefix on the contained side only, proven
+    pair-identical by test_neardup.py; MinHash banding cannot serve
+    here — band collisions track Jaccard, which is ~0.1 for exactly
+    the quote-in-page pairs this operator exists to find)."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang") == JACCARD_LANG
+        (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
-    return nd_ops.token_containment_pairs(docs, CONTAINMENT_THRESHOLD).orderBy(
-        "contained", "container"
-    )
+    return nd_ops.array_containment_pairs(
+        nd_ops.shingle_sets(docs, 2), CONTAINMENT_THRESHOLD
+    ).orderBy("contained", "container")
