@@ -191,7 +191,13 @@ def keep_best(
     window shuffle keyed on the component label; unclustered docs
     label as themselves, so their "component" is unique and the window
     partition is a singleton (no hot key). Text never shuffles twice:
-    the window orders (score, id) pairs only."""
+    the window orders (score, id) pairs only.
+
+    Precondition: component labels must live in the doc-id space with
+    label = some MEMBER's id (connected_components emits the minimum
+    member id, satisfying this) — then an unclustered doc's
+    self-label can never collide with a real component's label, since
+    that label's member is clustered."""
     from pyspark.sql.window import Window
 
     labeled = docs.join(

@@ -306,3 +306,80 @@ def test_cm_estimate_matches_python_model_bounds(spark):
     }
     for t, c in exact.items():
         assert est[t] >= c, t
+
+
+def test_containment_pairs_match_python_model(spark):
+    """array_containment_pairs == brute-force Python over randomized
+    token sets (subset plants, partial overlaps, disjoint sets, dup
+    elements pre-distinct) — every ordered pair, exact denominators."""
+    import random
+
+    from sparkstreaming_gmall_demo_spark.operators import neardup as nd
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        sz = rng.randint(1, 12)
+        rows.append((i, rng.sample(vocab, sz)))
+    # plants: exact subset, exact copy
+    rows.append((100, rows[0][1][: max(1, len(rows[0][1]) // 2)]))
+    rows.append((101, list(rows[1][1])))
+    sets_py = {i: set(t) for i, t in rows}
+    df = spark.createDataFrame(
+        [(i, list(t)) for i, t in rows], "doc_id long, toks array<string>"
+    )
+    for t in (0.5, 0.9, 1.0):
+        got = {
+            (r.contained, r.container): r.containment
+            for r in nd.array_containment_pairs(df, t).collect()
+        }
+        want = {}
+        for a, sa in sets_py.items():
+            for b, sb in sets_py.items():
+                if a == b:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    want[(a, b)] = round(c, 4)
+        assert got == want, f"threshold {t}"
+
+
+def test_keep_best_matches_python_model(spark):
+    """keep_best == Python argmax-per-component (score desc, id asc)
+    over randomized component structures, including unclustered docs
+    and whole-component score ties."""
+    import random
+
+    from sparkstreaming_gmall_demo_spark.operators.components import keep_best
+
+    rng = random.Random(13)
+    group_of = {}
+    scores = {}
+    for i in range(80):
+        group_of[i] = rng.choice([None, "a", "b", "c", "d"])  # None = unclustered
+        scores[i] = rng.choice([1, 5, 5, 9])  # ties likely
+    # realistic labels: component id = MIN MEMBER doc id, exactly what
+    # connected_components emits — keep_best's coalesce(label, doc_id)
+    # relies on labels living in the doc-id space (an unclustered doc's
+    # id can never equal a component label, since that label's min
+    # member is clustered)
+    min_member = {
+        g: min(i for i, gg in group_of.items() if gg == g)
+        for g in {"a", "b", "c", "d"}
+    }
+    docs = spark.createDataFrame(
+        [(i, scores[i]) for i in group_of], "doc_id long, score long"
+    )
+    labels = spark.createDataFrame(
+        [(i, min_member[g]) for i, g in group_of.items() if g is not None],
+        "node long, component long",
+    )
+    got = sorted(r.doc_id for r in keep_best(docs, labels, "score").collect())
+    best = {}
+    for i, g in group_of.items():
+        key = g if g is not None else ("self", i)
+        cur = best.get(key)
+        if cur is None or (-scores[i], i) < (-scores[cur], cur):
+            best[key] = i
+    assert got == sorted(best.values())
