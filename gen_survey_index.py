@@ -45,7 +45,9 @@ def ledger() -> dict[str, int]:
     return last
 
 
-def main() -> None:
+def render() -> str:
+    """The §2.17 table text (header + one row per registry entry, in
+    driver order) — exposed so tests can pin SURVEY.md against drift."""
     from sparkstreaming_gmall_demo_spark.plans import _DRIVER_CAP, REGISTRY
 
     green = ledger()
@@ -57,7 +59,11 @@ def main() -> None:
         if i <= _DRIVER_CAP:
             last += f" (seated r{next_round})"
         lines.append(f"| {i} | {name} | {oracle} | {last} | {spec.description} |\n")
+    return "".join(lines)
 
+
+def main() -> None:
+    table = render()
     survey_path = os.path.join(REPO, "SURVEY.md")
     with open(survey_path) as f:
         text = f.read()
@@ -77,9 +83,8 @@ def main() -> None:
         n += 1
     remainder = "".join(tail_lines[n:])
     with open(survey_path, "w") as f:
-        f.write(head + marker + preamble + "".join(lines) + remainder)
-    print(f"wrote {len(REGISTRY)} rows; window={_DRIVER_CAP}; "
-          f"never-green={sum(1 for s in REGISTRY if s not in green)}")
+        f.write(head + marker + preamble + table + remainder)
+    print(f"wrote {table.count(chr(10)) - 2} rows")
 
 
 if __name__ == "__main__":

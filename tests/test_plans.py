@@ -235,3 +235,16 @@ def test_every_registry_entry_indexed_in_survey():
     survey = open("SURVEY.md").read()
     missing = [n for n in REGISTRY if n not in survey]
     assert not missing, f"registry entries absent from SURVEY.md: {missing}"
+
+
+def test_survey_index_is_regenerated():
+    """SURVEY §2.17 must byte-match gen_survey_index.render(): a
+    registry or window change without re-running the generator leaves
+    the judge-facing ledger stale — re-run `python gen_survey_index.py`
+    to fix a failure here."""
+    import gen_survey_index
+
+    survey = open("SURVEY.md").read()
+    assert gen_survey_index.render() in survey, (
+        "SURVEY.md §2.17 is stale — run: python gen_survey_index.py"
+    )
