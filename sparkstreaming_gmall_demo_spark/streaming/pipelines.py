@@ -967,6 +967,15 @@ def neardup_gate_admit(
     from . import txn
 
     spark = batch_df.sparkSession
+    # Spread the batch BEFORE the CPU-heavy signature pass: a
+    # micro-batch often arrives as one file / one Kafka partition's
+    # worth of rows = ONE scan partition, which serializes the 64-hash
+    # MinHash kernel on a single core (measured: 6 s single-threaded
+    # vs sub-second spread at 12.5k docs — the same trap
+    # sources/fixtures.py:spread_fixture exists for). Hash-partition
+    # on doc_id (deterministic under task retries, unlike round-robin)
+    # and shuffle only the raw batch text once.
+    batch_df = batch_df.repartition(F.col("doc_id"))
     sigs = nd_ops.minhash_signature(
         batch_df, num_hashes, shingle_n
     ).persist()
