@@ -717,6 +717,79 @@ def hll_read_daily(spark: SparkSession, sketch_table: str) -> DataFrame:
     )
 
 
+def bm25_index_pipeline(
+    docs: DataFrame,
+    index_path: str,
+    stats_table: str,
+    checkpoint: str,
+    n_buckets: int | None = None,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Continuous BM25 index maintenance — the engine-grade twin of the
+    reference's always-fresh ES index (utils/MyEsUtil.scala ingests per
+    batch; PublisherServiceImpl.java:84-99 serves keyword search from
+    it). Each micro-batch appends its documents' posting rows into the
+    tb-partitioned layout through the keyed idempotent sink (one row
+    per (doc, term) ever indexed; replays no-op — the ann_ingest
+    discipline) and commits one (batch_id, n_docs, sum_dl) corpus-stats
+    partial to a txn table (mergeable by addition — the hll/boilerplate
+    partials discipline; N and avgdl must count every doc, matching
+    docs or not). No streaming state anywhere. Queries go through
+    operators/bm25index.py:bm25_index_topk with
+    :func:`bm25_read_stats` — partition-pruned posting scans, exact
+    per-term dfs, results bit-identical to the corpus-scan bm25_topk
+    over the ingested docs."""
+    from ..operators import bm25index as bi
+    from . import txn
+
+    nb = n_buckets if n_buckets is not None else bi.BM25_BUCKETS
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Spread before the analyze/explode kernel: a one-file
+        # micro-batch is ONE scan partition (the neardup_gate lesson)
+        batch_df = batch_df.repartition(F.col("doc_id")).persist()
+        try:
+            idempotent_append(
+                bi.bm25_postings(batch_df, n_buckets=nb),
+                os.path.join(index_path, "postings"),
+                key_cols=["doc_id", "term"],
+                partition_cols=["tb"],
+                batch_id=batch_id,
+            )
+            if batch_id > txn.table_meta(stats_table).get("compacted_through", -1):
+                partial = bi.bm25_stats_partial(batch_df).select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "n_docs", "sum_dl",
+                )
+                txn.merge_keyed(partial, stats_table, key_cols=["batch_id"])
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_bm25_stats(batch_df.sparkSession, stats_table)
+        finally:
+            batch_df.unpersist()
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def bm25_read_stats(spark: SparkSession, stats_table: str) -> DataFrame:
+    """The (n_docs, sum_dl) partial rows — feed directly to
+    bm25_index_topk, which folds them by addition."""
+    from . import txn
+
+    return txn.snapshot(spark, stats_table).select("n_docs", "sum_dl")
+
+
+def compact_bm25_stats(spark: SparkSession, stats_table: str) -> int:
+    """Fold all per-batch corpus-stats partials into ONE summed row
+    (storage: constant however many batches ran)."""
+    return compact_partials(
+        spark, stats_table,
+        lambda df: df.agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        ),
+    )
+
+
 def boilerplate_pipeline(
     docs: DataFrame,
     gram_table: str,

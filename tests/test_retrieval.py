@@ -327,3 +327,100 @@ def test_bm25_analyzer_matches_case_and_punctuation_variants(spark):
         for r in text_ops.bm25_topk(_corpus(spark, texts), "spark join", k=10).collect()
     }
     assert ids == {0}
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index (operators/bm25index.py + bm25_index_pipeline)
+# ---------------------------------------------------------------------------
+def test_bm25_index_equals_corpus_scan(spark, sf_dir, tmp_path):
+    """The persisted-index scoring path must be bit-identical to the
+    corpus-scan bm25_topk — scores, order, ties — across keywords with
+    rare terms, common terms, a nonexistent term, and a DUPLICATED
+    term (each occurrence contributes its own addend, as the scan
+    does)."""
+    from sparkstreaming_gmall_demo_spark.operators import bm25index as bi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25idx")
+    bi.bm25_write_index(docs, path)
+    postings, stats = bi.bm25_read_index(spark, path)
+    for kw in ("spark join window", "the", "zz_nonexistent spark", "spark spark"):
+        want = [
+            (r.doc_id, r.score)
+            for r in text_ops.bm25_topk(docs, kw, k=10).collect()
+        ]
+        got = [
+            (r.doc_id, r.score)
+            for r in bi.bm25_index_topk(postings, stats, kw, k=10).collect()
+        ]
+        assert got == want, kw
+
+
+def test_bm25_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The probe must scan ONLY the queried terms' tb= partitions —
+    PartitionFilters on the stored layout, the whole point of the
+    bucketed postings."""
+    from sparkstreaming_gmall_demo_spark.operators import bm25index as bi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25idx")
+    bi.bm25_write_index(docs, path)
+    postings, stats = bi.bm25_read_index(spark, path)
+    probe = bi.bm25_index_topk(postings, stats, "spark join window", k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "tb" in pf and ("IN (" in pf.upper() or "in (" in pf), pf
+
+
+def test_bm25_index_pipeline_streams_and_replays(spark, sf_dir, tmp_path):
+    """3-chunk streaming ingest: the index answers queries identically
+    to the corpus-scan over ALL ingested docs; a fresh-checkpoint full
+    replay adds nothing (posting rows keyed, stats partials keyed by
+    batch id)."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import bm25index as bi
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    index_path = str(tmp_path / "stream_idx")
+    stats_table = str(tmp_path / "stream_stats")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.bm25_index_pipeline(
+            stream, index_path, stats_table, ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = spark.read.parquet(index_path + "/postings")
+    stats = pipelines.bm25_read_stats(spark, stats_table)
+    for kw in ("spark join window", "the"):
+        want = [
+            (r.doc_id, r.score)
+            for r in text_ops.bm25_topk(docs, kw, k=10).collect()
+        ]
+        got = [
+            (r.doc_id, r.score)
+            for r in bi.bm25_index_topk(postings, stats, kw, k=10).collect()
+        ]
+        assert got == want, kw
+
+    n_postings = postings.count()
+    v_stats = txn.current_version(stats_table)
+    run(str(tmp_path / "ck2"))  # full replay, fresh checkpoint
+    assert spark.read.parquet(index_path + "/postings").count() == n_postings
+    assert txn.current_version(stats_table) == v_stats
