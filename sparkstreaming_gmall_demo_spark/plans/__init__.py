@@ -22,10 +22,10 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # pytest run, so nothing is unchecked — the cap only decides who gets
 # a driver CORRECTNESS row this round. After r5 the cross-round
 # ledger reads 101/101 of the r5-window-eligible entries with at
-# least one driver-green row; the 2 round-6-queued entries
-# (ext_keep_best_dedup, ext_containment_pairs — registered past the
-# window, see extensions.py tail) plus re-seated sentinels are the
-# r6 rotation.
+# least one driver-green row; the 3 round-6-queued entries
+# (ext_keep_best_dedup, ext_containment_pairs, ext_bm25_indexed —
+# registered past the window, see extensions.py tail) plus re-seated
+# sentinels are the r6 rotation.
 _CORE_SENTINELS = [
     "q1_dau_total",
     "q3_gmv_total",
