@@ -249,3 +249,31 @@ def test_survey_index_is_regenerated():
     assert gen_survey_index.render() in survey, (
         "SURVEY.md §2.17 is stale — run: python gen_survey_index.py"
     )
+
+
+def test_bench_line_fits_driver_capture():
+    """The driver records only the last ~2000 chars of stdout and
+    parses the final JSON line (BENCH_r04 arrived head-truncated) —
+    the windowed bench line must fit _LINE_BUDGET even with worst-case
+    timing widths, or bench.py's tail-shedding must engage. This pins
+    the emission contract against window renames growing the line."""
+    import json
+
+    import bench
+
+    window = list(REGISTRY)[:50]
+    out = {
+        "metric": "total_declared_query_warm_wall",
+        "value": 9999.9999,
+        "unit": "sec",
+        "queries": {n: 999.999 for n in window},  # max 3-dp width
+        "sf": 0.1,
+        "n_queries": len(REGISTRY),
+        "n_errors": 0,
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._LINE_BUDGET, (
+        f"bench line {len(line)} chars exceeds the {bench._LINE_BUDGET} "
+        "budget — shorten window entry names or rely on shedding"
+    )
