@@ -101,7 +101,7 @@ def bm25_write_index(
     n_buckets: int = BM25_BUCKETS,
 ) -> None:
     """Batch build: postings partitioned by tb + the corpus-stats row
-    under ``path/_stats`` (the one-shot twin of the streaming
+    under ``path/stats`` (the one-shot twin of the streaming
     pipeline's incremental maintenance)."""
     bm25_postings(docs, id_col, text_col, n_buckets).write.mode(
         "overwrite"

@@ -128,7 +128,7 @@ def length_bucket_stats(
     text_col: str = "text",
 ) -> DataFrame:
     """(cap, n_docs, sum_tokens, padded_tokens, truncated_tokens,
-    pad_pct): the padding-waste audit behind sequence-length bucketing
+    pad_bp): the padding-waste audit behind sequence-length bucketing
     — a training loader that pads every example to its bucket's cap
     wastes ``cap - len`` tokens per doc, and docs longer than the top
     cap are truncated. Bucket = smallest boundary >= length (the top
@@ -168,11 +168,17 @@ def length_bucket_stats(
             "sum_tokens",
             "padded_tokens",
             "truncated_tokens",
-            F.round(
+            # Integer basis points, not a rounded double: floor(x+0.5)
+            # matches the oracle bit-for-bit regardless of how the
+            # comparing engine types a `1.0` literal (DECIMAL vs DOUBLE).
+            F.floor(
                 F.col("padded_tokens")
-                / (F.col("n_docs").cast("double") * F.col("cap")),
-                4,
-            ).alias("pad_pct"),
+                * F.lit(10000.0)
+                / (F.col("n_docs").cast("double") * F.col("cap"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pad_bp"),
         )
         .orderBy("cap")
     )

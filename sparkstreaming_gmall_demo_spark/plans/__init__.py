@@ -5,27 +5,29 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # registry entries (round-1 finding). Dict order therefore IS the
 # driver-visibility order.
 #
-# Round-5 rotation (per VERDICT r4 item 1): every core entry now has
-# 3-4 driver-green rows (CORRECTNESS_r01..r04), so the window drops
-# the blanket core-first policy and seats:
+# Round-6 rotation (per VERDICT r5 items 1-3): clear every entry
+# without a driver-green row, then rotate by staleness:
 #   - 8 core sentinels — the flagship family spanning dedup-count,
 #     decimal money, the 3-way join, the windowed alert, scored
 #     search, both sessionization variants, and banded ratios —
 #     so a cross-cutting regression still trips a driver row;
-#   - the 21 entries with NO driver row in any round (the round-5..7
-#     extensions: retrieval stack, BPE, HLL partials, PQ ANN,
-#     semantic dedup, leakage-safe splits, ...);
-#   - the 21 stalest entries (latest driver-green row r1: 7, r2: 11,
-#     plus the 3 oldest r3 entries).
+#   - the 8 entries with NO driver-green row: the 3 r05 reds, fixed
+#     this round (ext_length_buckets -> integer pad_bp on both sides;
+#     ext_bpe_train/ext_bpe_encode -> unrolled chained-CTE merge
+#     oracles), the 3 registered after the r05 window froze
+#     (ext_keep_best_dedup, ext_containment_pairs, ext_bm25_indexed),
+#     and the two new r6 entries — ext_containment_pairs_filtered
+#     (the ppjoin-style scale kernel promoted to a declared entry,
+#     VERDICT item 7) and ext_curation_bundle (the pair-graph-reuse
+#     composition, VERDICT item 6);
+#   - the 9 entries whose latest driver-green row is r3;
+#   - the first 25 (name order, deterministic) of the 42 whose latest
+#     green row is r4 — the remaining 17 are the r7 rotation queue.
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
 # pytest run, so nothing is unchecked — the cap only decides who gets
-# a driver CORRECTNESS row this round. After r5 the cross-round
-# ledger reads 101/101 of the r5-window-eligible entries with at
-# least one driver-green row; the 3 round-6-queued entries
-# (ext_keep_best_dedup, ext_containment_pairs, ext_bm25_indexed —
-# registered past the window, see extensions.py tail) plus re-seated
-# sentinels are the r6 rotation.
+# a driver CORRECTNESS row this round. A green r6 run makes the
+# cross-round ledger read 106/106 entries with >= 1 driver-green row.
 _CORE_SENTINELS = [
     "q1_dau_total",
     "q3_gmv_total",
@@ -38,54 +40,54 @@ _CORE_SENTINELS = [
 ]
 
 _NEVER_DRIVER_CHECKED = [
-    "ext_unigram_surprisal",
-    "ext_semantic_dedup",
-    "ext_nation_pagerank",
-    "ext_token_pmi",
-    "ext_training_shards",
-    "ext_quota_sample",
-    "ext_snapshot_diff",
-    "ext_bloom_gate",
-    "ext_bpe_train",
+    "ext_bm25_indexed",
     "ext_bpe_encode",
-    "ext_hll_partials",
-    "ext_pq_topk",
-    "ext_bm25_topk",
-    "ext_hybrid_rrf",
-    "ext_boilerplate_coverage",
-    "ext_payload_neardup",
-    "ext_temperature_mix",
+    "ext_bpe_train",
+    "ext_containment_pairs",
+    "ext_containment_pairs_filtered",
+    "ext_curation_bundle",
+    "ext_keep_best_dedup",
     "ext_length_buckets",
-    "ext_bigram_surprisal",
-    "ext_rerank_stub",
-    "ext_leakage_safe_splits",
 ]
 
 _STALEST = [
-    # latest driver-green row is r1
-    "ext_cosine_topk",
-    "ext_fingerprint_dedup",
-    "ext_jaccard_neardup",
-    "ext_langid_confusion",
-    "ext_ngram_jaccard_neardup",
-    "ext_quality_scores",
-    "ext_token_counts",
-    # latest driver-green row is r2
-    "ext_approx_distinct",
-    "ext_context_packing",
-    "ext_corpus_curation",
-    "ext_document_chunks",
-    "ext_embedding_neardup",
-    "ext_lsh_topk",
-    "ext_neardup_components",
-    "ext_simhash_neardup",
-    "ext_split_assignment",
-    "ext_stratified_sample",
-    "ext_tfidf_topterms",
-    # oldest of the r3 cohort
-    "ext_approx_quantiles",
-    "ext_bpe_token_count",
-    "ext_decode_stub",
+    # latest driver-green row is r3
+    "ext_deterministic_sample",
+    "ext_embedding_centroids",
+    "ext_ivf_topk",
+    "ext_length_quantiles",
+    "ext_minhash_neardup",
+    "ext_multimodal_meta",
+    "ext_rolling_fingerprint",
+    "ext_table_profile",
+    "ext_token_stats",
+    # latest driver-green row is r4 (first 25 in name order; the
+    # remaining 17 — q25..q9_keyword_search — rotate in r7)
+    "ext_contamination_report",
+    "ext_corpus_mix",
+    "ext_decontam_scrub",
+    "ext_decontamination",
+    "ext_event_pairs_within_gap",
+    "ext_heavy_hitters",
+    "ext_incremental_dedup",
+    "ext_pii_scrub",
+    "ext_repetition_scores",
+    "ext_scd2_history",
+    "ext_vocab_build",
+    "ext_weighted_sample",
+    "q11_pagination",
+    "q12_alert_dedup_keys",
+    "q13_props_map_agg",
+    "q14_star_join_rollup",
+    "q15_rollup_hourly",
+    "q16_brand_revenue",
+    "q17_asof_prev_order",
+    "q18_running_gmv",
+    "q19_semi_anti_segments",
+    "q21_set_ops",
+    "q22_pivot_hourly_types",
+    "q23_balance_deciles",
+    "q24_corpus_cube",
 ]
 
 _DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST

@@ -125,9 +125,9 @@ def ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(a.toks) AS sa, len(b.toks) AS sb
         FROM d a JOIN d b ON a.doc_id < b.doc_id
     )
-    SELECT i, j, round(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+    SELECT i, j, round(inter * 1e0 / (sa + sb - inter), 4) AS jaccard
     FROM pairs
-    WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
+    WHERE inter * 1e0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}
     ORDER BY i, j
     """,
     "exact token-set Jaccard near-duplicate pairs (bounded partition)",
@@ -156,9 +156,9 @@ def ext_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(a.sh) AS sa, len(b.sh) AS sb
         FROM d a JOIN d b ON a.doc_id < b.doc_id
     )
-    SELECT i, j, round(inter * 1.0 / (sa + sb - inter), 4) AS jaccard
+    SELECT i, j, round(inter * 1e0 / (sa + sb - inter), 4) AS jaccard
     FROM pairs
-    WHERE inter * 1.0 / (sa + sb - inter) >= 0.5
+    WHERE inter * 1e0 / (sa + sb - inter) >= 0.5
     ORDER BY i, j
     """,
     "exact word-bigram Jaccard near-dup pairs (order-sensitive dedup)",
@@ -197,7 +197,7 @@ MINHASH_SHINGLE_N = 3
                len(a.sh) AS sa, len(b.sh) AS sb
         FROM d a JOIN d b ON a.doc_id < b.doc_id
     )
-    SELECT CAST(count(*) FILTER (WHERE inter * 1.0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}) AS BIGINT)
+    SELECT CAST(count(*) FILTER (WHERE inter * 1e0 / (sa + sb - inter) >= {JACCARD_THRESHOLD}) AS BIGINT)
                AS n_exact_pairs,
            true AS recall_ge_090,
            true AS zero_false_pairs
@@ -699,11 +699,11 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           round((length(text) - (len(string_split(text, ' ')) - 1) * 1.0)
+           round((length(text) - (len(string_split(text, ' ')) - 1) * 1e0)
                  / len(string_split(text, ' ')), 4) AS mean_token_len,
-           round(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) * 1.0
+           round(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) * 1e0
                  / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0
+           round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1e0
                  / length(text), 4) AS alpha_ratio
     FROM documents
     ORDER BY doc_id
@@ -843,12 +843,12 @@ def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nd AS (SELECT count(*) AS n FROM d),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-    SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 4) AS tfidf
+    SELECT doc_id, term, round(tf * ln(n * 1e0 / df), 4) AS tfidf
     FROM (
         SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nd.n,
                row_number() OVER (
                    PARTITION BY tf.doc_id
-                   ORDER BY tf.tf * ln(nd.n * 1.0 / dfreq.df) DESC, tf.term
+                   ORDER BY tf.tf * ln(nd.n * 1e0 / dfreq.df) DESC, tf.term
                ) AS rn
         FROM tf JOIN dfreq USING (term) CROSS JOIN nd
     ) WHERE rn <= 3
@@ -874,7 +874,7 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
         SELECT a.doc_id AS i, b.doc_id AS j
         FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
               >= {JACCARD_THRESHOLD}
     ),
@@ -1302,7 +1302,7 @@ CURATION_MIN_ALPHA = 0.5
     WITH scored AS (
         SELECT doc_id, lang, n_chars, text,
                len(string_split(text, ' ')) AS n_tokens,
-               round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0
+               round(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1e0
                      / length(text), 4) AS alpha_ratio
         FROM documents
     ),
@@ -1920,7 +1920,7 @@ def ext_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT t.doc_id, t.lang,
-               -ln((coalesce(w.cnt, 0) + 1.0) / (c.total + c.v + 1.0)) AS s
+               -ln((coalesce(w.cnt, 0) + 1e0) / (c.total + c.v + 1e0)) AS s
         FROM toks t LEFT JOIN vocab w ON t.token = w.token, corpus c
     ),
     per_doc AS (
@@ -2263,7 +2263,7 @@ PR_DAMPING = 0.85
     frac AS (
         SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f FROM edges
     ),
-    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes, nn),
     r1 AS (
         SELECT nodes.node,
                (1 - {PR_DAMPING}) / nn.n
@@ -2625,9 +2625,105 @@ def _bench_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_cte(n_merges: int) -> str:
+    """Unrolled chained-CTE restatement of Sennrich BPE training for a
+    FIXED ``n_merges`` — the r01->r3 playbook (minhash/ivf) applied to
+    the last two no_oracle driver rows: the per-round argmax is a
+    1-row ORDER BY ... LIMIT 1 CTE and the greedy left-to-right merge
+    fold is a recursive CTE that restates operators/vocab.py's
+    sequential model symbol-by-symbol (CASE on acc[-1]), so runs of
+    identical symbols ([a,a,a,a,a] under merge (a,a)) pair up exactly
+    like the fold — the case a string replace() oracle gets wrong.
+    An empty best_k (max pair freq < min_freq 2) propagates w_{k-1}
+    unchanged, matching the trainer's break: once no pair clears
+    min_freq, no rewrite happens, so every later round is empty too.
+    Cost: the recursion depth is the max word length (8 chars on the
+    fixture corpus) and each round touches only the word-TYPE table
+    (31 rows here; bounded by language, not corpus size) — the same
+    bounded-histogram argument the Spark trainer makes. Every chained
+    CTE is MATERIALIZED: DuckDB inlines plain CTEs, and w_k references
+    w_{k-1} twice, so un-materialized unrolling is exponential in
+    n_merges (observed: fd exhaustion re-opening the parquet).
+    """
+    parts = [
+        """
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS syms
+  FROM wf
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""
+p{k} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS pfreq
+  FROM w{p}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b, pfreq FROM p{k} WHERE pfreq >= 2
+  ORDER BY pfreq DESC, a ASC, b ASC LIMIT 1
+),
+f{k} AS (
+  SELECT word, freq, 1 AS pos, [syms[1]] AS acc, syms
+  FROM w{p} WHERE EXISTS (SELECT 1 FROM b{k})
+  UNION ALL
+  SELECT f.word, f.freq, f.pos + 1,
+         CASE WHEN acc[-1] = m.a AND syms[f.pos + 1] = m.b
+              THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+              ELSE list_append(acc, syms[f.pos + 1]) END,
+         f.syms
+  FROM f{k} f, b{k} m WHERE f.pos < len(f.syms)
+),
+w{k} AS MATERIALIZED (
+  SELECT word, freq, acc AS syms FROM f{k} WHERE pos = len(syms)
+  UNION ALL
+  SELECT word, freq, syms FROM w{p} WHERE NOT EXISTS (SELECT 1 FROM b{k})
+)"""
+        )
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    rows = " UNION ALL ".join(
+        f'SELECT {k - 1} AS step, a AS "left", b AS "right", a || b AS merged,'
+        f" pfreq AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"{_bpe_oracle_cte(n_merges)} SELECT * FROM ({rows}) ORDER BY step"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    return f"""{_bpe_oracle_cte(n_merges)},
+wlen AS (SELECT word, len(syms) AS ntok FROM w{n_merges}),
+doc_tok AS (
+  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  JOIN wlen USING (word)
+  GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(dt.n_tokens, 0)) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(d.text)) AS BIGINT) AS sum_chars,
+       CAST(floor(sum(length(d.text)) * 1000.0
+                  / sum(coalesce(dt.n_tokens, 0)) + 0.5) AS BIGINT)
+           AS chars_per_token_milli
+FROM documents d LEFT JOIN doc_tok dt USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+
+
 @_register(
     "ext_bpe_train",
-    None,  # iterative, data-dependent argmax per round: not SQL-expressible.
+    _bpe_train_oracle(BPE_MERGES),
     "BPE tokenizer training on word types (merge-rule table)",
 )
 def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,10 +2731,12 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/vocab.py:bpe_train — Sennrich-style word-type training:
     the corpus is touched ONCE for word frequencies; every merge round
     iterates the small word-type table). Deterministic end to end
-    (freq DESC, pair ASC tie-break), but the per-round argmax makes it
-    genuinely non-SQL-expressible, so this entry is rows-only for the
-    driver; exact parity with a pure-Python reference implementation is
-    pinned by tests/test_round6_ops.py at two SFs."""
+    (freq DESC, pair ASC tie-break). The oracle unrolls the full
+    training loop as chained CTEs (one argmax + one recursive-CTE
+    greedy-fold rewrite per merge round, :func:`_bpe_oracle_cte`), so
+    the driver value-hashes the whole merge table; exact parity with a
+    pure-Python reference implementation is additionally pinned by
+    tests/test_round6_ops.py at two SFs."""
     docs = load_table(spark, sf_dir, "documents")
     merges = vocab_ops.bpe_train(docs, BPE_MERGES)
     return spark.createDataFrame(
@@ -2648,7 +2746,7 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ext_bpe_encode",
-    None,  # consumes the trained (data-dependent) merge table.
+    _bpe_encode_oracle(BPE_MERGES),
     "apply trained BPE merges to the corpus (per-language compression profile)",
 )
 def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2656,7 +2754,12 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/vocab.py:bpe_encode — the documented Pandas-UDF case:
     per-word sequential rule application, Arrow-batched, merge rules in
     the closure). Output: per-language token-compression profile, the
-    number a context-length budget planner consumes."""
+    number a context-length budget planner consumes. All-integer
+    columns (sum counts + a floor(x+0.5) milli ratio, the q10 permille
+    discipline) so the driver hash never rides double rendering; the
+    oracle re-derives the same merge table via the unrolled training
+    CTE and encodes through the word-type table (every corpus word IS
+    a word type, so word -> len(final syms) is a join, not a UDF)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = vocab_ops.bpe_train(docs, BPE_MERGES)
     enc = vocab_ops.bpe_encode(docs, merges)
@@ -2666,8 +2769,13 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_bpe_tokens"),
-            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias("chars_per_token"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.floor(
+                F.sum("n_chars") * F.lit(1000.0) / F.sum("n_tokens") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chars_per_token_milli"),
         )
         .orderBy("lang")
     )
@@ -2977,8 +3085,8 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
     )
     SELECT doc_id,
-           round(COALESCE(1.0 / (60 + rank_sparse), 0)
-                 + COALESCE(1.0 / (60 + rank_dense), 0), 6) AS rrf,
+           round(COALESCE(1e0 / (60 + rank_sparse), 0)
+                 + COALESCE(1e0 / (60 + rank_dense), 0), 6) AS rrf,
            rank_sparse, rank_dense
     FROM fused
     ORDER BY rrf DESC, doc_id ASC
@@ -3061,11 +3169,11 @@ PAYLOAD_THRESHOLD = 0.8
         FROM documents
     )
     SELECT a.doc_id AS i, b.doc_id AS j,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0
+           round(len(list_intersect(a.sh, b.sh)) * 1e0
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                  4) AS jaccard
     FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+    WHERE len(list_intersect(a.sh, b.sh)) * 1e0
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
           >= {PAYLOAD_THRESHOLD}
     ORDER BY i, j
@@ -3155,7 +3263,7 @@ LENGTH_BUCKETS = [16, 32, 64]
            sum(n) AS sum_tokens,
            sum(greatest(cap - n, 0)) AS padded_tokens,
            sum(greatest(n - cap, 0)) AS truncated_tokens,
-           round(sum(greatest(cap - n, 0)) / (count(*) * 1.0 * cap), 4) AS pad_pct
+           CAST(floor(sum(greatest(cap - n, 0)) * 10000.0 / (count(*) * cap) + 0.5) AS BIGINT) AS pad_bp
     FROM t GROUP BY cap ORDER BY cap
     """,
     "sequence-length bucketing audit: padding + truncation waste per cap",
@@ -3203,7 +3311,7 @@ BIGRAM_VOCAB_N = 30
     c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
     scored AS (
         SELECT bg.doc_id, bg.lang,
-               -ln((c12.c12 + 1.0) / (c1.c1 + {BIGRAM_VOCAB_N + 1}.0)) AS s
+               -ln((c12.c12 + 1e0) / (c1.c1 + {BIGRAM_VOCAB_N + 1}e0)) AS s
         FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
     ),
     per_doc AS (
@@ -3288,7 +3396,7 @@ def ext_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
         SELECT a.doc_id AS i, b.doc_id AS j
         FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
               >= {JACCARD_THRESHOLD}
     ),
@@ -3350,7 +3458,7 @@ _CLOSURE_CTES = f"""
     p AS (
         SELECT a.doc_id AS i, b.doc_id AS j
         FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
               >= {JACCARD_THRESHOLD}
     ),
@@ -3409,8 +3517,61 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "ext_containment_pairs",
+    "ext_curation_bundle",
     f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
+    keyed AS (
+        SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_key
+        FROM d LEFT JOIN labels l ON d.doc_id = l.node
+    ),
+    m AS (
+        SELECT doc_id, n_chars FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    lab AS (
+        SELECT m.doc_id, coalesce(l.component, m.doc_id) AS comp, m.n_chars
+        FROM m LEFT JOIN labels l ON m.doc_id = l.node
+    ),
+    best AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rn
+            FROM lab
+        ) WHERE rn = 1
+    )
+    SELECT k.split, count(*) AS n_docs,
+           count(DISTINCT k.group_key) AS n_groups,
+           count(b.doc_id) AS n_kept
+    FROM (SELECT doc_id, group_key, {_split_case_sql('group_key')} AS split
+          FROM keyed) k
+    LEFT JOIN best b USING (doc_id)
+    GROUP BY k.split ORDER BY k.split
+    """,
+    "pair-graph reuse: one near-dup graph feeds components + keep-best + splits",
+)
+def ext_curation_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation path (operators/sampling.py:
+    curation_bundle, round-5 verdict perf item 6): ext_neardup_
+    components, ext_keep_best_dedup, and ext_leakage_safe_splits each
+    re-derive the exact-Jaccard pair graph as independent declared
+    entries; a real pipeline computes it ONCE. This entry derives the
+    pairs once, localCheckpoints the shared label frame, and emits the
+    per-split accounting for BOTH consumers (leakage groups + keep-
+    best survivors) — the bench row is the evidence the shared path
+    costs one graph derivation, not three."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return samp_ops.curation_bundle(docs, pairs, SPLITS, score_col="n_chars")
+
+
+# Shared by ext_containment_pairs (exact kernel) and
+# ext_containment_pairs_filtered (prefix-filtered scale kernel): the two
+# builds are proven pair-identical (tests/test_neardup.py), so one
+# brute-force oracle gates both.
+_CONTAINMENT_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(string_split(text, ' '))),
@@ -3426,15 +3587,24 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(list_intersect(a.toks, b.toks)) > 0
     ),
     directed AS (
-        SELECT i AS contained, j AS container,
-               round(inter * 1.0 / szi, 4) AS containment FROM p
+        -- filter on the UNROUNDED ratio (house style, as the Jaccard
+        -- oracles do) and round only in the projection: a true value
+        -- in [t - 5e-5, t) must not survive via round-up
+        SELECT i AS contained, j AS container, inter * 1e0 / szi AS c
+        FROM p WHERE inter * 1e0 / szi >= {CONTAINMENT_THRESHOLD}
         UNION ALL
-        SELECT j, i, round(inter * 1.0 / szj, 4) FROM p
+        SELECT j, i, inter * 1e0 / szj
+        FROM p WHERE inter * 1e0 / szj >= {CONTAINMENT_THRESHOLD}
     )
-    SELECT contained, container, containment
-    FROM directed WHERE containment >= {CONTAINMENT_THRESHOLD}
+    SELECT contained, container, round(c, 4) AS containment
+    FROM directed
     ORDER BY contained, container
-    """,
+    """
+
+
+@_register(
+    "ext_containment_pairs",
+    _CONTAINMENT_ORACLE,
     "asymmetric containment pairs: quote/snippet reuse symmetric Jaccard misses",
 )
 def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3458,6 +3628,33 @@ def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
     return nd_ops.array_containment_pairs(
+        nd_ops.shingle_sets(docs, 2), CONTAINMENT_THRESHOLD
+    ).orderBy("contained", "container")
+
+
+@_register(
+    "ext_containment_pairs_filtered",
+    _CONTAINMENT_ORACLE,
+    "prefix-filtered containment pairs: the ppjoin-style kernel that survives 100x",
+)
+def ext_containment_pairs_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE kernel for quote/snippet containment, driver-gated
+    against the same brute-force oracle as ext_containment_pairs
+    (operators/neardup.py:prefix_filtered_containment_pairs): order
+    each set by ascending global element frequency; a contained set A
+    with |A∩B|/|A| >= t must share one of its first
+    |A| - ceil(t|A|) + 1 (= rarest) elements with B, so the candidate
+    join probes only the short posting lists of rare shingles — never
+    all pairs. Candidates verify exactly on the full arrays. This is
+    the entry a user should reach first at corpus scale (6.8x wall at
+    10x data under a 990x output blowup, SCALE_SMOKE); the exact
+    kernel remains as the oracle baseline. Plan pin (no posting
+    self-join without the prefix row_number filter) in
+    tests/test_neardup.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
+    )
+    return nd_ops.prefix_filtered_containment_pairs(
         nd_ops.shingle_sets(docs, 2), CONTAINMENT_THRESHOLD
     ).orderBy("contained", "container")
 
@@ -3499,13 +3696,17 @@ def _bench_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only bench: the per-query cost at scale is the pruned
     probe over the persisted index; building it is one-off ingest
     (exactly the PQ/IVF/LSH bench discipline)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     path = _BM25_INDEX_CACHE.get(sf_dir)
     if path is None:
         docs = spread_fixture(load_table(spark, sf_dir, "documents"))
-        path = os.path.join(tempfile.mkdtemp(prefix="gmall_bm25_index_"), "idx")
+        tmp = tempfile.mkdtemp(prefix="gmall_bm25_index_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = os.path.join(tmp, "idx")
         bi_ops.bm25_write_index(docs, path)
         _BM25_INDEX_CACHE[sf_dir] = path
     postings, stats = bi_ops.bm25_read_index(spark, path)

@@ -890,11 +890,17 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
     from . import txn
 
     for _ in range(20):
-        snap = txn.snapshot(spark, table)
-        if snap is None:
+        # capture the version BEFORE reading the snapshot: the merge +
+        # count below are expensive jobs, and a merge_keyed writer
+        # committing during that derivation must fail the overwrite's
+        # CAS (expected_version), not be silently clobbered by a CAS
+        # based on whatever version is current at overwrite() time
+        v0 = txn.current_version(table)
+        if v0 < 0:
             return 0
+        snap = txn.snapshot(spark, table, version=v0)
         hwm = snap.agg(F.max("batch_id")).collect()[0][0]
-        prev = txn.table_meta(table).get("compacted_through", -1)
+        prev = txn.table_meta(table, version=v0).get("compacted_through", -1)
         merged = (
             merge_fn(snap.drop("batch_id"))
             .withColumn("batch_id", F.lit(-1).cast("long"))
@@ -904,7 +910,10 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
         try:
             n = merged.count()
             txn.overwrite(
-                merged, table, meta={"compacted_through": max(int(hwm), int(prev))}
+                merged,
+                table,
+                meta={"compacted_through": max(int(hwm), int(prev))},
+                expected_version=v0,
             )
             return n
         except txn.ConcurrentWriteError:

@@ -244,7 +244,12 @@ class ConcurrentWriteError(RuntimeError):
     """A full-snapshot replace lost its CAS to a concurrent commit."""
 
 
-def overwrite(df: DataFrame, table: str, meta: dict | None = None) -> None:
+def overwrite(
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+    expected_version: int | None = None,
+) -> None:
     """Transactional full-snapshot replace (the compaction/maintenance
     primitive): stage, then commit a manifest listing ONLY the staged
     files. Readers flip atomically from the old snapshot to the new.
@@ -259,8 +264,24 @@ def overwrite(df: DataFrame, table: str, meta: dict | None = None) -> None:
     ``ConcurrentWriteError`` instead of retrying at the next version;
     the caller must re-derive from the fresh snapshot and call again
     (``compact_files`` does exactly that re-derive loop inline).
-    Single-maintenance-writer deployments never hit this path."""
+    Single-maintenance-writer deployments never hit this path.
+
+    ``expected_version`` closes the derivation window: the caller
+    passes the version its replacement was DERIVED from (read before
+    its snapshot), and any commit that landed between that read and
+    this call — including during an expensive merge/count job —
+    raises instead of being silently clobbered by a CAS based on the
+    newer version (round-5 advice: a merge_keyed batch landing during
+    compact_partials' merge derivation was permanently lost).
+    ``None`` keeps the weaker call-time-read conflict rule for callers
+    whose replacement is derived inline."""
     v = current_version(table)
+    if expected_version is not None and v != expected_version:
+        raise ConcurrentWriteError(
+            f"overwrite of {table}: derived from version {expected_version} "
+            f"but {v} is now current — the replacement is stale; re-derive "
+            "from the new snapshot and retry"
+        )
     staged = _stage(df, table)
     if not _try_commit(table, v + 1, staged, meta):
         raise ConcurrentWriteError(

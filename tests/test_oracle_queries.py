@@ -33,7 +33,38 @@ def test_oracle_match(spark, spec, sf):
     assert ok, f"{spec.name} @ {sf}: {detail}"
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=[s.name for s in ROWS_ONLY_SPECS])
-def test_rows_only_runs(spark, spec):
-    df = spec.build(spark, "/root/testdata/sf0.001")
-    assert df.count() >= 0
+def test_every_entry_is_oracle_paired():
+    """Round-6 milestone: the last two rows-only entries (BPE train/
+    encode) got unrolled chained-CTE oracles, so ALL declared entries
+    are now value-hash-checkable by the driver — no weaker rows-only
+    checks remain. New entries must ship with an oracle (or this test
+    grows a justified allowlist)."""
+    assert not ROWS_ONLY_SPECS, [s.name for s in ROWS_ONLY_SPECS]
+
+
+def test_no_oracle_emits_decimal_columns():
+    """The r05 ext_length_buckets lesson: a `1.0` literal types as
+    DECIMAL(2,1) in DuckDB and can drag a whole ratio into
+    version-sensitive DECIMAL arithmetic/rendering — the one hash
+    mismatch in the 50-row driver window. House rule: every oracle
+    output column must be INTEGER/BIGINT/DOUBLE/VARCHAR/... by
+    construction (`1e0` not `1.0`, explicit CASTs), never DECIMAL.
+    DESCRIBE plans without executing, so this covers all oracles
+    cheaply."""
+    import duckdb
+
+    from sparkstreaming_gmall_demo_spark.schemas import FIXTURE_TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = []
+    for spec in ORACLE_SPECS:
+        for col, typ, *_ in con.execute(f"DESCRIBE {spec.oracle}").fetchall():
+            if "DECIMAL" in typ.upper():
+                offenders.append((spec.name, col, typ))
+    con.close()
+    assert not offenders, offenders

@@ -135,6 +135,18 @@ def test_curation_scans_documents_once(spark):
     assert plan.count("Scan parquet") == 2  # tree + details = one scan
 
 
+def test_containment_filtered_probes_prefix_not_all_pairs(spark):
+    """ext_containment_pairs_filtered: the candidate join must probe
+    the row_number-bounded rarest-element prefix of the contained side
+    (|A| - ceil(t|A|) + 1), never the full posting list of both sides
+    — that prefix filter is the entry's whole claim to 100x survival.
+    No cartesian anywhere."""
+    plan = plan_of(spark, "ext_containment_pairs_filtered")
+    assert "row_number" in plan, "prefix row_number window missing"
+    assert "CEIL" in plan.upper(), "prefix length bound missing"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_decontam_shuffles_counts_not_shingles(spark):
     """Decontamination: exploded shingle strings must be consumed by
     the map-side partial aggregate — never cross a shuffle. The only

@@ -313,6 +313,45 @@ def test_bpe_encode_monotone_in_merges(spark):
     assert t12 <= t4
 
 
+def test_bpe_oracle_cte_matches_python_model_on_adversarial_runs():
+    """The driver-facing DuckDB oracle (unrolled chained CTEs with a
+    recursive-CTE greedy fold) against the sequential Python model on
+    the input family a string-replace() oracle gets WRONG: runs of
+    identical symbols. [a]*5 under merge (a,a) must fold to
+    [aa,aa,a], not replace()'s [aa,a,aa] — the subsequent pair counts
+    (and therefore the whole merge table) diverge if the oracle's
+    rewrite isn't the left-to-right fold."""
+    import duckdb
+
+    from sparkstreaming_gmall_demo_spark.plans.extensions import (
+        _bpe_train_oracle,
+    )
+
+    corpora = [
+        ["aaaaa aaaa aaa aa", "aaaaa aaaaa", "baaab abbba"],
+        ["abababab abab ab", "aab aab aab", "bbbb aaaa"],
+        ["xxxxxxx xx x", "xyxyxy yxyxyx", "xxy xyy xxyy"],
+    ]
+    for texts in corpora:
+        for n_merges in (1, 3, 6):
+            want = [
+                {"step": s, "left": a, "right": b, "merged": m, "freq": f}
+                for (s, a, b, m, f) in _py_bpe(_word_freqs_py(texts), n_merges)
+            ]
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE documents AS SELECT unnest(?) AS text",
+                [texts],
+            )
+            rows = con.execute(_bpe_train_oracle(n_merges)).fetchall()
+            con.close()
+            got = [
+                {"step": s, "left": a, "right": b, "merged": m, "freq": f}
+                for (s, a, b, m, f) in rows
+            ]
+            assert got == want, (texts, n_merges)
+
+
 # ---------------------------------------------------------------------------
 # HLL partials
 # ---------------------------------------------------------------------------
@@ -536,11 +575,12 @@ def test_length_bucket_hand_case(spark):
     assert got[8] == (2, 3, 1)
 
 
-def test_length_bucket_pad_pct_bounds(spark):
+def test_length_bucket_pad_bp_bounds(spark):
     from sparkstreaming_gmall_demo_spark.operators import chunking as chunk_ops
 
     rows = chunk_ops.length_bucket_stats(_docs(spark), [16, 32, 64]).collect()
-    assert rows and all(0.0 <= r.pad_pct < 1.0 for r in rows)
+    assert rows and all(0 <= r.pad_bp < 10000 for r in rows)
+    assert all(isinstance(r.pad_bp, int) for r in rows)
     assert sum(r.n_docs for r in rows) == _docs(spark).count()
 
 

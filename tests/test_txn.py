@@ -145,6 +145,45 @@ def test_compact_partials_rederives_after_lost_cas(spark, tmp_path, monkeypatch)
     assert txn.table_meta(t)["compacted_through"] == 1
 
 
+def test_compact_partials_detects_commit_during_merge_derivation(
+    spark, tmp_path
+):
+    """The round-5 advice window: a merge_keyed writer committing
+    while compact_partials is INSIDE its merge derivation (after the
+    snapshot read, before overwrite) — not during _stage. overwrite's
+    call-time version read alone cannot see this race (it happily
+    CASes on top of the racing commit); the expected_version CAS must
+    fail the first attempt so the loop re-derives with the racing
+    batch included."""
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    t = str(tmp_path / "p")
+    txn.merge_keyed(
+        spark.createDataFrame([(0, "k1", 5), (0, "k2", 7)], ["batch_id", "k", "c"]),
+        t, ["batch_id", "k"],
+    )
+
+    raced = {"done": False}
+
+    def merge_fn(df):
+        if not raced["done"]:
+            raced["done"] = True
+            # a writer lands mid-derivation, after our snapshot read
+            txn.merge_keyed(
+                spark.createDataFrame([(1, "k1", 3)], ["batch_id", "k", "c"]),
+                t, ["batch_id", "k"],
+            )
+        return df.groupBy("k").agg(F.sum("c").alias("c"))
+
+    n = pipelines.compact_partials(spark, t, merge_fn)
+    assert n == 2
+    snap = txn.snapshot(spark, t)
+    got = sorted((r.k, r.c) for r in snap.collect())
+    # the mid-derivation batch folds in — not silently clobbered
+    assert got == [("k1", 8), ("k2", 7)]
+    assert txn.table_meta(t)["compacted_through"] == 1
+
+
 def test_concurrent_disjoint_writers_both_land(spark, tmp_path):
     """Two writers, disjoint keys, racing the same base version: the
     CAS loser must rebase and still commit its rows — no lost update
