@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
 from sparkstreaming_gmall_demo_spark.operators import retrieval as retr_ops
+from sparkstreaming_gmall_demo_spark.operators import sampling as samp_ops
 from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
 from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
 from sparkstreaming_gmall_demo_spark.operators import text as text_ops
@@ -158,6 +159,20 @@ def main() -> None:
             nd_ops.prefix_filtered_containment_pairs(
                 nd_ops.shingle_sets(dc, 3), 0.9
             ).agg(F.count("*").alias("pairs"))
+        ), r)
+        # composed curation path: ONE pair graph feeds components +
+        # keep-best + leakage-safe splits. At 10x the graph comes from
+        # the MinHash band index (the kernel a 100 TB pipeline uses;
+        # the exact Jaccard kernel is the bench-SF oracle baseline) —
+        # every doc's 9 verbatim twins form 10-member components, so
+        # the label frame, keep-best windows and split groups all hit
+        # the amplified-component regime at once.
+        timed("curation_bundle", lambda: (
+            samp_ops.curation_bundle(
+                dc, nd_ops.minhash_near_duplicates(dc, 0.8),
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+                score_col="n_chars",
+            )
         ), r)
         runs[tag] = r
 
