@@ -346,6 +346,10 @@ def curation_bundle(
     The label frame is localCheckpoint-ed: it is the one intermediate
     both consumers share, it is pair-graph-sized (small), and without
     the checkpoint Spark would re-run the pair join once per consumer.
+    (localCheckpoint trades fault-tolerance for speed — executor loss
+    recomputes nothing because the data is gone; a long-lived cluster
+    pipeline would persist the label frame to the transaction-table
+    format instead, as streaming/pipelines.py's index loops do.)
 
     Returns per-split accounting: (split, n_docs, n_groups, n_kept) —
     docs assigned, distinct leakage groups, and keep-best survivors.

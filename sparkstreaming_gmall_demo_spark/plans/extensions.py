@@ -2714,9 +2714,10 @@ SELECT d.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(coalesce(dt.n_tokens, 0)) AS BIGINT) AS sum_tokens,
        CAST(sum(length(d.text)) AS BIGINT) AS sum_chars,
-       CAST(floor(sum(length(d.text)) * 1000.0
-                  / sum(coalesce(dt.n_tokens, 0)) + 0.5) AS BIGINT)
-           AS chars_per_token_milli
+       CASE WHEN sum(coalesce(dt.n_tokens, 0)) > 0 THEN
+           CAST(floor(sum(length(d.text)) * 1000.0
+                      / sum(coalesce(dt.n_tokens, 0)) + 0.5) AS BIGINT)
+       END AS chars_per_token_milli
 FROM documents d LEFT JOIN doc_tok dt USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
 
@@ -2771,8 +2772,15 @@ def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
-            F.floor(
-                F.sum("n_chars") * F.lit(1000.0) / F.sum("n_tokens") + F.lit(0.5)
+            # NULL, not a long-cast of Infinity, when a language's docs
+            # hold zero tokens (all-empty texts) — both engines would
+            # otherwise fail the cast loudly rather than agree
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.floor(
+                    F.sum("n_chars") * F.lit(1000.0) / F.sum("n_tokens")
+                    + F.lit(0.5)
+                ),
             )
             .cast("long")
             .alias("chars_per_token_milli"),
