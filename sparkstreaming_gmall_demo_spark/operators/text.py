@@ -523,6 +523,84 @@ def _positioned_ngrams(
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
 
 
+def dup_span_scrub(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-span scrubbing with keep-first semantics: any
+    token ``n``-gram occurring MORE THAN ONCE in the corpus keeps only
+    its first occurrence (ordered by (doc_id, pos)); every token
+    position covered by a non-canonical occurrence is removed from its
+    document. Returns (id, n_tokens, removed_tokens, kept_text).
+
+    This is substring-level dedup (the "remove all but one occurrence
+    of any long repeated span" discipline): a verbatim paragraph pasted
+    into ten otherwise-distinct pages survives document-level near-dup
+    (Jaccard stays low) and the boilerplate dictionary only AUDITS it —
+    this operator actually rewrites the corpus, keeping exactly one
+    copy. Reference analogy: the canonical-first rule is the same
+    keep-one-winner discipline as the reference's Redis SETNX DAU
+    dedup (handler/DauHandler.scala:61-73), applied to spans instead
+    of user ids.
+
+    Semantics are coverage-based and order-independent: a position is
+    removed iff ANY non-canonical duplicated-gram occurrence covers it,
+    so the result does not depend on scan order (the boilerplate_
+    coverage discipline). Canonical = min(struct(doc_id, pos)) per
+    gram — a partial-aggregable min, NOT a row_number window: the
+    groupBy ships map-side-combined (gram, first, count) partials, so
+    a pathological gram repeated millions of times (hot boilerplate at
+    100 TB) never forces a single-partition sort. Document text never
+    crosses a shuffle: grams + int positions shuffle, the rewrite is a
+    narrow array_except/transform over the original token array."""
+    occ = _positioned_ngrams(df, n, id_col, text_col)
+    canon = (
+        occ.groupBy("gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("gram", "first")
+    )
+    bad_pos = (
+        occ.join(canon, "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("cpos")).alias("bad_pos"))
+    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toks.join(bad_pos, id_col, "left").select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("bad_pos"), F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.array_join(
+            F.expr(
+                "transform(array_except(sequence(1, size(_toks)), "
+                "coalesce(bad_pos, CAST(array() AS array<int>))), "
+                "i -> element_at(_toks, i))"
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 def boilerplate_coverage(
     df: DataFrame,
     n: int = 6,

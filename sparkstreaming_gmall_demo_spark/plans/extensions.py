@@ -3719,3 +3719,59 @@ def _bench_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_INDEX_CACHE[sf_dir] = path
     postings, stats = bi_ops.bm25_read_index(spark, path)
     return bi_ops.bm25_index_topk(postings, stats, BM25_KEYWORD, k=BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 addition: substring-level dedup (exact duplicate-span scrub)
+# ---------------------------------------------------------------------------
+DUPSPAN_N = 8
+
+
+@_register(
+    "ext_dupspan_scrub",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    o AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[i:i + {DUPSPAN_N} - 1], ' ') AS gram
+        FROM d, unnest(generate_series(1, len(t) - {DUPSPAN_N} + 1)) AS g(i)
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM o
+    ),
+    cov AS (
+        SELECT DISTINCT r.doc_id, c.p
+        FROM r, unnest(generate_series(r.pos, r.pos + {DUPSPAN_N} - 1)) AS c(p)
+        WHERE r.rn > 1
+    ),
+    badl AS (SELECT doc_id, list(p ORDER BY p) AS bad_pos FROM cov GROUP BY 1)
+    SELECT d.doc_id,
+           len(t) AS n_tokens,
+           COALESCE(len(bad_pos), 0) AS removed_tokens,
+           -- array_to_string(NULL-free empty list) is NULL in DuckDB;
+           -- Spark's array_join gives '' — coalesce to the Spark value
+           -- for the fully-scrubbed-document case
+           COALESCE(array_to_string(
+               list_transform(
+                   list_filter(generate_series(1, len(t)),
+                               i -> bad_pos IS NULL
+                                    OR NOT list_contains(bad_pos, i)),
+                   i -> t[i]), ' '), '') AS kept_text
+    FROM d LEFT JOIN badl USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    "substring dedup: scrub duplicated 8-gram spans, keep first occurrence",
+)
+def ext_dupspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (operators/text.py:dup_span_scrub):
+    every token 8-gram occurring more than once corpus-wide keeps only
+    its (min doc_id, min pos) occurrence; covered positions elsewhere
+    are scrubbed and the surviving text is emitted. The oracle restates
+    canonical-first via a row_number window — provably the same winner
+    as the Spark build's partial-aggregable min(struct(doc_id, pos)).
+    Catches verbatim passage reuse that document-level Jaccard and the
+    audit-only boilerplate dictionary both leave in the corpus."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.dup_span_scrub(docs, n=DUPSPAN_N).orderBy("doc_id")

@@ -704,3 +704,46 @@ def test_hll_prefix_estimates_duplicate_day_rows(spark):
     }
     # every split row's est_cum matches the folded day's value
     assert {d: c for d, c in got} == {d: c for d, c in want}
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span scrub (exact substring dedup, keep-first)
+# ---------------------------------------------------------------------------
+def test_dup_span_scrub_keeps_first_occurrence_only(spark):
+    """A verbatim 8-token passage pasted into three docs survives in
+    the lowest (doc_id, pos) occurrence only; unique text is kept."""
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (1, "alpha beta " + passage + " gamma"),
+        (2, passage),                      # exact duplicate -> fully scrubbed
+        (3, "delta " + passage + " tail1 tail2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_ops.dup_span_scrub(df, n=8).collect()}
+    assert out[1].kept_text == "alpha beta " + passage + " gamma"
+    assert out[1].removed_tokens == 0
+    assert out[2].kept_text == "" and out[2].removed_tokens == 8
+    assert out[3].kept_text == "delta tail1 tail2"
+    assert out[3].removed_tokens == 8
+
+
+def test_dup_span_scrub_coverage_union_of_overlapping_grams(spark):
+    """Two duplicated runs overlapping in one doc scrub the UNION of
+    their covered positions (order-independent coverage semantics),
+    and a doc shorter than n is never touched."""
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12 tokens: grams overlap
+    rows = [
+        (1, run),
+        (2, run + " unique trailing words"),
+        (3, "short doc below n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_ops.dup_span_scrub(df, n=8).collect()}
+    assert out[1].removed_tokens == 0          # canonical copy untouched
+    assert out[2].removed_tokens == 12         # union of 5 overlapping grams
+    assert out[2].kept_text == "unique trailing words"
+    assert out[3].removed_tokens == 0 and out[3].kept_text == "short doc below n"
