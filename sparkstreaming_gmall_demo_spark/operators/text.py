@@ -528,6 +528,7 @@ def dup_span_scrub(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicate-span scrubbing with keep-first semantics: any
     token ``n``-gram occurring MORE THAN ONCE in the corpus keeps only
@@ -554,8 +555,21 @@ def dup_span_scrub(
     a pathological gram repeated millions of times (hot boilerplate at
     100 TB) never forces a single-partition sort. Document text never
     crosses a shuffle: grams + int positions shuffle, the rewrite is a
-    narrow array_except/transform over the original token array."""
+    narrow array_except/transform over the original token array.
+
+    ``hash_grams=True`` is the 100 TB shuffle diet: the 8-token gram
+    string (~50 bytes, crossing BOTH the canon groupBy and the occ
+    join) is replaced by its xxhash64 (8 bytes) before either shuffle.
+    A 64-bit collision falsely merges two distinct grams and over-
+    scrubs one span (birthday bound: ~10^12 corpus grams -> a few
+    percent chance of ONE such span corpus-wide) — the standard
+    fingerprint-dedup trade; tests pin output equality with the exact
+    kernel on the fixture corpus."""
     occ = _positioned_ngrams(df, n, id_col, text_col)
+    if hash_grams:
+        occ = occ.select(
+            id_col, "pos", F.xxhash64("gram").alias("gram")
+        )
     canon = (
         occ.groupBy("gram")
         .agg(

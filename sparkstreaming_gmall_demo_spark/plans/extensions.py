@@ -3775,3 +3775,61 @@ def ext_dupspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit-only boilerplate dictionary both leave in the corpus."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return text_ops.dup_span_scrub(docs, n=DUPSPAN_N).orderBy("doc_id")
+
+
+@_register(
+    "ext_sq8_topk",
+    f"""
+    WITH mm AS (
+        SELECT i AS dim,
+               min(CAST(embedding[i] AS DOUBLE)) AS lo,
+               max(CAST(embedding[i] AS DOUBLE)) AS hi
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        GROUP BY 1
+    ),
+    mml AS (
+        SELECT list(lo ORDER BY dim) AS lov, list(hi ORDER BY dim) AS hiv
+        FROM mm
+    ),
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {TOPK_QUERY_VEC_ID}
+    ),
+    dq AS (
+        SELECT e.vec_id,
+               list_transform(generate_series(1, len(e.embedding)), i ->
+                 CASE WHEN hiv[i] > lov[i]
+                      THEN lov[i]
+                           + floor((CAST(e.embedding[i] AS DOUBLE) - lov[i])
+                                   / (hiv[i] - lov[i]) * 255e0 + 0.5e0)
+                             * (hiv[i] - lov[i]) / 255e0
+                      ELSE lov[i] END) AS dv
+        FROM embeddings e, mml
+    ),
+    scored AS (
+        SELECT vec_id,
+               round(list_inner_product(dv, qv)
+                     / (sqrt(list_inner_product(dv, dv))
+                        * sqrt(list_inner_product(qv, qv))), 4) AS score
+        FROM dq, q
+    )
+    SELECT vec_id, score FROM scored
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {TOPK_K}
+    """,
+    "scalar-quantized (int8) ANN: dequantized-cosine top-k, 4x smaller scan",
+)
+def ext_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization rounds out the ANN family (brute cosine /
+    LSH / IVF / PQ): per-dim (min, max) train, int8 codes at rest,
+    dequantized cosine against a full-precision query
+    (operators/similarity.py:sq8_topk). Unlike the hash-family
+    variants this one is EXACTLY SQL-restatable — the oracle re-derives
+    the quantizer (per-dim min/max via the positioned-unnest idiom),
+    re-encodes with the same floor(x + 0.5) integer discipline, and
+    scores identically, so the driver value-hashes the whole
+    train->encode->search path, not just an invariant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = sim_ops.sq8_train(emb)
+    q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
+    return sim_ops.sq8_topk(emb, q, lo, hi, k=TOPK_K)

@@ -50,6 +50,7 @@ def test_no_cartesian_products_anywhere(spark):
     score against one query vector; tfidf's corpus-size N)."""
     single_row_query_joins = {
         "ext_cosine_topk",
+        "ext_sq8_topk",  # dequantized corpus x broadcast 1-row query vec
         "ext_lsh_topk",
         "ext_ivf_topk",
         "ext_tfidf_topterms",

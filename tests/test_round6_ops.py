@@ -747,3 +747,72 @@ def test_dup_span_scrub_coverage_union_of_overlapping_grams(spark):
     assert out[2].removed_tokens == 12         # union of 5 overlapping grams
     assert out[2].kept_text == "unique trailing words"
     assert out[3].removed_tokens == 0 and out[3].kept_text == "short doc below n"
+
+
+def test_dup_span_scrub_hashed_grams_equals_exact(spark):
+    """The hashed-gram shuffle diet (8-byte xxhash64 instead of the
+    gram string) reproduces the exact kernel's full output on the
+    fixture corpus."""
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+    df = _docs(spark)
+    exact = text_ops.dup_span_scrub(df, n=8).orderBy("doc_id").collect()
+    hashed = (
+        text_ops.dup_span_scrub(df, n=8, hash_grams=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert exact == hashed
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized (int8) ANN
+# ---------------------------------------------------------------------------
+def test_sq8_codes_are_int8_range(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    lo, hi = sim.sq8_train(emb)
+    assert len(lo) == len(hi) == 64
+    stats = (
+        sim.sq8_encode(emb, lo, hi)
+        .select(F.explode("codes").alias("c"))
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()[0]
+    )
+    assert stats.lo >= 0 and stats.hi <= 255
+    # corpus min/max dims must hit the code range ends
+    assert stats.lo == 0 and stats.hi == 255
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """int8 quantization of a 64-dim corpus loses almost nothing at
+    top-10: recall >= 0.9 against exact brute-force cosine."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    lo, hi = sim.sq8_train(emb)
+    q = sim.query_vector(emb, 0)
+    approx = {r.vec_id for r in sim.sq8_topk(emb, q, lo, hi, k=10).collect()}
+    exact = {r.vec_id for r in sim.cosine_topk(emb, q, k=10).collect()}
+    assert len(approx & exact) >= 9
+
+
+def test_sq8_constant_dim_guard(spark):
+    """A constant dimension (hi == lo) codes to 0 and dequantizes to
+    lo instead of dividing by zero."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    rows = [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [2.0, 5.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    lo, hi = sim.sq8_train(emb)
+    assert (lo[1], hi[1]) == (5.0, 5.0)
+    codes = {r.vec_id: r.codes for r in sim.sq8_encode(emb, lo, hi).collect()}
+    assert [codes[1][1], codes[2][1], codes[3][1]] == [0, 0, 0]
+    assert codes[1][0] == 0 and codes[2][0] == 255
+    dv = (
+        sim.sq8_encode(emb, lo, hi)
+        .select("vec_id", sim.sq8_dequantize("codes", lo, hi).alias("dv"))
+        .collect()
+    )
+    assert all(abs(r.dv[1] - 5.0) < 1e-12 for r in dv)
