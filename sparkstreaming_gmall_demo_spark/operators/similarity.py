@@ -832,3 +832,58 @@ def sq8_topk(
         F.round(cosine_expr("dv", "q_vec"), 4).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sq8_write_index(
+    embeddings: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the int8 code table (path/codes) and the per-dim (lo,
+    hi) quantizer params (path/params: one row per dim) — the at-rest
+    form of the 4x compression: probes read codes only, never the
+    float32 corpus. Appending a new batch is one sq8_encode write with
+    the FROZEN params (the ivf_append_index discipline: retraining
+    per batch would silently re-scale old codes)."""
+    spark = embeddings.sparkSession
+    sq8_encode(embeddings, lo, hi, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    params = spark.createDataFrame(
+        [(i, float(l), float(h)) for i, (l, h) in enumerate(zip(lo, hi))],
+        ["dim", "lo", "hi"],
+    )
+    params.coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def sq8_read_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[float], list[float]]:
+    """(codes, lo, hi) from a sq8_write_index layout."""
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = sorted(spark.read.parquet(f"{path}/params").collect(),
+                  key=lambda r: r.dim)
+    return codes, [r.lo for r in rows], [r.hi for r in rows]
+
+
+def sq8_index_topk(
+    codes: DataFrame,
+    query: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k served from the persisted code table: dequantize + cosine
+    against the full-precision query — must reproduce sq8_topk
+    bit-for-bit (same dequant expression, same 4dp round, same
+    tiebreak), since both paths score the identical integer codes."""
+    dv = codes.select(F.col(id_col), sq8_dequantize("codes", lo, hi).alias("dv"))
+    scored = dv.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(cosine_expr("dv", "q_vec"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -661,6 +661,35 @@ def ann_ingest_pipeline(
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
 
 
+def sq8_ingest_pipeline(
+    vectors: DataFrame,
+    lo: list,
+    hi: list,
+    index_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous int8-code ingest for the scalar-quantized index:
+    each micro-batch is sq8_encode-d with the FROZEN per-dim (lo, hi)
+    params (operators/similarity.py:sq8_write_index rationale —
+    retraining per batch would silently re-scale every code already
+    at rest) and appended through the keyed idempotent sink: one code
+    row per vec_id ever indexed, replays no-op. No streaming state;
+    encoding is a pure narrow map over broadcast-literal params, so
+    streamed chunking is invisible to the probe
+    (sq8_index_topk serves streamed and batch-built indexes
+    identically)."""
+    from ..operators.similarity import sq8_encode
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            sq8_encode(batch_df, lo, hi), f"{index_path}/codes",
+            key_cols=["vec_id"], batch_id=batch_id,
+        )
+
+    return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
 def hll_pipeline(
     events: DataFrame,
     sketch_table: str,

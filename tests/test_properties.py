@@ -383,3 +383,57 @@ def test_keep_best_matches_python_model(spark):
         if cur is None or (-scores[i], i) < (-scores[cur], cur):
             best[key] = i
     assert got == sorted(best.values())
+
+
+def test_dup_span_scrub_matches_python_model(spark):
+    """dup_span_scrub == a brute-force Python model on a randomized
+    small-vocabulary corpus (tiny alphabet forces heavy n-gram
+    collisions: intra-doc repeats, cross-doc repeats, overlapping
+    duplicated runs), for both the exact and hashed-gram kernels."""
+    import random
+
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+    rng = random.Random(13)
+    N = 4
+    docs = []
+    for i in range(30):
+        toks = [f"t{rng.randint(0, 5)}" for _ in range(rng.randint(1, 25))]
+        docs.append((i, " ".join(toks)))
+    # plants: verbatim copy, copy-with-prefix
+    docs.append((100, docs[0][1]))
+    docs.append((101, "zz0 zz1 " + docs[1][1]))
+
+    # python model: positioned n-grams -> canonical = min (doc, pos)
+    occ = []
+    for d, text in docs:
+        t = text.split(" ")
+        for p in range(len(t) - N + 1):
+            occ.append((tuple(t[p:p + N]), d, p + 1))
+    by_gram = {}
+    for g, d, p in occ:
+        by_gram.setdefault(g, []).append((d, p))
+    want = {}
+    bad = {}
+    for g, places in by_gram.items():
+        if len(places) < 2:
+            continue
+        canon = min(places)
+        for d, p in places:
+            if (d, p) != canon:
+                bad.setdefault(d, set()).update(range(p, p + N))
+    for d, text in docs:
+        t = text.split(" ")
+        rm = bad.get(d, set())
+        kept = [tok for i, tok in enumerate(t, start=1) if i not in rm]
+        want[d] = (len(t), len(rm), " ".join(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for hashed in (False, True):
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.kept_text)
+            for r in text_ops.dup_span_scrub(
+                df, n=N, hash_grams=hashed
+            ).collect()
+        }
+        assert got == want, f"hash_grams={hashed}"

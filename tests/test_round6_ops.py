@@ -816,3 +816,87 @@ def test_sq8_constant_dim_guard(spark):
         .collect()
     )
     assert all(abs(r.dv[1] - 5.0) < 1e-12 for r in dv)
+
+
+def test_sq8_persisted_index_reproduces_in_memory_path(tmp_path, spark):
+    """write -> read -> probe returns bit-identical (id, score) rows to
+    the in-memory sq8_topk, and a frozen-params append batch is
+    servable from the same index."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    lo, hi = sim.sq8_train(emb)
+    q = sim.query_vector(emb, 0)
+    path = str(tmp_path / "sq8_index")
+    sim.sq8_write_index(emb, lo, hi, path)
+    codes, lo2, hi2 = sim.sq8_read_index(spark, path)
+    assert lo2 == lo and hi2 == hi
+    served = sim.sq8_index_topk(codes, q, lo2, hi2, k=10).collect()
+    direct = sim.sq8_topk(emb, q, lo, hi, k=10).collect()
+    assert [(r.vec_id, r.score) for r in served] == [
+        (r.vec_id, r.score) for r in direct
+    ]
+    # frozen-params append: encode a shifted batch with the SAME params
+    batch = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
+    sim.sq8_encode(batch, lo, hi).write.mode("append").parquet(f"{path}/codes")
+    codes3, _, _ = sim.sq8_read_index(spark, path)
+    assert codes3.count() == 2 * emb.count()
+    top1 = sim.sq8_index_topk(codes3, q, lo, hi, k=2).collect()
+    # the query vector and its shifted twin tie at score 1.0
+    assert {r.vec_id for r in top1} == {0, 10**9}
+
+
+def test_sq8_ingest_streaming_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """Vectors streamed in 3 chunks encode once each under frozen
+    params; a full replay from a fresh checkpoint adds nothing, and
+    the streamed index serves bit-identical top-k to the batch-built
+    one."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = sim.sq8_train(emb)
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    topic = tmp_path / "vec_topic"
+    topic.mkdir()
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    index_path = str(tmp_path / "sq8_stream_index")
+    schema = "vec_id long, embedding array<float>, label int"
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.sq8_ingest_pipeline(
+            stream, lo, hi, index_path, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    n = emb.count()
+    codes = spark.read.parquet(f"{index_path}/codes")
+    assert codes.count() == n
+    assert codes.select("vec_id").distinct().count() == n
+
+    run(str(tmp_path / "ck2"))  # full replay
+    assert spark.read.parquet(f"{index_path}/codes").count() == n
+
+    # streamed probe == in-memory probe (pure encode -> chunking is
+    # invisible)
+    q = sim.query_vector(emb, 0)
+    served = sim.sq8_index_topk(
+        spark.read.parquet(f"{index_path}/codes"), q, lo, hi, k=10
+    ).collect()
+    direct = sim.sq8_topk(emb, q, lo, hi, k=10).collect()
+    assert [(r.vec_id, r.score) for r in served] == [
+        (r.vec_id, r.score) for r in direct
+    ]
