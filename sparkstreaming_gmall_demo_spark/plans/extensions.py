@@ -37,6 +37,7 @@ from ..operators import sampling as samp_ops
 from ..operators import scd2 as scd2_ops
 from ..operators import similarity as sim_ops
 from ..operators import sketch as sketch_ops
+from ..operators import skew as skew_ops
 from ..operators import text as text_ops
 from ..operators import vocab as vocab_ops
 from .registry import _bench, _register
@@ -3833,3 +3834,47 @@ def ext_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = sim_ops.sq8_train(emb)
     q = sim_ops.query_vector(emb, TOPK_QUERY_VEC_ID)
     return sim_ops.sq8_topk(emb, q, lo, hi, k=TOPK_K)
+
+
+@_register(
+    "ext_salted_hot_key_agg",
+    """
+    SELECT event_type,
+           sum(CAST(floor(value * 100e0) AS BIGINT)) AS sum_cents,
+           count(*) AS n_events,
+           min(CAST(floor(value * 100e0) AS BIGINT)) AS min_cents,
+           max(CAST(floor(value * 100e0) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "skew-safe salted two-phase aggregation over pathological hot keys",
+)
+def ext_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key groupBy survival kit as a declared, driver-gated
+    entry (operators/skew.py:salted_agg): event_type holds a handful
+    of values over the whole events table — exactly the distribution
+    that funnels one reduce task at 100 TB. Phase 1 groups on
+    (key, xxhash64-salt) so each hot key spreads over 16 subtasks;
+    phase 2 combines 16 partial rows per key. The oracle is the plain
+    single-phase GROUP BY the salted plan must reproduce exactly —
+    all aggregates ride as integer cents (floor(value*100), identical
+    both engines), so the two-phase double-sum fold-order hazard
+    never reaches the hash. Deterministic salting (xxhash64 of the
+    aggregated value, not rand()) keeps replays and task retries in
+    the same bucket."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    )
+    out = skew_ops.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "sum_cents": ("sum", "cents"),
+            "n_events": ("count", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        salt=16,
+    )
+    return out.orderBy("event_type")

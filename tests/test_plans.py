@@ -290,3 +290,16 @@ def test_bench_line_fits_driver_capture():
         f"bench line {len(line)} chars exceeds the {bench._LINE_BUDGET} "
         "budget — shorten window entry names or rely on shedding"
     )
+
+
+def test_salted_agg_plan_spreads_hot_keys(spark):
+    """ext_salted_hot_key_agg's physical plan must shuffle phase 1 on
+    (key, __salt) — the hot-key spread — and carry a second combine
+    aggregation on the bare key; a plan that collapsed to one
+    single-phase groupBy would silently reintroduce the hot-key
+    funnel."""
+    plan = plan_of(spark, "ext_salted_hot_key_agg")
+    parts = plan.split("hashpartitioning(")[1:]
+    assert any("__salt" in p[:80] for p in parts), "no salted exchange"
+    # phase 2 must re-group on the bare key (combine-of-partials)
+    assert "Keys [1]: [event_type" in plan, "no bare-key combine stage"
