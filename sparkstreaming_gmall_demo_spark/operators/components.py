@@ -211,3 +211,38 @@ def keep_best(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_comp", "component")
     )
+
+
+def cluster_size_histogram(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup audit: the duplicate-cluster size distribution —
+    (size, n_clusters) with un-clustered documents counted as size-1
+    clusters. The one-page summary a curation run reports ("the corpus
+    holds N pairs, M triples, one 40k-copy boilerplate cluster") and
+    the input to dedup-rate estimates: removable rows =
+    sum((size-1) * n_clusters).
+
+    Two tiny aggs over the label frame (component cardinality <<
+    corpus) plus ONE anti-join to count singletons; the histogram
+    itself is at most max-cluster-size rows. The corpus text is
+    touched only by the pair generation upstream.
+    """
+    sizes = components.groupBy("component").agg(F.count("*").alias("size"))
+    hist = sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+    n_single = (
+        docs.select(F.col(id_col))
+        .join(components.select(F.col("node").alias(id_col)), id_col, "left_anti")
+        .count()
+    )
+    singles = sizes.sparkSession.createDataFrame(
+        [(1, n_single)], "size long, n_clusters long"
+    )
+    return (
+        hist.select(F.col("size").cast("long"), F.col("n_clusters").cast("long"))
+        .unionByName(singles)
+        .groupBy("size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .filter(F.col("n_clusters") > 0)
+        .orderBy("size")
+    )

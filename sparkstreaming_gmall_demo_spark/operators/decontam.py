@@ -187,3 +187,47 @@ def contamination_report(
             F.count("*").alias("n_shingle_hits"),
         )
     )
+
+
+def semantic_decontam(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus items whose vector
+    sits within ``threshold`` cosine of ANY eval-set vector — the
+    semantic companion to the n-gram recipe above (catches paraphrased
+    benchmark leakage that shares no 5-gram; the published follow-up
+    to verbatim decontam in the Phi/llm-decontaminator line of work).
+
+    Same scale asymmetry as flag_contaminated: the eval side is
+    benchmark-sized BY NATURE, so it rides a broadcast nested-loop
+    against the corpus — a narrow map over each corpus partition, no
+    shuffle of the corpus at all until the per-item max-similarity
+    aggregation (key = corpus id, unique, no skew). At 100 TB with a
+    LARGE eval suite, pre-cluster the eval side (IVF coarse centroids)
+    and probe only the nearest cells — the similarity module's
+    ivf_topk discipline.
+
+    Output per corpus item: max_eval_sim4 (4dp, display) and a
+    ``contaminated`` flag compared on the UNROUNDED similarity (the
+    house rule: filter unrounded, round only projected output).
+    """
+    from .similarity import cosine_expr
+
+    evals = eval_emb.select(F.col(vec_col).alias("e_vec"))
+    pairs = corpus_emb.select(id_col, vec_col).crossJoin(F.broadcast(evals))
+    sims = pairs.select(
+        F.col(id_col), cosine_expr(vec_col, "e_vec").alias("sim")
+    )
+    return (
+        sims.groupBy(id_col)
+        .agg(F.max("sim").alias("max_sim"))
+        .select(
+            F.col(id_col),
+            F.round("max_sim", 4).alias("max_eval_sim4"),
+            (F.col("max_sim") >= F.lit(threshold)).cast("int").alias("contaminated"),
+        )
+    )

@@ -68,3 +68,50 @@ def salted_agg(
             for name, (fn, _) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 16,
+    salt_on: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    A shuffle join on a hot fact key (one key holding 10% of a 100 TB
+    fact table) funnels that key into a single reduce task no matter
+    how many executors exist. Salting rewrites the join:
+
+        fact:  __salt = xxhash64(deterministic fact cols) % salt
+        dim:   explode(sequence(0, salt-1)) as __salt   (x salt rows)
+        join on (key, __salt)
+
+    Each hot key's rows now spread over ``salt`` shuffle partitions;
+    the dim side pays a ``salt``-fold replication, which is the right
+    trade whenever dim << fact (the fact side never replicates). AQE's
+    skew-join split handles the sort-merge case adaptively at runtime;
+    this explicit form works for any join strategy, composes under
+    further aggregation, and keeps the salt DETERMINISTIC (xxhash64 of
+    fact columns, not rand()/monotonically_increasing_id) so task
+    retries and streaming replays land every row in the same bucket.
+
+    ``salt_on`` defaults to all fact columns — any unique-ish subset
+    (an event id) is cheaper and equally correct.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    cols = list(salt_on) if salt_on is not None else list(fact.columns)
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt))
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    cond = (salted_fact[fact_key] == replicated_dim[dim_key]) & (
+        salted_fact["__salt"] == replicated_dim["__salt"]
+    )
+    out = salted_fact.join(replicated_dim, cond, how)
+    return out.drop(salted_fact["__salt"]).drop(replicated_dim["__salt"])

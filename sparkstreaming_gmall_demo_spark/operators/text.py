@@ -295,6 +295,69 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style corpus quality rule suite (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 data pipeline — public paper).
+# Thresholds live in one table so the declared entry's oracle SQL
+# restates the exact same constants. Every rule compares a 4dp-ROUNDED
+# signal (the quality_score/repetition_score outputs) against the
+# threshold: rounding first makes the comparison engine-stable (both
+# engines round-half-up the same int/int division), so a doc sitting
+# on a knife edge classifies identically in Spark and DuckDB.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 90,
+    "mean_token_len_lo": 3.0,
+    "mean_token_len_hi": 5.2,
+    "min_stopword_ratio": 0.01,
+    "min_distinct_ratio": 0.35,
+    "max_repeated_bigram": 0.9,
+}
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document rule evaluation: one ``fail_<rule>`` 0/1 column per
+    rule plus a ``keep`` flag (no rule failed). Signals come from
+    :func:`quality_score` + :func:`repetition_score` — one narrow
+    projection chain, no shuffle; at 100 TB this is a map-only pass
+    fused into the scan stage by whole-stage codegen."""
+    t = GOPHER_THRESHOLDS
+    sig = repetition_score(quality_score(df, text_col), text_col)
+    fails: dict[str, Column] = {
+        "high_repeated_bigrams": F.col("repeated_bigram_frac") > t["max_repeated_bigram"],
+        "low_distinct_ratio": F.col("distinct_token_ratio") < t["min_distinct_ratio"],
+        "low_stopword_ratio": F.col("stopword_ratio") < t["min_stopword_ratio"],
+        "mean_token_len_out_of_range": (F.col("mean_token_len") < t["mean_token_len_lo"])
+        | (F.col("mean_token_len") > t["mean_token_len_hi"]),
+        "too_few_tokens": F.col("n_tokens") < t["min_tokens"],
+        "too_many_tokens": F.col("n_tokens") > t["max_tokens"],
+    }
+    out = sig
+    keep = F.lit(True)
+    for name in sorted(fails):
+        out = out.withColumn(f"fail_{name}", fails[name].cast("int"))
+        keep = keep & ~fails[name]
+    return out.withColumn("keep", keep)
+
+
+def gopher_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule drop accounting: (rule, n_docs) with one row per rule
+    counting the documents that fail it (rules are NOT exclusive — a
+    doc can fail several) plus a ``kept_docs`` row for the survivors.
+    The whole report is one global agg of 0/1 indicator sums (partial
+    map-side combine, a single 7-value row crosses the shuffle) then a
+    stack() unpivot — constant-size output at any corpus scale."""
+    flagged = gopher_rules(df, text_col)
+    rules = sorted(k for k in flagged.columns if k.startswith("fail_"))
+    agg = flagged.agg(
+        *[F.sum(r).cast("long").alias(r) for r in rules],
+        F.sum(F.col("keep").cast("int")).cast("long").alias("kept_docs"),
+    )
+    pairs = ", ".join(f"'{r[5:]}', {r}" for r in rules)
+    pairs += ", 'kept_docs', kept_docs"
+    n = len(rules) + 1
+    return agg.selectExpr(f"stack({n}, {pairs}) as (rule, n_docs)").orderBy("rule")
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

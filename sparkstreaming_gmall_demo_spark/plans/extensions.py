@@ -29,6 +29,7 @@ from ..operators import decontam as decon_ops
 from ..operators import dedup as dedup_ops
 from ..operators import diff as diff_ops
 from ..operators import graph as graph_ops
+from ..operators import importance as imp_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
@@ -3878,3 +3879,276 @@ def ext_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=16,
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (second wave): Gopher rule suite, DSIR importance
+# resampling, dedup audit histogram, semantic decontamination, salted
+# skew join
+# ---------------------------------------------------------------------------
+_GOPHER_STOP_SQL = "[" + ", ".join(
+    f"'{w}'"
+    for w in sorted({w for ws in text_ops.LANG_STOPWORDS.values() for w in ws})
+) + "]"
+_G = text_ops.GOPHER_THRESHOLDS
+
+
+@_register(
+    "ext_gopher_report",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(sp) AS n_tokens,
+               round((length(text) - (len(sp) - 1) * 1e0) / len(sp), 4) AS mtl,
+               round(len(list_filter(sp, x -> list_contains({_GOPHER_STOP_SQL}, x))) * 1e0
+                     / len(sp), 4) AS sr,
+               round(CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp), 4) AS dtr,
+               CASE WHEN len(sp) >= 2 THEN
+                 round(1 - CAST(len(list_distinct(list_transform(range(1, len(sp)),
+                         i -> array_to_string(sp[i:i+1], ' ')))) AS DOUBLE)
+                         / (len(sp) - 1), 4)
+               ELSE 0.0 END AS rbf
+        FROM t
+    ),
+    f AS (
+        SELECT CASE WHEN rbf > {_G["max_repeated_bigram"]}e0 THEN 1 ELSE 0 END AS f_rep,
+               CASE WHEN dtr < {_G["min_distinct_ratio"]}e0 THEN 1 ELSE 0 END AS f_dtr,
+               CASE WHEN sr < {_G["min_stopword_ratio"]}e0 THEN 1 ELSE 0 END AS f_sr,
+               CASE WHEN mtl < {_G["mean_token_len_lo"]}e0
+                      OR mtl > {_G["mean_token_len_hi"]}e0 THEN 1 ELSE 0 END AS f_mtl,
+               CASE WHEN n_tokens < {_G["min_tokens"]} THEN 1 ELSE 0 END AS f_few,
+               CASE WHEN n_tokens > {_G["max_tokens"]} THEN 1 ELSE 0 END AS f_many
+        FROM sig
+    )
+    SELECT rule, n_docs FROM (
+        SELECT 'high_repeated_bigrams' AS rule, CAST(sum(f_rep) AS BIGINT) AS n_docs FROM f
+        UNION ALL SELECT 'low_distinct_ratio', CAST(sum(f_dtr) AS BIGINT) FROM f
+        UNION ALL SELECT 'low_stopword_ratio', CAST(sum(f_sr) AS BIGINT) FROM f
+        UNION ALL SELECT 'mean_token_len_out_of_range', CAST(sum(f_mtl) AS BIGINT) FROM f
+        UNION ALL SELECT 'too_few_tokens', CAST(sum(f_few) AS BIGINT) FROM f
+        UNION ALL SELECT 'too_many_tokens', CAST(sum(f_many) AS BIGINT) FROM f
+        UNION ALL SELECT 'kept_docs',
+            CAST(sum(CASE WHEN f_rep + f_dtr + f_sr + f_mtl + f_few + f_many = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    ) ORDER BY rule
+    """,
+    "Gopher-style quality rule suite with per-rule drop accounting",
+)
+def ext_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published corpus-filter recipe (Gopher A1.1) as one
+    map-only rule pass + a constant-size report
+    (operators/text.py:gopher_rules/gopher_report). Every rule
+    compares a 4dp-ROUNDED signal against its threshold so knife-edge
+    docs classify identically in both engines; the report shuffles a
+    single 7-value row. Analogous reference surface: the eligibility
+    filters in front of every gmall DWS rollup (ads_uv_count's
+    is_new/total split) generalized to a rule table."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.gopher_report(docs)
+
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_K = 50
+_DSIR_B = 1024  # importance feature buckets (importance.DSIR_BUCKETS)
+_DSIR_BUCKET_SQL = "CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % " + str(_DSIR_B)
+
+
+@_register(
+    "ext_dsir_sample",
+    f"""
+    WITH tgt_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE source = '{DSIR_TARGET_SOURCE}'
+    ),
+    pool_tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE source <> '{DSIR_TARGET_SOURCE}'
+    ),
+    tb AS (
+        SELECT {_DSIR_BUCKET_SQL} AS bucket, count(*) AS tgt_cnt
+        FROM tgt_tok GROUP BY 1
+    ),
+    pb AS (
+        SELECT {_DSIR_BUCKET_SQL} AS bucket, count(*) AS src_cnt
+        FROM pool_tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT COALESCE(sum(tgt_cnt), 0) FROM tb) AS tt,
+               (SELECT COALESCE(sum(src_cnt), 0) FROM pb) AS st
+    ),
+    w AS (
+        SELECT bucket,
+               CAST(round((ln((COALESCE(tgt_cnt, 0) + 1) / (tt + {_DSIR_B}e0))
+                           - ln((COALESCE(src_cnt, 0) + 1) / (st + {_DSIR_B}e0)))
+                          * 1e6) AS BIGINT) AS w_micro
+        FROM tb FULL OUTER JOIN pb USING (bucket), tot
+    ),
+    pbk AS (
+        SELECT doc_id, {_DSIR_BUCKET_SQL} AS bucket FROM pool_tok
+    )
+    SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+    FROM pbk JOIN w USING (bucket)
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {DSIR_K}
+    """,
+    "DSIR importance resampling: hashed-unigram log-ratio selection vs a target set",
+)
+def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-conditioned data selection (operators/importance.py):
+    score every pool document by the summed log-ratio of hashed-
+    unigram likelihoods under the target ({DSIR_TARGET_SOURCE!r} docs)
+    vs the pool itself, take the top {DSIR_K}. The md5 bucket space is
+    the sampling family's engine-portable idiom; per-bucket weights
+    freeze to integer micro-nats BEFORE the per-doc sum, so document
+    scores are exact BIGINT arithmetic (shuffle-order-independent) and
+    the single ln per bucket is the only float op (the ext_token_pmi
+    discipline)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    pool = docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    weights = imp_ops.dsir_weights(target, pool)
+    return imp_ops.dsir_topk(pool, weights, k=DSIR_K)
+
+
+@_register(
+    "ext_dup_cluster_histogram",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT a, a FROM edges),
+    labels AS (SELECT a AS node, min(b) AS component FROM closure GROUP BY a),
+    sizes AS (SELECT component, count(*) AS size FROM labels GROUP BY 1),
+    hist AS (SELECT size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+    singles AS (
+        SELECT 1 AS size, count(*) AS n_clusters FROM d
+        WHERE doc_id NOT IN (SELECT node FROM labels)
+    )
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles) u
+    GROUP BY size HAVING sum(n_clusters) > 0
+    ORDER BY size
+    """,
+    "dedup audit: duplicate-cluster size histogram (singletons included)",
+)
+def ext_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page dedup summary (operators/components.py:
+    cluster_size_histogram): component sizes over the exact-Jaccard
+    pair graph, un-clustered docs counted as size-1 clusters.
+    Removable-row estimates read straight off it
+    (sum((size-1) x n_clusters)). Tiny aggs over the label frame plus
+    one anti-join; the oracle extends the components transitive
+    closure with the same two aggs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = comp_ops.connected_components(pairs)
+    return comp_ops.cluster_size_histogram(docs, labels)
+
+
+SEMANTIC_DECONTAM_EVAL_N = 10
+SEMANTIC_DECONTAM_THRESHOLD = 0.95
+
+
+@_register(
+    "ext_semantic_decontam",
+    f"""
+    WITH ev AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < {SEMANTIC_DECONTAM_EVAL_N}
+    ),
+    c AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id >= {SEMANTIC_DECONTAM_EVAL_N}
+    ),
+    s AS (
+        SELECT c.vec_id,
+               max(list_inner_product(v, e)
+                   / (sqrt(list_inner_product(v, v))
+                      * sqrt(list_inner_product(e, e)))) AS m
+        FROM c, ev GROUP BY 1
+    )
+    SELECT vec_id,
+           round(m, 4) AS max_eval_sim4,
+           CASE WHEN m >= {SEMANTIC_DECONTAM_THRESHOLD}e0 THEN 1 ELSE 0 END
+               AS contaminated
+    FROM s ORDER BY vec_id
+    """,
+    "embedding-space decontamination: max cosine vs a broadcast eval set",
+)
+def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic leakage flagging (operators/decontam.py:
+    semantic_decontam): the paraphrase-robust companion to the n-gram
+    decontam family — eval vectors broadcast, the corpus never
+    shuffles until the per-item max-sim agg (unique key, no skew).
+    Flag compares the UNROUNDED max similarity (house rule: filter
+    unrounded, round only display columns). The eval slice is the
+    first {SEMANTIC_DECONTAM_EVAL_N} vec_ids — benchmark-sized by
+    construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") < SEMANTIC_DECONTAM_EVAL_N)
+    corpus = emb.filter(F.col("vec_id") >= SEMANTIC_DECONTAM_EVAL_N)
+    return decon_ops.semantic_decontam(
+        corpus, evals, threshold=SEMANTIC_DECONTAM_THRESHOLD
+    ).orderBy("vec_id")
+
+
+@_register(
+    "ext_salted_skew_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           sum(CAST(floor(e.value * 100e0) AS BIGINT)) AS sum_cents,
+           count(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "skew-safe salted fact-dim join over pathological hot keys",
+)
+def ext_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key JOIN survival kit (operators/skew.py:salted_join),
+    companion to ext_salted_hot_key_agg: events.user_id holds ~15
+    distinct values over the whole fact table — at 100 TB a plain
+    shuffle join funnels each into one reduce task. The fact side
+    salts on xxhash64(event_id) % 16 (deterministic — retries and
+    replays re-bucket identically); the dim side replicates 16x
+    (dim << fact, the right trade); the join key becomes
+    (user_id, salt). The oracle is the plain join the salted plan
+    must reproduce exactly; aggregates ride as integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = skew_ops.salted_join(
+        ev, cust, "user_id", "c_custkey", salt=16, salt_on=["event_id"]
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("mktsegment")
+    )
