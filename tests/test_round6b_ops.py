@@ -1,0 +1,328 @@
+"""Round-6 second-wave operator tests: Gopher rule suite, DSIR
+importance resampling, dedup cluster-size histogram, semantic
+decontamination, and the salted skew join.
+
+These pin the operators the oracle entries (plans/extensions.py
+ext_gopher_report / ext_dsir_sample / ext_dup_cluster_histogram /
+ext_semantic_decontam / ext_salted_skew_join) are built from, against
+hand fixtures and independent Python models — the same discipline as
+tests/test_round6_ops.py."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
+from sparkstreaming_gmall_demo_spark.operators import decontam as decon_ops
+from sparkstreaming_gmall_demo_spark.operators import importance as imp_ops
+from sparkstreaming_gmall_demo_spark.operators import skew as skew_ops
+from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule suite
+# ---------------------------------------------------------------------------
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+# 25 tokens, mean token len (123-24)/25 = 3.96, stopword ratio 0.04
+GOOD_DOC = "the " + " ".join(f"w{i:03d}" for i in range(24))
+
+
+def test_gopher_rules_clean_doc_keeps(spark):
+    out = text_ops.gopher_rules(_doc_df(spark, [GOOD_DOC])).collect()[0]
+    fails = {k: v for k, v in out.asDict().items() if k.startswith("fail_")}
+    assert all(v == 0 for v in fails.values()), fails
+    assert out["keep"] is True
+
+
+def test_gopher_rules_short_doc_fails_only_token_count(spark):
+    out = text_ops.gopher_rules(_doc_df(spark, ["the cat"])).collect()[0]
+    assert out["fail_too_few_tokens"] == 1
+    assert out["fail_too_many_tokens"] == 0
+    # "the cat": mean token len (7-1)/2 = 3.0, inside [3.0, 5.2]
+    assert out["fail_mean_token_len_out_of_range"] == 0
+    assert out["keep"] is False
+
+
+def test_gopher_rules_repetitive_doc_fails_repetition_rules(spark):
+    text = "aa bb " * 15  # 30 tokens, 2 distinct, 1 distinct bigram... of 29
+    out = text_ops.gopher_rules(_doc_df(spark, [text.strip()])).collect()[0]
+    assert out["fail_high_repeated_bigrams"] == 1
+    assert out["fail_low_distinct_ratio"] == 1
+    assert out["keep"] is False
+
+
+def test_gopher_report_counts_match_rule_columns(spark):
+    df = _doc_df(spark, [GOOD_DOC, "the cat", ("aa bb " * 15).strip(), GOOD_DOC])
+    flagged = text_ops.gopher_rules(df)
+    rules = sorted(c for c in flagged.columns if c.startswith("fail_"))
+    expected = flagged.agg(
+        *[F.sum(r).alias(r) for r in rules],
+        F.sum(F.col("keep").cast("int")).alias("kept_docs"),
+    ).collect()[0]
+    report = {
+        r["rule"]: r["n_docs"] for r in text_ops.gopher_report(df).collect()
+    }
+    for r in rules:
+        assert report[r[5:]] == expected[r], r
+    assert report["kept_docs"] == expected["kept_docs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+def _py_bucket(token: str, buckets: int = imp_ops.DSIR_BUCKETS) -> int:
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _py_weights(tgt_texts, pool_texts, buckets=imp_ops.DSIR_BUCKETS):
+    """Independent model of dsir_weights: add-one-smoothed log ratio
+    per hashed bucket, frozen to integer micro-nats (HALF_UP, the
+    Spark F.round mode)."""
+    tgt, src = {}, {}
+    for t in tgt_texts:
+        for tok in t.split(" "):
+            tgt[_py_bucket(tok, buckets)] = tgt.get(_py_bucket(tok, buckets), 0) + 1
+    for t in pool_texts:
+        for tok in t.split(" "):
+            src[_py_bucket(tok, buckets)] = src.get(_py_bucket(tok, buckets), 0) + 1
+    tt, st = sum(tgt.values()), sum(src.values())
+    out = {}
+    for b in set(tgt) | set(src):
+        w = math.log((tgt.get(b, 0) + 1) / (tt + buckets)) - math.log(
+            (src.get(b, 0) + 1) / (st + buckets)
+        )
+        out[b] = int(
+            Decimal(w * 1e6).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+    return out
+
+
+TGT_TEXTS = ["alpha beta alpha", "beta gamma alpha"]
+# all pool docs the same length: DSIR scores are token sums, so
+# equal lengths isolate the vocabulary signal from a length confound
+POOL_TEXTS = [
+    "alpha beta gamma",
+    "delta epsilon zeta",
+    "alpha alpha alpha",
+    "eta theta iota",
+]
+
+
+def test_dsir_weights_match_python_model(spark):
+    tgt = _doc_df(spark, TGT_TEXTS)
+    pool = _doc_df(spark, POOL_TEXTS)
+    got = {
+        r["bucket"]: r["w_micro"]
+        for r in imp_ops.dsir_weights(tgt, pool).collect()
+    }
+    assert got == _py_weights(TGT_TEXTS, POOL_TEXTS)
+
+
+def test_dsir_scores_are_exact_weight_sums(spark):
+    tgt = _doc_df(spark, TGT_TEXTS)
+    pool = _doc_df(spark, POOL_TEXTS)
+    weights = imp_ops.dsir_weights(tgt, pool)
+    wmap = _py_weights(TGT_TEXTS, POOL_TEXTS)
+    expected = {
+        i: sum(wmap[_py_bucket(tok)] for tok in t.split(" "))
+        for i, t in enumerate(POOL_TEXTS)
+    }
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in imp_ops.dsir_scores(pool, weights).collect()
+    }
+    assert got == expected
+
+
+def test_dsir_topk_prefers_target_like_docs(spark):
+    # Pool docs 0 and 2 reuse the target's vocabulary; docs 1 and 3
+    # are junk the target never mentions — the target-like docs must
+    # outrank them.
+    tgt = _doc_df(spark, TGT_TEXTS)
+    pool = _doc_df(spark, POOL_TEXTS)
+    weights = imp_ops.dsir_weights(tgt, pool)
+    top2 = [
+        r["doc_id"] for r in imp_ops.dsir_topk(pool, weights, k=2).collect()
+    ]
+    assert set(top2) <= {0, 2}
+
+
+def test_dsir_scores_stable_under_repartition(spark):
+    tgt = _doc_df(spark, TGT_TEXTS)
+    pool = _doc_df(spark, POOL_TEXTS)
+    weights = imp_ops.dsir_weights(tgt, pool)
+    a = sorted(map(tuple, imp_ops.dsir_scores(pool, weights).collect()))
+    b = sorted(
+        map(
+            tuple,
+            imp_ops.dsir_scores(pool.repartition(7), weights).collect(),
+        )
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster-size histogram
+# ---------------------------------------------------------------------------
+def test_cluster_size_histogram_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(d,) for d in "abcdefg"], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "i string, j string"
+    )
+    labels = comp_ops.connected_components(pairs)
+    hist = {
+        r["size"]: r["n_clusters"]
+        for r in comp_ops.cluster_size_histogram(docs, labels).collect()
+    }
+    # {a,b,c} size-3, {d,e} size-2, f and g singletons
+    assert hist == {1: 2, 2: 1, 3: 1}
+
+
+def test_cluster_size_histogram_conserves_doc_count(spark):
+    docs = spark.createDataFrame([(d,) for d in "abcdef"], "doc_id string")
+    pairs = spark.createDataFrame([("a", "b")], "i string, j string")
+    labels = comp_ops.connected_components(pairs)
+    rows = comp_ops.cluster_size_histogram(docs, labels).collect()
+    assert sum(r["size"] * r["n_clusters"] for r in rows) == 6
+
+
+def test_cluster_size_histogram_no_pairs_all_singletons(spark):
+    docs = spark.createDataFrame([(d,) for d in "abc"], "doc_id string")
+    labels = comp_ops.connected_components(
+        spark.createDataFrame([], "i string, j string")
+    )
+    rows = comp_ops.cluster_size_histogram(docs, labels).collect()
+    assert [(r["size"], r["n_clusters"]) for r in rows] == [(1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+# ---------------------------------------------------------------------------
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_semantic_decontam_exact_match_flags(spark):
+    evals = _emb_df(spark, [(0, [1.0, 0.0])])
+    corpus = _emb_df(spark, [(10, [1.0, 0.0]), (11, [0.0, 1.0])])
+    got = {
+        r["vec_id"]: (r["max_eval_sim4"], r["contaminated"])
+        for r in decon_ops.semantic_decontam(corpus, evals, 0.95).collect()
+    }
+    assert got[10] == (1.0, 1)
+    assert got[11] == (0.0, 0)
+
+
+def test_semantic_decontam_flag_uses_unrounded_similarity(spark):
+    # cos = 0.94999 < 0.95 (not contaminated) but ROUNDS to 0.95 —
+    # the flag must come from the unrounded value (house rule:
+    # filter unrounded, round only display columns).
+    c = 0.94999
+    v = [c, math.sqrt(1.0 - c * c)]
+    evals = _emb_df(spark, [(0, [1.0, 0.0])])
+    corpus = _emb_df(spark, [(10, v)])
+    row = decon_ops.semantic_decontam(corpus, evals, 0.95).collect()[0]
+    assert row["max_eval_sim4"] == 0.95
+    assert row["contaminated"] == 0
+
+
+def test_semantic_decontam_takes_max_over_eval_set(spark):
+    evals = _emb_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    corpus = _emb_df(spark, [(10, [0.0, 0.99])])
+    row = decon_ops.semantic_decontam(corpus, evals, 0.95).collect()[0]
+    assert row["max_eval_sim4"] == 1.0  # nearest eval vector wins
+    assert row["contaminated"] == 1
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+def _fact_dim(spark):
+    # one pathologically hot key (0) plus normal keys, and a key (99)
+    # with no dim match to exercise the left-join null branch
+    fact = spark.createDataFrame(
+        [(i, i % 3 if i % 10 else 99, float(i)) for i in range(200)],
+        "event_id int, user_id int, value double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "seg-a"), (1, "seg-b"), (2, "seg-c")],
+        "c_custkey int, c_mktsegment string",
+    )
+    return fact, dim
+
+
+def test_salted_join_inner_equals_plain_join(spark):
+    fact, dim = _fact_dim(spark)
+    salted = skew_ops.salted_join(
+        fact, dim, "user_id", "c_custkey", salt=8, salt_on=["event_id"]
+    )
+    plain = fact.join(dim, fact["user_id"] == dim["c_custkey"])
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_preserves_unmatched_fact_rows(spark):
+    fact, dim = _fact_dim(spark)
+    salted = skew_ops.salted_join(
+        fact, dim, "user_id", "c_custkey", salt=8, salt_on=["event_id"], how="left"
+    )
+    plain = fact.join(dim, fact["user_id"] == dim["c_custkey"], "left")
+    assert sorted(
+        map(tuple, salted.collect()), key=str
+    ) == sorted(map(tuple, plain.collect()), key=str)
+    unmatched = salted.filter(F.col("c_custkey").isNull()).count()
+    assert unmatched == fact.filter(F.col("user_id") == 99).count() > 0
+
+
+def test_salted_join_deterministic_under_repartition(spark):
+    fact, dim = _fact_dim(spark)
+    a = sorted(
+        map(
+            tuple,
+            skew_ops.salted_join(
+                fact, dim, "user_id", "c_custkey", salt=8, salt_on=["event_id"]
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            skew_ops.salted_join(
+                fact.repartition(13),
+                dim,
+                "user_id",
+                "c_custkey",
+                salt=8,
+                salt_on=["event_id"],
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    fact, dim = _fact_dim(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        skew_ops.salted_join(fact, dim, "user_id", "c_custkey", how="full")
+
+
+def test_salted_join_plan_has_no_cartesian_and_salts_the_fact(spark):
+    fact, dim = _fact_dim(spark)
+    plan = skew_ops.salted_join(
+        fact, dim, "user_id", "c_custkey", salt=8, salt_on=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # deterministic fact-side salt survives
