@@ -149,3 +149,36 @@ def novel_against_index_bloom(
         how="left_anti",
     )
     return definitely_novel.unionByName(checked)
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SoftDeDup: keep every duplicate but DOWN-WEIGHT it by its
+    multiplicity — weight = 1 / dup_count, frozen to integer
+    micro-units (the sampling family's fixed-point discipline), so a
+    training loader that consumes the weights sees exact, engine-
+    portable integers. The published alternative to hard dropping
+    (He et al. 2024 "SoftDedup", ACL — public paper): common text
+    still contributes, just proportionally to its information content.
+
+    Shape at 100 TB: fingerprint map-side (32-char md5 digests, the
+    text never shuffles — operators/text.py:fingerprint), one shuffle
+    to count per digest, one digest-keyed join back. Effective corpus
+    size = sum(weight_micro) / 1e6 falls out of a single agg.
+
+    Returns (id_col, dup_count, weight_micro).
+    """
+    from .text import fingerprint
+
+    fp = fingerprint(df.select(id_col, text_col), text_col).select(
+        id_col, "fingerprint"
+    )
+    counts = fp.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("dup_count")
+    )
+    return fp.join(counts, "fingerprint").select(
+        F.col(id_col),
+        F.col("dup_count"),
+        F.round(F.lit(1e6) / F.col("dup_count")).cast("long").alias("weight_micro"),
+    )

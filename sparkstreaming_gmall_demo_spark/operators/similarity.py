@@ -887,3 +887,80 @@ def sq8_index_topk(
         F.round(cosine_expr("dv", "q_vec"), 4).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal)
+# ---------------------------------------------------------------------------
+def _d2_expr(vec_col: str, center: list[float]):
+    """Squared euclidean distance to a literal center, decomposed as
+    ip(v,v) - 2*ip(v,c) + ip(c,c) with every inner product the
+    module's sequential DOT — the SAME algebraic form the DuckDB
+    oracle states with list_inner_product, so the doubles agree
+    bit-for-bit (the proven cosine-parity idiom)."""
+    c = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in center) + ")"
+    ip_vv = DOT.format(a=vec_col, b=vec_col)
+    ip_vc = DOT.format(a=vec_col, b=c)
+    ip_cc = sum(x * x for x in center)
+    return F.expr(f"{ip_vv} - 2 * ({ip_vc}) + CAST({ip_cc!r} AS DOUBLE)")
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: seed with
+    the minimum id, then k-1 times pick the point FARTHEST from its
+    nearest already-selected center (squared euclidean; ties -> min
+    id). The classic 2-approximation to the k-center objective
+    (Gonzalez 1985, public) and the standard diversity-selection /
+    coreset recipe for training-data curation: the selected rows
+    maximally cover the embedding space, the opposite bias of
+    semantic dedup's cluster-collapse.
+
+    Scale shape: k bounded and small by construction (a coreset IS a
+    small set), so this is k-1 narrow map passes — each row evaluates
+    at most k-1 literal-center distances fused into the scan by
+    codegen — plus a top-1 TakeOrdered per round (no global sort
+    materialization, nothing shuffles but one row). The selected
+    centers ride as broadcast literals (the semantic-dedup codebook
+    discipline). For k beyond a few hundred, switch to the sampled
+    variant (gmm++ style over a uniform pre-sample) — same plumbing.
+
+    Returns (sel_order, id_col, d2) where d2 is the 4dp-rounded
+    squared distance at selection time (0.0 for the seed).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = embeddings.count()
+    if n < k:
+        raise ValueError(f"kcenter_coreset: k={k} exceeds {n} input rows")
+    seed = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(1)
+        .collect()
+    )
+    selected = [(1, seed[0][0], 0.0)]
+    centers = [[float(x) for x in seed[0][1]]]
+    base = embeddings.select(id_col, vec_col)
+    for r in range(2, k + 1):
+        dmin = F.least(*[_d2_expr(vec_col, c) for c in centers]) if len(centers) > 1 else _d2_expr(vec_col, centers[0])
+        far = (
+            base.select(id_col, vec_col, dmin.alias("d2"))
+            # order on the UNROUNDED distance (the oracle does too);
+            # round only the displayed value, in Spark (HALF_UP)
+            .orderBy(F.desc("d2"), F.asc(id_col))
+            .limit(1)
+            .select(id_col, vec_col, F.round("d2", 4).alias("d24"))
+            .collect()[0]
+        )
+        selected.append((r, far[0], far[2]))
+        centers.append([float(x) for x in far[1]])
+    spark = embeddings.sparkSession
+    id_type = dict(embeddings.dtypes)[id_col]
+    return spark.createDataFrame(
+        selected, f"sel_order int, {id_col} {id_type}, d2 double"
+    ).orderBy("sel_order")

@@ -451,3 +451,32 @@ def bigram_surprisal(
         F.count("*").cast("long").alias("n_bigrams"),
         F.avg("s").alias("surprisal"),
     )
+
+
+def surprisal_buckets(
+    scored: DataFrame, n_buckets: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity banding (Wenzek et al. 2020, public
+    paper): split the corpus into equal-frequency quality bands —
+    head / middle / tail for ``n_buckets=3`` — by per-document LM
+    surprisal (:func:`unigram_surprisal` output). Band 1 is the most
+    in-distribution (lowest surprisal) slice; curation recipes keep
+    head+middle and route tail to extra filtering.
+
+    ntile over (4dp-rounded surprisal, id) — the q23 decile
+    discipline: round first so knife-edge docs band identically in
+    both engines, break ties on the PK so rank parity is exact. At
+    fact scale swap the global ntile for approx_percentile cutoffs
+    (mergeable t-digest, map-side) and band by threshold — exact
+    equal-frequency rank parity is a fixture-scale affordance
+    (plans/registry.py q23 carries the same note).
+
+    Returns (id_col, surprisal4, bucket).
+    """
+    s4 = F.round("surprisal", 4)
+    w = Window.orderBy(s4.asc(), F.col(id_col).asc())
+    return scored.select(
+        F.col(id_col),
+        s4.alias("surprisal4"),
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )

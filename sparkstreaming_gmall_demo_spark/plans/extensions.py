@@ -4152,3 +4152,151 @@ def ext_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (third wave): SoftDeDup weights, CCNet perplexity
+# bands, greedy k-center coreset
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_soft_dedup_weights",
+    """
+    WITH fp AS (SELECT doc_id, md5(lower(text)) AS f FROM documents),
+    c AS (SELECT f, CAST(count(*) AS BIGINT) AS dup_count FROM fp GROUP BY f)
+    SELECT doc_id, dup_count,
+           CAST(round(1e6 / dup_count) AS BIGINT) AS weight_micro
+    FROM fp JOIN c USING (f)
+    ORDER BY doc_id
+    """,
+    "SoftDeDup: per-document 1/dup_count training weights, integer micro-units",
+)
+def ext_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate DOWN-WEIGHTING instead of dropping (operators/
+    dedup.py:soft_dedup_weights): every document keeps a training
+    weight 1/dup_count frozen to integer micro-units, so common text
+    still contributes proportionally — the soft companion to
+    ext_fingerprint_dedup's hard keep-one. Digests shuffle, text never
+    does; the weight table is exact BIGINT end to end (the fixed-point
+    discipline every ratio-bearing entry follows after the
+    ext_length_buckets render lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.soft_dedup_weights(docs).orderBy("doc_id")
+
+
+PPL_BANDS = 3
+
+
+@_register(
+    "ext_perplexity_bands",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {VOCAB_TOP_N}
+    ),
+    corpus AS (
+        SELECT count(*) AS total, (SELECT count(*) FROM vocab) AS v FROM toks
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               -ln((coalesce(w.cnt, 0) + 1e0) / (c.total + c.v + 1e0)) AS s
+        FROM toks t LEFT JOIN vocab w ON t.token = w.token, corpus c
+    ),
+    per_doc AS (
+        SELECT doc_id, avg(s) AS surprisal FROM scored GROUP BY 1
+    )
+    SELECT doc_id, round(surprisal, 4) AS surprisal4,
+           CAST(ntile({PPL_BANDS}) OVER (ORDER BY round(surprisal, 4), doc_id)
+                AS INTEGER) AS bucket
+    FROM per_doc ORDER BY doc_id
+    """,
+    "CCNet-style head/middle/tail perplexity bands under the corpus LM",
+)
+def ext_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet quality-banding recipe (Wenzek et al. 2020):
+    equal-frequency surprisal terciles per document under the corpus
+    unigram LM (operators/vocab.py:surprisal_buckets over
+    unigram_surprisal). Band 1 = head (most in-distribution), the
+    last band = tail. ntile ranks on the 4dp-ROUNDED surprisal with
+    the PK tiebreak (the q23 decile discipline) so knife-edge docs
+    band identically in both engines; at fact scale the operator
+    docstring's approx_percentile-threshold variant replaces the
+    global ntile."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = vocab_ops.vocab_build(docs, top_n=VOCAB_TOP_N)
+    total = (
+        vocab_ops.corpus_tokens(docs.select("text"))
+        .agg(F.count("*").alias("n"))
+        .collect()[0][0]
+    )
+    scored = vocab_ops.unigram_surprisal(
+        docs, voc, total_tokens=total, vocab_size=voc.count()
+    )
+    return vocab_ops.surprisal_buckets(scored, n_buckets=PPL_BANDS).orderBy(
+        "doc_id"
+    )
+
+
+KCENTER_K = 8
+_KC_D = (
+    "(list_inner_product({x}.v, {x}.v) - 2 * list_inner_product({x}.v, c.v)"
+    " + list_inner_product(c.v, c.v))"
+)
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled k-round farthest-point CTE chain (the BPE unrolled-
+    merge-oracle mechanism): round r argmaxes the least-distance
+    column maintained incrementally via least(m.d, d_to_new_center).
+    Distances state the SAME ip(v,v) - 2*ip(v,c) + ip(c,c)
+    decomposition the Spark kernel evaluates, so the doubles agree
+    bit-for-bit and the unrounded ORDER BY picks identical rows."""
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        if r == 2:
+            d = _KC_D.format(x="e")
+            ctes.append(f"m1 AS (SELECT e.vec_id, e.v, {d} AS d FROM e, c1 c)")
+        else:
+            d = _KC_D.format(x="m")
+            ctes.append(
+                f"m{r - 1} AS (SELECT m.vec_id, m.v, least(m.d, {d}) AS d"
+                f" FROM m{r - 2} m, c{r - 1} c)"
+            )
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, v, d FROM m{r - 1}"
+            " ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+    sel = ["SELECT CAST(1 AS INTEGER) AS sel_order, vec_id, 0e0 AS d2 FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"SELECT CAST({r} AS INTEGER), vec_id, round(d, 4) FROM c{r}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(sel)
+        + "\nORDER BY sel_order"
+    )
+
+
+@_register(
+    "ext_kcenter_coreset",
+    _kcenter_oracle(KCENTER_K),
+    "greedy k-center coreset: farthest-point diversity selection over embeddings",
+)
+def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-maximizing selection (operators/similarity.py:
+    kcenter_coreset): Gonzalez farthest-point traversal, the standard
+    coreset recipe — the coverage-bias complement to semantic dedup's
+    cluster collapse. k-1 narrow map passes with literal broadcast
+    centers + a top-1 TakeOrdered each; nothing but single rows ever
+    shuffle. The oracle unrolls the same greedy rounds as a CTE chain
+    with bit-identical double arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.kcenter_coreset(emb, k=KCENTER_K)

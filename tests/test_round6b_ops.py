@@ -326,3 +326,131 @@ def test_salted_join_plan_has_no_cartesian_and_salts_the_fact(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "xxhash64" in plan  # deterministic fact-side salt survives
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup weights
+# ---------------------------------------------------------------------------
+def test_soft_dedup_weights_hand_case(spark):
+    from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "p q")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_count"], r["weight_micro"])
+        for r in dedup_ops.soft_dedup_weights(df).collect()
+    }
+    assert got[0] == got[1] == got[2] == (3, 333333)
+    assert got[3] == (1, 1000000)
+    assert got[4] == (1, 1000000)
+
+
+def test_soft_dedup_weights_normalization_is_case_insensitive(spark):
+    from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(0, "Hello World"), (1, "hello world")], "doc_id int, text string"
+    )
+    rows = dedup_ops.soft_dedup_weights(df).collect()
+    assert all(r["dup_count"] == 2 and r["weight_micro"] == 500000 for r in rows)
+
+
+def test_soft_dedup_effective_size_conserved(spark):
+    """sum of weights over a cluster is exactly ~1e6 per distinct doc
+    (up to the fixed-point rounding of 1e6/dup_count)."""
+    from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(4)] + [(99, "other")],
+        "doc_id int, text string",
+    )
+    total = (
+        dedup_ops.soft_dedup_weights(df)
+        .agg(F.sum("weight_micro").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == 4 * 250000 + 1000000
+
+
+# ---------------------------------------------------------------------------
+# surprisal buckets
+# ---------------------------------------------------------------------------
+def test_surprisal_buckets_equal_frequency_and_order(spark):
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
+
+    scored = spark.createDataFrame(
+        [(i, 10, float(i)) for i in range(9)],
+        "doc_id int, n_tokens long, surprisal double",
+    )
+    rows = vocab_ops.surprisal_buckets(scored, n_buckets=3).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in rows}
+    assert buckets == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 3}
+
+
+def test_surprisal_buckets_ties_break_on_doc_id(spark):
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
+
+    scored = spark.createDataFrame(
+        [(i, 1, 1.0) for i in range(4)],
+        "doc_id int, n_tokens long, surprisal double",
+    )
+    rows = vocab_ops.surprisal_buckets(scored, n_buckets=2).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in rows}
+    assert buckets == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+def test_kcenter_hand_case_selects_farthest_points_in_order(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
+
+    emb = _emb_df(
+        spark,
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 0.0]),
+            (2, [0.0, 6.0]),
+            (3, [1.0, 1.0]),
+        ],
+    )
+    rows = sim_ops.kcenter_coreset(emb, k=4).collect()
+    assert [(r["sel_order"], r["vec_id"]) for r in rows] == [
+        (1, 0),  # seed: min id
+        (2, 1),  # farthest from seed: d2 = 100
+        (3, 2),  # then min(36, 136) = 36 beats min(2, 82) = 2
+        (4, 3),
+    ]
+    assert [r["d2"] for r in rows] == [0.0, 100.0, 36.0, 2.0]
+
+
+def test_kcenter_k1_returns_seed_only(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
+
+    emb = _emb_df(spark, [(5, [1.0, 2.0]), (3, [0.0, 0.0])])
+    rows = sim_ops.kcenter_coreset(emb, k=1).collect()
+    assert [(r["sel_order"], r["vec_id"], r["d2"]) for r in rows] == [(1, 3, 0.0)]
+
+
+def test_kcenter_rejects_k_above_row_count(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
+
+    emb = _emb_df(spark, [(0, [0.0, 1.0])])
+    with pytest.raises(ValueError, match="exceeds"):
+        sim_ops.kcenter_coreset(emb, k=2)
+
+
+def test_kcenter_stable_under_repartition(spark):
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
+
+    emb = _emb_df(
+        spark, [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(30)]
+    )
+    a = [tuple(r) for r in sim_ops.kcenter_coreset(emb, k=5).collect()]
+    b = [
+        tuple(r)
+        for r in sim_ops.kcenter_coreset(emb.repartition(11), k=5).collect()
+    ]
+    assert a == b
