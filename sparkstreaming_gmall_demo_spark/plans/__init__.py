@@ -23,9 +23,13 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #   - the 9 entries whose latest driver-green row is r3;
 #   - the first 25 (name order, deterministic) of the 42 whose latest
 #     green row is r4 — the remaining 17 are the r7 rotation queue,
-#     together with the entries added after this window froze
-#     (ext_dupspan_scrub, ext_sq8_topk, ext_salted_hot_key_agg —
-#     oracle-green in pytest at both SFs; seat them first in r7).
+#     together with the 11 entries added after this window froze
+#     (ext_dupspan_scrub, ext_sq8_topk, ext_salted_hot_key_agg,
+#     ext_gopher_report, ext_dsir_sample, ext_dup_cluster_histogram,
+#     ext_semantic_decontam, ext_salted_skew_join,
+#     ext_soft_dedup_weights, ext_perplexity_bands,
+#     ext_kcenter_coreset — all oracle-green in pytest at both SFs;
+#     seat them first in r7).
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
 # pytest run, so nothing is unchecked — the cap only decides who gets

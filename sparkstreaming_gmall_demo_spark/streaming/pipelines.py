@@ -1311,3 +1311,55 @@ def neardup_gate_pipeline(
             admit.unpersist()
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def dsir_gate_pipeline(
+    docs: DataFrame,
+    weights: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold_micro: int = 0,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Importance-score each arriving document against a FROZEN DSIR
+    weight table as it is ingested — the streaming form of
+    ext_dsir_sample's selection step: train the hashed-unigram weights
+    offline once (operators/importance.py:dsir_weights), then gate the
+    continuous feed on them.
+
+    Stream-static shape (the decontamination_pipeline discipline): the
+    weight table is bounded at B rows BY CONSTRUCTION, broadcast into
+    every micro-batch, and scores are per-document — so the gate needs
+    NO streaming state, streaming output ≡ batch dsir_scores on the
+    same rows by construction, and the doc_id-keyed idempotent sink
+    makes replays no-ops. Documents whose every token hashes to an
+    unseen bucket (impossible against a weight table trained on any
+    real pool, but reachable on a cold start) score 0 rather than
+    vanishing. ``admitted`` is a FLAG, not a filter — routing is the
+    consumer's policy decision, the gate only scores (the decontam
+    convention); scores are exact BIGINT micro-nats, so the flag is
+    engine- and replay-stable."""
+    from ..operators import importance as imp_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scores = imp_ops.dsir_scores(batch_df, weights)
+        flagged = (
+            batch_df.select("doc_id")
+            .join(scores, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("score_micro", F.lit(0)).cast("long").alias(
+                    "score_micro"
+                ),
+            )
+            .withColumn(
+                "admitted",
+                (F.col("score_micro") >= F.lit(threshold_micro)).cast("int"),
+            )
+        )
+        idempotent_append(
+            flagged, out_path, key_cols=["doc_id"], partition_cols=None,
+            batch_id=batch_id,
+        )
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

@@ -1067,3 +1067,61 @@ def test_deterministic_sample_is_stream_batch_identical(spark, sf_dir, tmp_path)
     q.awaitTermination()
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR gate: stream-static importance scoring ≡ batch
+# ---------------------------------------------------------------------------
+def test_dsir_gate_streaming_equals_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """Documents replayed in 3 chunks through the stream-static DSIR
+    gate produce exactly the batch dsir_scores rows (plus the
+    threshold flag) — per-doc scoring against a frozen weight table
+    needs no cross-batch state, and a second full replay is a no-op
+    through the keyed sink."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import importance as imp_ops
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    # freeze the weights once, offline — the gate never retrains
+    weights = imp_ops.dsir_weights(target, pool).cache()
+    batch_scores = {
+        r.doc_id: r.score_micro
+        for r in imp_ops.dsir_scores(pool, weights).collect()
+    }
+    threshold = sorted(batch_scores.values())[len(batch_scores) // 2]
+
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    step = (table.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for _ in range(2):  # second pass replays all files -> sink no-ops
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+            .filter(F.col("source") != "src0")
+        )
+        q = pipelines.dsir_gate_pipeline(
+            stream, weights, out, ckpt, threshold_micro=threshold,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.score_micro, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        d: (s, int(s >= threshold)) for d, s in batch_scores.items()
+    }
+    assert got == want
+    weights.unpersist()
