@@ -306,3 +306,44 @@ def test_salted_agg_plan_spreads_hot_keys(spark):
     assert any("__salt" in p[:80] for p in parts), "no salted exchange"
     # phase 2 must re-group on the bare key (combine-of-partials)
     assert "Keys [1]: [event_type" in plan, "no bare-key combine stage"
+
+
+def test_salted_join_plan_spreads_and_replicates(spark):
+    """ext_salted_skew_join must shuffle/probe on the salted compound
+    key (deterministic xxhash64 fact salt) and replicate the dim via
+    explode — never a plain single-key shuffle join of the hot fact."""
+    plan = plan_of(spark, "ext_salted_skew_join")
+    assert "xxhash64" in plan, "fact-side deterministic salt missing"
+    assert "explode" in plan, "dim-side salt replication missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_join_broadcasts(spark):
+    """ext_dsir_sample's scoring join (exploded tokens x B-row weight
+    table) must broadcast the weights — a shuffle join here would
+    repartition the whole token stream by bucket for a 1024-row
+    table."""
+    plan = plan_of(spark, "ext_dsir_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_report_is_join_free_single_agg(spark):
+    """ext_gopher_report is a map-only rule pass + one constant-size
+    global aggregate: no join may appear, and the only exchange is the
+    single-row partial-agg combine."""
+    plan = plan_of(spark, "ext_gopher_report")
+    assert "Join" not in plan
+    import re
+
+    # formatted explain prints each node twice (tree + details): the
+    # "(<id>) Exchange" detail headers count nodes once. Allowed: the
+    # declared fixture-spread repartition + the singleton agg combine.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_semantic_decontam_corpus_never_shuffles_before_agg(spark):
+    """ext_semantic_decontam: the eval side rides a broadcast; the
+    only hash exchange is the per-item max-sim aggregation key."""
+    plan = plan_of(spark, "ext_semantic_decontam")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
