@@ -32,6 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; omitted entries get the
-    driver's weaker rows-only check."""
+    """DuckDB-runnable ANSI SQL per query. Every registry entry is
+    oracle-paired (an omitted oracle records an `err: no_oracle` row
+    in the driver's CORRECTNESS artifact, not a weaker check — the
+    r05 BPE lesson), so this returns one SQL string per entry."""
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
