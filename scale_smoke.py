@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkstreaming_gmall_demo_spark.operators import importance as imp_ops
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
 from sparkstreaming_gmall_demo_spark.operators import retrieval as retr_ops
@@ -183,6 +184,17 @@ def main() -> None:
                 {"train": 0.8, "val": 0.1, "test": 0.1},
                 score_col="n_chars",
             )
+        ), r)
+        # DSIR importance scoring: two corpus token passes collapsed
+        # to B-row count tables + a broadcast-weight rejoin. The
+        # feature space is FIXED at B buckets, so at 10x only the
+        # narrow token scans and the (doc_id, sum) combine grow —
+        # a linear plan should land ~10x.
+        tgt = dc.filter(F.col("source") == "src0")
+        pool = dc.filter(F.col("source") != "src0")
+        timed("dsir_score", lambda: (
+            imp_ops.dsir_scores(pool, imp_ops.dsir_weights(tgt, pool))
+            .agg(F.count("*").alias("n"), F.sum("score_micro").alias("s"))
         ), r)
         runs[tag] = r
 
