@@ -480,3 +480,44 @@ def surprisal_buckets(
         s4.alias("surprisal4"),
         F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-health metric: per-language out-of-vocabulary rate
+    under a bounded vocabulary — the first thing a tokenizer/corpus
+    pairing is judged on (a language whose tokens mostly fall outside
+    the vocab trains as byte soup). Returns
+    (lang, n_tokens, oov_tokens, oov_bp) with the rate frozen to
+    integer basis points (the q10 per-mille discipline — no float
+    rides the contract).
+
+    One narrow token explode + a BROADCAST left join against the
+    bounded vocab + one (lang)-keyed agg with map-side combine: text
+    never shuffles, the only wide exchange carries (lang, partials).
+    """
+    toks = corpus_tokens(df.select(lang_col, text_col), text_col)
+    probed = toks.join(
+        F.broadcast(vocab.select("token", "cnt")), "token", "left"
+    )
+    return (
+        probed.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt").isNull().cast("int")).cast("long").alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") * 10000.0 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_bp"),
+        )
+    )

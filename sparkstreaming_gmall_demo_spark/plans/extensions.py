@@ -30,6 +30,7 @@ from ..operators import dedup as dedup_ops
 from ..operators import diff as diff_ops
 from ..operators import graph as graph_ops
 from ..operators import importance as imp_ops
+from ..operators import mining as mine_ops
 from ..operators import multimodal as mm_ops
 from ..operators import neardup as nd_ops
 from ..operators import rangejoin as rj_ops
@@ -4300,3 +4301,100 @@ def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit-identical double arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.kcenter_coreset(emb, k=KCENTER_K)
+
+
+@_register(
+    "ext_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {VOCAB_TOP_N}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / count(*)) AS BIGINT) AS oov_bp
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+    "tokenizer health: per-language OOV rate under the bounded vocab, basis points",
+)
+def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary rate under the corpus top-N
+    vocabulary (operators/vocab.py:oov_rate) — the tokenizer-health
+    companion to ext_unigram_surprisal: a language whose tokens
+    mostly miss the vocab trains as byte soup, so curation rebalances
+    or widens the vocab before training. Narrow explode + broadcast
+    vocab probe + one (lang)-keyed combine; the rate ships as integer
+    basis points (no float on the contract)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    voc = vocab_ops.vocab_build(docs, top_n=VOCAB_TOP_N)
+    return vocab_ops.oov_rate(docs, voc).orderBy("lang")
+
+
+CONTRASTIVE_SEED = "cp1"
+
+
+@_register(
+    "ext_contrastive_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (SELECT i AS anchor, j AS positive FROM p
+            UNION ALL SELECT j, i FROM p),
+    ring AS (
+        SELECT doc_id AS anchor,
+               md5(concat('{CONTRASTIVE_SEED}', '|',
+                          CAST(doc_id AS VARCHAR))) AS h
+        FROM d
+    ),
+    rb AS (SELECT anchor, h, substr(h, 1, 1) AS b FROM ring),
+    neg AS (
+        SELECT anchor,
+               COALESCE(lead(anchor) OVER (PARTITION BY b ORDER BY h),
+                        first_value(anchor) OVER (
+                            PARTITION BY b ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)) AS negative
+        FROM rb
+    ),
+    negf AS (SELECT anchor, negative FROM neg WHERE negative <> anchor)
+    SELECT s.anchor, s.positive, n.negative
+    FROM sym s JOIN negf n USING (anchor)
+    WHERE NOT EXISTS (SELECT 1 FROM sym s2
+                      WHERE s2.anchor = s.anchor AND s2.positive = n.negative)
+    ORDER BY anchor, positive
+    """,
+    "contrastive triplet mining: near-dup positives + deterministic ring negatives",
+)
+def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) training triplets for embedding
+    models (operators/mining.py:contrastive_pairs): positives from
+    the near-dup pair graph (exact Jaccard here — the oracle kernel;
+    MinHash at corpus scale, the documented swap), negatives from the
+    salted-md5 ring (16 independent per-bucket windows — no global
+    sort, no candidate join, no RNG state), with ring negatives that
+    collide with a true near-dup dropped by one anti-join. The DPR /
+    SimCSE bootstrap recipe as a declared, oracle-checked entry."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return mine_ops.contrastive_pairs(docs, pairs, seed=CONTRASTIVE_SEED).orderBy(
+        "anchor", "positive"
+    )
