@@ -5,36 +5,39 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # registry entries (round-1 finding). Dict order therefore IS the
 # driver-visibility order.
 #
-# Round-6 rotation (per VERDICT r5 items 1-3): clear every entry
+# Round-6 rotation (per VERDICT r5 items 1-3): clear EVERY entry
 # without a driver-green row, then rotate by staleness:
 #   - 8 core sentinels — the flagship family spanning dedup-count,
 #     decimal money, the 3-way join, the windowed alert, scored
 #     search, both sessionization variants, and banded ratios —
 #     so a cross-cutting regression still trips a driver row;
-#   - the 8 entries with NO driver-green row: the 3 r05 reds, fixed
+#   - ALL 21 entries with NO driver-green row: the 3 r05 reds, fixed
 #     this round (ext_length_buckets -> integer pad_bp on both sides;
 #     ext_bpe_train/ext_bpe_encode -> unrolled chained-CTE merge
 #     oracles), the 3 registered after the r05 window froze
 #     (ext_keep_best_dedup, ext_containment_pairs, ext_bm25_indexed),
-#     and the two new r6 entries — ext_containment_pairs_filtered
+#     the two VERDICT-item entries — ext_containment_pairs_filtered
 #     (the ppjoin-style scale kernel promoted to a declared entry,
-#     VERDICT item 7) and ext_curation_bundle (the pair-graph-reuse
-#     composition, VERDICT item 6);
-#   - the 9 entries whose latest driver-green row is r3;
-#   - the first 25 (name order, deterministic) of the 42 whose latest
-#     green row is r4 — the remaining 17 are the r7 rotation queue,
-#     together with the 11 entries added after this window froze
+#     item 7) and ext_curation_bundle (the pair-graph-reuse
+#     composition, item 6) — and the 13 second-wave r6 additions
 #     (ext_dupspan_scrub, ext_sq8_topk, ext_salted_hot_key_agg,
 #     ext_gopher_report, ext_dsir_sample, ext_dup_cluster_histogram,
 #     ext_semantic_decontam, ext_salted_skew_join,
 #     ext_soft_dedup_weights, ext_perplexity_bands,
-#     ext_kcenter_coreset — all oracle-green in pytest at both SFs;
-#     seat them first in r7).
+#     ext_kcenter_coreset, ext_contrastive_pairs, ext_oov_rate —
+#     all oracle-green in pytest at both SFs before seating);
+#   - the 9 entries whose latest driver-green row is r3;
+#   - the first 12 (name order, deterministic) of the 42 whose latest
+#     green row is r4 — the remaining 30 r4-green entries (all q-row
+#     core queries plus the tail of the ext_ alphabet, each with two
+#     prior green rows) are the r7 rotation queue together with any
+#     entries registered after this window froze.
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
 # pytest run, so nothing is unchecked — the cap only decides who gets
 # a driver CORRECTNESS row this round. A green r6 run makes the
-# cross-round ledger read 106/106 entries with >= 1 driver-green row.
+# cross-round ledger read: every pre-wave-3 entry has >= 1
+# driver-green row.
 _CORE_SENTINELS = [
     "q1_dau_total",
     "q3_gmv_total",
@@ -52,9 +55,22 @@ _NEVER_DRIVER_CHECKED = [
     "ext_bpe_train",
     "ext_containment_pairs",
     "ext_containment_pairs_filtered",
+    "ext_contrastive_pairs",
     "ext_curation_bundle",
+    "ext_dsir_sample",
+    "ext_dup_cluster_histogram",
+    "ext_dupspan_scrub",
+    "ext_gopher_report",
+    "ext_kcenter_coreset",
     "ext_keep_best_dedup",
     "ext_length_buckets",
+    "ext_oov_rate",
+    "ext_perplexity_bands",
+    "ext_salted_hot_key_agg",
+    "ext_salted_skew_join",
+    "ext_semantic_decontam",
+    "ext_soft_dedup_weights",
+    "ext_sq8_topk",
 ]
 
 _STALEST = [
@@ -68,8 +84,9 @@ _STALEST = [
     "ext_rolling_fingerprint",
     "ext_table_profile",
     "ext_token_stats",
-    # latest driver-green row is r4 (first 25 in name order; the
-    # remaining 17 — q25..q9_keyword_search — rotate in r7)
+    # latest driver-green row is r4 (first 12 in name order; the
+    # remaining 30 — q11..q9_keyword_search and the ext_ tail —
+    # rotate in r7)
     "ext_contamination_report",
     "ext_corpus_mix",
     "ext_decontam_scrub",
@@ -82,19 +99,6 @@ _STALEST = [
     "ext_scd2_history",
     "ext_vocab_build",
     "ext_weighted_sample",
-    "q11_pagination",
-    "q12_alert_dedup_keys",
-    "q13_props_map_agg",
-    "q14_star_join_rollup",
-    "q15_rollup_hourly",
-    "q16_brand_revenue",
-    "q17_asof_prev_order",
-    "q18_running_gmv",
-    "q19_semi_anti_segments",
-    "q21_set_ops",
-    "q22_pivot_hourly_types",
-    "q23_balance_deciles",
-    "q24_corpus_cube",
 ]
 
 _DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST
