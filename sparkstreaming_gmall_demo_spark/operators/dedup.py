@@ -182,3 +182,114 @@ def soft_dedup_weights(
         F.col("dup_count"),
         F.round(F.lit(1e6) / F.col("dup_count")).cast("long").alias("weight_micro"),
     )
+
+
+def source_dedup_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source duplication audit: for every ingest source, how much
+    of it is internally duplicated and how much of its content also
+    appears under OTHER sources (mirrors, syndicated pages, re-crawled
+    dumps — the first question a web-corpus curator asks before
+    setting per-source mix weights; the source axis is the reference's
+    per-channel monitoring counts, streaming/sinks.py:301, turned into
+    a content-identity audit).
+
+    Returns one row per source:
+      n_docs        rows ingested from the source
+      n_unique      distinct content fingerprints within the source
+      dup_bp        internal duplication in integer basis points,
+                    round((n_docs - n_unique) * 10000 / n_docs)
+      cross_src_fps distinct fingerprints of this source that also
+                    occur under at least one other source
+
+    Shape at 100 TB: the text is digested map-side (md5, 32 chars) and
+    never shuffles; one (source, fingerprint) hash aggregate feeds the
+    per-source rollup, and the cross-source count reuses the SAME
+    per-(source, fingerprint) frame — fingerprint-keyed combine to
+    count sources per digest, then a digest-keyed join back. Both
+    shuffles carry digests, both benefit from map-side partial
+    aggregation; no step is quadratic in sources or documents.
+    """
+    from .text import fingerprint
+
+    fp = fingerprint(df.select(source_col, text_col), text_col).select(
+        source_col, "fingerprint"
+    )
+    per_src_fp = fp.groupBy(source_col, "fingerprint").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    src_counts = per_src_fp.groupBy(source_col).agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+    )
+    fp_sources = per_src_fp.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_sources")
+    )
+    cross = (
+        per_src_fp.join(fp_sources, "fingerprint")
+        .filter(F.col("n_sources") >= 2)
+        .groupBy(source_col)
+        .agg(F.count("*").cast("long").alias("cross_src_fps"))
+    )
+    return (
+        src_counts.join(cross, source_col, "left")
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) * F.lit(10000.0) / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("dup_bp"),
+            F.coalesce(F.col("cross_src_fps"), F.lit(0)).cast("long").alias("cross_src_fps"),
+        )
+    )
+
+
+def normalization_dedup_report(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Normalization-aware dedup delta: how many EXTRA duplicates a
+    canonicalizing normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) exposes beyond the raw lower(text)
+    fingerprint — the standard pre-dedup text canonicalization
+    (C4/CCNet-style) quantified per language, so a curator can see
+    which slices are full of trivially-reformatted copies before
+    choosing the fingerprint key.
+
+    Returns per language: n_docs, uniq_raw, uniq_norm,
+    norm_extra_dups = uniq_raw - uniq_norm (documents that are
+    distinct as raw bytes but identical after canonicalization).
+
+    Shape at 100 TB: both digests are computed map-side in the same
+    scan projection (the text itself never shuffles) and feed one
+    (lang)-keyed hash aggregate with map-side partials; the
+    normalization is pure JVM string expressions inside whole-stage
+    codegen.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    digests = df.select(
+        F.col(lang_col),
+        F.md5(F.lower(F.col(text_col))).alias("fp_raw"),
+        F.md5(norm).alias("fp_norm"),
+    )
+    return digests.groupBy(lang_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("fp_raw").alias("uniq_raw"),
+        F.count_distinct("fp_norm").alias("uniq_norm"),
+        (F.count_distinct("fp_raw") - F.count_distinct("fp_norm"))
+        .cast("long")
+        .alias("norm_extra_dups"),
+    )

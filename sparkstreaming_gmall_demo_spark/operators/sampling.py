@@ -373,3 +373,48 @@ def curation_bundle(
         )
         .orderBy("split")
     )
+
+
+def cluster_capped_sample(
+    docs: DataFrame,
+    labels: DataFrame,
+    cap: int,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-capped dedup: keep AT MOST ``cap`` members of each
+    near-dup cluster instead of collapsing to one — the middle ground
+    between hard dedup (keep_canonical/keep_best) and SoftDeDup's
+    down-weighting. Mild duplication of genuinely popular text is
+    training signal; unbounded duplication is memorization risk — a
+    bounded per-cluster multiplicity keeps the signal and caps the
+    risk, and the cap is the knob.
+
+    Selection within a cluster is the house md5-priority rank
+    (engine- and partitioning-portable, no RNG state): rank members
+    by md5(salt|doc_id), keep rank <= cap. ``labels`` is
+    (node, component) from operators/components.py over ANY pair
+    kernel; docs absent from the label frame are singleton clusters
+    and always survive.
+
+    Shape at 100 TB: one left join against the pair-graph-sized label
+    frame, one window rank partitioned by component — and only
+    (id, component) pairs ever shuffle, never text. Clusters are
+    near-dup classes, so the window partitions are duplication-bounded
+    (a pathological mega-cluster is itself the signal to fix upstream;
+    the rank is computed on ids, so even that costs a sort of ids, not
+    content). Returns (id_col, group_key, rk) for the kept rows.
+    """
+    from pyspark.sql.window import Window
+
+    joined = docs.select(id_col).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("group_key", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("group_key").orderBy(
+        _digest(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, "group_key", "rk")
+    )

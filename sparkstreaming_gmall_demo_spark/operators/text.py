@@ -725,3 +725,55 @@ def boilerplate_coverage(
             4,
         ).alias("keep_ratio"),
     )
+
+
+def hashed_classifier_weight_sql(token_expr: str) -> str:
+    """The shared hashed-weight formula as a SQL expression string:
+    weight(token) = ((ascii(m1)*8191 + ascii(m2)*131 + ascii(m3)*17
+    + ascii(m4)) % 1001) - 500 over the first four chars of
+    md5(token). Every function used (md5, substring, ascii, %) means
+    the same thing in Spark SQL and DuckDB, so the identical string
+    serves both the operator and its oracle — the contract is the
+    formula, not an engine. Weights land in [-500, 500], integer."""
+    m = f"md5({token_expr})"
+    return (
+        f"((ascii(substring({m}, 1, 1)) * 8191"
+        f" + ascii(substring({m}, 2, 1)) * 131"
+        f" + ascii(substring({m}, 3, 1)) * 17"
+        f" + ascii(substring({m}, 4, 1))) % 1001) - 500"
+    )
+
+
+def hashed_classifier_gate(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality gating in the fastText shape (hashed
+    bag-of-words -> linear score -> keep/drop), the filter family
+    CCNet and LLaMA-style pipelines run after heuristic rules. The
+    hash-bucketed weight table is DERIVED (md5 arithmetic,
+    hashed_classifier_weight_sql) rather than trained — the honest
+    stand-in discipline of the reranker slot (retrieval.py): the
+    plumbing that matters at 100 TB is real, the learned weights drop
+    in by swapping one expression for a broadcast map lookup.
+
+    Scoring is a single higher-order ``aggregate`` over the token
+    array — per-row JVM work inside whole-stage codegen with NO
+    explode and NO shuffle; a 100 TB corpus is scored in one narrow
+    map pass, and only the (lang)-keyed rollup (map-side partials)
+    shuffles. Returns per language: n_docs, n_keep (score_sum >= 0),
+    sum_score — all exact BIGINT.
+    """
+    w = hashed_classifier_weight_sql("t")
+    scored = df.select(
+        F.col(lang_col),
+        F.expr(
+            f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> acc + ({w}))"
+        ).alias("score_sum"),
+    )
+    return scored.groupBy(lang_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("score_sum") >= 0).cast("long")).cast("long").alias("n_keep"),
+        F.sum("score_sum").cast("long").alias("sum_score"),
+    )

@@ -521,3 +521,65 @@ def oov_rate(
             .alias("oov_bp"),
         )
     )
+
+
+def rare_token_report(
+    df: DataFrame,
+    max_df_bp: int = 1000,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Long-tail knowledge finder: documents that carry RARE tokens —
+    tokens whose corpus document frequency is at most ``max_df_bp``
+    basis points of the corpus doc count (cutoff = floor(n_docs *
+    max_df_bp / 10000), integer in both engines). Rarity is RELATIVE:
+    an absolute df cutoff silently degenerates as the corpus grows
+    (at 100x the docs, df <= 2 selects nothing), while a share-of-
+    corpus cutoff names the same tail at every scale. Rare-token
+    density is the standard proxy for "this document contains
+    information the rest of the corpus doesn't"; curation pipelines
+    up-sample high-density docs (the complement of the boilerplate
+    audit, which finds what is repeated everywhere).
+
+    Returns one row per document that contains at least one rare
+    token: (doc_id, lang, n_distinct, n_rare, rare_bp) where
+    n_distinct is the doc's distinct-token count, n_rare the distinct
+    rare tokens it contains, and rare_bp the density in integer basis
+    points (round(n_rare * 10000 / n_distinct)).
+
+    Shape at 100 TB: per-doc DISTINCT before the token shuffle (the
+    boilerplate_ngrams discipline) caps the exploded rows at distinct
+    tokens per doc; the document-frequency aggregate shuffles tokens
+    once; the doc count is a bounded collected scalar (the
+    perplexity-band discipline); the rare set — vocabulary-tail-sized
+    by construction — flows back as a token-keyed semi-join. No text
+    ever shuffles and no full vocab is collected anywhere.
+    """
+    cutoff = df.count() * max_df_bp // 10000
+    doc_toks = (
+        df.select(id_col, lang_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .dropDuplicates([id_col, "token"])
+    )
+    dfreq = doc_toks.groupBy("token").agg(F.count("*").alias("dfc"))
+    rare = dfreq.filter(F.col("dfc") <= cutoff).select("token")
+    per_doc = doc_toks.groupBy(id_col, lang_col).agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    rare_hits = (
+        doc_toks.join(rare, "token", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_rare"))
+    )
+    return (
+        per_doc.join(rare_hits, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "n_distinct",
+            "n_rare",
+            F.round(F.col("n_rare") * 10000.0 / F.col("n_distinct"))
+            .cast("long")
+            .alias("rare_bp"),
+        )
+    )

@@ -1777,7 +1777,11 @@ def _bench_decontam_frames(spark: SparkSession, sf_dir: str):
     if paths is None:
         import tempfile
 
+        import atexit
+        import shutil
+
         base = tempfile.mkdtemp(prefix="gmall_decontam_bench_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         corpus, eval_docs = _planted_decontam_corpus(spark, sf_dir)
         corpus.write.parquet(base + "/corpus")
         eval_docs.write.parquet(base + "/eval_docs")
@@ -2978,7 +2982,13 @@ def _bench_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", PQ_TRAIN_FRACTION, "pqtrain"
         )
         books = sim_ops.pq_train(train, m=PQ_M, ksub=PQ_KSUB, iters=2)
-        path = tempfile.mkdtemp(prefix="gmall_pq_index_") + "/codes"
+        base = tempfile.mkdtemp(prefix="gmall_pq_index_")
+
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/codes"
         sim_ops.pq_write_index(emb, books, path)
         entry = (books, path)
         _PQ_BENCH_INDEX[sf_dir] = entry
@@ -4397,4 +4407,225 @@ def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
     return mine_ops.contrastive_pairs(docs, pairs, seed=CONTRASTIVE_SEED).orderBy(
         "anchor", "positive"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Third-wave round-6 family: source-axis dedup audits, model-shaped
+# quality gating, capped-multiplicity dedup, long-tail discovery.
+# ---------------------------------------------------------------------------
+@_register(
+    "ext_source_dedup_report",
+    """
+    WITH fp AS (SELECT source, md5(lower(text)) AS f FROM documents),
+    psf AS (SELECT source, f, count(*) AS cnt FROM fp GROUP BY 1, 2),
+    sc AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique
+        FROM psf GROUP BY source
+    ),
+    fs AS (SELECT f, count(*) AS n_sources FROM psf GROUP BY f),
+    cx AS (
+        SELECT p.source, count(*) AS cross_src_fps
+        FROM psf p JOIN fs USING (f)
+        WHERE fs.n_sources >= 2 GROUP BY 1
+    )
+    SELECT s.source, s.n_docs, s.n_unique,
+           CAST(round((s.n_docs - s.n_unique) * 10000.0 / s.n_docs) AS BIGINT)
+               AS dup_bp,
+           CAST(coalesce(cx.cross_src_fps, 0) AS BIGINT) AS cross_src_fps
+    FROM sc s LEFT JOIN cx USING (source)
+    ORDER BY source
+    """,
+    "per-source dedup audit: internal dup rate + cross-source content overlap",
+)
+def ext_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-axis duplication audit (operators/dedup.py:
+    source_dedup_report): internal dup basis points per ingest source
+    PLUS the count of fingerprints each source shares with at least
+    one other source — mirrors and syndication show up as
+    cross_src_fps long before any fuzzy matcher runs. The reference's
+    per-channel monitoring counts (streaming/sinks.py:301 analog of
+    its console/ES counters) turned into a content-identity report.
+    Text digests map-side; both shuffles carry 32-char digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.source_dedup_report(docs).orderBy("source")
+
+
+@_register(
+    "ext_normalization_dedup",
+    """
+    WITH d AS (
+        SELECT lang, md5(lower(text)) AS fr,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fn
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           count(DISTINCT fr) AS uniq_raw,
+           count(DISTINCT fn) AS uniq_norm,
+           CAST(count(DISTINCT fr) - count(DISTINCT fn) AS BIGINT)
+               AS norm_extra_dups
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    "normalization-aware dedup: extra duplicates exposed by text canonicalization",
+)
+def ext_normalization_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many duplicates hide behind trivial reformatting
+    (operators/dedup.py:normalization_dedup_report): raw-bytes unique
+    count vs unique count after the C4/CCNet-style canonicalization
+    (lowercase, strip non-alphanumerics, collapse whitespace), per
+    language. Both digests are computed in the same scan projection
+    inside whole-stage codegen — choosing the dedup KEY is free; this
+    report is how a curator decides whether the raw or canonical
+    fingerprint should drive ext_fingerprint_dedup's index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.normalization_dedup_report(docs).orderBy("lang")
+
+
+_HCW = text_ops.hashed_classifier_weight_sql("t")
+
+
+@_register(
+    "ext_hashed_classifier",
+    f"""
+    WITH s AS (
+        SELECT lang,
+               list_sum(list_transform(string_split(text, ' '),
+                        t -> ({_HCW}))) AS score_sum
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(sum(score_sum) AS BIGINT) AS sum_score
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    "fastText-shape hashed linear quality gate scored in one narrow map pass",
+)
+def ext_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gating in the fastText shape
+    (operators/text.py:hashed_classifier_gate): hashed bag-of-words ->
+    linear score -> keep/drop, the classifier-filter stage CCNet-style
+    pipelines run after heuristic rules. Weights are hash-DERIVED
+    (md5 arithmetic shared verbatim with the oracle via
+    hashed_classifier_weight_sql — the formula IS the contract), the
+    honest stand-in discipline of the reranker slot; trained weights
+    drop in as a broadcast map without touching the plan. Scoring is
+    one higher-order ``aggregate`` over the token array: no explode,
+    no shuffle, whole-stage codegen end to end — the exact shape that
+    scores 100 TB in a single narrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.hashed_classifier_gate(docs).orderBy("lang")
+
+
+CLUSTER_CAP = 3
+CLUSTER_CAP_SALT = "ccap1"
+
+
+@_register(
+    "ext_cluster_capped_sample",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1e0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    closure AS (SELECT a, b FROM reach UNION SELECT a, a FROM edges),
+    labels AS (SELECT a AS node, min(b) AS component FROM closure GROUP BY a),
+    g AS (
+        SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_key
+        FROM d LEFT JOIN labels l ON d.doc_id = l.node
+    ),
+    r AS (
+        SELECT doc_id, group_key,
+               row_number() OVER (
+                   PARTITION BY group_key
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{CLUSTER_CAP_SALT}'), 1, 8),
+                            doc_id
+               ) AS rk
+        FROM g
+    )
+    SELECT doc_id, group_key, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {CLUSTER_CAP}
+    ORDER BY doc_id
+    """,
+    "count-capped dedup: keep at most k members of each near-dup cluster",
+)
+def ext_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The middle ground between hard dedup and SoftDeDup's
+    down-weighting (operators/sampling.py:cluster_capped_sample): keep
+    at most CLUSTER_CAP members per near-dup cluster — bounded
+    multiplicity keeps popular-text signal while capping memorization
+    risk (the C4 recipe allowed small duplication for exactly this
+    reason). Members are chosen by the house md5-priority rank, so
+    the kept set is engine- and partitioning-portable. Pair kernel
+    here is the exact-Jaccard oracle baseline (the MinHash/prefix-
+    filtered kernels swap in at scale, same label interface)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = comp_ops.connected_components(pairs)
+    return samp_ops.cluster_capped_sample(
+        docs, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
+    ).orderBy("doc_id")
+
+
+RARE_MAX_DF_BP = 1000  # rare = df <= 10% of corpus docs
+
+
+@_register(
+    "ext_rare_token_docs",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT * FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+    ),
+    dfreq AS (SELECT token, count(*) AS dfc FROM dt GROUP BY token),
+    cut AS (SELECT count(*) * {RARE_MAX_DF_BP} // 10000 AS c FROM documents),
+    rare AS (SELECT token FROM dfreq, cut WHERE dfc <= cut.c),
+    pd AS (SELECT doc_id, lang, count(*) AS n_distinct FROM dt GROUP BY 1, 2),
+    rh AS (
+        SELECT doc_id, count(*) AS n_rare
+        FROM dt JOIN rare USING (token) GROUP BY 1
+    )
+    SELECT pd.doc_id, pd.lang,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           CAST(round(n_rare * 10000.0 / n_distinct) AS BIGINT) AS rare_bp
+    FROM pd JOIN rh USING (doc_id)
+    ORDER BY pd.doc_id
+    """,
+    "long-tail finder: documents carrying corpus-rare tokens, density in bp",
+)
+def ext_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of the boilerplate audit
+    (operators/vocab.py:rare_token_report): documents whose distinct
+    tokens include corpus-RARE ones (document frequency <=
+    RARE_MAX_DF_BP basis points of the corpus doc count) — the standard proxy for "contains information the
+    rest of the corpus doesn't", the up-sampling side of curation.
+    The cutoff is a SHARE of the corpus (floor(n_docs * bp / 10000)),
+    so the declared entry names the same Zipf tail at every SF.
+    Per-doc DISTINCT before the token shuffle caps exploded rows; the
+    rare set flows back as a token-keyed semi-join; density ships as
+    integer basis points."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return vocab_ops.rare_token_report(docs, max_df_bp=RARE_MAX_DF_BP).orderBy(
+        "doc_id"
     )

@@ -1659,3 +1659,51 @@ def q9b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.scored_search(
         docs.filter(F.col("lang") == SEARCH_LANG), "text", SEARCH_KEYWORD, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Q37 -- weekly cohort retention matrix: the standard growth-analytics
+# triangle the reference dashboard's today/yesterday juxtaposition
+# (Controller.java:79,94-99) is a 1x2 slice of. Engine plan: ONE scan
+# -- distinct (user, week), then min(week) per user via a window over
+# the already-distinct frame (no self-join, no second scan); a user
+# active in a week is exactly one row there, so the final count(*) per
+# (cohort, offset) IS the distinct-user count.
+# ---------------------------------------------------------------------------
+@_register(
+    "q37_cohort_retention",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cw
+        FROM uw
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM c GROUP BY cw, wk
+    ORDER BY cohort_week, week_offset
+    """,
+    "weekly cohort retention matrix (first-active week x offset)",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    c = uw.withColumn("cw", F.min("wk").over(w))
+    return (
+        c.groupBy("cw", "wk")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cw") / 7).cast("long").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -347,3 +347,35 @@ def test_semantic_decontam_corpus_never_shuffles_before_agg(spark):
     plan = plan_of(spark, "ext_semantic_decontam")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_scans_events_once_no_join(spark):
+    """Q37: cohort week comes from a min() window over the already-
+    distinct (user, week) frame — one events scan, no self-join (the
+    q26 discipline extended to the full cohort matrix)."""
+    plan = plan_of(spark, "q37_cohort_retention")
+    assert plan.count("Scan parquet") == 2  # tree line + details
+    assert "Join" not in plan
+
+
+def test_source_dedup_shuffles_digests_not_text(spark):
+    """ext_source_dedup_report: text is digested map-side; every
+    exchange key is (source, fingerprint)-shaped, never the text
+    column (the snapshot-diff discipline on the source axis)."""
+    plan = plan_of(spark, "ext_source_dedup_report")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_hashed_classifier_single_exchange_no_generate(spark):
+    """ext_hashed_classifier: scoring is a higher-order aggregate over
+    the token array — NO explode (Generate) node anywhere, and the
+    only exchange is the (lang)-keyed rollup with map-side partials."""
+    plan = plan_of(spark, "ext_hashed_classifier")
+    assert "Generate" not in plan
+    # exactly ONE hash exchange (the rollup); the only other exchange is
+    # the range partitioning for the deterministic output order
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") <= 1
+    assert "partial_sum" in plan
