@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
+from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
 from sparkstreaming_gmall_demo_spark.operators import importance as imp_ops
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
@@ -37,6 +39,7 @@ from sparkstreaming_gmall_demo_spark.operators import sampling as samp_ops
 from sparkstreaming_gmall_demo_spark.operators import sessions as sess_ops
 from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
 from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
 from sparkstreaming_gmall_demo_spark.session import get_spark
 from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table, spread_fixture
 
@@ -190,6 +193,38 @@ def main() -> None:
         # feature space is FIXED at B buckets, so at 10x only the
         # narrow token scans and the (doc_id, sum) combine grow —
         # a linear plan should land ~10x.
+        # hashed quality gate: the zero-shuffle narrow-map claim under
+        # measurement — scoring is a higher-order aggregate inside
+        # codegen, so 10x docs should cost ~10x scan and nothing else
+        timed("hashed_classifier", lambda: (
+            text_ops.hashed_classifier_gate(dc)
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_score").alias("s"))
+        ), r)
+        # per-source dedup audit: digests-only shuffles; at 10x every
+        # fingerprint's per-source count is 10x but distinct digests
+        # stay ~1x, so the rollup stays combine-dominated
+        timed("source_dedup", lambda: (
+            dedup_ops.source_dedup_report(dc)
+            .agg(F.sum("n_docs").alias("n"), F.sum("cross_src_fps").alias("x"))
+        ), r)
+        # rare-token finder: the share-of-corpus cutoff names the SAME
+        # tail at 10x (df and doc count both scale), so the rare set
+        # and the semi-join stay bounded while the df agg grows 10x
+        timed("rare_tokens", lambda: (
+            vocab_ops.rare_token_report(dc)
+            .agg(F.count("*").alias("n"), F.sum("n_rare").alias("s"))
+        ), r)
+        # count-capped cluster sampling over the MinHash pair graph:
+        # at 10x every doc sits in a 10-member verbatim component —
+        # the cap (3) must bound survivors while the md5-rank window
+        # partitions stay duplication-bounded
+        timed("cluster_cap", lambda: (
+            samp_ops.cluster_capped_sample(
+                dc, comp_ops.connected_components(
+                    nd_ops.minhash_near_duplicates(dc, 0.8)),
+                cap=3,
+            ).agg(F.count("*").alias("kept"))
+        ), r)
         tgt = dc.filter(F.col("source") == "src0")
         pool = dc.filter(F.col("source") != "src0")
         timed("dsir_score", lambda: (

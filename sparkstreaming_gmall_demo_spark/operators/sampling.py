@@ -418,3 +418,51 @@ def cluster_capped_sample(
         .filter(F.col("rk") <= cap)
         .select(id_col, "group_key", "rk")
     )
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    difficulty_col: str,
+    k: int,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum data ordering: the first ``k`` training
+    steps when documents are consumed easiest-first (ascending
+    ``difficulty_col`` — length is the classic signal; surprisal bands
+    or classifier scores drop in unchanged) with the house md5-priority
+    shuffle INSIDE each difficulty level, so equal-difficulty docs
+    arrive in a fixed pseudo-random interleave rather than id order.
+    The schedule is a pure function of (corpus, salt): every re-run,
+    engine, and partitioning produces the same step sequence — the
+    property that makes a training run reproducible from the recipe
+    alone.
+
+    Returns (step, id_col, difficulty_col) for steps 1..k.
+
+    Shape at 100 TB: the global order is declared via orderBy+limit,
+    which plans as TakeOrderedAndProject — per-partition top-k heaps
+    and an O(k) driver merge, NOT a global sort; the step numbers come
+    from a row_number window over the already-collected k rows (the
+    vocab_build bounded-window discipline). A full-epoch schedule (k =
+    corpus size) would instead materialize the order as a range-
+    partitioned sort-and-write — same declaration, Spark picks the
+    physical strategy.
+    """
+    from pyspark.sql.window import Window
+
+    ordered = df.select(id_col, difficulty_col).orderBy(
+        F.col(difficulty_col).asc(),
+        _digest(F.col(id_col), salt),
+        F.col(id_col),
+    ).limit(k)
+    w = Window.orderBy(
+        F.col(difficulty_col).asc(),
+        _digest(F.col(id_col), salt),
+        F.col(id_col),
+    )
+    return ordered.select(
+        F.row_number().over(w).cast("long").alias("step"),
+        id_col,
+        difficulty_col,
+    )

@@ -583,3 +583,65 @@ def rare_token_report(
             .alias("rare_bp"),
         )
     )
+
+
+def oov_sweep(
+    df: DataFrame,
+    sizes: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-budget planning: corpus OOV rate at SEVERAL candidate
+    vocabulary sizes from ONE pass — the curve a tokenizer designer
+    reads before committing a vocab budget (the marginal coverage of
+    doubling the vocab falls off the Zipf cliff somewhere; this finds
+    where). Returns one row per candidate size:
+    (top_n, n_tokens, oov_tokens, oov_bp), rates as integer basis
+    points.
+
+    Shape at 100 TB: token frequencies aggregate once (the only
+    token-keyed shuffle), the rank table is vocabulary-sized and
+    broadcast back onto the token stream, and every candidate size is
+    a CONDITIONAL SUM over the same probed column — adding a size adds
+    one aggregate expression, not a pass. The per-size rows unpivot
+    from the single aggregate row via explode of a literal-built
+    array (no join, no extra shuffle).
+    """
+    max_n = max(sizes)
+    toks = corpus_tokens(df.select(text_col), text_col)
+    ranked = vocab_build(df, top_n=max_n, text_col=text_col).select(
+        "token", (F.col("token_id") + 1).alias("rank")  # 1-based
+    )
+    probed = toks.join(F.broadcast(ranked), "token", "left")
+    agg = probed.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        *[
+            F.sum(
+                (F.col("rank").isNull() | (F.col("rank") > n)).cast("long")
+            ).alias(f"oov_{n}")
+            for n in sizes
+        ],
+    )
+    return (
+        agg.select(
+            "n_tokens",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("long").alias("top_n"),
+                            F.col(f"oov_{n}").alias("oov_tokens"),
+                        )
+                        for n in sizes
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.top_n"),
+            "n_tokens",
+            F.col("e.oov_tokens"),
+            F.round(F.col("e.oov_tokens") * 10000.0 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_bp"),
+        )
+    )

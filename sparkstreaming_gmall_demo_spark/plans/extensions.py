@@ -4629,3 +4629,90 @@ def ext_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.rare_token_report(docs, max_df_bp=RARE_MAX_DF_BP).orderBy(
         "doc_id"
     )
+
+
+SCHED_K = 50
+SCHED_SALT = "sched1"
+
+
+@_register(
+    "ext_curriculum_schedule",
+    f"""
+    SELECT CAST(step AS BIGINT) AS step, doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (
+                   ORDER BY n_chars ASC,
+                            substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{SCHED_SALT}'), 1, 8),
+                            doc_id
+               ) AS step
+        FROM documents
+    ) WHERE step <= {SCHED_K}
+    ORDER BY step
+    """,
+    "deterministic curriculum ordering: first K training steps, easiest-first",
+)
+def ext_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible data ordering for training
+    (operators/sampling.py:curriculum_schedule): the first SCHED_K
+    steps when documents are consumed shortest-first (the classic
+    length curriculum) with the house md5 shuffle inside each length
+    level — the schedule is a pure function of (corpus, salt), so a
+    training run is reproducible from the recipe alone. Plans as
+    TakeOrderedAndProject (per-partition top-k heaps, O(k) driver
+    merge — no global sort) + a k-row bounded window for the step
+    numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return samp_ops.curriculum_schedule(
+        docs, "n_chars", k=SCHED_K, salt=SCHED_SALT
+    ).orderBy("step")
+
+
+OOV_SWEEP_SIZES = [8, 16, 32]
+
+
+@_register(
+    "ext_oov_sweep",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+        SELECT token,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        FROM (SELECT * FROM counts ORDER BY cnt DESC, token ASC
+              LIMIT {max(OOV_SWEEP_SIZES)})
+    ),
+    probed AS (
+        SELECT t.token, r.rank FROM toks t LEFT JOIN ranked r USING (token)
+    ),
+    agg AS (
+        SELECT count(*) AS n_tokens,
+               {', '.join(
+                   f"sum(CASE WHEN rank IS NULL OR rank > {n} THEN 1 ELSE 0 END)"
+                   f" AS oov_{n}" for n in OOV_SWEEP_SIZES)}
+        FROM probed
+    )
+    SELECT top_n, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(oov_tokens AS BIGINT) AS oov_tokens,
+           CAST(round(oov_tokens * 10000.0 / n_tokens) AS BIGINT) AS oov_bp
+    FROM (
+        {' UNION ALL '.join(
+            f"SELECT CAST({n} AS BIGINT) AS top_n, n_tokens,"
+            f" oov_{n} AS oov_tokens FROM agg" for n in OOV_SWEEP_SIZES)}
+    ) ORDER BY top_n
+    """,
+    "tokenizer-budget sweep: corpus OOV rate at several vocab sizes, one pass",
+)
+def ext_oov_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocab-budget curve (operators/vocab.py:oov_sweep): OOV
+    basis points at every candidate size in OOV_SWEEP_SIZES from ONE
+    token pass — frequencies aggregate once, the rank table broadcasts
+    back, and each size is a conditional sum over the same probed
+    column (adding a size adds an expression, not a pass; the per-size
+    rows unpivot from the single aggregate row with a literal-array
+    explode). The sweep form of ext_oov_rate, which fixes one size and
+    breaks out per-language instead."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return vocab_ops.oov_sweep(docs, OOV_SWEEP_SIZES).orderBy("top_n")

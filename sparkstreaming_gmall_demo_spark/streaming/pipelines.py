@@ -525,6 +525,8 @@ def novelty_gate_pipeline(
     out_path: str,
     checkpoint: str,
     trigger: dict | None = None,
+    ttl_batches: int | None = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Incremental-ingest dedup gate: per micro-batch, pass through
     only documents whose content fingerprint is NOT already in the
@@ -540,17 +542,43 @@ def novelty_gate_pipeline(
     streaming state: cross-batch memory lives in the index table, the
     same at 100 TB (32 bytes/doc) as here. Within-batch duplicates
     collapse to the lowest doc_id before the probe, so a batch
-    carrying two copies of a new document emits one."""
+    carrying two copies of a new document emits one.
+
+    ``ttl_batches`` bounds the state: with it set, the index rows are
+    (fingerprint, admit_batch) and a fingerprint only suppresses
+    duplicates for ``ttl_batches`` micro-batches after ADMISSION —
+    after that the content is admitted again and re-stamped (a new
+    (fingerprint, admit_batch) row; merge_keyed on the PAIR keeps
+    replays of the same batch a no-op while letting re-admission
+    insert). Every ``compact_every`` batches the sink vacuums expired
+    rows with a CAS-guarded overwrite, so index size is bounded by the
+    TTL window's distinct-content volume instead of growing forever —
+    the difference between a dedup index that survives years of
+    ingest and one that eats the cluster. Expiry here counts BATCHES
+    (deterministic under the test clock); a production gate keys the
+    same two-column layout on an event-time watermark instead — the
+    probe filter and vacuum predicate are the only two lines that
+    change. ``ttl_batches=None`` keeps the original unbounded
+    append-only index (fingerprint only), byte-compatible with
+    existing tables."""
     from ..operators.dedup import novel_against_index
     from . import txn
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if ttl_batches is None:
+            index_schema = "fingerprint string"
+        else:
+            index_schema = "fingerprint string, admit_batch long"
         if txn.current_version(index_table) >= 0:
             index = txn.snapshot(spark, index_table)
         else:
-            index = spark.createDataFrame([], "fingerprint string")
-        fresh = novel_against_index(batch_df, index)
+            index = spark.createDataFrame([], index_schema)
+        if ttl_batches is not None:
+            index = index.filter(
+                F.col("admit_batch") > F.lit(batch_id - ttl_batches)
+            )
+        fresh = novel_against_index(batch_df, index.select("fingerprint"))
         first = (
             fresh.withColumn(
                 "__rn",
@@ -567,11 +595,33 @@ def novelty_gate_pipeline(
                 out.drop("fingerprint"), out_path, key_cols=["doc_id"],
                 partition_cols=None, batch_id=batch_id,
             )
-            txn.merge_keyed(
-                out.select("fingerprint"), index_table, key_cols=["fingerprint"]
-            )
+            if ttl_batches is None:
+                txn.merge_keyed(
+                    out.select("fingerprint"), index_table,
+                    key_cols=["fingerprint"],
+                )
+            else:
+                txn.merge_keyed(
+                    out.select(
+                        "fingerprint",
+                        F.lit(batch_id).cast("long").alias("admit_batch"),
+                    ),
+                    index_table,
+                    key_cols=["fingerprint", "admit_batch"],
+                )
         finally:
             out.unpersist()
+        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+            # bounded-state vacuum: replace the table with its live rows.
+            # The CAS pins the version the replacement was derived from —
+            # this sink is the table's only writer, so the raise-path is
+            # a cannot-happen guard, not a retry loop.
+            v = txn.current_version(index_table)
+            if v >= 0:
+                live = txn.snapshot(spark, index_table).filter(
+                    F.col("admit_batch") > F.lit(batch_id - ttl_batches)
+                )
+                txn.overwrite(live, index_table, expected_version=v)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 

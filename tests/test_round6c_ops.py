@@ -295,3 +295,197 @@ def test_cohort_retention_offsets_and_counts(spark):
     for r in rows:
         assert r["week_offset"] >= 0
         assert r["n_users"] <= base[r["cohort_week"]]
+
+
+# ---------------------------------------------------------------------------
+# TTL-bounded novelty gate (bounded streaming dedup state)
+# ---------------------------------------------------------------------------
+def _run_ttl_gate(spark, tmp_path, ckpt_name, ttl, compact_every=8):
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "topic"))
+    )
+    q = pipelines.novelty_gate_pipeline(
+        stream,
+        str(tmp_path / "fp_index_ttl"),
+        str(tmp_path / "novel_ttl"),
+        str(tmp_path / ckpt_name),
+        trigger={"availableNow": True},
+        ttl_batches=ttl,
+        compact_every=compact_every,
+    )
+    q.awaitTermination()
+
+
+def _write_doc_batches(spark, tmp_path, batches):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    # FileStreamSource orders files by MODIFICATION TIME, not name —
+    # same-instant writes arrive in arbitrary order. Pin strictly
+    # ascending mtimes so file i IS micro-batch i.
+    base = time.time() - 3600
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        path = str(topic / f"c{i}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (base + 60 * i, base + 60 * i))
+
+
+def test_ttl_gate_readmits_after_expiry(spark, tmp_path):
+    """With ttl=2: the same content is suppressed while its admission
+    is fresh, re-admitted once it expires, then suppresses again."""
+    _write_doc_batches(
+        spark,
+        tmp_path,
+        [
+            [(0, "alpha")],  # batch 0: novel -> admitted (stamp 0)
+            [(1, "alpha")],  # batch 1: stamp 0 > 1-2 -> live -> suppressed
+            [(2, "alpha")],  # batch 2: stamp 0 <= 0 -> expired -> re-admitted
+            [(3, "alpha")],  # batch 3: stamp 2 > 1 -> live -> suppressed
+        ],
+    )
+    _run_ttl_gate(spark, tmp_path, "ckpt1", ttl=2)
+    got = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "novel_ttl")).collect()
+    }
+    assert got == {0, 2}
+
+
+def test_ttl_gate_vacuum_bounds_index_and_replay_is_noop(spark, tmp_path):
+    """compact_every=2 vacuums expired rows (bounded state: the index
+    holds only the TTL window's admissions), and a full replay from a
+    fresh checkpoint leaves the doc sink unchanged."""
+    from sparkstreaming_gmall_demo_spark.streaming import txn
+
+    _write_doc_batches(
+        spark,
+        tmp_path,
+        [
+            [(0, "alpha")],
+            [(1, "beta")],
+            [(2, "alpha")],  # alpha stamp 0 expired at batch 2 -> re-admit
+            [(3, "gamma")],
+        ],
+    )
+    _run_ttl_gate(spark, tmp_path, "ckpt1", ttl=2, compact_every=2)
+    out = str(tmp_path / "novel_ttl")
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 3}
+    # vacuum at batch 3 kept only stamps > 1: (alpha,2), (gamma,3)
+    rows = {
+        (r.fingerprint is not None, r.admit_batch)
+        for r in txn.snapshot(spark, str(tmp_path / "fp_index_ttl")).collect()
+    }
+    assert {b for _, b in rows} == {2, 3}
+
+    _run_ttl_gate(spark, tmp_path, "ckpt2", ttl=2, compact_every=2)
+    assert {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    } == got  # keyed append: replay adds nothing to the doc sink
+
+
+# ---------------------------------------------------------------------------
+# Curriculum schedule
+# ---------------------------------------------------------------------------
+def test_curriculum_schedule_orders_by_difficulty_then_md5(spark):
+    rows = [(i, 10 if i < 4 else 5) for i in range(8)]  # docs 4..7 easier
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = samp_ops.curriculum_schedule(df, "n_chars", k=8, salt="x").collect()
+    assert [r["step"] for r in out] == list(range(1, 9))
+    # all easy docs (n_chars 5) come before every hard one
+    assert [r["n_chars"] for r in sorted(out, key=lambda r: r["step"])] == [
+        5, 5, 5, 5, 10, 10, 10, 10,
+    ]
+    # within a level, the md5-priority order, not id order
+    easy = [r["doc_id"] for r in out if r["n_chars"] == 5]
+    want = sorted(
+        [4, 5, 6, 7],
+        key=lambda i: (hashlib.md5(f"{i}x".encode()).hexdigest()[:8], i),
+    )
+    assert easy == want
+
+
+def test_curriculum_schedule_k_bounds_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, n_chars long"
+    )
+    a = [tuple(r) for r in samp_ops.curriculum_schedule(df, "n_chars", k=10).collect()]
+    b = [
+        tuple(r)
+        for r in samp_ops.curriculum_schedule(
+            df.repartition(7), "n_chars", k=10
+        ).collect()
+    ]
+    assert len(a) == 10 and a == b
+
+
+def test_curriculum_schedule_plans_topk_not_global_sort(spark):
+    df = spark.createDataFrame([(i, i) for i in range(100)], "doc_id long, n_chars long")
+    plan = (
+        samp_ops.curriculum_schedule(df, "n_chars", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# OOV sweep
+# ---------------------------------------------------------------------------
+def test_oov_sweep_hand_case(spark):
+    # 10 tokens: a x4, b x3, c x2, d x1 -> top1 covers a (oov 6/10),
+    # top2 covers a,b (oov 3/10), top4 covers all (oov 0)
+    df = spark.createDataFrame(
+        [(0, "a a a a b b"), (1, "b c c d")], "doc_id long, text string"
+    )
+    out = {
+        r["top_n"]: r.asDict() for r in vocab_ops.oov_sweep(df, [1, 2, 4]).collect()
+    }
+    assert out[1]["n_tokens"] == 10 and out[1]["oov_tokens"] == 6
+    assert out[1]["oov_bp"] == 6000
+    assert out[2]["oov_tokens"] == 3 and out[2]["oov_bp"] == 3000
+    assert out[4]["oov_tokens"] == 0 and out[4]["oov_bp"] == 0
+
+
+def test_oov_sweep_agrees_with_oov_rate_at_each_size(spark):
+    # the sweep's corpus-level number at size N == sum over langs of
+    # oov_rate(vocab_build(N)) — the single-pass trick changes nothing
+    df = spark.createDataFrame(
+        [(0, "en", "a a b c"), (1, "de", "b d d e")],
+        "doc_id long, lang string, text string",
+    )
+    sweep = {
+        r["top_n"]: r["oov_tokens"]
+        for r in vocab_ops.oov_sweep(df, [2, 3]).collect()
+    }
+    for n in (2, 3):
+        voc = vocab_ops.vocab_build(df, top_n=n)
+        per_lang = vocab_ops.oov_rate(df, voc)
+        total = per_lang.agg(F.sum("oov_tokens").alias("s")).collect()[0]["s"]
+        assert sweep[n] == total, n
+
+
+def test_oov_sweep_probe_broadcasts_single_token_shuffle(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        vocab_ops.oov_sweep(df, [1, 2])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
