@@ -964,3 +964,70 @@ def kcenter_coreset(
     return spark.createDataFrame(
         selected, f"sel_order int, {id_col} {id_type}, d2 double"
     ).orderBy("sel_order")
+
+
+def knn_label_propagation(
+    emb: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pseudo-labeling by k-nearest-neighbor vote: for each query
+    vector (here the deterministic ``id % query_mod == 0`` slice,
+    standing in for the unlabeled batch), predict the majority label
+    of its k nearest labeled neighbors (cosine, self excluded) — the
+    weak-supervision recipe that turns a small labeled seed into
+    training labels for the rest of the corpus.
+
+    Deterministic end to end: neighbors rank on the 4dp-rounded
+    similarity with the id tiebreak (the cosine_topk discipline), the
+    vote breaks ties (count DESC, label ASC). Returns
+    (vec_id, true_label, predicted_label, votes) per query — keeping
+    the held-out true label beside the prediction makes the output
+    double as a label-agreement audit.
+
+    Scale shape: the query side is bounded BY CONSTRUCTION (a
+    pseudo-label batch), so it rides a broadcast against the corpus —
+    a narrow map per corpus partition, the semantic_decontam
+    asymmetry. The per-query neighbor rank is the brute-force kNN
+    cost (this is the exact ORACLE baseline, like ext_cosine_topk);
+    at corpus scale the candidate set comes from the IVF/LSH bucket
+    probe instead (ivf_topk / lsh_topk) and the vote is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    queries = emb.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("true_label"),
+    )
+    cands = emb.select(id_col, vec_col, label_col).crossJoin(F.broadcast(queries))
+    sims = cands.filter(F.col(id_col) != F.col("q_id")).select(
+        "q_id",
+        "true_label",
+        F.col(label_col).alias("nbr_label"),
+        F.col(id_col).alias("nbr_id"),
+        F.round(cosine_expr(vec_col, "q_vec"), 4).alias("sim4"),
+    )
+    wn = Window.partitionBy("q_id").orderBy(F.desc("sim4"), F.asc("nbr_id"))
+    topk = sims.withColumn("_rn", F.row_number().over(wn)).filter(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy("q_id", "true_label", "nbr_label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("q_id").alias(id_col),
+            "true_label",
+            F.col("nbr_label").alias("predicted_label"),
+            "votes",
+        )
+    )

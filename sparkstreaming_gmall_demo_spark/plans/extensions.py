@@ -4716,3 +4716,65 @@ def ext_oov_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks out per-language instead."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return vocab_ops.oov_sweep(docs, OOV_SWEEP_SIZES).orderBy("top_n")
+
+
+KNN_QUERY_MOD = 50
+KNN_K = 5
+
+
+@_register(
+    "ext_knn_label_prop",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS true_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT q.q_id, q.true_label, c.label AS nbr_label, c.vec_id,
+               round(list_inner_product(c.v, qv)
+                     / (sqrt(list_inner_product(c.v, c.v))
+                        * sqrt(list_inner_product(qv, qv))), 4) AS sim4
+        FROM c, q WHERE c.vec_id <> q.q_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY sim4 DESC, vec_id ASC) AS rn
+            FROM sims
+        ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+        SELECT q_id, true_label, nbr_label, count(*) AS votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT q_id AS vec_id, true_label, nbr_label AS predicted_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY votes DESC, nbr_label ASC) AS rk
+        FROM votes
+    ) WHERE rk = 1
+    ORDER BY vec_id
+    """,
+    "kNN label propagation: pseudo-label queries by majority vote of neighbors",
+)
+def ext_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision over the embedding space
+    (operators/similarity.py:knn_label_propagation): each query vector
+    takes the majority label of its 5 nearest cosine neighbors — the
+    pseudo-labeling recipe that stretches a labeled seed across an
+    unlabeled corpus, with the held-out true label kept beside the
+    prediction as an agreement audit. Query side bounded by
+    construction (broadcast, the semantic_decontam asymmetry); the
+    exact kNN is the oracle baseline, the IVF/LSH bucket probe is the
+    documented corpus-scale candidate source."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.knn_label_propagation(
+        emb, query_mod=KNN_QUERY_MOD, k=KNN_K
+    ).orderBy("vec_id")

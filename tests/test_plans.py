@@ -66,6 +66,9 @@ def test_no_cartesian_products_anywhere(spark):
         # corpus x broadcast EVAL-SET frame: benchmark-sized by nature
         # (bounded rows by construction, the decontam asymmetry)
         "ext_semantic_decontam",
+        # corpus x broadcast QUERY frame: the pseudo-label batch is
+        # bounded by construction (same asymmetry)
+        "ext_knn_label_prop",
     }
     for name in REGISTRY:
         if name in single_row_query_joins:

@@ -20,6 +20,7 @@ from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
 from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
 from sparkstreaming_gmall_demo_spark.operators import sampling as samp_ops
 from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+from sparkstreaming_gmall_demo_spark.operators import similarity as sim_ops
 from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
 
 
@@ -489,3 +490,68 @@ def test_oov_sweep_probe_broadcasts_single_token_shuffle(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation
+# ---------------------------------------------------------------------------
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_label_prop_majority_vote(spark):
+    # query 0 sits on the x-axis; its 3 nearest are two label-7 vecs
+    # and one label-3 vec -> majority 7 with 2 votes.
+    rows = [
+        (0, [1.0, 0.0], 3),
+        (1, [0.9, 0.1], 7),
+        (2, [0.9, -0.1], 7),
+        (3, [0.7, 0.3], 3),
+        (4, [0.0, 1.0], 5),
+    ]
+    out = sim_ops.knn_label_propagation(
+        _emb_df(spark, rows), query_mod=5, k=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vec_id"] == 0 and r["true_label"] == 3
+    assert r["predicted_label"] == 7 and r["votes"] == 2
+
+
+def test_knn_label_prop_excludes_self_and_breaks_ties_low_label(spark):
+    # query 0's own row must not vote; the 2-2 vote tie between labels
+    # 4 and 9 resolves to the LOWER label.
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [1.0, 0.01], 9),
+        (2, [1.0, -0.01], 9),
+        (3, [1.0, 0.02], 4),
+        (4, [1.0, -0.02], 4),
+    ]
+    out = sim_ops.knn_label_propagation(
+        _emb_df(spark, rows), query_mod=5, k=4
+    ).collect()
+    r = out[0]
+    assert r["predicted_label"] == 4 and r["votes"] == 2
+
+
+def test_knn_label_prop_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 4) for i in range(60)
+    ]
+    df = _emb_df(spark, rows)
+    a = sorted(
+        tuple(r) for r in sim_ops.knn_label_propagation(df, query_mod=10).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sim_ops.knn_label_propagation(
+            df.repartition(9), query_mod=10
+        ).collect()
+    )
+    assert a == b and len(a) == 6
