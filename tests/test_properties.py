@@ -437,3 +437,178 @@ def test_dup_span_scrub_matches_python_model(spark):
             ).collect()
         }
         assert got == want, f"hash_grams={hashed}"
+
+
+def test_cluster_capped_sample_matches_python_model(spark):
+    """Spark capped selection == pure-Python union-find + md5 rank on
+    random pair graphs (50 docs, varied edge densities, caps 1/2/4)."""
+    import hashlib
+
+    from sparkstreaming_gmall_demo_spark.operators.components import (
+        connected_components,
+    )
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        cluster_capped_sample,
+    )
+
+    n = 50
+    edge_sets = [
+        [],
+        [(i, i + 1) for i in range(0, n - 1, 2)],
+        [(i, (i * 7 + 3) % n) for i in range(n) if i != (i * 7 + 3) % n],
+        [(0, i) for i in range(1, 20)],  # one star cluster
+    ]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    for edges in edge_sets:
+        for cap in (1, 2, 4):
+            # python model: union-find -> min-label components
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            groups: dict = {}
+            for i in range(n):
+                groups.setdefault(find(i), []).append(i)
+            want = set()
+            for members in groups.values():
+                ranked = sorted(
+                    members,
+                    key=lambda i: (
+                        hashlib.md5(f"{i}ps".encode()).hexdigest()[:8],
+                        i,
+                    ),
+                )
+                want.update(ranked[:cap])
+
+            if edges:
+                labels = connected_components(
+                    spark.createDataFrame(edges, "i long, j long")
+                )
+            else:
+                labels = spark.createDataFrame([], "node long, component long")
+            got = {
+                r["doc_id"]
+                for r in cluster_capped_sample(
+                    docs, labels, cap=cap, salt="ps"
+                ).collect()
+            }
+            assert got == want, (len(edges), cap)
+
+
+def test_oov_sweep_matches_python_model_and_is_monotone(spark):
+    """Sweep counts == a pure-Python Counter model (same (cnt DESC,
+    token ASC) rank rule), and OOV is non-increasing in vocab size."""
+    from collections import Counter
+
+    from sparkstreaming_gmall_demo_spark.operators.vocab import oov_sweep
+
+    corpora = [
+        ["a a a b b c", "c d e f"],
+        ["x"] * 5 + ["y z", "z z z"],
+        [f"t{i % 7} t{i % 3} u{i}" for i in range(40)],
+    ]
+    sizes = [1, 2, 4, 8]
+    for texts in corpora:
+        counts = Counter(t for s in texts for t in s.split(" "))
+        rank = {
+            tok: i + 1
+            for i, (tok, _) in enumerate(
+                sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["top_n"]: r["oov_tokens"] for r in oov_sweep(df, sizes).collect()
+        }
+        prev = None
+        for nsz in sizes:
+            want = sum(
+                c for tok, c in counts.items() if rank[tok] > nsz
+            )
+            assert got[nsz] == want, (texts[:1], nsz)
+            if prev is not None:
+                assert got[nsz] <= prev  # more vocab never hurts
+            prev = got[nsz]
+
+
+def test_curriculum_schedule_matches_python_model(spark):
+    """Schedule == Python sorted((difficulty, md5(id||salt)[:8], id))
+    truncated to k, for several k and salts."""
+    import hashlib
+
+    from sparkstreaming_gmall_demo_spark.operators.sampling import (
+        curriculum_schedule,
+    )
+
+    rows = [(i, (i * 13) % 5) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    for salt in ("", "s1"):
+        order = sorted(
+            rows,
+            key=lambda r: (
+                r[1],
+                hashlib.md5(f"{r[0]}{salt}".encode()).hexdigest()[:8],
+                r[0],
+            ),
+        )
+        for k in (1, 10, 80):
+            got = [
+                (r["step"], r["doc_id"])
+                for r in curriculum_schedule(df, "n_chars", k=k, salt=salt)
+                .orderBy("step")
+                .collect()
+            ]
+            assert got == [(s + 1, order[s][0]) for s in range(k)], (salt, k)
+
+
+def test_source_dedup_report_matches_python_model(spark):
+    """Report == a pure-Python fingerprint model with planted exact,
+    case-variant, and cross-source duplicates."""
+    import hashlib
+    from collections import defaultdict
+
+    from sparkstreaming_gmall_demo_spark.operators.dedup import (
+        source_dedup_report,
+    )
+
+    rows = []
+    did = 0
+    for s in range(4):
+        for i in range(30):
+            text = f"doc {i % (5 + s)} body"
+            if i % 3 == 0:
+                text = text.upper()  # case variant: same fingerprint
+            if i % 7 == 0:
+                text = f"shared {i % 4}"  # cross-source content
+            rows.append((did, f"src{s}", text))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    fps = defaultdict(list)
+    for _, s, t in rows:
+        fps[s].append(hashlib.md5(t.lower().encode()).hexdigest())
+    src_of_fp = defaultdict(set)
+    for s, lst in fps.items():
+        for f in lst:
+            src_of_fp[f].add(s)
+    got = {r["source"]: r.asDict() for r in source_dedup_report(df).collect()}
+    for s, lst in fps.items():
+        uniq = set(lst)
+        assert got[s]["n_docs"] == len(lst)
+        assert got[s]["n_unique"] == len(uniq)
+        assert got[s]["dup_bp"] == round(
+            (len(lst) - len(uniq)) * 10000 / len(lst)
+        )
+        assert got[s]["cross_src_fps"] == sum(
+            1 for f in uniq if len(src_of_fp[f]) >= 2
+        )
