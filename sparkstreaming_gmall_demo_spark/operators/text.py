@@ -744,6 +744,18 @@ def hashed_classifier_weight_sql(token_expr: str) -> str:
     )
 
 
+def hashed_classifier_score(text_col: str = "text") -> Column:
+    """Per-document classifier score as a single Column: the
+    higher-order ``aggregate`` fold of hashed_classifier_weight_sql
+    over the token array — exact BIGINT, zero shuffle, usable in any
+    projection (the streaming quality gate scores each micro-batch
+    with exactly this expression)."""
+    w = hashed_classifier_weight_sql("t")
+    return F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> acc + ({w}))"
+    )
+
+
 def hashed_classifier_gate(
     df: DataFrame,
     lang_col: str = "lang",
@@ -765,12 +777,9 @@ def hashed_classifier_gate(
     shuffles. Returns per language: n_docs, n_keep (score_sum >= 0),
     sum_score — all exact BIGINT.
     """
-    w = hashed_classifier_weight_sql("t")
     scored = df.select(
         F.col(lang_col),
-        F.expr(
-            f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> acc + ({w}))"
-        ).alias("score_sum"),
+        hashed_classifier_score(text_col).alias("score_sum"),
     )
     return scored.groupBy(lang_col).agg(
         F.count("*").cast("long").alias("n_docs"),

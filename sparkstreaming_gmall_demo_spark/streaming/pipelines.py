@@ -1413,3 +1413,72 @@ def dsir_gate_pipeline(
         )
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def quality_gate_pipeline(
+    docs: DataFrame,
+    out_path: str,
+    counts_table: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous quality gating: score each arriving document with the
+    Gopher rule suite (operators/text.py:gopher_rules) AND the hashed
+    linear classifier (hashed_classifier_score) as it is ingested, and
+    keep per-batch drop accounting exactly-once — the heuristic-rules-
+    then-classifier cascade every curation pipeline runs, as a
+    streaming stage (the reference's per-channel monitoring counts,
+    streaming/sinks.py:301 analog, upgraded to per-rule counts in a
+    txn table).
+
+    Stateless stream-static shape (the dsir_gate discipline): both
+    scorers are narrow per-row expressions, so streaming output ≡ the
+    batch operators on the same rows BY CONSTRUCTION and the gate
+    needs no streaming state. ``admitted`` (rules pass AND classifier
+    score >= 0) is a FLAG, not a filter — routing is the consumer's
+    policy (the decontam convention). The doc sink is doc_id-keyed
+    idempotent append; the monitoring counts merge keyed on
+    (batch_id, rule), so a replayed batch updates neither."""
+    from ..operators.text import gopher_rules, hashed_classifier_score
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = gopher_rules(batch_df).withColumn(
+            "score_sum", hashed_classifier_score("text")
+        )
+        out = flagged.select(
+            "doc_id",
+            F.col("keep").cast("int").alias("rules_keep"),
+            F.col("score_sum"),
+            (F.col("keep") & (F.col("score_sum") >= 0)).cast("int").alias(
+                "admitted"
+            ),
+        ).persist()
+        try:
+            idempotent_append(
+                out, out_path, key_cols=["doc_id"], partition_cols=None,
+                batch_id=batch_id,
+            )
+            rules = sorted(
+                c for c in flagged.columns if c.startswith("fail_")
+            )
+            agg = flagged.agg(
+                *[F.sum(r).cast("long").alias(r) for r in rules],
+            )
+            pairs = ", ".join(f"'{r[5:]}', {r}" for r in rules)
+            rule_counts = agg.selectExpr(
+                f"stack({len(rules)}, {pairs}) as (rule, n_docs)"
+            )
+            admitted = out.agg(
+                F.sum("admitted").cast("long").alias("n_docs")
+            ).select(F.lit("admitted").alias("rule"), "n_docs")
+            counts = (
+                rule_counts.unionByName(admitted)
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .select("batch_id", "rule", "n_docs")
+            )
+            txn.merge_keyed(counts, counts_table, key_cols=["batch_id", "rule"])
+        finally:
+            out.unpersist()
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

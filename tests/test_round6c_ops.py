@@ -555,3 +555,75 @@ def test_knn_label_prop_deterministic_under_repartition(spark):
         ).collect()
     )
     assert a == b and len(a) == 6
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate (rules + classifier cascade)
+# ---------------------------------------------------------------------------
+def test_quality_gate_streaming_matches_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators.text import (
+        gopher_rules,
+        hashed_classifier_score,
+    )
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    n = table.num_rows
+    step = (n + 1) // 2
+    for i in range(2):
+        pq.write_table(table.slice(i * step, step), str(topic / f"c{i}.parquet"))
+
+    out = str(tmp_path / "gated")
+    counts_table = str(tmp_path / "gate_counts")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.quality_gate_pipeline(
+            stream, out, counts_table, str(tmp_path / ckpt),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["rules_keep"], r["score_sum"], r["admitted"])
+        for r in gopher_rules(docs)
+        .withColumn("score_sum", hashed_classifier_score("text"))
+        .select(
+            "doc_id",
+            F.col("keep").cast("int").alias("rules_keep"),
+            "score_sum",
+            (F.col("keep") & (F.col("score_sum") >= 0)).cast("int").alias("admitted"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["rules_keep"], r["score_sum"], r["admitted"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want  # streaming == batch, per doc
+
+    # monitoring counts: per-batch rows sum to the batch totals and the
+    # admitted rows agree with the doc sink
+    counts = txn.snapshot(spark, counts_table).collect()
+    admitted_total = sum(r["n_docs"] for r in counts if r["rule"] == "admitted")
+    assert admitted_total == sum(1 for v in want.values() if v[2] == 1)
+    assert {r["batch_id"] for r in counts} == {0, 1}
+    v_before = txn.current_version(counts_table)
+
+    run("ckpt2")  # full replay from a fresh checkpoint
+    assert {
+        r["doc_id"]: (r["rules_keep"], r["score_sum"], r["admitted"])
+        for r in spark.read.parquet(out).collect()
+    } == want
+    assert txn.current_version(counts_table) == v_before  # counts untouched
