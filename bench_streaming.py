@@ -285,6 +285,20 @@ def main() -> None:
                 ),
                 doc_rows, work,
             ),
+            # continuous quality gating: per-batch Gopher-rules +
+            # hashed-classifier scoring (both narrow maps) + doc-keyed
+            # idempotent append + (batch_id, rule)-keyed counts commit
+            # (docs fixture is small -> per-batch fixed cost regime)
+            "quality_gate": run(
+                "quality_gate",
+                lambda out, ckpt: pipelines.quality_gate_pipeline(
+                    parquet_stream(spark, doc_dir, DOC_SCHEMA),
+                    out,
+                    os.path.join(work, "quality_gate", "counts"),
+                    ckpt, trigger={"availableNow": True},
+                ),
+                doc_rows, work,
+            ),
             # the state-heaviest pipeline: stream-stream full outer join
             # + broadcast dim enrichment + unpartitioned replay guard
             "sale_detail": run(
@@ -313,7 +327,7 @@ def main() -> None:
                 "value": min(
                     v for k, v in rates.items()
                     if k not in ("novelty_gate", "boilerplate_dict",
-                                 "neardup_gate")
+                                 "neardup_gate", "quality_gate")
                 ),
                 "unit": "rows/sec",
                 "pipelines": rates,
