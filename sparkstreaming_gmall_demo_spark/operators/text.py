@@ -786,3 +786,42 @@ def hashed_classifier_gate(
         F.sum((F.col("score_sum") >= 0).cast("long")).cast("long").alias("n_keep"),
         F.sum("score_sum").cast("long").alias("sum_score"),
     )
+
+
+def curation_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The stage-attrition funnel of the standard curation cascade —
+    heuristic rules -> model gate -> exact dedup — as ONE report:
+    (stage_order, stage, n_docs, dropped) with cumulative survivor
+    counts and per-stage drops. This is the first table a curation
+    run prints (how much did each stage cost us?) and the one that
+    catches a mis-tuned stage wiping the corpus.
+
+    Single-plan shape: every per-doc signal (Gopher rule flags, the
+    hashed classifier score, the content fingerprint) comes from one
+    narrow projection over one scan; the funnel is then ONE aggregate
+    — conditional sums for the cumulative gates plus a conditional
+    COUNT DISTINCT on the fingerprint for the dedup stage (survivor =
+    distinct content among gate-passers; no window, no second pass) —
+    unpivoted with stack() into the constant-size report. At 100 TB
+    this costs exactly one corpus scan + a one-row shuffle.
+    """
+    flagged = gopher_rules(df, text_col).withColumn(
+        "_score", hashed_classifier_score(text_col)
+    )
+    adm = F.col("keep") & (F.col("_score") >= 0)
+    agg = flagged.agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_rules"),
+        F.sum(adm.cast("int")).cast("long").alias("n_cls"),
+        F.count_distinct(
+            F.when(adm, F.md5(F.lower(F.col(text_col))))
+        ).cast("long").alias("n_uniq"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "1L, 'input', n_input, 0L, "
+        "2L, 'rules_pass', n_rules, n_input - n_rules, "
+        "3L, 'classifier_pass', n_cls, n_rules - n_cls, "
+        "4L, 'dedup_survivor', n_uniq, n_cls - n_uniq"
+        ") as (stage_order, stage, n_docs, dropped)"
+    ).orderBy("stage_order")

@@ -4778,3 +4778,70 @@ def ext_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_label_propagation(
         emb, query_mod=KNN_QUERY_MOD, k=KNN_K
     ).orderBy("vec_id")
+
+
+@_register(
+    "ext_curation_funnel",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, text,
+               len(sp) AS n_tokens,
+               round((length(text) - (len(sp) - 1) * 1e0) / len(sp), 4) AS mtl,
+               round(len(list_filter(sp, x -> list_contains({_GOPHER_STOP_SQL}, x))) * 1e0
+                     / len(sp), 4) AS sr,
+               round(CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp), 4) AS dtr,
+               CASE WHEN len(sp) >= 2 THEN
+                 round(1 - CAST(len(list_distinct(list_transform(range(1, len(sp)),
+                         i -> array_to_string(sp[i:i+1], ' ')))) AS DOUBLE)
+                         / (len(sp) - 1), 4)
+               ELSE 0.0 END AS rbf,
+               list_sum(list_transform(sp, t -> ({_HCW}))) AS score,
+               md5(lower(text)) AS fp
+        FROM t
+    ),
+    g AS (
+        SELECT fp, score,
+               CASE WHEN rbf > {_G["max_repeated_bigram"]}e0
+                      OR dtr < {_G["min_distinct_ratio"]}e0
+                      OR sr < {_G["min_stopword_ratio"]}e0
+                      OR mtl < {_G["mean_token_len_lo"]}e0
+                      OR mtl > {_G["mean_token_len_hi"]}e0
+                      OR n_tokens < {_G["min_tokens"]}
+                      OR n_tokens > {_G["max_tokens"]} THEN 0 ELSE 1 END AS keep
+        FROM sig
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_input,
+               CAST(sum(keep) AS BIGINT) AS n_rules,
+               CAST(sum(CASE WHEN keep = 1 AND score >= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cls,
+               CAST(count(DISTINCT CASE WHEN keep = 1 AND score >= 0
+                                        THEN fp END) AS BIGINT) AS n_uniq
+        FROM g
+    )
+    SELECT stage_order, stage, n_docs, dropped FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_order, 'input' AS stage,
+               n_input AS n_docs, CAST(0 AS BIGINT) AS dropped FROM agg
+        UNION ALL SELECT 2, 'rules_pass', n_rules, n_input - n_rules FROM agg
+        UNION ALL SELECT 3, 'classifier_pass', n_cls, n_rules - n_cls FROM agg
+        UNION ALL SELECT 4, 'dedup_survivor', n_uniq, n_cls - n_uniq FROM agg
+    ) ORDER BY stage_order
+    """,
+    "curation funnel: per-stage survivor counts for rules -> classifier -> dedup",
+)
+def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition accounting for the standard curation cascade
+    (operators/text.py:curation_funnel): Gopher rules -> hashed
+    classifier -> exact dedup, with cumulative survivors and per-stage
+    drops in one constant-size report. Every signal comes from one
+    narrow projection over ONE corpus scan; the dedup stage is a
+    conditional COUNT DISTINCT on the fingerprint (no window, no
+    second pass) — the funnel costs one scan + a one-row shuffle at
+    any corpus size. The monitoring-counts discipline of the streaming
+    quality gate (pipelines.py:quality_gate_pipeline), stated as a
+    declared batch entry."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.curation_funnel(docs)

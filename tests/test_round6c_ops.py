@@ -627,3 +627,51 @@ def test_quality_gate_streaming_matches_batch_and_replays_noop(spark, sf_dir, tm
         for r in spark.read.parquet(out).collect()
     } == want
     assert txn.current_version(counts_table) == v_before  # counts untouched
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel
+# ---------------------------------------------------------------------------
+def test_curation_funnel_hand_case(spark):
+    from sparkstreaming_gmall_demo_spark.operators.text import (
+        curation_funnel,
+        gopher_rules,
+        hashed_classifier_score,
+    )
+
+    good = "the " + " ".join(f"w{i:03d}" for i in range(24))  # passes rules
+    docs = [
+        (0, good),
+        (1, good),          # exact duplicate of 0 -> dedup drops one
+        (2, "the cat"),     # fails too_few_tokens
+        (3, good.upper()),  # case variant: rules outcome may differ; fp same as 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["stage"]: r.asDict() for r in curation_funnel(df).collect()}
+    assert rows["input"]["n_docs"] == 4 and rows["input"]["dropped"] == 0
+    # independently recompute the gates
+    flagged = gopher_rules(df).withColumn("s", hashed_classifier_score("text"))
+    got = flagged.select("doc_id", "keep", "s").collect()
+    n_rules = sum(1 for r in got if r["keep"])
+    n_cls = sum(1 for r in got if r["keep"] and r["s"] >= 0)
+    assert rows["rules_pass"]["n_docs"] == n_rules
+    assert rows["rules_pass"]["dropped"] == 4 - n_rules
+    assert rows["classifier_pass"]["n_docs"] == n_cls
+    # survivors are distinct lower(text) fingerprints among gate-passers
+    surv = {r["doc_id"] for r in got if r["keep"] and r["s"] >= 0}
+    fps = {dict(docs)[d].lower() for d in surv}
+    assert rows["dedup_survivor"]["n_docs"] == len(fps)
+
+
+def test_curation_funnel_is_monotone_and_conserves(spark, sf_dir):
+    from sparkstreaming_gmall_demo_spark.operators.text import curation_funnel
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    rows = sorted(
+        curation_funnel(load_table(spark, sf_dir, "documents")).collect(),
+        key=lambda r: r["stage_order"],
+    )
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # never grows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["dropped"] == prev["n_docs"] - cur["n_docs"]
