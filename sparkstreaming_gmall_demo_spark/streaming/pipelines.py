@@ -1470,7 +1470,9 @@ def quality_gate_pipeline(
                 f"stack({len(rules)}, {pairs}) as (rule, n_docs)"
             )
             admitted = out.agg(
-                F.sum("admitted").cast("long").alias("n_docs")
+                F.coalesce(F.sum("admitted"), F.lit(0))
+                .cast("long")
+                .alias("n_docs")
             ).select(F.lit("admitted").alias("rule"), "n_docs")
             counts = (
                 rule_counts.unionByName(admitted)
