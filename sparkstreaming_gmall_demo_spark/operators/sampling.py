@@ -392,7 +392,7 @@ def cluster_capped_sample(
 
     Selection within a cluster is the house md5-priority rank
     (engine- and partitioning-portable, no RNG state): rank members
-    by md5(salt|doc_id), keep rank <= cap. ``labels`` is
+    by md5(doc_id || salt), keep rank <= cap. ``labels`` is
     (node, component) from operators/components.py over ANY pair
     kernel; docs absent from the label frame are singleton clusters
     and always survive.

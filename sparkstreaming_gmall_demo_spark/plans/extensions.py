@@ -50,6 +50,19 @@ TOPK_QUERY_VEC_ID = 0
 TOPK_K = 10
 
 
+def _bench_tmpdir(prefix: str) -> str:
+    """mkdtemp with registered end-of-process cleanup — the single
+    definition for every bench helper that stages parquet input
+    (leaked one dir per sf_dir per process before round 6)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 def _scalar_join(*dfs: DataFrame) -> DataFrame:
     """Glue single-row NUMERIC aggregate frames into one row via melt ->
     union -> conditional re-aggregation (the q21 pattern). A join of
@@ -1775,13 +1788,7 @@ _DECONTAM_BENCH_CORPUS: dict = {}
 def _bench_decontam_frames(spark: SparkSession, sf_dir: str):
     paths = _DECONTAM_BENCH_CORPUS.get(sf_dir)
     if paths is None:
-        import tempfile
-
-        import atexit
-        import shutil
-
-        base = tempfile.mkdtemp(prefix="gmall_decontam_bench_")
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        base = _bench_tmpdir("gmall_decontam_bench_")
         corpus, eval_docs = _planted_decontam_corpus(spark, sf_dir)
         corpus.write.parquet(base + "/corpus")
         eval_docs.write.parquet(base + "/eval_docs")
@@ -2982,12 +2989,7 @@ def _bench_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", PQ_TRAIN_FRACTION, "pqtrain"
         )
         books = sim_ops.pq_train(train, m=PQ_M, ksub=PQ_KSUB, iters=2)
-        base = tempfile.mkdtemp(prefix="gmall_pq_index_")
-
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        base = _bench_tmpdir("gmall_pq_index_")
         path = base + "/codes"
         sim_ops.pq_write_index(emb, books, path)
         entry = (books, path)
@@ -3717,16 +3719,12 @@ def _bench_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only bench: the per-query cost at scale is the pruned
     probe over the persisted index; building it is one-off ingest
     (exactly the PQ/IVF/LSH bench discipline)."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     path = _BM25_INDEX_CACHE.get(sf_dir)
     if path is None:
         docs = spread_fixture(load_table(spark, sf_dir, "documents"))
-        tmp = tempfile.mkdtemp(prefix="gmall_bm25_index_")
-        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        tmp = _bench_tmpdir("gmall_bm25_index_")
         path = os.path.join(tmp, "idx")
         bi_ops.bm25_write_index(docs, path)
         _BM25_INDEX_CACHE[sf_dir] = path
@@ -4417,7 +4415,7 @@ def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ext_source_dedup_report",
     """
-    WITH fp AS (SELECT source, md5(lower(text)) AS f FROM documents),
+    WITH fp AS (SELECT source, md5(lower(coalesce(text, ''))) AS f FROM documents),
     psf AS (SELECT source, f, count(*) AS cnt FROM fp GROUP BY 1, 2),
     sc AS (
         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,

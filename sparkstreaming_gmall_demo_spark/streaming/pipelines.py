@@ -546,8 +546,11 @@ def novelty_gate_pipeline(
 
     ``ttl_batches`` bounds the state: with it set, the index rows are
     (fingerprint, admit_batch) and a fingerprint only suppresses
-    duplicates for ``ttl_batches`` micro-batches after ADMISSION —
-    after that the content is admitted again and re-stamped (a new
+    duplicates for exactly ``ttl_batches`` micro-batches after
+    ADMISSION (live iff admit_batch >= batch_id - ttl_batches; a
+    legacy single-column index from the unbounded mode is migrated on
+    first contact by stamping its rows as just-admitted) — after that
+    the content is admitted again and re-stamped (a new
     (fingerprint, admit_batch) row; merge_keyed on the PAIR keeps
     replays of the same batch a no-op while letting re-admission
     insert). Every ``compact_every`` batches the sink vacuums expired
@@ -575,8 +578,23 @@ def novelty_gate_pipeline(
         else:
             index = spark.createDataFrame([], index_schema)
         if ttl_batches is not None:
+            # a fingerprint admitted at batch a suppresses batches
+            # a+1 .. a+ttl: live iff admit_batch >= batch_id - ttl
+            # (ttl_batches=1 suppresses exactly the next batch)
+            if "admit_batch" not in index.columns:
+                # migration from the unbounded single-column index:
+                # stamp legacy rows as just-admitted (conservative —
+                # they suppress for one full TTL from the switch-over)
+                # and REWRITE the table once, so storage is uniformly
+                # two-column (a lazy per-probe stamp would leave mixed
+                # file schemas behind the later keyed merges)
+                index = index.withColumn(
+                    "admit_batch", F.lit(batch_id).cast("long")
+                )
+                txn.overwrite(index, index_table)
+                index = txn.snapshot(spark, index_table)
             index = index.filter(
-                F.col("admit_batch") > F.lit(batch_id - ttl_batches)
+                F.col("admit_batch") >= F.lit(batch_id - ttl_batches)
             )
         fresh = novel_against_index(batch_df, index.select("fingerprint"))
         first = (
@@ -619,7 +637,7 @@ def novelty_gate_pipeline(
             v = txn.current_version(index_table)
             if v >= 0:
                 live = txn.snapshot(spark, index_table).filter(
-                    F.col("admit_batch") > F.lit(batch_id - ttl_batches)
+                    F.col("admit_batch") >= F.lit(batch_id - ttl_batches)
                 )
                 txn.overwrite(live, index_table, expected_version=v)
 
@@ -1446,8 +1464,14 @@ def quality_gate_pipeline(
         flagged = gopher_rules(batch_df).withColumn(
             "score_sum", hashed_classifier_score("text")
         )
+        rules = sorted(c for c in flagged.columns if c.startswith("fail_"))
+        # ONE persisted scoring pass feeds both the doc sink and the
+        # rule counts — the fail_* columns ride along and are dropped
+        # before the append (re-deriving `flagged` would re-run the
+        # rules + classifier, the batch's dominant cost, per batch)
         out = flagged.select(
             "doc_id",
+            *rules,
             F.col("keep").cast("int").alias("rules_keep"),
             F.col("score_sum"),
             (F.col("keep") & (F.col("score_sum") >= 0)).cast("int").alias(
@@ -1456,14 +1480,14 @@ def quality_gate_pipeline(
         ).persist()
         try:
             idempotent_append(
-                out, out_path, key_cols=["doc_id"], partition_cols=None,
-                batch_id=batch_id,
+                out.drop(*rules), out_path, key_cols=["doc_id"],
+                partition_cols=None, batch_id=batch_id,
             )
-            rules = sorted(
-                c for c in flagged.columns if c.startswith("fail_")
-            )
-            agg = flagged.agg(
-                *[F.sum(r).cast("long").alias(r) for r in rules],
+            agg = out.agg(
+                *[
+                    F.coalesce(F.sum(r), F.lit(0)).cast("long").alias(r)
+                    for r in rules
+                ],
             )
             pairs = ", ".join(f"'{r[5:]}', {r}" for r in rules)
             rule_counts = agg.selectExpr(

@@ -347,23 +347,24 @@ def _write_doc_batches(spark, tmp_path, batches):
 
 
 def test_ttl_gate_readmits_after_expiry(spark, tmp_path):
-    """With ttl=2: the same content is suppressed while its admission
-    is fresh, re-admitted once it expires, then suppresses again."""
+    """With ttl=2 a fingerprint suppresses duplicates for exactly the
+    TWO batches after its admission (admit_batch >= batch_id - ttl),
+    then the content is re-admitted and re-stamped."""
     _write_doc_batches(
         spark,
         tmp_path,
         [
             [(0, "alpha")],  # batch 0: novel -> admitted (stamp 0)
-            [(1, "alpha")],  # batch 1: stamp 0 > 1-2 -> live -> suppressed
-            [(2, "alpha")],  # batch 2: stamp 0 <= 0 -> expired -> re-admitted
-            [(3, "alpha")],  # batch 3: stamp 2 > 1 -> live -> suppressed
+            [(1, "alpha")],  # batch 1: 0 >= 1-2 -> live -> suppressed
+            [(2, "alpha")],  # batch 2: 0 >= 0 -> live -> suppressed
+            [(3, "alpha")],  # batch 3: 0 >= 1 fails -> re-admitted
         ],
     )
     _run_ttl_gate(spark, tmp_path, "ckpt1", ttl=2)
     got = {
         r.doc_id for r in spark.read.parquet(str(tmp_path / "novel_ttl")).collect()
     }
-    assert got == {0, 2}
+    assert got == {0, 3}
 
 
 def test_ttl_gate_vacuum_bounds_index_and_replay_is_noop(spark, tmp_path):
@@ -378,20 +379,20 @@ def test_ttl_gate_vacuum_bounds_index_and_replay_is_noop(spark, tmp_path):
         [
             [(0, "alpha")],
             [(1, "beta")],
-            [(2, "alpha")],  # alpha stamp 0 expired at batch 2 -> re-admit
+            [(2, "alpha")],  # alpha stamp 0 >= 2-2 -> still live -> suppressed
             [(3, "gamma")],
         ],
     )
     _run_ttl_gate(spark, tmp_path, "ckpt1", ttl=2, compact_every=2)
     out = str(tmp_path / "novel_ttl")
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert got == {0, 1, 2, 3}
-    # vacuum at batch 3 kept only stamps > 1: (alpha,2), (gamma,3)
+    assert got == {0, 1, 3}
+    # vacuum at batch 3 kept only stamps >= 1: (beta,1), (gamma,3)
     rows = {
         (r.fingerprint is not None, r.admit_batch)
         for r in txn.snapshot(spark, str(tmp_path / "fp_index_ttl")).collect()
     }
-    assert {b for _, b in rows} == {2, 3}
+    assert {b for _, b in rows} == {1, 3}
 
     _run_ttl_gate(spark, tmp_path, "ckpt2", ttl=2, compact_every=2)
     assert {
@@ -675,3 +676,38 @@ def test_curation_funnel_is_monotone_and_conserves(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)  # never grows
     for prev, cur in zip(rows, rows[1:]):
         assert cur["dropped"] == prev["n_docs"] - cur["n_docs"]
+
+
+def test_ttl_gate_migrates_legacy_unbounded_index(spark, tmp_path):
+    """Enabling ttl_batches against an index table built by the
+    unbounded mode must not crash: legacy rows (no admit_batch) are
+    stamped as just-admitted on first contact and suppress for a full
+    TTL from the switch-over."""
+    from sparkstreaming_gmall_demo_spark.streaming import txn
+
+    # seed a legacy single-column index containing alpha's fingerprint
+    import hashlib
+
+    legacy = spark.createDataFrame(
+        [(hashlib.md5(b"alpha").hexdigest(),)], "fingerprint string"
+    )
+    txn.merge_keyed(legacy, str(tmp_path / "fp_index_ttl"), ["fingerprint"])
+
+    _write_doc_batches(
+        spark,
+        tmp_path,
+        [
+            [(0, "alpha")],  # suppressed: legacy row stamped live
+            [(1, "beta")],   # novel -> admitted
+            [(2, "alpha")],  # still suppressed via the REWRITTEN table
+        ],
+    )
+    _run_ttl_gate(spark, tmp_path, "ckpt1", ttl=3)
+    got = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "novel_ttl")).collect()
+    }
+    assert got == {1}
+    # the one-time rewrite left a uniformly two-column index
+    idx = txn.snapshot(spark, str(tmp_path / "fp_index_ttl"))
+    assert set(idx.columns) == {"fingerprint", "admit_batch"}
+    assert idx.filter(F.col("admit_batch").isNull()).count() == 0
