@@ -557,11 +557,15 @@ def novelty_gate_pipeline(
     rows with a CAS-guarded overwrite, so index size is bounded by the
     TTL window's distinct-content volume instead of growing forever —
     the difference between a dedup index that survives years of
-    ingest and one that eats the cluster. Expiry here counts BATCHES
-    (deterministic under the test clock); a production gate keys the
-    same two-column layout on an event-time watermark instead — the
-    probe filter and vacuum predicate are the only two lines that
-    change. ``ttl_batches=None`` keeps the original unbounded
+    ingest and one that eats the cluster. This is the engine-grade
+    form of the reference's Redis expiry discipline — the join buffer
+    SETs with EXPIRE 10 (app/SaleDetailApp.scala:93,131) and the
+    day-scoped dedup registry (handler/DauHandler.scala:61-73) both
+    bound state by time-to-live, never by unbounded growth. Expiry
+    here counts BATCHES (deterministic under the test clock); a
+    production gate keys the same two-column layout on an event-time
+    watermark instead — the probe filter and vacuum predicate are the
+    only two lines that change. ``ttl_batches=None`` keeps the original unbounded
     append-only index (fingerprint only), byte-compatible with
     existing tables."""
     from ..operators.dedup import novel_against_index
