@@ -466,3 +466,84 @@ def curriculum_schedule(
         id_col,
         difficulty_col,
     )
+
+
+def unimax_quotas(
+    df: DataFrame, group_col: str, budget: int, epoch_cap: int
+) -> DataFrame:
+    """UniMax water-filling allocation (Chung et al. 2023): give every
+    group as close to an equal share of ``budget`` as its corpus
+    allows, capped at ``epoch_cap`` epochs — the fairness-first
+    alternative to :func:`temperature_quotas` (which still scales
+    sub-linearly WITH corpus size; UniMax ignores size above the water
+    level entirely).
+
+    Closed form instead of the paper's sequential loop: with groups
+    sorted ascending by ``avail = n * epoch_cap``, group ``i``
+    saturates (takes all of ``avail_i``) iff even granting every
+    not-yet-processed group that same amount stays within budget —
+    ``P_{i-1} + avail_i * (g - i + 1) <= budget``, a monotone
+    predicate, so the saturated set is a prefix. The rest share the
+    remainder equally at the water level
+    ``theta = (budget - P_k) / (g - k)``. Allocation is
+    ``min(avail, floor(theta))``; flooring leaves at most ``g`` units
+    unallocated, deterministically.
+
+    Every window here is over the GROUP-COUNT-sized frame (one row per
+    language/source), not the corpus — the single-partition
+    ``Window.orderBy`` touches a handful of rows (the vocab_build
+    bounded-window discipline). The corpus-sized work is the one
+    partial-aggregated ``groupBy`` count. ``theta`` is the only
+    non-integer: an exact BIGINT difference divided by a BIGINT count,
+    rounded to 6 dp before floor so both engines floor the same value.
+
+    Returns (group, n, avail, alloc, epochs_permille) — all BIGINT.
+    """
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n"))
+    a = g.select(
+        group_col, "n", (F.col("n") * F.lit(int(epoch_cap))).cast("long").alias("avail")
+    )
+    w = Window.orderBy("avail", group_col)
+    whole = Window.partitionBy(F.lit(1))
+    o = (
+        a.withColumn("rn", F.row_number().over(w))
+        .withColumn("ng", F.count("*").over(whole))
+        .withColumn(
+            "pbefore",
+            F.coalesce(
+                F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "sat",
+            F.col("pbefore") + F.col("avail") * (F.col("ng") - F.col("rn") + 1)
+            <= F.lit(int(budget)),
+        )
+        .withColumn("k", F.sum(F.col("sat").cast("long")).over(whole))
+        .withColumn(
+            "pk",
+            F.coalesce(
+                F.sum(F.when(F.col("sat"), F.col("avail"))).over(whole), F.lit(0)
+            ).cast("long"),
+        )
+    )
+    theta = F.floor(
+        F.round(
+            (F.lit(int(budget)) - F.col("pk"))
+            / (F.col("ng") - F.col("k")).cast("double"),
+            6,
+        )
+    ).cast("long")
+    alloc = F.when(F.col("sat"), F.col("avail")).otherwise(
+        F.least(F.col("avail"), F.greatest(theta, F.lit(0)))
+    )
+    return o.select(
+        group_col,
+        "n",
+        "avail",
+        alloc.cast("long").alias("alloc"),
+        F.floor(alloc * 1000 / F.col("n")).cast("long").alias("epochs_permille"),
+    ).orderBy(group_col)

@@ -1031,3 +1031,64 @@ def knn_label_propagation(
             "votes",
         )
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-column QA report, per label: the checks an ANN/semdedup
+    stage runs BEFORE trusting a 100 TB vector table — ragged
+    dimensions (one bad producer shard), non-finite entries (fp16
+    overflow upstream), zero-norm rows (cosine is undefined; every
+    kernel here would divide by zero), and the norm envelope
+    (un-normalized batches show up as avg-norm outliers).
+
+    One narrow map pass: each per-vector statistic is a higher-order
+    fold over the array (JVM, whole-stage codegen, fixed left-to-right
+    order so the DuckDB oracle's list_aggregate folds bit-identically),
+    then one partial-aggregated groupBy on the label. Returns
+    (label, n_vecs, dim_min, dim_max, n_nonfinite, n_zero_norm,
+    avg_norm, min_norm, max_norm) with norm doubles rounded to 4 dp.
+    """
+    v = F.col(vec_col)
+    sumsq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    nonfinite = F.aggregate(
+        v,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(F.isnan(x.cast("double")) | (F.abs(x) == float("inf")), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    # norm stats are over FINITE vectors only: a single NaN entry would
+    # otherwise poison the whole label's envelope (NaN sorts greatest
+    # in Spark, so max_norm would read NaN forever) — the report flags
+    # the bad vectors in n_nonfinite and keeps the envelope usable.
+    per_vec = df.select(
+        F.col(label_col).alias("label"),
+        F.size(v).cast("long").alias("dim"),
+        nonfinite.alias("nf"),
+        F.when(nonfinite == 0, F.sqrt(sumsq)).alias("norm"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum("nf").cast("long").alias("n_nonfinite"),
+            F.sum((F.col("norm") == 0.0).cast("long")).cast("long").alias(
+                "n_zero_norm"
+            ),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -825,3 +825,120 @@ def curation_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         "4L, 'dedup_survivor', n_uniq, n_cls - n_uniq"
         ") as (stage_order, stage, n_docs, dropped)"
     ).orderBy("stage_order")
+
+
+def wilson_source_rank(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    z: float = 1.96,
+) -> DataFrame:
+    """Rank sources by the Wilson lower confidence bound of their
+    quality keep-rate — the small-sample-honest ordering: a source
+    with 3/3 keeps must NOT outrank one with 9,000/10,000, which is
+    exactly what ranking by the raw ratio does. The keep signal is the
+    hashed classifier's exact-BIGINT score (>= 0 keeps), so ``n`` and
+    ``k`` are engine-exact integers and the LCB
+
+        (p + z²/2n − z·sqrt((p(1−p) + z²/4n)/n)) / (1 + z²/n)
+
+    is a pure scalar function of them — identical operation order on
+    both engines means identical IEEE doubles, so even the derived
+    RANK is hash-stable. Scoring is one narrow fold per document
+    (no explode, no shuffle); only (source, n, k) rollups shuffle.
+    Returns (rank, source, n_docs, n_keep, keep_bp, wilson_lcb_bp).
+    """
+    from pyspark.sql.window import Window
+
+    agg = (
+        df.select(
+            F.col(source_col).alias("source"),
+            (hashed_classifier_score(text_col) >= 0).cast("long").alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_keep").cast("double") / n
+    z2 = z * z
+    lcb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt((p * (1 - p) + F.lit(z2) / (4 * n)) / n)
+    ) / (1 + F.lit(z2) / n)
+    scored = agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.floor(F.col("n_keep") * 10000 / F.col("n_docs")).cast("long").alias(
+            "keep_bp"
+        ),
+        F.floor(lcb * 10000).cast("long").alias("wilson_lcb_bp"),
+    )
+    w = Window.orderBy(F.col("wilson_lcb_bp").desc(), F.col("source"))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"), *scored.columns
+    ).orderBy("rank")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n_batches: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus novelty curve: bucket documents into ``n_batches``
+    deterministic ingest batches (``doc_id % n_batches`` — the
+    engine-portable stand-in for arrival order) and report, per batch,
+    how many distinct word-bigram shingles appear vs how many are NEW
+    (first seen in that batch). The saturation shape is the dedup
+    planner's capacity signal: when new_bp collapses, additional
+    crawl volume is re-buying existing content and the near-dup
+    stages dominate the value.
+
+    Only 16-char md5 digests of shingles cross the shuffle (the
+    neardup discipline — text never shuffles); per-doc DISTINCT
+    before the exchange bounds the explode. Two bounded aggregates
+    over the (batch, digest) pair frame join on the tiny batch key.
+    Returns (batch, n_grams, n_new, new_bp) — all BIGINT.
+    """
+    grams = (
+        df.select(
+            F.pmod(F.col(id_col), F.lit(n_batches)).cast("long").alias("batch"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(slice(split({text_col}, ' '), 1, "
+                        f"size(split({text_col}, ' ')) - 1), "
+                        f"(t, i) -> substring(md5(concat_ws(' ', t, "
+                        f"element_at(split({text_col}, ' '), i + 2))), 1, 16))"
+                    )
+                )
+            ).alias("digest"),
+        )
+        .distinct()
+    )
+    per_batch = grams.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    first_seen = (
+        grams.groupBy("digest")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    return (
+        per_batch.join(first_seen, "batch", "left")
+        .select(
+            "batch",
+            "n_grams",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.floor(
+                F.coalesce("n_new", F.lit(0)) * 10000 / F.col("n_grams")
+            ).cast("long").alias("new_bp"),
+        )
+        .orderBy("batch")
+    )

@@ -645,3 +645,118 @@ def oov_sweep(
             .alias("oov_bp"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    top_v: int = 64,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language Zipf fit over the top-``top_v`` token frequencies:
+    the OLS slope (and intercept) of ``ln(freq) ~ ln(rank)`` — natural
+    language sits near slope -1; a corpus slice that deviates hard is
+    templated/boilerplate (too flat: synthetic key soup) or
+    degenerate (too steep: one token dominating), making this the
+    cheapest distribution-shape QA signal next to the ratio rules.
+
+    slope = covar_pop(ln r, ln f) / var_pop(ln r), spelled out the
+    same way on the DuckDB side (= regr_slope) so the contract is the
+    formula. Ranks are row_number by (freq DESC, token ASC) — the
+    deterministic tie-break — and the rank window is PER LANGUAGE over
+    the aggregated (lang, token) count frame, so it distributes; only
+    token counts shuffle, never text. Returns
+    (lang, v, slope, intercept) with the doubles rounded to 4 dp.
+    """
+    counts = (
+        df.withColumn("token", F.explode(F.split(F.col(text_col), " ")))
+        .groupBy(lang_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_v)
+        .select(
+            lang_col,
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("cnt").cast("double")).alias("ly"),
+        )
+    )
+    return (
+        ranked.groupBy(lang_col)
+        .agg(
+            F.count("*").cast("long").alias("v"),
+            (F.covar_pop("lx", "ly") / F.var_pop("lx")).alias("_slope"),
+            F.avg("lx").alias("_mx"),
+            F.avg("ly").alias("_my"),
+        )
+        .select(
+            lang_col,
+            "v",
+            F.round("_slope", 4).alias("slope"),
+            F.round(F.col("_my") - F.col("_slope") * F.col("_mx"), 4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy(lang_col)
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    vocab: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the corpus token
+    distribution — the mixture-drift monitor: a source whose JSD
+    creeps up is diverging from the corpus it is supposed to feed
+    (crawl rot, template takeover, language shift). Bounded in
+    [0, ln 2]; symmetric; defined even where a source is missing
+    tokens, unlike raw KL.
+
+    Both distributions live on the FIXED support of ``vocab`` (the
+    broadcast top-V frame from :func:`vocab_build`, renormalized), so
+    the absent-token terms of the global half-sum collapse to the
+    closed form ``0.5·ln2·(1 - Σ_{t∈s} q_t)``:
+
+        JSD_s = 0.5·Σ_{t∈s}[p·ln(p/m) + q·ln(q/m) − q·ln2] + 0.5·ln2
+
+    with ``m = (p+q)/2`` — which needs only the per-(source, token)
+    rows a source actually HAS. No source×vocab grid, no outer join:
+    one narrow explode, a broadcast semi-restriction to the vocab,
+    one partial-aggregated count shuffle, and a broadcast join of the
+    V-row global distribution. Returns (source, n_tokens, jsd4) with
+    the double rounded to 4 dp.
+    """
+    toks = (
+        df.select(source_col, text_col)
+        .withColumn("token", F.explode(F.split(F.col(text_col), " ")))
+        .join(F.broadcast(vocab.select("token")), "token")
+        .select(source_col, "token")
+    )
+    st = toks.groupBy(source_col, "token").agg(F.count("*").alias("c_st"))
+    stot = st.groupBy(source_col).agg(F.sum("c_st").alias("tot_s"))
+    gl = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    # the global total via a whole-frame window over the V-row vocab
+    # frame (bounded by construction) — no driver round-trip, one job
+    q = gl.withColumn(
+        "tot", F.sum("c_t").over(Window.partitionBy(F.lit(1)))
+    ).select("token", (F.col("c_t") / F.col("tot").cast("double")).alias("q"))
+    ln2 = 0.6931471805599453
+    p = F.col("c_st") / F.col("tot_s")
+    m = (p + F.col("q")) / F.lit(2.0)
+    term = p * F.log(p / m) + F.col("q") * F.log(F.col("q") / m) - F.col("q") * F.lit(
+        ln2
+    )
+    return (
+        st.join(F.broadcast(q), "token")
+        .join(F.broadcast(stot), source_col)
+        .groupBy(source_col)
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.round(F.sum(term) * F.lit(0.5) + F.lit(0.5 * ln2), 4).alias("jsd4"),
+        )
+        .orderBy(source_col)
+    )

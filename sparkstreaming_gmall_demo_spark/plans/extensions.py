@@ -4843,3 +4843,296 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared batch entry."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return text_ops.curation_funnel(docs)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 (round 6): mixture fairness, distribution-shape QA, vector QA,
+# small-sample-honest source ranking, corpus novelty saturation
+# ---------------------------------------------------------------------------
+UNIMAX_BUDGET = 700
+UNIMAX_EPOCH_CAP = 2
+
+
+@_register(
+    "ext_unimax_mix",
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    a AS (SELECT lang, n, n * {UNIMAX_EPOCH_CAP} AS avail FROM c),
+    o AS (
+        SELECT lang, n, avail,
+               row_number() OVER (ORDER BY avail, lang) AS rn,
+               count(*) OVER () AS ng,
+               CAST(coalesce(sum(avail) OVER (ORDER BY avail, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pbefore
+        FROM a
+    ),
+    s AS (
+        SELECT *, (pbefore + avail * (ng - rn + 1) <= {UNIMAX_BUDGET}) AS sat
+        FROM o
+    ),
+    t AS (
+        SELECT *,
+               CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+               CAST(coalesce(sum(CASE WHEN sat THEN avail END) OVER (), 0)
+                   AS BIGINT) AS pk
+        FROM s
+    ),
+    al AS (
+        SELECT lang, n, avail,
+               CASE WHEN sat THEN avail
+                    ELSE least(avail, greatest(CAST(floor(round(
+                        ({UNIMAX_BUDGET} - pk) * 1e0 / nullif(ng - k, 0), 6))
+                        AS BIGINT), 0))
+               END AS alloc
+        FROM t
+    )
+    SELECT lang, n, avail, alloc,
+           CAST(floor(alloc * 1000 / (n * 1e0)) AS BIGINT) AS epochs_permille
+    FROM al ORDER BY lang
+    """,
+    "UniMax water-filling language budget: equal shares capped at epoch limit",
+)
+def ext_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (operators/sampling.py:unimax_quotas):
+    the fairness-first companion to ext_temperature_mix — above the
+    water level every language gets the SAME token share regardless of
+    corpus size, below it a language is capped at epoch_cap repeats of
+    everything it has. The fixture constants are chosen so the three
+    SFs exercise all three regimes: at sf0.001 the budget exceeds the
+    whole corpus (everyone saturates), at sf0.01 the water level
+    bisects the language list, at sf0.1 no language saturates (pure
+    equal split) — one declared entry, three closed-form branches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return samp_ops.unimax_quotas(docs, "lang", UNIMAX_BUDGET, UNIMAX_EPOCH_CAP)
+
+
+ZIPF_TOP_V = 64
+
+
+@_register(
+    "ext_zipf_slope",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT lang, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, token
+               ) AS rank
+        FROM c
+    ),
+    f AS (
+        SELECT lang, ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(cnt AS DOUBLE)) AS ly
+        FROM r WHERE rank <= {ZIPF_TOP_V}
+    ),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS v,
+               covar_pop(lx, ly) / var_pop(lx) AS slope_raw,
+               avg(lx) AS mx, avg(ly) AS my
+        FROM f GROUP BY lang
+    )
+    SELECT lang, v, round(slope_raw, 4) AS slope,
+           round(my - slope_raw * mx, 4) AS intercept
+    FROM agg ORDER BY lang
+    """,
+    "per-language Zipf slope: OLS ln(freq)~ln(rank) over the top-V tokens",
+)
+def ext_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape QA (operators/vocab.py:zipf_slope): natural
+    text sits near slope -1 on the Zipf log-log line; a slice that is
+    far flatter is templated key soup, far steeper is a degenerate
+    single-token dominance — the one-number complement to the Gopher
+    ratio rules. The contract is the spelled-out covar_pop/var_pop
+    formula (= DuckDB regr_slope); ranks tie-break on (cnt DESC,
+    token ASC) so both engines rank identically, and the rank window
+    partitions by language over the aggregated count frame — counts
+    shuffle, text never does."""
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_ops.zipf_slope(docs, ZIPF_TOP_V)
+
+
+DIVERGENCE_V = 64
+
+
+@_register(
+    "ext_source_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    gc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    v AS (SELECT token FROM gc ORDER BY cnt DESC, token LIMIT {DIVERGENCE_V}),
+    st AS (
+        SELECT source, t.token, CAST(count(*) AS BIGINT) AS c_st
+        FROM tok t JOIN v USING (token) GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS tot_s FROM st GROUP BY 1),
+    gl AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    q AS (
+        SELECT token, c_t / CAST(sum(c_t) OVER () AS DOUBLE) AS q FROM gl
+    ),
+    term AS (
+        SELECT st.source, st.c_st,
+               st.c_st / (stot.tot_s * 1e0) AS p, q.q AS q
+        FROM st JOIN q USING (token) JOIN stot USING (source)
+    )
+    SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+           round(sum(p * ln(p / ((p + q) / 2.0))
+                     + q * ln(q / ((p + q) / 2.0))
+                     - q * 0.6931471805599453) * 0.5
+                 + 0.5 * 0.6931471805599453, 4) AS jsd4
+    FROM term GROUP BY source ORDER BY source
+    """,
+    "per-source Jensen-Shannon divergence vs the corpus token distribution",
+)
+def ext_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor (operators/vocab.py:source_divergence):
+    JSD of each source's token distribution against the corpus, on the
+    fixed top-V vocabulary support — the number that creeps up when a
+    source starts template-rotting or switching language. The
+    absent-token half of the global sum collapses to a closed form, so
+    the plan needs only the rows a source actually has: no
+    source-x-vocab grid, no outer join, one count shuffle plus two
+    broadcast joins of V-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_ops.vocab_build(docs, DIVERGENCE_V)
+    return vocab_ops.source_divergence(docs, vocab)
+
+
+@_register(
+    "ext_embedding_health",
+    """
+    WITH pv AS (
+        SELECT label,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(len(list_filter(embedding,
+                   x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
+                   AS BIGINT) AS nf,
+               CASE WHEN len(list_filter(embedding,
+                        x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+                    THEN sqrt(list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        (a, b) -> a + b))
+               END AS norm
+        FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           CAST(sum(nf) AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           round(avg(norm), 4) AS avg_norm,
+           round(min(norm), 4) AS min_norm,
+           round(max(norm), 4) AS max_norm
+    FROM pv GROUP BY label ORDER BY label
+    """,
+    "embedding-column QA: ragged dims, non-finite entries, norm envelope",
+)
+def ext_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table QA (operators/similarity.py:embedding_health) —
+    the gate every ANN/semdedup stage should run first: ragged
+    dimensions, NaN/Inf entries, zero-norm rows (cosine undefined),
+    and the norm envelope per label. Each per-vector statistic is a
+    fixed-order higher-order fold (both engines fold left from 0.0,
+    so the sums are bit-identical before the 4 dp round); one narrow
+    map pass, one partial-aggregated label rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_health(emb)
+
+
+@_register(
+    "ext_wilson_source_rank",
+    f"""
+    WITH agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN list_sum(list_transform(
+                   string_split(text, ' '), t -> ({_HCW}))) >= 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_keep,
+               CAST(floor(n_keep * 10000 / (n_docs * 1e0)) AS BIGINT) AS keep_bp,
+               CAST(floor((
+                   (n_keep / (n_docs * 1e0))
+                   + (1.96 * 1.96) / (2 * (n_docs * 1e0))
+                   - 1.96 * sqrt((
+                       (n_keep / (n_docs * 1e0)) * (1 - (n_keep / (n_docs * 1e0)))
+                       + (1.96 * 1.96) / (4 * (n_docs * 1e0))
+                     ) / (n_docs * 1e0))
+                 ) / (1 + (1.96 * 1.96) / (n_docs * 1e0)) * 10000)
+                 AS BIGINT) AS wilson_lcb_bp
+        FROM agg
+    )
+    SELECT CAST(row_number() OVER (ORDER BY wilson_lcb_bp DESC, source)
+               AS BIGINT) AS rank,
+           source, n_docs, n_keep, keep_bp, wilson_lcb_bp
+    FROM w ORDER BY rank
+    """,
+    "sources ranked by Wilson lower bound of classifier keep-rate",
+)
+def ext_wilson_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-sample-honest source ranking (operators/text.py:
+    wilson_source_rank): the q10 banded-ratio family's statistical
+    upgrade — raw keep-rate ranks a 3/3 source above a 9000/10000 one;
+    the Wilson LCB does not. n and k are exact BIGINTs from the hashed
+    classifier fold, and the LCB is written with the identical
+    operation order on both engines, so the derived rank itself is
+    hash-stable (IEEE ops are correctly rounded — same inputs, same
+    order, same bits)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.wilson_source_rank(docs)
+
+
+NOVELTY_BATCHES = 10
+
+
+@_register(
+    "ext_ngram_novelty",
+    f"""
+    WITH g AS (
+        SELECT DISTINCT batch, digest FROM (
+            SELECT doc_id % {NOVELTY_BATCHES} AS batch,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> substring(md5(string_split(text, ' ')[i] || ' ' ||
+                                          string_split(text, ' ')[i+1]), 1, 16))))
+                       AS digest
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        )
+    ),
+    pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+    fs AS (
+        SELECT batch, CAST(count(*) AS BIGINT) AS n_new FROM (
+            SELECT digest, min(batch) AS batch FROM g GROUP BY digest
+        ) GROUP BY 1
+    )
+    SELECT CAST(pb.batch AS BIGINT) AS batch, n_grams,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(floor(coalesce(n_new, 0) * 10000 / (n_grams * 1e0)) AS BIGINT)
+               AS new_bp
+    FROM pb LEFT JOIN fs USING (batch) ORDER BY batch
+    """,
+    "corpus novelty curve: new vs seen bigram shingles per ingest batch",
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup saturation signal (operators/text.py:ngram_novelty): per
+    deterministic ingest batch (doc_id mod B — the engine-portable
+    stand-in for arrival order), distinct bigram shingles appearing vs
+    first-seen-here. When new_bp collapses, additional crawl volume is
+    re-buying existing content — the capacity-planning curve for the
+    near-dup stages. Only 16-char digests cross the shuffle (the
+    neardup discipline); per-doc DISTINCT bounds the explode before
+    the exchange."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.ngram_novelty(docs, NOVELTY_BATCHES)
