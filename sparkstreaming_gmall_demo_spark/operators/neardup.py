@@ -253,14 +253,18 @@ def prefix_filtered_containment_pairs(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "sz", "tok")
     )
     a, b = prefix.alias("a"), posting.alias("b")
+    # size bound: |A∩B| <= |B|, so containment >= t forces
+    # |B| >= ceil(t·|A|) — prune undersized containers inside the
+    # candidate join, before the dedup shuffle and exact verification
     cands = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz"))),
         )
         .select(
             F.col("a.doc_id").alias("contained"),

@@ -730,20 +730,38 @@ def source_divergence(
     V-row global distribution. Returns (source, n_tokens, jsd4) with
     the double rounded to 4 dp.
     """
-    toks = (
-        df.select(source_col, text_col)
-        .withColumn("token", F.explode(F.split(F.col(text_col), " ")))
-        .join(F.broadcast(vocab.select("token")), "token")
-        .select(source_col, "token")
-    )
-    st = toks.groupBy(source_col, "token").agg(F.count("*").alias("c_st"))
-    stot = st.groupBy(source_col).agg(F.sum("c_st").alias("tot_s"))
+    st = _vocab_restricted_counts(df, vocab, source_col, text_col)
     gl = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     # the global total via a whole-frame window over the V-row vocab
     # frame (bounded by construction) — no driver round-trip, one job
     q = gl.withColumn(
         "tot", F.sum("c_t").over(Window.partitionBy(F.lit(1)))
     ).select("token", (F.col("c_t") / F.col("tot").cast("double")).alias("q"))
+    return _jsd_fold(st, q, source_col)
+
+
+def _vocab_restricted_counts(
+    df: DataFrame, vocab: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """(source, token, c_st) occurrence counts restricted to the
+    broadcast vocabulary support — the one corpus-sized pass both
+    divergence variants share."""
+    return (
+        df.select(source_col, text_col)
+        .withColumn("token", F.explode(F.split(F.col(text_col), " ")))
+        .join(F.broadcast(vocab.select("token")), "token")
+        .select(source_col, "token")
+        .groupBy(source_col, "token")
+        .agg(F.count("*").alias("c_st"))
+    )
+
+
+def _jsd_fold(st: DataFrame, q: DataFrame, source_col: str) -> DataFrame:
+    """JSD via the closed-form absent-token fold (see
+    :func:`source_divergence`): needs only the (source, token) rows a
+    source actually has, plus the V-row reference distribution ``q``
+    (token, q with Σq = 1) joined as a broadcast."""
+    stot = st.groupBy(source_col).agg(F.sum("c_st").alias("tot_s"))
     ln2 = 0.6931471805599453
     p = F.col("c_st") / F.col("tot_s")
     m = (p + F.col("q")) / F.lit(2.0)
@@ -760,3 +778,31 @@ def source_divergence(
         )
         .orderBy(source_col)
     )
+
+
+def vocab_distribution(vocab: DataFrame) -> DataFrame:
+    """(token, q) reference distribution from a :func:`vocab_build`
+    frame: counts renormalized over the top-V support. V-row input,
+    V-row output — computed once offline, broadcast everywhere."""
+    return vocab.withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy(F.lit(1)))
+    ).select("token", (F.col("cnt") / F.col("tot").cast("double")).alias("q"))
+
+
+def reference_divergence(
+    df: DataFrame,
+    ref: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source JSD against a FROZEN reference distribution ``ref``
+    (token, q from :func:`vocab_distribution`) instead of the pooled
+    corpus — the drift-detection form: freeze the distribution of a
+    trusted snapshot once, then measure every later slice (or every
+    arriving micro-batch, streaming/pipelines.py:
+    divergence_monitor_pipeline) against it. Same closed-form fold and
+    output shape as :func:`source_divergence`; per-slice results are a
+    pure function of the slice + the frozen reference, so streaming
+    output ≡ batch on the same rows by construction."""
+    st = _vocab_restricted_counts(df, ref, source_col, text_col)
+    return _jsd_fold(st, ref.select("token", "q"), source_col)

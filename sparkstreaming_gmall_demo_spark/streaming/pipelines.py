@@ -1512,3 +1512,42 @@ def quality_gate_pipeline(
             out.unpersist()
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def divergence_monitor_pipeline(
+    docs: DataFrame,
+    ref: DataFrame,
+    counts_table: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuous distribution-drift monitoring: per micro-batch and
+    per source, the Jensen-Shannon divergence of the arriving tokens
+    against a FROZEN reference distribution
+    (operators/vocab.py:reference_divergence) — the streaming form of
+    ext_source_divergence, and the alarm wire for the failure mode
+    that entry measures offline: a source whose JSD jumps between
+    batches just changed language, template, or encoding mid-crawl.
+
+    Stream-static shape (the dsir_gate discipline): the reference is
+    a V-row broadcast frozen offline (vocab_distribution of a trusted
+    snapshot), per-batch JSD is a pure function of the batch + the
+    reference, so the monitor needs NO streaming state and streaming
+    output ≡ the batch operator on the same rows by construction. The
+    (batch_id, source)-keyed transactional merge makes replays
+    no-ops; rows are (batch_id, source, n_tokens, jsd4). Like every
+    monitor here it OBSERVES, it does not gate — routing on a drift
+    alarm is the consumer's policy (the decontam convention).
+    """
+    from ..operators import vocab as vocab_ops
+    from . import txn
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        res = (
+            vocab_ops.reference_divergence(batch_df, ref)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .select("batch_id", "source", "n_tokens", "jsd4")
+        )
+        txn.merge_keyed(res, counts_table, key_cols=["batch_id", "source"])
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

@@ -382,3 +382,33 @@ def test_hashed_classifier_single_exchange_no_generate(spark):
     assert plan.count("hashpartitioning(") == 1
     assert plan.count("rangepartitioning(") <= 1
     assert "partial_sum" in plan
+
+
+def test_novelty_shuffles_digests_not_text(spark):
+    """ext_ngram_novelty: shingles are digested to 16-char md5
+    prefixes inside the explode projection — no exchange may carry
+    the text column (the neardup discipline on the novelty curve)."""
+    plan = plan_of(spark, "ext_ngram_novelty")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_source_divergence_broadcasts_vocab_no_grid(spark):
+    """ext_source_divergence: the closed-form absent-token fold means
+    the plan joins only V-row frames by equi-key — broadcast joins,
+    no nested-loop grid, and the corpus-side token stream shuffles
+    only (source, token) counts."""
+    plan = plan_of(spark, "ext_source_divergence")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wilson_rank_single_scan_no_explode(spark):
+    """ext_wilson_source_rank: the classifier score is a higher-order
+    fold (no Generate/explode node), so the corpus is scored in one
+    narrow pass and only the (source) rollup shuffles."""
+    plan = plan_of(spark, "ext_wilson_source_rank")
+    assert "Generate" not in plan
+    assert plan.count("Scan parquet") == 2  # tree line + details

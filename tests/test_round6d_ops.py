@@ -291,3 +291,42 @@ def test_ngram_novelty_single_token_docs_contribute_nothing(spark):
     )
     out = {r["batch"]: r["n_grams"] for r in text_ops.ngram_novelty(df, 2).collect()}
     assert out == {0: 1}
+
+
+def test_reference_divergence_vs_pooled_corpus_is_source_divergence(spark):
+    # freezing the reference AS the pooled corpus distribution must
+    # reproduce source_divergence exactly — same q values, same fold.
+    rows = [
+        (0, "a", "x x y"),
+        (1, "a", "x z"),
+        (2, "b", "y y z w"),
+        (3, "b", "w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    vocab = vocab_ops.vocab_build(df, 10)
+    ref = vocab_ops.vocab_distribution(vocab)
+    a = {r["source"]: r.asDict() for r in vocab_ops.source_divergence(df, vocab).collect()}
+    b = {r["source"]: r.asDict() for r in vocab_ops.reference_divergence(df, ref).collect()}
+    assert a == b
+
+
+def test_reference_divergence_detects_drift(spark):
+    # reference frozen on x/y text; a drifted slice (all z/w) must
+    # score strictly higher JSD than a conforming slice.
+    base = spark.createDataFrame(
+        [(0, "a", "x y x y"), (1, "a", "x y")],
+        "doc_id bigint, source string, text string",
+    )
+    ref = vocab_ops.vocab_distribution(vocab_ops.vocab_build(base, 10))
+    conforming = spark.createDataFrame(
+        [(2, "a", "x y")], "doc_id bigint, source string, text string"
+    )
+    # drifted slice still must share SOME support with the reference
+    # (tokens outside it are ignored by construction)
+    drifted = spark.createDataFrame(
+        [(3, "a", "y y y y y y")], "doc_id bigint, source string, text string"
+    )
+    j_ok = vocab_ops.reference_divergence(conforming, ref).collect()[0]["jsd4"]
+    j_bad = vocab_ops.reference_divergence(drifted, ref).collect()[0]["jsd4"]
+    assert j_ok == 0.0  # "x y" ~ exactly the reference mix
+    assert j_bad > j_ok

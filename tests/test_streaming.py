@@ -1125,3 +1125,60 @@ def test_dsir_gate_streaming_equals_batch_and_replays_noop(spark, sf_dir, tmp_pa
     }
     assert got == want
     weights.unpersist()
+
+
+def test_divergence_monitor_streaming_equals_batch_and_replays_noop(
+    spark, sf_dir, tmp_path
+):
+    """Documents replayed in 3 chunks through the stream-static
+    divergence monitor produce, per batch and source, exactly the
+    batch reference_divergence rows against the frozen reference —
+    and a second full replay is a no-op through the (batch_id,
+    source)-keyed transactional merge."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_gmall_demo_spark.operators import vocab as vocab_ops
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # freeze the reference once, offline, on the full corpus snapshot
+    ref = vocab_ops.vocab_distribution(vocab_ops.vocab_build(docs, 64)).cache()
+
+    topic = tmp_path / "docs_topic"
+    topic.mkdir()
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    step = (table.num_rows + 2) // 3
+    chunks = []
+    for i in range(3):
+        sl = table.slice(i * step, step)
+        pq.write_table(sl, str(topic / f"c{i}.parquet"))
+        chunks.append(sl)
+
+    counts_table = str(tmp_path / "jsd_counts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    for _ in range(2):  # second pass replays all files -> merge no-ops
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(topic))
+        )
+        q = pipelines.divergence_monitor_pipeline(
+            stream, ref, counts_table, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination()
+
+    from sparkstreaming_gmall_demo_spark.streaming import txn
+
+    got = {
+        (r.batch_id, r.source): (r.n_tokens, r.jsd4)
+        for r in txn.snapshot(spark, counts_table).collect()
+    }
+    want = {}
+    for bid, sl in enumerate(chunks):
+        chunk_df = spark.createDataFrame(sl.to_pandas())
+        for r in vocab_ops.reference_divergence(chunk_df, ref).collect():
+            want[(bid, r.source)] = (r.n_tokens, r.jsd4)
+    assert got == want
+    assert len({b for b, _ in got}) == 3
+    ref.unpersist()
