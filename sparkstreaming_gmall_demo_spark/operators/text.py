@@ -942,3 +942,161 @@ def ngram_novelty(
         )
         .orderBy("batch")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's minimum.
+    The selected set is position-robust — ANY shared token run of
+    length >= w + k - 1 between two documents is GUARANTEED to share
+    at least one selected fingerprint — at an expected density of only
+    2/(w+1) of all grams, which is what makes a fingerprint INDEX
+    affordable where "store every shingle" is not.
+
+    Entirely per-document array arithmetic: gram hashing, the sliding
+    window, and the min-selection are higher-order expressions inside
+    one narrow projection — NO shuffle of any kind (winnowing is
+    document-local); only the selected (id, pos, fp) rows are
+    exploded. The (hash, pos) pair is packed into one BIGINT
+    (``h * 65536 + pos``) so the window minimum needs no struct
+    ordering and ties break toward the LEFTMOST position by
+    construction; consecutive windows sharing a minimum collapse via
+    array_distinct, per the paper. The hash is the engine-portable
+    md5-prefix integer (44 bits, the rolling_fingerprint discipline),
+    so the DuckDB oracle restates the selection bit-for-bit.
+
+    Returns (id_col, pos, fp) — 1-based gram position and the 44-bit
+    fingerprint — one row per selected fingerprint, ordered.
+    """
+    if w < 1 or k < 1:
+        raise ValueError("k and w must be >= 1")
+    sp = f"split({text_col}, ' ')"
+    gram = (
+        f"transform(sequence(1, size({sp}) - {k} + 1), "
+        f"i -> concat_ws(' ', slice({sp}, i, {k})))"
+    )
+    keyed = (
+        f"transform({gram}, (g, i0) -> "
+        f"cast(conv(substring(md5(g), 1, 11), 16, 10) as bigint) * 65536 "
+        f"+ i0 + 1)"
+    )
+    selected = (
+        f"array_distinct(transform(sequence(1, size({sp}) - {k + w} + 2), "
+        f"j -> array_min(slice({keyed}, j, {w}))))"
+    )
+    return (
+        df.filter(F.expr(f"size({sp}) >= {k + w - 1}"))
+        .select(id_col, F.explode(F.expr(selected)).alias("key"))
+        .select(
+            id_col,
+            (F.col("key") % 65536).cast("long").alias("pos"),
+            # integer div, NOT `/`: the packed key is up to 60 bits and
+            # double division would shear off the low bits before dividing
+            F.expr("key div 65536").cast("long").alias("fp"),
+        )
+        .orderBy(id_col, "pos")
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise content-overlap matrix between sources: for every
+    source pair, how many DISTINCT document fingerprints they share —
+    the provenance question behind ext_source_dedup_report's scalar
+    cross-source count (WHO is mirroring whom, not just how much).
+    overlap_bp normalizes by the smaller side's distinct-content
+    volume, so a small source fully mirrored inside a big one reads
+    10000 regardless of the big side's size (the containment
+    convention, not Jaccard).
+
+    Only (source, 32-char digest) pairs — deduplicated BEFORE the
+    self-join — ever shuffle; the join key is the digest, so the
+    blowup per fingerprint is bounded by the number of sources
+    carrying it (documents carrying it collapsed by the distinct).
+    Returns (source_a, source_b, fps_a, fps_b, shared_fps,
+    overlap_bp), a < b, ordered.
+    """
+    fps = (
+        df.select(source_col, F.md5(F.lower(F.col(text_col))).alias("fp"))
+        .distinct()
+    )
+    sizes = fps.groupBy(source_col).agg(F.count("*").cast("long").alias("n_fps"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{source_col}") < F.col(f"b.{source_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    sa = sizes.select(
+        F.col(source_col).alias("source_a"), F.col("n_fps").alias("fps_a")
+    )
+    sb = sizes.select(
+        F.col(source_col).alias("source_b"), F.col("n_fps").alias("fps_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "fps_a",
+            "fps_b",
+            "shared_fps",
+            F.floor(
+                F.col("shared_fps") * 10000 / F.least("fps_a", "fps_b")
+            ).cast("long").alias("overlap_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def quality_calibration(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language calibration table for the hashed classifier: the
+    score distribution (exact interpolated p10/p50/p90) plus the keep
+    rate at the GLOBAL zero threshold — the table that shows why one
+    global cutoff over- or under-filters some languages (their score
+    distributions sit at different offsets) and what per-language
+    percentile thresholds would equalize. Scores are exact BIGINTs
+    (one higher-order fold per doc, no explode); the percentile is
+    Spark's exact interpolated ``percentile`` = DuckDB
+    ``quantile_cont`` (the length_quantiles precedent), rounded 4 dp.
+    Returns (lang, n_docs, p10, p50, p90, keep_bp).
+    """
+    scored = df.select(
+        F.col(lang_col),
+        hashed_classifier_score(text_col).alias("score"),
+    )
+    return (
+        scored.groupBy(lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.expr("percentile(score, 0.1)"), 4).alias("p10"),
+            F.round(F.expr("percentile(score, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(score, 0.9)"), 4).alias("p90"),
+            F.floor(
+                F.sum((F.col("score") >= 0).cast("long")) * 10000 / F.count("*")
+            ).cast("long").alias("keep_bp"),
+        )
+        .orderBy(lang_col)
+    )

@@ -5136,3 +5136,137 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return text_ops.ngram_novelty(docs, NOVELTY_BATCHES)
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 (round 6): winnowing fingerprint index, source provenance matrix,
+# per-language classifier calibration
+# ---------------------------------------------------------------------------
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+@_register(
+    "ext_winnowing_fingerprints",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
+                        * 65536 + i) AS keys,
+               len(sp) AS n
+        FROM d
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, key FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
+                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
+            FROM keyed
+        )
+    )
+    SELECT doc_id, CAST(key % 65536 AS BIGINT) AS pos,
+           CAST(key // 65536 AS BIGINT) AS fp
+    FROM sel ORDER BY doc_id, pos
+    """,
+    "winnowing (MOSS) fingerprint selection: window-min of k-gram hashes",
+)
+def ext_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The position-robust fingerprint INDEX (operators/text.py:
+    winnowing_fingerprints, Schleimer et al. 2003): any shared token
+    run of length >= w+k-1 between two documents shares a selected
+    fingerprint, at ~2/(w+1) storage density — the affordable middle
+    ground between whole-doc fingerprints (miss partial copies) and
+    every-shingle postings (too big). Document-local by construction:
+    the whole selection is higher-order array arithmetic in one narrow
+    projection, zero shuffles before the ordered output. Declared on
+    the bounded language partition (the pair-op convention) so the
+    row-level output stays driver-comparable."""
+    docs = spread_fixture(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("lang") == JACCARD_LANG
+        )
+    )
+    return text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
+
+
+@_register(
+    "ext_source_overlap_matrix",
+    """
+    WITH fps AS (
+        SELECT DISTINCT source, md5(lower(text)) AS fp FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps a JOIN fps b
+          ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           sa.n_fps AS fps_a, sb.n_fps AS fps_b, shared_fps,
+           CAST(floor(shared_fps * 10000 / (least(sa.n_fps, sb.n_fps) * 1e0))
+               AS BIGINT) AS overlap_bp
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    "pairwise source content overlap: who mirrors whom, containment-normalized",
+)
+def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance matrix (operators/text.py:source_overlap_matrix):
+    ext_source_dedup_report says how much of a source's content exists
+    elsewhere; this says WHERE — shared distinct fingerprints per
+    source pair, normalized by the smaller side (containment, so a
+    fully-mirrored small source reads 10000). Only deduplicated
+    (source, digest) pairs shuffle; the digest-keyed self-join's
+    per-key blowup is bounded by the source count, not the document
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.source_overlap_matrix(docs)
+
+
+_QC = text_ops.hashed_classifier_weight_sql("t")
+
+
+@_register(
+    "ext_quality_calibration",
+    f"""
+    WITH s AS (
+        SELECT lang,
+               list_sum(list_transform(string_split(text, ' '),
+                        t -> ({_QC}))) AS score
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(score, 0.1), 4) AS p10,
+           round(quantile_cont(score, 0.5), 4) AS p50,
+           round(quantile_cont(score, 0.9), 4) AS p90,
+           CAST(floor(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 10000
+               / (count(*) * 1e0)) AS BIGINT) AS keep_bp
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    "per-language classifier calibration: score percentiles + keep rate",
+)
+def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why one global quality threshold misfilters (operators/text.py:
+    quality_calibration): per-language score percentiles next to the
+    keep rate at the global zero cutoff — languages whose score
+    distribution sits at an offset get over- or under-filtered, and
+    the p10/p50/p90 columns are exactly the per-language thresholds
+    that would equalize. Exact-BIGINT scores from the one-fold
+    classifier; the only doubles are Spark's exact interpolated
+    percentile = DuckDB quantile_cont (the length_quantiles
+    precedent), rounded 4 dp."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return text_ops.quality_calibration(docs)
