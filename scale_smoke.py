@@ -237,6 +237,37 @@ def main() -> None:
             imp_ops.dsir_scores(pool, imp_ops.dsir_weights(tgt, pool))
             .agg(F.count("*").alias("n"), F.sum("score_micro").alias("s"))
         ), r)
+        # n-gram novelty curve: at 10x, occurrences are 10x but the
+        # distinct (batch, digest) frame grows at most n_batches-fold
+        # over distinct grams (verbatim copies land the SAME digests in
+        # other batches) — the per-doc DISTINCT + digest-only shuffle
+        # should keep this near the scan's growth
+        timed("ngram_novelty", lambda: (
+            text_ops.ngram_novelty(dc, 10)
+            .agg(F.sum("n_grams").alias("g"), F.sum("n_new").alias("nw"))
+        ), r)
+        # winnowing: document-local array arithmetic, ZERO shuffles —
+        # the canonical "scales with the scan" claim under measurement
+        timed("winnowing", lambda: (
+            text_ops.winnowing_fingerprints(dc)
+            .agg(F.count("*").alias("n"), F.sum("fp").alias("s"))
+        ), r)
+        # MOSS match step: deduped (doc, fp) BIGINT pairs keyed on the
+        # 44-bit fingerprint; the max_df ubiquity rule is the hot-key
+        # bound. 10x verbatim copies make every doc 10 identical twins
+        # -> expect a documented pair-output blowup (the containment
+        # regime), not scan-rate growth
+        timed("winnowing_pairs", lambda: (
+            text_ops.winnowing_overlap_pairs(dc, 4, 4, 2, 64)
+            .agg(F.count("*").alias("n"), F.sum("shared_fps").alias("s"))
+        ), r)
+        # per-source JSD drift: narrow explode + broadcast-V joins;
+        # the (source, token) count shuffle is vocab-bounded, so 10x
+        # docs should cost ~the token-scan growth
+        timed("source_divergence", lambda: (
+            vocab_ops.source_divergence(dc, vocab_ops.vocab_build(dc, 64))
+            .agg(F.sum("n_tokens").alias("n"), F.sum("jsd4").alias("j"))
+        ), r)
         runs[tag] = r
 
     ivf = ivf_maintenance_smoke(spark, emb1)

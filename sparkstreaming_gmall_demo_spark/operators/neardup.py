@@ -698,3 +698,123 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["i", "j"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    thresholds_bp: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup threshold sensitivity curve: from ONE exact pair
+    computation at the loosest threshold, report for every candidate
+    threshold how many pairs and how many distinct documents a
+    near-dup pass at that cutoff would touch. This is the table a
+    dedup planner reads before committing a 100 TB pass to a single
+    Jaccard cutoff — the knee where n_dup_docs collapses is the
+    operating point, and re-running the quadratic kernel once per
+    candidate threshold (the naive sweep) buys nothing the
+    conditional sums don't.
+
+    One pass by construction (the ext_oov_sweep discipline): the
+    posting-join pair kernel (array_jaccard_pairs' plan) runs once at
+    min(thresholds); every per-threshold statistic is a conditional
+    sum over the surviving pair frame, and the per-doc frame is one
+    explode of the pair endpoints aggregated to each doc's best
+    jaccard. Thresholds are integer BASIS POINTS (the q10 per-mille
+    discipline) so the output carries no float keys; the jaccard
+    comparison itself is the unrounded IEEE double both engines
+    compute from the same exact ints.
+
+    Returns (threshold_bp, n_pairs, n_dup_docs) — all BIGINT, one row
+    per requested threshold, ordered loosest first.
+    """
+    if not thresholds_bp:
+        raise ValueError("thresholds_bp must be non-empty")
+    ts = sorted(set(int(t) for t in thresholds_bp))
+    t_min = ts[0] / 10000.0
+
+    sets = token_sets(df, id_col, text_col)
+    sizes = sets.select("doc_id", F.size("toks").alias("sz"))
+    posting = sets.select("doc_id", F.explode("toks").alias("token"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("i") == F.col("sa.doc_id"))
+        .join(sb, F.col("j") == F.col("sb.doc_id"))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= t_min)
+    )
+    pair_sums = pairs.agg(
+        *[
+            F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")
+            for t in ts
+        ]
+    )
+    best = (
+        pairs.select(
+            F.explode(F.array(F.col("i"), F.col("j"))).alias("doc"),
+            F.col("jac"),
+        )
+        .groupBy("doc")
+        .agg(F.max("jac").alias("best"))
+    )
+    doc_sums = best.agg(
+        *[
+            F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"d{t}")
+            for t in ts
+        ]
+    )
+    # melt the two single-row aggregate frames into threshold rows via
+    # the union pattern (a constant-keyed join of 1-row frames would
+    # plan as BroadcastNestedLoopJoin — the _scalar_join rationale)
+    def _melt(agg_df: DataFrame, prefix: str, value_name: str) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("long").alias("threshold_bp"),
+                            F.coalesce(F.col(f"{prefix}{t}"), F.lit(0))
+                            .cast("long")
+                            .alias(value_name),
+                        )
+                        for t in ts
+                    ]
+                )
+            ).alias("e")
+        ).select("e.threshold_bp", f"e.{value_name}")
+
+    melted_pairs = _melt(pair_sums, "p", "n")
+    melted_docs = _melt(doc_sums, "d", "n")
+    u = melted_pairs.withColumn("k", F.lit("pairs")).union(
+        melted_docs.withColumn("k", F.lit("docs"))
+    )
+    return (
+        u.groupBy("threshold_bp")
+        .agg(
+            F.max(F.when(F.col("k") == "pairs", F.col("n")))
+            .cast("long")
+            .alias("n_pairs"),
+            F.max(F.when(F.col("k") == "docs", F.col("n")))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .orderBy("threshold_bp")
+    )

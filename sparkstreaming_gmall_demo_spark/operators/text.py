@@ -972,24 +972,38 @@ def winnowing_fingerprints(
     md5-prefix integer (44 bits, the rolling_fingerprint discipline),
     so the DuckDB oracle restates the selection bit-for-bit.
 
+    Expression shape matters here: an expensive sub-array referenced
+    INSIDE a higher-order lambda is re-evaluated per element (the
+    split per gram, the full md5 gram array per window — O(n^2) work
+    per document; measured 8.4 s -> sub-second on the sf0.1 corpus),
+    and hoisting it into a prior projection is undone by Catalyst's
+    CollapseProject. So both the token array and the hashed-gram
+    array are BOUND as lambda variables via the single-element
+    ``transform(array(X), x -> ...)`` wrapper, which pins exactly-once
+    evaluation inside one expression where no rewrite can re-inline
+    it.
+
     Returns (id_col, pos, fp) — 1-based gram position and the 44-bit
     fingerprint — one row per selected fingerprint, ordered.
     """
     if w < 1 or k < 1:
         raise ValueError("k and w must be >= 1")
     sp = f"split({text_col}, ' ')"
-    gram = (
-        f"transform(sequence(1, size({sp}) - {k} + 1), "
-        f"i -> concat_ws(' ', slice({sp}, i, {k})))"
+    # hashed (hash*65536 + pos) gram keys over the BOUND token array
+    # sp0; sequence is 1-based so the packed position needs no +1
+    keyed_of_sp0 = (
+        f"transform(sequence(1, size(sp0) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(sp0, i, {k}))), "
+        f"1, 11), 16, 10) as bigint) * 65536 + i)"
     )
-    keyed = (
-        f"transform({gram}, (g, i0) -> "
-        f"cast(conv(substring(md5(g), 1, 11), 16, 10) as bigint) * 65536 "
-        f"+ i0 + 1)"
+    windows_of_ks = (
+        f"array_distinct(transform(sequence(1, size(ks) - {w} + 1), "
+        f"j -> array_min(slice(ks, j, {w}))))"
     )
     selected = (
-        f"array_distinct(transform(sequence(1, size({sp}) - {k + w} + 2), "
-        f"j -> array_min(slice({keyed}, j, {w}))))"
+        f"element_at(transform(array({sp}), sp0 -> "
+        f"element_at(transform(array({keyed_of_sp0}), ks -> "
+        f"{windows_of_ks}), 1)), 1)"
     )
     return (
         df.filter(F.expr(f"size({sp}) >= {k + w - 1}"))
@@ -1099,4 +1113,83 @@ def quality_calibration(
             ).cast("long").alias("keep_bp"),
         )
         .orderBy(lang_col)
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The MOSS match step over :func:`winnowing_fingerprints`:
+    document pairs sharing at least ``min_shared`` selected
+    fingerprints, with the shared count and a containment-normalized
+    overlap. This is the partial-copy detector the whole-document
+    kernels provably miss — a paragraph quoted inside an otherwise
+    new document moves token-set Jaccard barely at all, but any
+    shared run of w+k-1 tokens is GUARANTEED to land a shared
+    selected fingerprint (the winnowing detection property), so
+    quote-reuse surfaces here at fingerprint-index cost instead of
+    shingle-posting cost.
+
+    Fingerprints selected by more than ``max_df`` documents are
+    dropped BEFORE the pair join (the MOSS ubiquity rule: boilerplate
+    every page carries is no evidence of copying) — which is also the
+    hot-key bound: the join is keyed on the 44-bit fingerprint, so
+    the candidate blowup per fingerprint is capped at
+    ``max_df``-choose-2 instead of corpus-squared. Only (doc, fp)
+    BIGINT pairs — already deduplicated, ~2/(w+1) of the gram count —
+    ever shuffle; text stays in the document-local selection stage.
+    ``overlap_bp`` normalizes by the smaller side's retained
+    fingerprint count (the containment convention, as in
+    source_overlap_matrix), so a short document pasted into a long
+    one still reads near 10000.
+
+    Returns (i, j, shared_fps, overlap_bp) — all BIGINT, i < j,
+    ordered.
+    """
+    fps = (
+        winnowing_fingerprints(df, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .distinct()
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
+        F.col("df_cnt") <= max_df
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    return (
+        shared.join(si, F.col("i") == F.col("si.doc_id"))
+        .join(sj, F.col("j") == F.col("sj.doc_id"))
+        .select(
+            "i",
+            "j",
+            "shared_fps",
+            F.floor(
+                F.col("shared_fps")
+                * 10000
+                / F.least(F.col("si.n_fps"), F.col("sj.n_fps"))
+            )
+            .cast("long")
+            .alias("overlap_bp"),
+        )
+        .orderBy("i", "j")
     )

@@ -5270,3 +5270,128 @@ def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent), rounded 4 dp."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     return text_ops.quality_calibration(docs)
+
+
+SWEEP_THRESHOLDS_BP = (7000, 7500, 8000, 8500, 9000, 9500)
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 64
+
+
+@_register(
+    "ext_dedup_threshold_sweep",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE lang = '{JACCARD_LANG}'
+    ),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               len(list_intersect(a.toks, b.toks)) * 1e0
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS jac
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+    ),
+    keep AS (
+        SELECT * FROM pairs
+        WHERE jac >= {SWEEP_THRESHOLDS_BP[0]} * 1e0 / 10000
+    ),
+    best AS (
+        SELECT doc, max(jac) AS best FROM (
+            SELECT i AS doc, jac FROM keep
+            UNION ALL SELECT j AS doc, jac FROM keep
+        ) GROUP BY doc
+    ),
+    t(bp) AS (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS_BP)})
+    SELECT CAST(bp AS BIGINT) AS threshold_bp,
+           CAST((SELECT count(*) FROM keep
+                 WHERE jac >= bp * 1e0 / 10000) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(*) FROM best
+                 WHERE best >= bp * 1e0 / 10000) AS BIGINT) AS n_dup_docs
+    FROM t ORDER BY threshold_bp
+    """,
+    "dedup threshold sensitivity: pairs + touched docs per cutoff, one pass",
+)
+def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table a dedup planner reads before committing a corpus
+    pass to one Jaccard cutoff (operators/neardup.py:
+    jaccard_threshold_sweep): pair count and touched-document count
+    at each candidate threshold, all from ONE posting-join pair
+    computation at the loosest cutoff — per-threshold numbers are
+    conditional sums (the ext_oov_sweep one-pass discipline), so the
+    sweep costs the same as the single loosest run. Thresholds are
+    integer basis points; the jaccard each side compares is the same
+    IEEE division of identical exact ints, so the >= boundary is
+    engine-stable without rounding anywhere. Declared on the bounded
+    language partition (the pair-op convention)."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    return nd_ops.jaccard_threshold_sweep(docs, list(SWEEP_THRESHOLDS_BP))
+
+
+@_register(
+    "ext_winnowing_overlap_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
+                        * 65536 + i) AS keys,
+               len(sp) AS n
+        FROM d
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, CAST(key // 65536 AS BIGINT) AS fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
+                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
+            FROM keyed
+        )
+    ),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    sizes AS (SELECT doc_id, count(*) AS n_fps FROM kept GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT i, j, shared_fps,
+           CAST(floor(shared_fps * 10000
+                / (least(si.n_fps, sj.n_fps) * 1e0)) AS BIGINT) AS overlap_bp
+    FROM shared
+    JOIN sizes si ON i = si.doc_id
+    JOIN sizes sj ON j = sj.doc_id
+    ORDER BY i, j
+    """,
+    "MOSS match step: doc pairs sharing >= m winnowing fingerprints",
+)
+def ext_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partial-copy detector (operators/text.py:
+    winnowing_overlap_pairs): pairs sharing >= {WINNOW_MIN_SHARED}
+    selected winnowing fingerprints, overlap normalized by the
+    smaller side (containment convention). Catches what the
+    whole-document kernels provably miss — a quoted paragraph barely
+    moves token-set Jaccard but is guaranteed a shared selected
+    fingerprint per w+k-1-token run. Fingerprints in more than
+    {WINNOW_MAX_DF} documents are dropped before the join (the MOSS
+    ubiquity rule = the hot-key bound: blowup per fingerprint is
+    capped at max_df choose 2). Only deduped (doc, fp) BIGINT pairs
+    shuffle."""
+    docs = spread_fixture(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("lang") == JACCARD_LANG
+        )
+    )
+    return text_ops.winnowing_overlap_pairs(
+        docs, WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED, WINNOW_MAX_DF
+    )

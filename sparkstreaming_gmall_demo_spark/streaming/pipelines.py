@@ -1385,6 +1385,211 @@ def neardup_gate_pipeline(
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 
 
+def overlap_gate_admit(
+    batch_df: DataFrame,
+    index_table: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """One admission round of the partial-overlap gate, shared by the
+    streaming sink and any batch backfill driver: reject documents
+    sharing at least ``min_shared`` winnowing fingerprints with any
+    single already-admitted document (operators/text.py:
+    winnowing_fingerprints — the MOSS match step as an ingest gate),
+    and commit the admitted documents' fingerprints back into the
+    persisted index. This is the gate flavor the other two provably
+    miss: the exact gate (novelty_gate_pipeline) needs bit-identical
+    content and the MinHash gate (neardup_gate_pipeline) needs
+    whole-document similarity, but a crawl re-serving one plagiarized
+    PARAGRAPH inside fresh boilerplate moves neither — while any
+    shared run of w+k-1 tokens is guaranteed a shared selected
+    fingerprint here.
+
+    Replay convergence (the neardup_gate_admit argument, verbatim):
+    within-batch overlap components are a pure function of batch
+    CONTENT; the index probe anti-joins the batch's own doc ids out
+    of the index side, so rejection marks are a pure function of
+    (batch, pre-batch index); survivor = min doc_id among a
+    component's non-rejected members; admitted iff survivor. Both
+    inputs replay-identical => admitted set replay-identical.
+
+    Hot-key bound (the MOSS ubiquity rule doing double duty):
+    fingerprints carried by more than ``max_df`` documents — computed
+    per side (within the batch; within the probe's pre-batch index
+    view, so the filter is itself replay-stable) — are dropped before
+    any join: boilerplate every page shares is no evidence of
+    copying, and it is exactly the key that would otherwise blow up
+    the fp-keyed shuffle. Only (doc_id, fp) BIGINT pairs cross any
+    exchange; text never leaves the document-local selection stage.
+    Index storage is ~2/(w+1) of the gram count per admitted doc —
+    the affordable density that makes a 100 TB fingerprint index
+    feasible at all (the winnowing design point)."""
+    from ..operators import components as comp_ops
+    from ..operators import text as text_ops
+    from . import txn
+
+    spark = batch_df.sparkSession
+    # spread before the CPU-heavy fingerprint pass (the
+    # neardup_gate_admit single-scan-partition trap)
+    batch_df = batch_df.repartition(F.col("doc_id"))
+    fps = (
+        text_ops.winnowing_fingerprints(batch_df, k, w)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    try:
+        rare_batch = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        kept = fps.join(rare_batch, "fp")
+        a, b = kept.alias("a"), kept.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+            .agg(F.count("*").alias("_shared"))
+            .filter(F.col("_shared") >= min_shared)
+            .select("i", "j")
+            .persist()
+        )
+        dup_ids = None
+        if txn.current_version(index_table) >= 0:
+            # probe side: pre-batch index only (anti-join the batch's
+            # own ids so replays see what the original run saw), with
+            # the ubiquity rule applied to THAT view
+            idx = txn.snapshot(spark, index_table).join(
+                batch_df.select("doc_id"), "doc_id", "left_anti"
+            )
+            rare_idx = (
+                idx.groupBy("fp")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("fp")
+            )
+            idx_kept = idx.join(rare_idx, "fp").withColumnRenamed(
+                "doc_id", "old_id"
+            )
+            dup_ids = (
+                kept.join(idx_kept, "fp")
+                .groupBy("doc_id", "old_id")
+                .agg(F.count("*").alias("_shared"))
+                .filter(F.col("_shared") >= min_shared)
+                .select("doc_id")
+                .dropDuplicates()
+            )
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            members = batch_df.select("doc_id", F.col("doc_id").alias("comp"))
+        elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
+            comp_map = _driver_union_find(pairs.collect())
+            id_type = dict(batch_df.dtypes)["doc_id"]
+            labels = spark.createDataFrame(
+                list(comp_map.items()), f"doc_id {id_type}, component {id_type}"
+            )
+            members = (
+                batch_df.select("doc_id")
+                .join(F.broadcast(labels), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("comp"),
+                )
+            )
+        else:
+            labels = comp_ops.connected_components(pairs.select("i", "j"))
+            members = (
+                batch_df.select("doc_id")
+                .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("comp"),
+                )
+            )
+        pairs.unpersist()
+        if dup_ids is not None:
+            members = members.join(
+                dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
+            )
+        else:
+            members = members.withColumn("_dup", F.lit(False))
+        # pin the junction once; the admit semi-join, the index merge
+        # and the caller's sink all re-derive from this cache (the
+        # neardup gate's measured 4x re-run trap)
+        members = members.persist()
+        members.count()
+        survivors = (
+            members.filter(~F.col("_dup"))
+            .groupBy("comp")
+            .agg(F.min("doc_id").alias("survivor"))
+        )
+        admit_ids = (
+            members.join(survivors, "comp")
+            .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
+            .select("doc_id")
+        )
+        admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
+        try:
+            admit.count()
+            # ALL of an admitted doc's selected fps enter the index
+            # (ubiquity is a per-probe view, not a storage decision —
+            # what is boilerplate later may not be yet)
+            txn.merge_keyed(
+                fps.join(admit_ids, "doc_id").select("doc_id", "fp"),
+                index_table,
+                key_cols=["doc_id", "fp"],
+            )
+        finally:
+            members.unpersist()
+        return admit
+    finally:
+        fps.unpersist()
+
+
+def overlap_gate_pipeline(
+    docs: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Partial-overlap ingest gate: the winnowing-fingerprint member
+    of the gate family (exact fingerprint -> novelty_gate_pipeline;
+    whole-doc MinHash -> neardup_gate_pipeline; shared-run/quote
+    reuse -> here). Exactly-once with NO streaming state: cross-batch
+    memory is the (doc_id, fp) txn index, the doc sink is keyed
+    idempotent_append, and full replays converge (see
+    :func:`overlap_gate_admit`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit = overlap_gate_admit(
+            batch_df, index_table, k, w, min_shared, max_df
+        )
+        try:
+            idempotent_append(
+                admit, out_path, key_cols=["doc_id"],
+                partition_cols=None, batch_id=batch_id,
+            )
+        finally:
+            admit.unpersist()
+
+    return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+
 def dsir_gate_pipeline(
     docs: DataFrame,
     weights: DataFrame,
