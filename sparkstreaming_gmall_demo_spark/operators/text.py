@@ -903,18 +903,25 @@ def ngram_novelty(
     neardup discipline — text never shuffles); per-doc DISTINCT
     before the exchange bounds the explode. Two bounded aggregates
     over the (batch, digest) pair frame join on the tiny batch key.
+    Tokens are materialized into a column first so the bigram window
+    reads the array instead of re-splitting the text per gram index
+    (the shingle_sets O(tokens) vs O(tokens^2) discipline).
     Returns (batch, n_grams, n_new, new_bp) — all BIGINT.
     """
+    toked = df.select(
+        F.pmod(F.col(id_col), F.lit(n_batches)).cast("long").alias("batch"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
     grams = (
-        df.select(
-            F.pmod(F.col(id_col), F.lit(n_batches)).cast("long").alias("batch"),
+        toked.select(
+            "batch",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"transform(slice(split({text_col}, ' '), 1, "
-                        f"size(split({text_col}, ' ')) - 1), "
-                        f"(t, i) -> substring(md5(concat_ws(' ', t, "
-                        f"element_at(split({text_col}, ' '), i + 2))), 1, 16))"
+                        "CASE WHEN size(_t) >= 2 THEN "
+                        "transform(sequence(1, size(_t) - 1), "
+                        "i -> substring(md5(concat_ws(' ', _t[i-1], _t[i])), "
+                        "1, 16)) ELSE array() END"
                     )
                 )
             ).alias("digest"),
