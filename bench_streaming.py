@@ -299,6 +299,19 @@ def main() -> None:
                 ),
                 doc_rows, work,
             ),
+            # partial-overlap ingest gate: per-batch winnowing
+            # fingerprint pass (document-local array arithmetic) +
+            # (doc_id, fp) index probe + single index commit (docs
+            # fixture is small -> per-batch fixed cost regime)
+            "overlap_gate": run(
+                "overlap_gate",
+                lambda out, ckpt: pipelines.overlap_gate_pipeline(
+                    parquet_stream(spark, doc_dir, DOC_SCHEMA),
+                    os.path.join(work, "overlap_gate", "fp_index"),
+                    out, ckpt, trigger={"availableNow": True},
+                ),
+                doc_rows, work,
+            ),
             # the state-heaviest pipeline: stream-stream full outer join
             # + broadcast dim enrichment + unpartitioned replay guard
             "sale_detail": run(
@@ -327,7 +340,8 @@ def main() -> None:
                 "value": min(
                     v for k, v in rates.items()
                     if k not in ("novelty_gate", "boilerplate_dict",
-                                 "neardup_gate", "quality_gate")
+                                 "neardup_gate", "quality_gate",
+                                 "overlap_gate")
                 ),
                 "unit": "rows/sec",
                 "pipelines": rates,
