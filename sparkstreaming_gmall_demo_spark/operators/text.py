@@ -1200,3 +1200,88 @@ def winnowing_overlap_pairs(
         )
         .orderBy("i", "j")
     )
+
+
+WINNOW_INDEX_BUCKETS = 16
+
+
+def winnowing_write_index(
+    df: DataFrame,
+    path: str,
+    k: int = 4,
+    w: int = 4,
+    n_buckets: int = WINNOW_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the winnowing fingerprint index: one (fb, doc_id, fp)
+    row per distinct selected fingerprint per document, laid out
+    partitioned by ``fb = fp % n_buckets``. The fingerprint is
+    already a uniform 44-bit md5-prefix hash, so the bucket is plain
+    modulo — computable driver-side in pure Python (no JVM round-trip
+    like bm25index._buckets_py needs for string terms), which is what
+    lets a probe turn its query fingerprints into partition-pruning
+    literals. Storage is ~2/(w+1) of the gram count per document —
+    the winnowing density that makes a corpus-scale fingerprint index
+    affordable where every-shingle postings are not (the MOSS design
+    point, and the same serve-from-index discipline as
+    operators/bm25index.py)."""
+    import os
+
+    fps = (
+        winnowing_fingerprints(df, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .distinct()
+    )
+    fps.select(
+        F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int").alias("fb"),
+        "doc_id",
+        "fp",
+    ).write.mode("overwrite").partitionBy("fb").parquet(
+        os.path.join(path, "postings")
+    )
+
+
+def winnowing_read_index(spark, path: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(path, "postings"))
+
+
+def winnowing_index_probe(
+    postings: DataFrame,
+    query_fps: list,
+    min_shared: int = 1,
+    n_buckets: int = WINNOW_INDEX_BUCKETS,
+) -> DataFrame:
+    """Check one document against the corpus fingerprint index (the
+    MOSS serve path: "has any part of this submission been seen
+    before?"). ``query_fps`` is the query document's selected
+    fingerprint list — bounded at ~2/(w+1) of its gram count, so it
+    travels as driver-side literals: the bucket set ``fp %
+    n_buckets`` prunes the partitioned layout (PartitionFilters — the
+    scan touches only the queried fingerprints' buckets, cost follows
+    the query's posting lists, not the corpus), and the fp IN-list
+    prunes within the bucket. Returns (doc_id, shared_fps) for every
+    indexed document sharing >= ``min_shared`` fingerprints, ordered
+    by evidence strength then id.
+
+    An empty ``query_fps`` (document shorter than k+w-1 tokens) has
+    no overlap evidence by construction: returns an empty frame with
+    the same schema rather than raising — gates treat no-evidence as
+    novel."""
+    if not query_fps:
+        return (
+            postings.select(
+                "doc_id", F.lit(0).cast("long").alias("shared_fps")
+            ).limit(0)
+        )
+    qs = sorted({int(f) for f in query_fps})
+    fbs = sorted({f % n_buckets for f in qs})
+    return (
+        postings.filter(F.col("fb").isin(fbs) & F.col("fp").isin(qs))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
+    )

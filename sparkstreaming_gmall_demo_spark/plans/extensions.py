@@ -5395,3 +5395,151 @@ def ext_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnowing_overlap_pairs(
         docs, WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED, WINNOW_MAX_DF
     )
+
+
+_WINNOW_INDEX_CACHE: dict = {}
+
+
+def _winnow_query_doc(docs, fps) -> int:
+    """Deterministic probe subject: the smallest doc_id that shares at
+    least one selected fingerprint with a DIFFERENT document
+    (guaranteed index hits whenever any sharing exists — the fixture
+    has no exact-duplicate documents at the small SFs, so keying on
+    exact twins would select a hitless probe), falling back to the
+    partition's smallest doc_id. Engine-portable: the oracle restates
+    the same coalesce rule in SQL."""
+    a, b = fps.alias("a"), fps.alias("b")
+    row = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .agg(F.min(F.col("a.doc_id")).alias("q"))
+        .collect()[0]
+    )
+    if row.q is not None:
+        return row.q
+    return docs.agg(F.min("doc_id").alias("q")).collect()[0].q
+
+
+@_register(
+    "ext_winnowing_indexed",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
+                        * 65536 + i) AS keys,
+               len(sp) AS n
+        FROM d
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, CAST(key // 65536 AS BIGINT) AS fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
+                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
+            FROM keyed
+        )
+    ),
+    q AS (
+        SELECT coalesce(
+            (SELECT min(a.doc_id) FROM fps a
+             JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+            (SELECT min(doc_id) FROM documents
+             WHERE lang = '{JACCARD_LANG}')) AS qid
+    ),
+    qf AS (
+        SELECT DISTINCT fp FROM fps JOIN q ON fps.doc_id = q.qid
+    )
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps f JOIN qf ON f.fp = qf.fp JOIN q ON f.doc_id <> q.qid
+    GROUP BY f.doc_id
+    ORDER BY shared_fps DESC, doc_id ASC
+    """,
+    "winnowing serve path: probe one doc's fingerprints against the corpus index",
+)
+def ext_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS serve path (operators/text.py:winnowing_index_probe):
+    "has any part of this document been seen before?" answered from
+    the fingerprint index instead of a corpus scan. The query doc's
+    ~2/(w+1)-density fingerprint list travels as driver-side
+    literals; `fp % n_buckets` gives the partition-pruning bucket set
+    in pure Python (the fingerprint is already a uniform md5-prefix
+    hash — no JVM hash round-trip needed, unlike BM25's string
+    terms). The declared build derives postings in memory for the
+    oracle pair (the ext_bm25_indexed discipline); the bench build
+    times the recurring cost — the pruned probe over the STORED
+    partitioned layout. Probe subject: the smallest doc_id with any
+    fingerprint sharer (see _winnow_query_doc), so the serve path
+    always demonstrates real hits."""
+    docs = spread_fixture(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("lang") == JACCARD_LANG
+        )
+    )
+    fps = (
+        text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    qid = _winnow_query_doc(docs, fps)
+    qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]
+    postings = (
+        fps
+        .select(
+            F.pmod(F.col("fp"), F.lit(text_ops.WINNOW_INDEX_BUCKETS))
+            .cast("int")
+            .alias("fb"),
+            "doc_id",
+            "fp",
+        )
+    )
+    return (
+        text_ops.winnowing_index_probe(postings, qfps)
+        .filter(F.col("doc_id") != qid)
+        .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
+    )
+
+
+@_bench("ext_winnowing_indexed")
+def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-only bench: the per-query cost at scale is the
+    partition-pruned probe over the persisted fingerprint index;
+    building it is one-off ingest (the PQ/IVF/LSH/BM25 bench
+    discipline). The query fingerprints are cached with the index —
+    recomputing them is query-side analysis, not probe cost."""
+    import os
+
+    cached = _WINNOW_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        docs = spread_fixture(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("lang") == JACCARD_LANG
+            )
+        )
+        fps = (
+            text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
+            .select("doc_id", "fp")
+            .distinct()
+        )
+        qid = _winnow_query_doc(docs, fps)
+        qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]
+        tmp = _bench_tmpdir("gmall_winnow_index_")
+        path = os.path.join(tmp, "idx")
+        text_ops.winnowing_write_index(docs, path, WINNOW_K, WINNOW_W)
+        cached = (path, qid, qfps)
+        _WINNOW_INDEX_CACHE[sf_dir] = cached
+    path, qid, qfps = cached
+    postings = text_ops.winnowing_read_index(spark, path)
+    return (
+        text_ops.winnowing_index_probe(postings, qfps)
+        .filter(F.col("doc_id") != qid)
+        .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
+    )

@@ -213,6 +213,9 @@ def _stage_topic(tmp_path):
     200/201 = the same new text twice (within-batch overlap
     component -> min id admitted), 300 = too short to fingerprint
     (no overlap evidence -> admitted)."""
+    import os
+    import time
+
     topic = tmp_path / "docs"
     topic.mkdir()
     _write_chunk(topic / "c0.parquet", [(i, _text(i)) for i in range(10)])
@@ -229,6 +232,12 @@ def _stage_topic(tmp_path):
             (300, "a b c"),
         ],
     )
+    # strictly increasing mtimes: the file source orders batches by
+    # modification time, and same-tick writes would race c1 before c0
+    # (the bench_streaming.write_chunked discipline)
+    now = time.time()
+    os.utime(topic / "c0.parquet", (now - 10, now - 10))
+    os.utime(topic / "c1.parquet", (now, now))
     return topic
 
 
@@ -296,3 +305,81 @@ def test_overlap_gate_batch_twin(spark, tmp_path):
         admitted |= {r.doc_id for r in out.collect()}
         out.unpersist()
     assert admitted == set(range(10)) | {101, 200, 300}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint index (MOSS serve path)
+# ---------------------------------------------------------------------------
+def test_winnowing_index_probe_equals_inmemory_matches(spark, tmp_path):
+    # corpus: distinct docs + one exact pair + one quote-reuse pair
+    run = " ".join(f"s{n}" for n in range(15))
+    docs = {i: _text(i) for i in range(8)}
+    docs[8] = docs[0]                               # exact twin of 0
+    docs[9] = run + " " + " ".join(f"y{n}" for n in range(25))
+    docs[10] = " ".join(f"z{n}" for n in range(25)) + " " + run
+    df = _df(spark, docs)
+
+    qfps = [
+        r.fp
+        for r in text_ops.winnowing_fingerprints(
+            df.filter(F.col("doc_id") == 9), 4, 4
+        ).select("fp").distinct().collect()
+    ]
+    # in-memory truth from the pure model
+    model = {
+        i: _winnow_fps(t.split(" "), 4, 4)
+        for i, t in docs.items()
+        if len(t.split(" ")) >= 7
+    }
+    want = sorted(
+        (
+            (-len(model[i] & set(qfps)), i)
+            for i in model
+            if i != 9 and model[i] & set(qfps)
+        )
+    )
+    want = [(i, -neg) for neg, i in want]
+
+    path = str(tmp_path / "widx")
+    text_ops.winnowing_write_index(df, path, 4, 4)
+    postings = text_ops.winnowing_read_index(spark, path)
+    got = [
+        (r.doc_id, r.shared_fps)
+        for r in text_ops.winnowing_index_probe(postings, qfps)
+        .filter(F.col("doc_id") != 9)
+        .collect()
+    ]
+    assert got == want
+    # doc 10 (same quoted run, different offset) must be a hit
+    assert 10 in {d for d, _ in got}
+
+
+def test_winnowing_index_probe_partition_prunes(spark, tmp_path):
+    """The probe must scan ONLY the query fingerprints' fb= buckets —
+    PartitionFilters on the stored layout (driver-side fp % n_buckets
+    literals, the bm25index discipline)."""
+    docs = {i: _text(i) for i in range(12)}
+    df = _df(spark, docs)
+    path = str(tmp_path / "widx2")
+    text_ops.winnowing_write_index(df, path, 4, 4)
+    postings = text_ops.winnowing_read_index(spark, path)
+    qfps = [
+        r.fp
+        for r in text_ops.winnowing_fingerprints(
+            df.filter(F.col("doc_id") == 3), 4, 4
+        ).select("fp").distinct().collect()
+    ]
+    probe = text_ops.winnowing_index_probe(postings, qfps)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "fb" in pf and ("IN (" in pf.upper() or "in (" in pf), pf
+
+
+def test_winnowing_index_probe_empty_query(spark, tmp_path):
+    df = _df(spark, {0: _text(0)})
+    path = str(tmp_path / "widx3")
+    text_ops.winnowing_write_index(df, path, 4, 4)
+    postings = text_ops.winnowing_read_index(spark, path)
+    out = text_ops.winnowing_index_probe(postings, [])
+    assert out.columns == ["doc_id", "shared_fps"]
+    assert out.count() == 0
