@@ -1,4 +1,6 @@
-"""Near-dup ingest gate throughput at realistic batch sizes.
+"""Fuzzy ingest gate throughput at realistic batch sizes — both the
+MinHash whole-document near-dup gate and the winnowing partial-overlap
+gate (quote-reuse rejection) through the same staged stream.
 
 The per-round streaming bench (bench_streaming.py) replays the 5k-doc
 sf0.1 documents fixture in 8 micro-batches (~625 docs/batch), which
@@ -99,46 +101,66 @@ def main() -> None:
     spark = get_spark("gmall-gate-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    regimes = {}
+    # both fuzzy gates ride the same staged stream: the MinHash
+    # whole-document gate and the winnowing partial-overlap gate (the
+    # quote-reuse detector) — same harness, same regimes, comparable
+    # docs/s. The verbatim regime is adversarial for both: ~90% of the
+    # stream is a dup, so probe/verify/component work is maximal.
+    gates = {
+        "neardup": lambda stream, work: pipelines.neardup_gate_pipeline(
+            stream,
+            os.path.join(work, "nd_index"),
+            os.path.join(work, "admitted"),
+            os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        ),
+        "overlap": lambda stream, work: pipelines.overlap_gate_pipeline(
+            stream,
+            os.path.join(work, "ov_index"),
+            os.path.join(work, "admitted"),
+            os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        ),
+    }
+    results = {g: {} for g in gates}
     n_docs = 0
-    for regime in ("novel", "verbatim"):
-        work = tempfile.mkdtemp(prefix=f"gmall_gate_bench_{regime}_")
-        try:
-            input_dir = os.path.join(work, "docs")
-            n_docs = stage_amplified(
-                input_dir, f"{sf_dir.rstrip('/')}/documents.parquet", regime
+    for gate_name, make in gates.items():
+        for regime in ("novel", "verbatim"):
+            work = tempfile.mkdtemp(
+                prefix=f"gmall_gate_bench_{gate_name}_{regime}_"
             )
-            stream = (
-                spark.readStream.schema(DOC_SCHEMA)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(input_dir)
-            )
-            t0 = time.perf_counter()
-            q = pipelines.neardup_gate_pipeline(
-                stream,
-                os.path.join(work, "nd_index"),
-                os.path.join(work, "admitted"),
-                os.path.join(work, "ckpt"),
-                trigger={"availableNow": True},
-            )
-            q.awaitTermination()
-            wall = time.perf_counter() - t0
-            admitted = spark.read.parquet(
-                os.path.join(work, "admitted")
-            ).count()
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
-        regimes[regime] = {
-            "docs_per_sec": round(n_docs / wall, 1),
-            "admitted": admitted,
-            "wall_sec": round(wall, 2),
-        }
+            try:
+                input_dir = os.path.join(work, "docs")
+                n_docs = stage_amplified(
+                    input_dir, f"{sf_dir.rstrip('/')}/documents.parquet",
+                    regime,
+                )
+                stream = (
+                    spark.readStream.schema(DOC_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(input_dir)
+                )
+                t0 = time.perf_counter()
+                q = make(stream, work)
+                q.awaitTermination()
+                wall = time.perf_counter() - t0
+                admitted = spark.read.parquet(
+                    os.path.join(work, "admitted")
+                ).count()
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            results[gate_name][regime] = {
+                "docs_per_sec": round(n_docs / wall, 1),
+                "admitted": admitted,
+                "wall_sec": round(wall, 2),
+            }
 
     print(json.dumps({
         "metric": "neardup_gate_docs_per_sec",
-        "value": regimes["novel"]["docs_per_sec"],
+        "value": results["neardup"]["novel"]["docs_per_sec"],
         "unit": "docs/sec",
-        "regimes": regimes,
+        "regimes": results["neardup"],
+        "gates": results,
         "docs": n_docs,
         "batches": N_CHUNKS,
         "docs_per_batch": n_docs // N_CHUNKS,
