@@ -732,6 +732,11 @@ def jaccard_threshold_sweep(
     if not thresholds_bp:
         raise ValueError("thresholds_bp must be non-empty")
     ts = sorted(set(int(t) for t in thresholds_bp))
+    if ts[0] <= 0:
+        # pairs with EMPTY intersections never materialize from the
+        # posting join, so a <= 0 threshold would silently undercount
+        # (every disjoint pair trivially satisfies jac >= 0)
+        raise ValueError("thresholds_bp must be positive basis points")
     t_min = ts[0] / 10000.0
 
     sets = token_sets(df, id_col, text_col)
@@ -761,6 +766,12 @@ def jaccard_threshold_sweep(
         )
         .filter(F.col("jac") >= t_min)
     )
+    # both aggregate branches below hang off this frame; a lazy
+    # localCheckpoint truncates the lineage so the quadratic posting
+    # join computes ONCE structurally (not merely when ReuseExchange
+    # happens to dedupe the two planned subtrees) — the pagerank
+    # localCheckpoint discipline
+    pairs = pairs.localCheckpoint(eager=False)
     pair_sums = pairs.agg(
         *[
             F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")

@@ -951,6 +951,11 @@ def ngram_novelty(
     )
 
 
+# winnowing packed-key layout: 40-bit md5-prefix hash, 20-bit position
+WINNOW_POS_BITS = 20
+POS_SPACE = 1 << WINNOW_POS_BITS
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 4,
@@ -972,17 +977,21 @@ def winnowing_fingerprints(
     one narrow projection — NO shuffle of any kind (winnowing is
     document-local); only the selected (id, pos, fp) rows are
     exploded. The (hash, pos) pair is packed into one BIGINT
-    (``h * 65536 + pos``) so the window minimum needs no struct
-    ordering and ties break toward the LEFTMOST position by
-    construction; consecutive windows sharing a minimum collapse via
-    array_distinct, per the paper. The hash is the engine-portable
-    md5-prefix integer (44 bits, the rolling_fingerprint discipline),
-    so the DuckDB oracle restates the selection bit-for-bit.
+    (``h * 2^20 + pos`` — 40-bit hash, 20-bit position) so the window
+    minimum needs no struct ordering and ties break toward the
+    LEFTMOST position by construction; documents beyond 2^20 - 1
+    k-grams RAISE rather than silently overflowing pos into the hash
+    (chunk them first); consecutive windows sharing a minimum collapse
+    via array_distinct, per the paper. The hash is the
+    engine-portable md5-prefix integer (the rolling_fingerprint
+    discipline), so the DuckDB oracle restates the selection
+    bit-for-bit.
 
     Expression shape matters here: an expensive sub-array referenced
     INSIDE a higher-order lambda is re-evaluated per element (the
     split per gram, the full md5 gram array per window — O(n^2) work
-    per document; measured 8.4 s -> sub-second on the sf0.1 corpus),
+    per document; measured 8.4 s -> 2.1 s first-run on the sf0.1
+    corpus, and the warm scale-smoke row dropped 10.5 s -> 0.42 s),
     and hoisting it into a prior projection is undone by Catalyst's
     CollapseProject. So both the token array and the hashed-gram
     array are BOUND as lambda variables via the single-element
@@ -996,31 +1005,42 @@ def winnowing_fingerprints(
     if w < 1 or k < 1:
         raise ValueError("k and w must be >= 1")
     sp = f"split({text_col}, ' ')"
-    # hashed (hash*65536 + pos) gram keys over the BOUND token array
-    # sp0; sequence is 1-based so the packed position needs no +1
+    # hashed (hash * 2^20 + pos) gram keys over the BOUND token array
+    # sp0; sequence is 1-based so the packed position needs no +1.
+    # Width budget: 40-bit md5-prefix hash + 20-bit position = 60 bits,
+    # safely inside int64 — positions up to 2^20 - 1 = 1,048,575 grams
+    # (~1M tokens). Beyond that the pos field would overflow into the
+    # hash and silently corrupt every fingerprint, so the data path
+    # RAISES instead (chunk longer documents first — chunking.py).
     keyed_of_sp0 = (
         f"transform(sequence(1, size(sp0) - {k} + 1), "
         f"i -> cast(conv(substring(md5(concat_ws(' ', slice(sp0, i, {k}))), "
-        f"1, 11), 16, 10) as bigint) * 65536 + i)"
+        f"1, 10), 16, 10) as bigint) * {POS_SPACE} + i)"
     )
     windows_of_ks = (
         f"array_distinct(transform(sequence(1, size(ks) - {w} + 1), "
         f"j -> array_min(slice(ks, j, {w}))))"
     )
+    # the overflow guard lives INSIDE the value path (a side column
+    # would be pruned away by the optimizer as unused)
     selected = (
         f"element_at(transform(array({sp}), sp0 -> "
+        f"CASE WHEN size(sp0) - {k} + 1 > {POS_SPACE - 1} THEN "
+        f"cast(raise_error('winnowing: document exceeds {POS_SPACE - 1} "
+        f"k-grams; chunk long documents first (operators/chunking.py)') "
+        f"as array<bigint>) ELSE "
         f"element_at(transform(array({keyed_of_sp0}), ks -> "
-        f"{windows_of_ks}), 1)), 1)"
+        f"{windows_of_ks}), 1) END), 1)"
     )
     return (
         df.filter(F.expr(f"size({sp}) >= {k + w - 1}"))
         .select(id_col, F.explode(F.expr(selected)).alias("key"))
         .select(
             id_col,
-            (F.col("key") % 65536).cast("long").alias("pos"),
-            # integer div, NOT `/`: the packed key is up to 60 bits and
-            # double division would shear off the low bits before dividing
-            F.expr("key div 65536").cast("long").alias("fp"),
+            (F.col("key") % POS_SPACE).cast("long").alias("pos"),
+            # integer div, NOT `/`: the packed key is 60 bits and double
+            # division would shear off the low bits before dividing
+            F.expr(f"key div {POS_SPACE}").cast("long").alias("fp"),
         )
         .orderBy(id_col, "pos")
     )
@@ -1240,12 +1260,24 @@ def winnowing_write_index(
     ).write.mode("overwrite").partitionBy("fb").parquet(
         os.path.join(path, "postings")
     )
+    # layout metadata rides WITH the index: a probe bucketing with a
+    # different n_buckets than the writer silently excludes every
+    # posting outside its fb set (matches drop, nothing errors), so
+    # the reader returns the stored value instead of trusting callers
+    # to agree
+    df.sparkSession.createDataFrame(
+        [(int(n_buckets), int(k), int(w))], "n_buckets int, k int, w int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
-def winnowing_read_index(spark, path: str) -> DataFrame:
+def winnowing_read_index(spark, path: str):
+    """Returns (postings, n_buckets) — pass the STORED n_buckets to
+    :func:`winnowing_index_probe` so the bucket literals match the
+    layout that actually exists on disk."""
     import os
 
-    return spark.read.parquet(os.path.join(path, "postings"))
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return spark.read.parquet(os.path.join(path, "postings")), meta.n_buckets
 
 
 def winnowing_index_probe(

@@ -5158,8 +5158,8 @@ WINNOW_W = 4
         SELECT doc_id,
                list_transform(range(1, len(sp) - {WINNOW_K} + 2),
                    i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
-                        * 65536 + i) AS keys,
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
+                        * 1048576 + i) AS keys,
                len(sp) AS n
         FROM d
     ),
@@ -5171,8 +5171,8 @@ WINNOW_W = 4
             FROM keyed
         )
     )
-    SELECT doc_id, CAST(key % 65536 AS BIGINT) AS pos,
-           CAST(key // 65536 AS BIGINT) AS fp
+    SELECT doc_id, CAST(key % 1048576 AS BIGINT) AS pos,
+           CAST(key // 1048576 AS BIGINT) AS fp
     FROM sel ORDER BY doc_id, pos
     """,
     "winnowing (MOSS) fingerprint selection: window-min of k-gram hashes",
@@ -5341,13 +5341,13 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_transform(range(1, len(sp) - {WINNOW_K} + 2),
                    i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
-                        * 65536 + i) AS keys,
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
+                        * 1048576 + i) AS keys,
                len(sp) AS n
         FROM d
     ),
     fps AS (
-        SELECT DISTINCT doc_id, CAST(key // 65536 AS BIGINT) AS fp FROM (
+        SELECT DISTINCT doc_id, CAST(key // 1048576 AS BIGINT) AS fp FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
                        j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
@@ -5435,13 +5435,13 @@ def _winnow_query_doc(docs, fps) -> int:
         SELECT doc_id,
                list_transform(range(1, len(sp) - {WINNOW_K} + 2),
                    i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 11))::BIGINT
-                        * 65536 + i) AS keys,
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
+                        * 1048576 + i) AS keys,
                len(sp) AS n
         FROM d
     ),
     fps AS (
-        SELECT DISTINCT doc_id, CAST(key // 65536 AS BIGINT) AS fp FROM (
+        SELECT DISTINCT doc_id, CAST(key // 1048576 AS BIGINT) AS fp FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
                        j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
@@ -5489,8 +5489,14 @@ def ext_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+    # pin across the two driver collects (qid self-join + qfps); the
+    # returned plan recomputes once at collect time — 2 corpus
+    # fingerprint passes total instead of 3, with no persisted frame
+    # leaking past the build
+    fps = fps.persist()
     qid = _winnow_query_doc(docs, fps)
     qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]
+    fps.unpersist()
     postings = (
         fps
         .select(
@@ -5537,9 +5543,9 @@ def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (path, qid, qfps)
         _WINNOW_INDEX_CACHE[sf_dir] = cached
     path, qid, qfps = cached
-    postings = text_ops.winnowing_read_index(spark, path)
+    postings, nb = text_ops.winnowing_read_index(spark, path)
     return (
-        text_ops.winnowing_index_probe(postings, qfps)
+        text_ops.winnowing_index_probe(postings, qfps, n_buckets=nb)
         .filter(F.col("doc_id") != qid)
         .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
     )

@@ -1093,6 +1093,84 @@ def _driver_union_find(pair_rows) -> dict[int, int]:
     return {node: find(node) for node in list(parent)}
 
 
+def _gate_admit_ids(batch_df: DataFrame, pairs: DataFrame, dup_ids):
+    """Shared admission machinery for the fuzzy ingest gates
+    (:func:`neardup_gate_admit` and :func:`overlap_gate_admit`):
+    whole-batch components over the within-batch pair frame, survivor
+    = min doc_id among a component's members NOT index-rejected,
+    admitted iff survivor. Factored out so the replay-determinism
+    argument (neardup_gate_admit's docstring) and the persist
+    discipline live in exactly one place instead of drifting apart in
+    two copies. Returns (admit_ids, members); ``members`` is
+    PERSISTED and materialized — the caller hangs its admit semi-join
+    and index merges off it, then unpersists it."""
+    from ..operators import components as comp_ops
+
+    spark = batch_df.sparkSession
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        members = batch_df.select("doc_id", F.col("doc_id").alias("comp"))
+    elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
+        # bounded graph: one collect + in-memory union-find beats
+        # several distributed jobs per min-label round; labels
+        # re-enter the plan as a (tiny) broadcastable frame
+        comp_map = _driver_union_find(pairs.collect())
+        id_type = dict(batch_df.dtypes)["doc_id"]
+        labels = spark.createDataFrame(
+            list(comp_map.items()),
+            f"doc_id {id_type}, component {id_type}",
+        )
+        members = (
+            batch_df.select("doc_id")
+            .join(F.broadcast(labels), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("comp"),
+            )
+        )
+    else:
+        labels = comp_ops.connected_components(pairs.select("i", "j"))
+        members = (
+            batch_df.select("doc_id")
+            .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("comp"),
+            )
+        )
+    pairs.unpersist()
+    if dup_ids is not None:
+        members = members.join(
+            dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
+        )
+    else:
+        members = members.withColumn("_dup", F.lit(False))
+    # members is the junction every downstream action hangs off — the
+    # index merges, the admit semi-join, and the caller's sink each
+    # trigger their own job, and without pinning it here EVERY one of
+    # those re-ran the probe+verify join and the component labels from
+    # scratch (measured ~4x the batch's real work at 12.5k-doc
+    # batches). Persist the 3-int-column frame (O(batch) rows) and
+    # materialize it once; everything after is a cheap re-derive
+    # against the cache.
+    members = members.persist()
+    members.count()
+    survivors = (
+        members.filter(~F.col("_dup"))
+        .groupBy("comp")
+        .agg(F.min("doc_id").alias("survivor"))
+    )
+    admit_ids = (
+        members.join(survivors, "comp")
+        .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
+        .select("doc_id")
+    )
+    return admit_ids, members
+
+
 def neardup_gate_admit(
     batch_df: DataFrame,
     sigs_table: str,
@@ -1264,70 +1342,8 @@ def neardup_gate_admit(
                 >= threshold
             )
             .select("i", "j")
-            .persist()
         )
-        n_pairs = pairs.count()
-        if n_pairs == 0:
-            members = batch_df.select(
-                "doc_id", F.col("doc_id").alias("comp")
-            )
-        elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
-            # bounded graph: one collect + in-memory union-find beats
-            # several distributed jobs per min-label round; labels
-            # re-enter the plan as a (tiny) broadcastable frame
-            comp_map = _driver_union_find(pairs.collect())
-            id_type = dict(batch_df.dtypes)["doc_id"]
-            labels = spark.createDataFrame(
-                list(comp_map.items()),
-                f"doc_id {id_type}, component {id_type}",
-            )
-            members = (
-                batch_df.select("doc_id")
-                .join(F.broadcast(labels), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("component", F.col("doc_id")).alias("comp"),
-                )
-            )
-        else:
-            labels = comp_ops.connected_components(pairs.select("i", "j"))
-            members = (
-                batch_df.select("doc_id")
-                .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("component", F.col("doc_id")).alias("comp"),
-                )
-            )
-        pairs.unpersist()
-        if dup_ids is not None:
-            members = members.join(
-                dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
-            ).select(
-                "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
-            )
-        else:
-            members = members.withColumn("_dup", F.lit(False))
-        # members is the junction every downstream action hangs off —
-        # the two index merges, the admit semi-join, and the caller's
-        # sink each trigger their own job, and without pinning it here
-        # EVERY one of those re-ran the probe+verify join and the
-        # component labels from scratch (measured ~4x the batch's real
-        # work at 12.5k-doc batches). Persist the 3-int-column frame
-        # (O(batch) rows) and materialize it once; everything after is
-        # a cheap re-derive against the cache.
-        members = members.persist()
-        members.count()
-        survivors = (
-            members.filter(~F.col("_dup"))
-            .groupBy("comp")
-            .agg(F.min("doc_id").alias("survivor"))
-        )
-        admit_ids = (
-            members.join(survivors, "comp")
-            .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
-            .select("doc_id")
-        )
+        admit_ids, members = _gate_admit_ids(batch_df, pairs, dup_ids)
         admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
         try:
             # materialize admit while members is still cached, so the
@@ -1392,6 +1408,7 @@ def overlap_gate_admit(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 64,
+    stop_fps: list | None = None,
 ) -> DataFrame:
     """One admission round of the partial-overlap gate, shared by the
     streaming sink and any batch backfill driver: reject documents
@@ -1410,23 +1427,33 @@ def overlap_gate_admit(
     Replay convergence (the neardup_gate_admit argument, verbatim):
     within-batch overlap components are a pure function of batch
     CONTENT; the index probe anti-joins the batch's own doc ids out
-    of the index side, so rejection marks are a pure function of
-    (batch, pre-batch index); survivor = min doc_id among a
-    component's non-rejected members; admitted iff survivor. Both
-    inputs replay-identical => admitted set replay-identical.
+    of the index side, so rejection marks depend only on the batch
+    and the mutually-non-overlapping admitted set; survivor = min
+    doc_id among a component's non-rejected members; admitted iff
+    survivor. For this argument to hold, EVERY probe predicate must
+    be content-pure — which is why the ubiquity rule is split in two:
 
-    Hot-key bound (the MOSS ubiquity rule doing double duty):
-    fingerprints carried by more than ``max_df`` documents — computed
-    per side (within the batch; within the probe's pre-batch index
-    view, so the filter is itself replay-stable) — are dropped before
-    any join: boilerplate every page shares is no evidence of
-    copying, and it is exactly the key that would otherwise blow up
-    the fp-keyed shuffle. Only (doc_id, fp) BIGINT pairs cross any
-    exchange; text never leaves the document-local selection stage.
-    Index storage is ~2/(w+1) of the gram count per admitted doc —
-    the affordable density that makes a 100 TB fingerprint index
-    feasible at all (the winnowing design point)."""
-    from ..operators import components as comp_ops
+    - within the batch, fingerprints carried by more than ``max_df``
+      batch documents are dropped before the pair join (a pure
+      function of batch content — replay-stable);
+    - against the index, the rule must NOT be computed from the live
+      index view: the view grows with later admissions, so a
+      fingerprint rare at the original run could read ubiquitous on a
+      full replay, silently flipping a rejection into an admission.
+      Instead ``stop_fps`` takes a FROZEN stoplist of banned
+      fingerprints (derived offline from a trusted snapshot — the
+      decontamination-dictionary discipline), applied identically to
+      batch and index sides; None means no index-side ubiquity
+      filtering.
+
+    Hot-key bound: the batch-side max_df rule caps the within-batch
+    pair blowup at max_df choose 2 per fingerprint; on the probe side
+    the stoplist is the production control for boilerplate
+    fingerprints every page carries. Only (doc_id, fp) BIGINT pairs
+    cross any exchange; text never leaves the document-local
+    selection stage. Index storage is ~2/(w+1) of the gram count per
+    admitted doc — the affordable density that makes a 100 TB
+    fingerprint index feasible at all (the winnowing design point)."""
     from ..operators import text as text_ops
     from . import txn
 
@@ -1438,8 +1465,10 @@ def overlap_gate_admit(
         text_ops.winnowing_fingerprints(batch_df, k, w)
         .select("doc_id", "fp")
         .distinct()
-        .persist()
     )
+    if stop_fps:
+        fps = fps.filter(~F.col("fp").isin([int(f) for f in stop_fps]))
+    fps = fps.persist()
     try:
         rare_batch = (
             fps.groupBy("fp")
@@ -1459,25 +1488,20 @@ def overlap_gate_admit(
             .agg(F.count("*").alias("_shared"))
             .filter(F.col("_shared") >= min_shared)
             .select("i", "j")
-            .persist()
         )
         dup_ids = None
         if txn.current_version(index_table) >= 0:
-            # probe side: pre-batch index only (anti-join the batch's
-            # own ids so replays see what the original run saw), with
-            # the ubiquity rule applied to THAT view
+            # probe side: the index minus the batch's own ids (so
+            # replays see what the original run saw) and minus the
+            # frozen stoplist — both content-pure, never view-derived
             idx = txn.snapshot(spark, index_table).join(
                 batch_df.select("doc_id"), "doc_id", "left_anti"
             )
-            rare_idx = (
-                idx.groupBy("fp")
-                .agg(F.count("*").alias("_df"))
-                .filter(F.col("_df") <= max_df)
-                .select("fp")
-            )
-            idx_kept = idx.join(rare_idx, "fp").withColumnRenamed(
-                "doc_id", "old_id"
-            )
+            if stop_fps:
+                idx = idx.filter(
+                    ~F.col("fp").isin([int(f) for f in stop_fps])
+                )
+            idx_kept = idx.withColumnRenamed("doc_id", "old_id")
             dup_ids = (
                 kept.join(idx_kept, "fp")
                 .groupBy("doc_id", "old_id")
@@ -1486,63 +1510,15 @@ def overlap_gate_admit(
                 .select("doc_id")
                 .dropDuplicates()
             )
-        n_pairs = pairs.count()
-        if n_pairs == 0:
-            members = batch_df.select("doc_id", F.col("doc_id").alias("comp"))
-        elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
-            comp_map = _driver_union_find(pairs.collect())
-            id_type = dict(batch_df.dtypes)["doc_id"]
-            labels = spark.createDataFrame(
-                list(comp_map.items()), f"doc_id {id_type}, component {id_type}"
-            )
-            members = (
-                batch_df.select("doc_id")
-                .join(F.broadcast(labels), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("component", F.col("doc_id")).alias("comp"),
-                )
-            )
-        else:
-            labels = comp_ops.connected_components(pairs.select("i", "j"))
-            members = (
-                batch_df.select("doc_id")
-                .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("component", F.col("doc_id")).alias("comp"),
-                )
-            )
-        pairs.unpersist()
-        if dup_ids is not None:
-            members = members.join(
-                dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
-            ).select(
-                "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
-            )
-        else:
-            members = members.withColumn("_dup", F.lit(False))
-        # pin the junction once; the admit semi-join, the index merge
-        # and the caller's sink all re-derive from this cache (the
-        # neardup gate's measured 4x re-run trap)
-        members = members.persist()
-        members.count()
-        survivors = (
-            members.filter(~F.col("_dup"))
-            .groupBy("comp")
-            .agg(F.min("doc_id").alias("survivor"))
-        )
-        admit_ids = (
-            members.join(survivors, "comp")
-            .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
-            .select("doc_id")
-        )
+        admit_ids, members = _gate_admit_ids(batch_df, pairs, dup_ids)
         admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
         try:
             admit.count()
-            # ALL of an admitted doc's selected fps enter the index
-            # (ubiquity is a per-probe view, not a storage decision —
-            # what is boilerplate later may not be yet)
+            # an admitted doc's selected fps enter the index minus
+            # only the frozen stoplist (a banned fp can never
+            # contribute evidence, so storing it is pure waste); the
+            # batch-side max_df rule is probe-time only — what is
+            # locally common in one batch may be rare corpus-wide
             txn.merge_keyed(
                 fps.join(admit_ids, "doc_id").select("doc_id", "fp"),
                 index_table,
@@ -1564,6 +1540,7 @@ def overlap_gate_pipeline(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 64,
+    stop_fps: list | None = None,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Partial-overlap ingest gate: the winnowing-fingerprint member
@@ -1576,7 +1553,7 @@ def overlap_gate_pipeline(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         admit = overlap_gate_admit(
-            batch_df, index_table, k, w, min_shared, max_df
+            batch_df, index_table, k, w, min_shared, max_df, stop_fps
         )
         try:
             idempotent_append(

@@ -22,13 +22,13 @@ def _winnow_model(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
     keep each window's min (ties -> leftmost), dedupe."""
     grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
     keys = [
-        int(hashlib.md5(g.encode()).hexdigest()[:11], 16) * 65536 + i + 1
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * 1048576 + i + 1
         for i, g in enumerate(grams)
     ]
     out = set()
     for j in range(len(keys) - w + 1):
         key = min(keys[j : j + w])
-        out.add((key % 65536, key // 65536))
+        out.add((key % 1048576, key // 1048576))
     return out
 
 

@@ -100,13 +100,13 @@ def test_threshold_sweep_empty_and_all_dup(spark):
 def _winnow_fps(tokens: list[str], k: int, w: int) -> set[int]:
     grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
     keys = [
-        int(hashlib.md5(g.encode()).hexdigest()[:11], 16) * 65536 + i + 1
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * 1048576 + i + 1
         for i, g in enumerate(grams)
     ]
     sel = set()
     for j in range(len(keys) - w + 1):
         sel.add(min(keys[j : j + w]))
-    return {key // 65536 for key in sel}
+    return {key // 1048576 for key in sel}
 
 
 def _overlap_model(docs, k, w, min_shared, max_df):
@@ -342,10 +342,10 @@ def test_winnowing_index_probe_equals_inmemory_matches(spark, tmp_path):
 
     path = str(tmp_path / "widx")
     text_ops.winnowing_write_index(df, path, 4, 4)
-    postings = text_ops.winnowing_read_index(spark, path)
+    postings, nb = text_ops.winnowing_read_index(spark, path)
     got = [
         (r.doc_id, r.shared_fps)
-        for r in text_ops.winnowing_index_probe(postings, qfps)
+        for r in text_ops.winnowing_index_probe(postings, qfps, n_buckets=nb)
         .filter(F.col("doc_id") != 9)
         .collect()
     ]
@@ -362,14 +362,14 @@ def test_winnowing_index_probe_partition_prunes(spark, tmp_path):
     df = _df(spark, docs)
     path = str(tmp_path / "widx2")
     text_ops.winnowing_write_index(df, path, 4, 4)
-    postings = text_ops.winnowing_read_index(spark, path)
+    postings, nb = text_ops.winnowing_read_index(spark, path)
     qfps = [
         r.fp
         for r in text_ops.winnowing_fingerprints(
             df.filter(F.col("doc_id") == 3), 4, 4
         ).select("fp").distinct().collect()
     ]
-    probe = text_ops.winnowing_index_probe(postings, qfps)
+    probe = text_ops.winnowing_index_probe(postings, qfps, n_buckets=nb)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1][:160]
     assert "fb" in pf and ("IN (" in pf.upper() or "in (" in pf), pf
@@ -379,7 +379,46 @@ def test_winnowing_index_probe_empty_query(spark, tmp_path):
     df = _df(spark, {0: _text(0)})
     path = str(tmp_path / "widx3")
     text_ops.winnowing_write_index(df, path, 4, 4)
-    postings = text_ops.winnowing_read_index(spark, path)
-    out = text_ops.winnowing_index_probe(postings, [])
+    postings, nb = text_ops.winnowing_read_index(spark, path)
+    out = text_ops.winnowing_index_probe(postings, [], n_buckets=nb)
     assert out.columns == ["doc_id", "shared_fps"]
     assert out.count() == 0
+
+
+def test_winnowing_pos_overflow_raises(spark):
+    """A document beyond 2^20 - 1 k-grams would overflow the packed
+    position into the hash field and silently corrupt every
+    fingerprint — the data path must RAISE instead (callers chunk
+    long documents first)."""
+    import pytest
+
+    n = (1 << 20) + 4  # k-grams = n - k + 1 > 2^20 - 1
+    big = " ".join(f"t{i & 1023}" for i in range(n))
+    df = _df(spark, {0: big})
+    with pytest.raises(Exception, match="winnowing"):
+        text_ops.winnowing_fingerprints(df, 4, 4).count()
+
+
+def test_winnowing_index_meta_rides_with_layout(spark, tmp_path):
+    """The reader returns the WRITER's n_buckets: probing a 32-bucket
+    layout with the default 16 would silently exclude every posting
+    with fb >= 16 (matches drop, nothing errors)."""
+    docs = {i: _text(i) for i in range(6)}
+    docs[6] = docs[0]  # one exact twin -> guaranteed hit
+    df = _df(spark, docs)
+    path = str(tmp_path / "widx32")
+    text_ops.winnowing_write_index(df, path, 4, 4, n_buckets=32)
+    postings, nb = text_ops.winnowing_read_index(spark, path)
+    assert nb == 32
+    qfps = [
+        r.fp
+        for r in text_ops.winnowing_fingerprints(
+            df.filter(F.col("doc_id") == 6), 4, 4
+        ).select("fp").distinct().collect()
+    ]
+    hits = (
+        text_ops.winnowing_index_probe(postings, qfps, n_buckets=nb)
+        .filter(F.col("doc_id") != 6)
+        .collect()
+    )
+    assert [r.doc_id for r in hits] == [0]
