@@ -1317,3 +1317,51 @@ def winnowing_index_probe(
         .filter(F.col("shared_fps") >= min_shared)
         .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
     )
+
+
+def overlap_span_anchors(
+    df: DataFrame,
+    i_doc: int,
+    j_doc: int,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The MOSS highlight step: given a document pair (typically one
+    surfaced by :func:`winnowing_overlap_pairs`), report WHERE the
+    shared material sits — every fingerprint value both documents
+    selected, with its leftmost gram position in each. Anchors are
+    what a reviewer or a scrubber consumes next: each (pos_i, pos_j)
+    pair marks the start of a k-gram both documents contain verbatim,
+    and runs of consecutive anchors trace the copied span (detection
+    finds THAT content was reused; this locates it, completing
+    detect -> locate the way dup_span_scrub locates exact n-gram
+    repeats corpus-wide).
+
+    Document-local selection (zero shuffles) filtered to TWO
+    documents, then a fingerprint-keyed join of two tiny frames —
+    cost is the two documents' fingerprint lists, nothing
+    corpus-shaped. Leftmost position per side keeps the output
+    deterministic when a fingerprint repeats within a document.
+    Returns (fp, pos_i, pos_j) ordered by pos_i, fp — all BIGINT.
+    """
+    fps = winnowing_fingerprints(
+        df.filter(F.col(id_col).isin([int(i_doc), int(j_doc)])),
+        k, w, id_col, text_col,
+    )
+    side_i = (
+        fps.filter(F.col(id_col) == int(i_doc))
+        .groupBy("fp")
+        .agg(F.min("pos").cast("long").alias("pos_i"))
+    )
+    side_j = (
+        fps.filter(F.col(id_col) == int(j_doc))
+        .groupBy("fp")
+        .agg(F.min("pos").cast("long").alias("pos_j"))
+    )
+    return (
+        side_i.join(side_j, "fp")
+        .select("fp", "pos_i", "pos_j")
+        .orderBy("pos_i", "fp")
+    )

@@ -5549,3 +5549,87 @@ def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != qid)
         .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
     )
+
+
+@_register(
+    "ext_overlap_span_locator",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        WHERE lang = '{JACCARD_LANG}'
+          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    keyed AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
+                        * 1048576 + i) AS keys,
+               len(sp) AS n
+        FROM d
+    ),
+    pf AS (
+        SELECT DISTINCT doc_id, CAST(key % 1048576 AS BIGINT) AS pos,
+               CAST(key // 1048576 AS BIGINT) AS fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
+                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
+            FROM keyed
+        )
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM pf),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 1
+    ),
+    top AS (SELECT i, j FROM shared ORDER BY shared_fps DESC, i, j LIMIT 1),
+    ai AS (
+        SELECT p.fp, CAST(min(p.pos) AS BIGINT) AS pos_i
+        FROM pf p JOIN top t ON p.doc_id = t.i GROUP BY p.fp
+    ),
+    aj AS (
+        SELECT p.fp, CAST(min(p.pos) AS BIGINT) AS pos_j
+        FROM pf p JOIN top t ON p.doc_id = t.j GROUP BY p.fp
+    )
+    SELECT ai.fp AS fp, pos_i, pos_j
+    FROM ai JOIN aj ON ai.fp = aj.fp
+    ORDER BY pos_i, ai.fp
+    """,
+    "MOSS highlight step: shared-fingerprint anchors of the top overlap pair",
+)
+def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection says THAT content was reused; this locates it
+    (operators/text.py:overlap_span_anchors — the MOSS highlight
+    step): for the partition's strongest overlap pair (most shared
+    fingerprints, deterministic (i, j) tie-break — the same ordering
+    both engines state), every shared fingerprint with its leftmost
+    gram position in each document. Runs of consecutive anchors trace
+    the copied span; a scrubber or reviewer consumes these directly.
+    Pair selection rides the declared match kernel (min_shared=1 so
+    the locator exists at every SF); the anchor join itself touches
+    exactly TWO documents' fingerprint lists — nothing
+    corpus-shaped."""
+    docs = spread_fixture(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("lang") == JACCARD_LANG
+        )
+    )
+    top = (
+        text_ops.winnowing_overlap_pairs(
+            docs, WINNOW_K, WINNOW_W, 1, WINNOW_MAX_DF
+        )
+        .orderBy(F.col("shared_fps").desc(), "i", "j")
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return spark.createDataFrame([], "fp long, pos_i long, pos_j long")
+    r = top[0]
+    return text_ops.overlap_span_anchors(
+        docs, r.i, r.j, WINNOW_K, WINNOW_W
+    )

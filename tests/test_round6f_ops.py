@@ -422,3 +422,44 @@ def test_winnowing_index_meta_rides_with_layout(spark, tmp_path):
         .collect()
     )
     assert [r.doc_id for r in hits] == [0]
+
+
+def test_overlap_span_anchors_locate_the_quote(spark):
+    """The highlight step: anchors for a planted 15-token quote sit
+    at a CONSTANT offset delta inside the copied run, and match the
+    pure Python model exactly."""
+    run = " ".join(f"q{n}" for n in range(15))
+    doc_a = " ".join(f"a{n}" for n in range(20)) + " " + run
+    doc_b = run + " " + " ".join(f"b{n}" for n in range(20))
+    df = _df(spark, {0: doc_a, 1: doc_b})
+    got = [
+        (r.fp, r.pos_i, r.pos_j)
+        for r in text_ops.overlap_span_anchors(df, 0, 1, 4, 4).collect()
+    ]
+
+    def model_pf(tokens):
+        grams = [" ".join(tokens[i:i + 4]) for i in range(len(tokens) - 3)]
+        keys = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * 1048576 + i + 1
+            for i, g in enumerate(grams)
+        ]
+        sel = set()
+        for j in range(len(keys) - 3):
+            sel.add(min(keys[j:j + 4]))
+        out = {}
+        for key in sel:
+            fp, pos = key // 1048576, key % 1048576
+            out[fp] = min(out.get(fp, 10**9), pos)
+        return out
+
+    mi, mj = model_pf(doc_a.split(" ")), model_pf(doc_b.split(" "))
+    want = sorted(
+        ((fp, mi[fp], mj[fp]) for fp in mi.keys() & mj.keys()),
+        key=lambda t: (t[1], t[0]),
+    )
+    assert got == want and got, "anchors must exist and match the model"
+    # interior anchors of the copied run: doc_a run starts at token 21
+    # (1-based gram pos 21), doc_b at 1 -> delta = 20 for every anchor
+    # whose gram lies fully inside the run on both sides
+    deltas = {pi - pj for _, pi, pj in got if pj <= 15 - 4 + 1 and pi >= 21}
+    assert deltas == {20}, got
