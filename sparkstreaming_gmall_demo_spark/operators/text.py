@@ -1327,6 +1327,7 @@ def overlap_span_anchors(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allowed_fps: DataFrame | None = None,
 ) -> DataFrame:
     """The MOSS highlight step: given a document pair (typically one
     surfaced by :func:`winnowing_overlap_pairs`), report WHERE the
@@ -1344,12 +1345,22 @@ def overlap_span_anchors(
     cost is the two documents' fingerprint lists, nothing
     corpus-shaped. Leftmost position per side keeps the output
     deterministic when a fingerprint repeats within a document.
+
+    ``allowed_fps`` (a 1-column ``fp`` frame) restricts anchors to
+    the SAME evidence set the match step used — pass the corpus's
+    rare-fingerprint set so a ubiquitous boilerplate header both
+    documents carry is not highlighted as a copied span (the MOSS
+    ubiquity rule must hold detect AND locate, or a scrubber
+    consuming anchors scrubs boilerplate as plagiarism). None skips
+    the restriction (pair-local forensics over everything shared).
     Returns (fp, pos_i, pos_j) ordered by pos_i, fp — all BIGINT.
     """
     fps = winnowing_fingerprints(
         df.filter(F.col(id_col).isin([int(i_doc), int(j_doc)])),
         k, w, id_col, text_col,
     )
+    if allowed_fps is not None:
+        fps = fps.join(allowed_fps.select("fp"), "fp")
     side_i = (
         fps.filter(F.col(id_col) == int(i_doc))
         .groupBy("fp")

@@ -5144,12 +5144,18 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 WINNOW_K = 4
 WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 64
 
-
-@_register(
-    "ext_winnowing_fingerprints",
-    f"""
-    WITH d AS (
+# The winnowing selection restated ONCE for every oracle in the family
+# (the _QC shared-fragment precedent): d -> hashed packed keys ->
+# selected (pos, fp) rows, plus the distinct doc-fp frame and the
+# MOSS ubiquity (rare/kept) sets. Four oracles interpolate this; the
+# r6 position-widening already had to touch every copy in lockstep,
+# which is exactly the divergence risk a single fragment removes.
+# DuckDB inlines CTEs lazily, so an oracle that ignores rare/kept
+# pays nothing for them.
+_WINNOW_PF_CTES = f"""d AS (
         SELECT doc_id, string_split(text, ' ') AS sp FROM documents
         WHERE lang = '{JACCARD_LANG}'
           AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
@@ -5163,17 +5169,27 @@ WINNOW_W = 4
                len(sp) AS n
         FROM d
     ),
-    sel AS (
-        SELECT DISTINCT doc_id, key FROM (
+    pf AS (
+        SELECT DISTINCT doc_id, CAST(key % 1048576 AS BIGINT) AS pos,
+               CAST(key // 1048576 AS BIGINT) AS fp FROM (
             SELECT doc_id,
                    unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
                        j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
             FROM keyed
         )
-    )
-    SELECT doc_id, CAST(key % 1048576 AS BIGINT) AS pos,
-           CAST(key // 1048576 AS BIGINT) AS fp
-    FROM sel ORDER BY doc_id, pos
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM pf),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)"""
+
+
+@_register(
+    "ext_winnowing_fingerprints",
+    f"""
+    WITH {_WINNOW_PF_CTES}
+    SELECT doc_id, pos, fp FROM pf ORDER BY doc_id, pos
     """,
     "winnowing (MOSS) fingerprint selection: window-min of k-gram hashes",
 )
@@ -5273,8 +5289,6 @@ def ext_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SWEEP_THRESHOLDS_BP = (7000, 7500, 8000, 8500, 9000, 9500)
-WINNOW_MIN_SHARED = 2
-WINNOW_MAX_DF = 64
 
 
 @_register(
@@ -5332,32 +5346,7 @@ def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ext_winnowing_overlap_pairs",
     f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
-        WHERE lang = '{JACCARD_LANG}'
-          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
-    ),
-    keyed AS (
-        SELECT doc_id,
-               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
-                   i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
-                        * 1048576 + i) AS keys,
-               len(sp) AS n
-        FROM d
-    ),
-    fps AS (
-        SELECT DISTINCT doc_id, CAST(key // 1048576 AS BIGINT) AS fp FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
-                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
-            FROM keyed
-        )
-    ),
-    rare AS (
-        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
-    ),
-    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    WITH {_WINNOW_PF_CTES},
     sizes AS (SELECT doc_id, count(*) AS n_fps FROM kept GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS i, b.doc_id AS j,
@@ -5426,28 +5415,7 @@ def _winnow_query_doc(docs, fps) -> int:
 @_register(
     "ext_winnowing_indexed",
     f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
-        WHERE lang = '{JACCARD_LANG}'
-          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
-    ),
-    keyed AS (
-        SELECT doc_id,
-               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
-                   i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
-                        * 1048576 + i) AS keys,
-               len(sp) AS n
-        FROM d
-    ),
-    fps AS (
-        SELECT DISTINCT doc_id, CAST(key // 1048576 AS BIGINT) AS fp FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
-                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
-            FROM keyed
-        )
-    ),
+    WITH {_WINNOW_PF_CTES},
     q AS (
         SELECT coalesce(
             (SELECT min(a.doc_id) FROM fps a
@@ -5554,34 +5522,7 @@ def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ext_overlap_span_locator",
     f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS sp FROM documents
-        WHERE lang = '{JACCARD_LANG}'
-          AND len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
-    ),
-    keyed AS (
-        SELECT doc_id,
-               list_transform(range(1, len(sp) - {WINNOW_K} + 2),
-                   i -> ('0x' || substr(md5(array_to_string(
-                            sp[i:i+{WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
-                        * 1048576 + i) AS keys,
-               len(sp) AS n
-        FROM d
-    ),
-    pf AS (
-        SELECT DISTINCT doc_id, CAST(key % 1048576 AS BIGINT) AS pos,
-               CAST(key // 1048576 AS BIGINT) AS fp FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, n - {WINNOW_K + WINNOW_W} + 3),
-                       j -> list_min(keys[j:j+{WINNOW_W - 1}]))) AS key
-            FROM keyed
-        )
-    ),
-    fps AS (SELECT DISTINCT doc_id, fp FROM pf),
-    rare AS (
-        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
-    ),
-    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    WITH {_WINNOW_PF_CTES},
     shared AS (
         SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared_fps
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -5590,11 +5531,13 @@ def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (SELECT i, j FROM shared ORDER BY shared_fps DESC, i, j LIMIT 1),
     ai AS (
         SELECT p.fp, CAST(min(p.pos) AS BIGINT) AS pos_i
-        FROM pf p JOIN top t ON p.doc_id = t.i GROUP BY p.fp
+        FROM pf p JOIN rare r ON p.fp = r.fp
+        JOIN top t ON p.doc_id = t.i GROUP BY p.fp
     ),
     aj AS (
         SELECT p.fp, CAST(min(p.pos) AS BIGINT) AS pos_j
-        FROM pf p JOIN top t ON p.doc_id = t.j GROUP BY p.fp
+        FROM pf p JOIN rare r ON p.fp = r.fp
+        JOIN top t ON p.doc_id = t.j GROUP BY p.fp
     )
     SELECT ai.fp AS fp, pos_i, pos_j
     FROM ai JOIN aj ON ai.fp = aj.fp
@@ -5611,9 +5554,10 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram position in each document. Runs of consecutive anchors trace
     the copied span; a scrubber or reviewer consumes these directly.
     Pair selection rides the declared match kernel (min_shared=1 so
-    the locator exists at every SF); the anchor join itself touches
-    exactly TWO documents' fingerprint lists — nothing
-    corpus-shaped."""
+    the locator exists at every SF); anchors are restricted to the
+    corpus's rare-fingerprint evidence set (the MOSS ubiquity rule
+    holds detect AND locate), and the anchor join itself touches
+    exactly TWO documents' fingerprint lists — nothing corpus-shaped."""
     docs = spread_fixture(
         load_table(spark, sf_dir, "documents").filter(
             F.col("lang") == JACCARD_LANG
@@ -5630,6 +5574,20 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not top:
         return spark.createDataFrame([], "fp long, pos_i long, pos_j long")
     r = top[0]
+    # anchors restricted to the SAME evidence set the match step used
+    # (the corpus's rare fingerprints) — a ubiquitous boilerplate
+    # header both docs carry must not be highlighted as copied span
+    fps = (
+        text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
     return text_ops.overlap_span_anchors(
-        docs, r.i, r.j, WINNOW_K, WINNOW_W
+        docs, r.i, r.j, WINNOW_K, WINNOW_W, allowed_fps=rare
     )
