@@ -3283,9 +3283,9 @@ LENGTH_BUCKETS = [16, 32, 64]
     )
     SELECT cap,
            count(*) AS n_docs,
-           sum(n) AS sum_tokens,
-           sum(greatest(cap - n, 0)) AS padded_tokens,
-           sum(greatest(n - cap, 0)) AS truncated_tokens,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(sum(greatest(cap - n, 0)) AS BIGINT) AS padded_tokens,
+           CAST(sum(greatest(n - cap, 0)) AS BIGINT) AS truncated_tokens,
            CAST(floor(sum(greatest(cap - n, 0)) * 10000.0 / (count(*) * cap) + 0.5) AS BIGINT) AS pad_bp
     FROM t GROUP BY cap ORDER BY cap
     """,
@@ -3850,7 +3850,7 @@ def ext_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_salted_hot_key_agg",
     """
     SELECT event_type,
-           sum(CAST(floor(value * 100e0) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(floor(value * 100e0) AS BIGINT)) AS BIGINT) AS sum_cents,
            count(*) AS n_events,
            min(CAST(floor(value * 100e0) AS BIGINT)) AS min_cents,
            max(CAST(floor(value * 100e0) AS BIGINT)) AS max_cents
@@ -4126,7 +4126,7 @@ def ext_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_salted_skew_join",
     """
     SELECT c.c_mktsegment AS mktsegment,
-           sum(CAST(floor(e.value * 100e0) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(floor(e.value * 100e0) AS BIGINT)) AS BIGINT) AS sum_cents,
            count(*) AS n_events
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment

@@ -42,15 +42,24 @@ def test_every_entry_is_oracle_paired():
     assert not ROWS_ONLY_SPECS, [s.name for s in ROWS_ONLY_SPECS]
 
 
-def test_no_oracle_emits_decimal_columns():
-    """The r05 ext_length_buckets lesson: a `1.0` literal types as
-    DECIMAL(2,1) in DuckDB and can drag a whole ratio into
-    version-sensitive DECIMAL arithmetic/rendering — the one hash
-    mismatch in the 50-row driver window. House rule: every oracle
-    output column must be INTEGER/BIGINT/DOUBLE/VARCHAR/... by
-    construction (`1e0` not `1.0`, explicit CASTs), never DECIMAL.
-    DESCRIBE plans without executing, so this covers all oracles
-    cheaply."""
+def test_no_oracle_emits_decimal_or_hugeint_columns():
+    """Two render-typing bug classes, both shipped once and both now
+    banned by construction:
+
+    - DECIMAL (r05 ext_length_buckets): a `1.0` literal types as
+      DECIMAL(2,1) in DuckDB and drags a ratio into version-sensitive
+      DECIMAL arithmetic/rendering. Write `1e0`, not `1.0`.
+    - HUGEINT (r06 ext_length_buckets / ext_salted_hot_key_agg /
+      ext_salted_skew_join): DuckDB types `sum(BIGINT)` as HUGEINT,
+      which the driver's pandas canonicalization renders as float64
+      (`99845111.0` vs Spark's `99845111`) — hash-red on values that
+      are numerically identical. Wrap every bare sum in
+      `CAST(sum(...) AS BIGINT)`.
+
+    House rule: every oracle output column must be
+    INTEGER/BIGINT/DOUBLE/VARCHAR/... by construction — never DECIMAL
+    or HUGEINT. DESCRIBE plans without executing, so this covers all
+    142 oracles cheaply."""
     import duckdb
 
     from sparkstreaming_gmall_demo_spark.schemas import FIXTURE_TABLES
@@ -64,7 +73,8 @@ def test_no_oracle_emits_decimal_columns():
     offenders = []
     for spec in ORACLE_SPECS:
         for col, typ, *_ in con.execute(f"DESCRIBE {spec.oracle}").fetchall():
-            if "DECIMAL" in typ.upper():
+            up = typ.upper()
+            if "DECIMAL" in up or "HUGEINT" in up:
                 offenders.append((spec.name, col, typ))
     con.close()
     assert not offenders, offenders
