@@ -766,66 +766,43 @@ def jaccard_threshold_sweep(
         )
         .filter(F.col("jac") >= t_min)
     )
-    # both aggregate branches below hang off this frame; a lazy
-    # localCheckpoint truncates the lineage so the quadratic posting
-    # join computes ONCE structurally (not merely when ReuseExchange
-    # happens to dedupe the two planned subtrees) — the pagerank
-    # localCheckpoint discipline
-    pairs = pairs.localCheckpoint(eager=False)
-    pair_sums = pairs.agg(
-        *[
-            F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")
-            for t in ts
-        ]
-    )
-    best = (
-        pairs.select(
-            F.explode(F.array(F.col("i"), F.col("j"))).alias("doc"),
-            F.col("jac"),
+    # Both aggregate branches hang off the pair frame, so it is
+    # persist()ed and RELEASED here — an explicit lifetime, not the
+    # GC-released localCheckpoint this used in round 6 (ADVICE: a
+    # localCheckpoint's blocks are unrecoverable on executor loss and
+    # only freed when the RDD is collected, so the returned plan could
+    # fail mid-action on a flaky cluster where plain lineage would
+    # recompute). persist() keeps lineage (executor loss recomputes)
+    # and the two aggregates collapse to ONE row each — 2 x |ts|
+    # bounded values — so the sweep table is assembled on the driver
+    # and the quadratic pair frame is unpersisted before returning.
+    pairs = pairs.persist()
+    try:
+        pair_row = pairs.agg(
+            *[
+                F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")
+                for t in ts
+            ]
+        ).collect()[0]
+        best = (
+            pairs.select(
+                F.explode(F.array(F.col("i"), F.col("j"))).alias("doc"),
+                F.col("jac"),
+            )
+            .groupBy("doc")
+            .agg(F.max("jac").alias("best"))
         )
-        .groupBy("doc")
-        .agg(F.max("jac").alias("best"))
-    )
-    doc_sums = best.agg(
-        *[
-            F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"d{t}")
-            for t in ts
-        ]
-    )
-    # melt the two single-row aggregate frames into threshold rows via
-    # the union pattern (a constant-keyed join of 1-row frames would
-    # plan as BroadcastNestedLoopJoin — the _scalar_join rationale)
-    def _melt(agg_df: DataFrame, prefix: str, value_name: str) -> DataFrame:
-        return agg_df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).cast("long").alias("threshold_bp"),
-                            F.coalesce(F.col(f"{prefix}{t}"), F.lit(0))
-                            .cast("long")
-                            .alias(value_name),
-                        )
-                        for t in ts
-                    ]
-                )
-            ).alias("e")
-        ).select("e.threshold_bp", f"e.{value_name}")
-
-    melted_pairs = _melt(pair_sums, "p", "n")
-    melted_docs = _melt(doc_sums, "d", "n")
-    u = melted_pairs.withColumn("k", F.lit("pairs")).union(
-        melted_docs.withColumn("k", F.lit("docs"))
-    )
-    return (
-        u.groupBy("threshold_bp")
-        .agg(
-            F.max(F.when(F.col("k") == "pairs", F.col("n")))
-            .cast("long")
-            .alias("n_pairs"),
-            F.max(F.when(F.col("k") == "docs", F.col("n")))
-            .cast("long")
-            .alias("n_dup_docs"),
-        )
-        .orderBy("threshold_bp")
-    )
+        doc_row = best.agg(
+            *[
+                F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"d{t}")
+                for t in ts
+            ]
+        ).collect()[0]
+    finally:
+        pairs.unpersist()
+    rows = [
+        (t, int(pair_row[f"p{t}"] or 0), int(doc_row[f"d{t}"] or 0)) for t in ts
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "threshold_bp long, n_pairs long, n_dup_docs long"
+    ).orderBy("threshold_bp")

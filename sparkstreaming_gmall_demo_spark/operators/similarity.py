@@ -1058,11 +1058,18 @@ def embedding_health(
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
+    # NULL elements count as non-finite too (round-6 ADVICE): isnan(NULL)
+    # is NULL, so without the isNull arm a vector with a NULL entry got
+    # nf=0 yet a NULL norm — reported in NEITHER n_nonfinite NOR
+    # n_zero_norm, exactly the malformed-producer case this QA exists
+    # to catch.
     nonfinite = F.aggregate(
         v,
         F.lit(0).cast("long"),
         lambda acc, x: acc
-        + F.when(F.isnan(x.cast("double")) | (F.abs(x) == float("inf")), 1)
+        + F.when(
+            x.isNull() | F.isnan(x.cast("double")) | (F.abs(x) == float("inf")), 1
+        )
         .otherwise(0)
         .cast("long"),
     )

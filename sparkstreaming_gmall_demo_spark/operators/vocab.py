@@ -667,6 +667,13 @@ def zipf_slope(
     the aggregated (lang, token) count frame, so it distributes; only
     token counts shuffle, never text. Returns
     (lang, v, slope, intercept) with the doubles rounded to 4 dp.
+
+    Degenerate groups (round-6 ADVICE): with a single distinct token
+    (v = 1) var_pop(lx) is 0 — Spark's x/0 yields NULL while DuckDB's
+    IEEE 0/0 yields NaN, so the division is guarded on BOTH sides
+    (when var > 0 here, nullif(var, 0) in the oracle): a one-token
+    language reports slope = intercept = NULL, which is the honest
+    answer — no line fits one point.
     """
     counts = (
         df.withColumn("token", F.explode(F.split(F.col(text_col), " ")))
@@ -687,7 +694,9 @@ def zipf_slope(
         ranked.groupBy(lang_col)
         .agg(
             F.count("*").cast("long").alias("v"),
-            (F.covar_pop("lx", "ly") / F.var_pop("lx")).alias("_slope"),
+            F.when(
+                F.var_pop("lx") > 0, F.covar_pop("lx", "ly") / F.var_pop("lx")
+            ).alias("_slope"),
             F.avg("lx").alias("_mx"),
             F.avg("ly").alias("_my"),
         )

@@ -1298,6 +1298,78 @@ def ext_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 320, 240
+FRAME_EVERY_K = 4
+
+
+@_register(
+    "ext_multimodal_decode_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('web', 'wiki') THEN 'image' ELSE 'audio' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, modality, n_bytes,
+               CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+               CAST(n_bytes % 480 + 1 AS INTEGER) AS height,
+               CAST(n_bytes % 16 + 1 AS INTEGER) AS n_frames
+        FROM t
+    ),
+    r AS (
+        SELECT *,
+               greatest(1, CAST(trunc(width * least({RESIZE_W}e0 / width, {RESIZE_H}e0 / height)) AS INTEGER)) AS resized_width,
+               greatest(1, CAST(trunc(height * least({RESIZE_W}e0 / width, {RESIZE_H}e0 / height)) AS INTEGER)) AS resized_height
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(len(range(0, CAST(n_frames AS BIGINT), {FRAME_EVERY_K})) AS BIGINT) AS n_sampled_frames,
+               CAST(list_sum(list_transform(range(0, CAST(n_frames AS BIGINT), {FRAME_EVERY_K}),
+                    i -> least(8, n_bytes - (i * 7) % greatest(n_bytes, 1)))) AS BIGINT) AS sum_frame_bytes
+        FROM d
+    )
+    SELECT r.doc_id, r.modality, r.n_bytes, r.width, r.height, r.n_frames,
+           r.resized_width, r.resized_height, f.n_sampled_frames, f.sum_frame_bytes
+    FROM r JOIN f USING (doc_id)
+    ORDER BY r.doc_id
+    """,
+    "full decode->resize->frame-sample multimodal pipeline, per-doc gated",
+)
+def ext_multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-path composition the stubs promise (VERDICT r6 item
+    5): attach_payload -> decode_image_stub -> resize_stub ->
+    frame_sample_stub end-to-end (multimodal.py:68-163), per-doc
+    value-for-value — three Arrow-batched mapInPandas stages including
+    the fan-out frame sampler, re-keyed and joined. Every fake-decode
+    quantity is a pure function of the payload byte length, so the
+    oracle restates the whole pipeline relationally (range() +
+    list_transform reproduce the frame loop). Swapping PIL/ffmpeg into
+    the stubs preserves every schema and batch shape gated here.
+
+    Plan: one scan; decode+resize are narrow map stages; the frame
+    fan-out happens inside the Python worker (no shuffle); the only
+    exchange is the doc_id join of frame stats back onto resized rows —
+    at 100 TB both sides are co-partitioned outputs of the same scan,
+    and AQE plans the join locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = mm_ops.attach_payload(docs)
+    resized = mm_ops.resize_stub(
+        mm_ops.decode_image_stub(p), RESIZE_W, RESIZE_H
+    )
+    frame_stats = (
+        mm_ops.frame_sample_stub(p, every_k=FRAME_EVERY_K)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled_frames"),
+            F.sum("n_bytes").cast("long").alias("sum_frame_bytes"),
+        )
+    )
+    return resized.join(frame_stats, "doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Composed end-to-end curation: the flagship training-data shape. Every
 # stage is a kernel gated above on its own (quality_score, fingerprint
@@ -4934,7 +5006,9 @@ ZIPF_TOP_V = 64
     ),
     agg AS (
         SELECT lang, CAST(count(*) AS BIGINT) AS v,
-               covar_pop(lx, ly) / var_pop(lx) AS slope_raw,
+               -- nullif guards the v=1 group: DuckDB IEEE 0/0 is NaN
+               -- where Spark yields NULL (round-6 ADVICE)
+               covar_pop(lx, ly) / nullif(var_pop(lx), 0) AS slope_raw,
                avg(lx) AS mx, avg(ly) AS my
         FROM f GROUP BY lang
     )
@@ -5013,10 +5087,10 @@ def ext_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                CAST(len(embedding) AS BIGINT) AS dim,
                CAST(len(list_filter(embedding,
-                   x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
+                   x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
                    AS BIGINT) AS nf,
                CASE WHEN len(list_filter(embedding,
-                        x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+                        x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
                     THEN sqrt(list_reduce(
                         list_prepend(CAST(0.0 AS DOUBLE),
                             list_transform(embedding,

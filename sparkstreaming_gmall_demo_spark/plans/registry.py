@@ -1707,3 +1707,51 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q38 -- /realtime-hours endpoint envelope as a declared, driver-gated
+# query: the today+yesterday DAU hour map the reference assembles
+# client-side from two Phoenix queries (Controller.java:76-100 via
+# PublisherServiceImpl.java:53-63 + DauMapper.xml:8-11). Here the
+# two-day merge is in-plan: ONE scan pruned to both days feeds the
+# first-sighting dedup, the hour rollup, and the today/yesterday label.
+# The build goes through serving.realtime_hours_frame — the exact plan
+# the dict endpoint collects — so a green driver row gates the served
+# path, not a test twin.
+#
+# Oracle note: DuckDB 1.0.0 returns ZERO rows for
+# `CAST(ts AS DATE) IN (DATE 'a', DATE 'b')` over the fixture's
+# TIMESTAMP(NANOS) column while the `=`-equality form matches — write
+# two-date prunes as `= OR =`, never IN.
+# ---------------------------------------------------------------------------
+@_register(
+    "q38_realtime_hours_envelope",
+    f"""
+    WITH firsts AS (
+        SELECT user_id, CAST(ts AS DATE) AS log_date, min(ts) AS first_ts
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
+           OR CAST(ts AS DATE) = DATE '2024-01-04'
+        GROUP BY 1, 2
+    )
+    SELECT CASE WHEN log_date = DATE '{EVENTS_DATE}' THEN 'today'
+                ELSE 'yesterday' END AS day,
+           lpad(CAST(hour(first_ts) AS VARCHAR), 2, '0') AS log_hour,
+           count(*) AS value
+    FROM firsts GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "realtime-hours endpoint: today+yesterday DAU hour map, one pruned scan",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import serving
+
+    events = load_table(spark, sf_dir, "events")
+    # the deduped DAU serving table derived from the raw stream: first
+    # sighting per (user, day) — same shape the dau pipeline persists
+    dau = (
+        events.groupBy("user_id", log_date("ts").alias("log_date"))
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", "log_date", log_hour("first_ts").alias("log_hour"))
+    )
+    return serving.realtime_hours_frame(dau, None, "dau", EVENTS_DATE)

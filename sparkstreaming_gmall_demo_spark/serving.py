@@ -38,11 +38,6 @@ def _java_round_half_up(x: float) -> int:
     return int(math.floor(x + 0.5))
 
 
-def _hour_map(df: DataFrame, hour_col: str, value_col) -> dict:
-    rows = df.groupBy(hour_col).agg(value_col.alias("v")).collect()
-    return {f"{int(r[hour_col]):02d}": r["v"] for r in rows}
-
-
 # ---------------------------------------------------------------------------
 # /realtime-total
 # ---------------------------------------------------------------------------
@@ -70,29 +65,62 @@ def realtime_total(dau: DataFrame, orders: DataFrame, date: str) -> list:
 # ---------------------------------------------------------------------------
 # /realtime-hours
 # ---------------------------------------------------------------------------
+def realtime_hours_frame(
+    dau: DataFrame, orders: DataFrame, id: str, date: str
+) -> DataFrame:
+    """Plan-level /realtime-hours: the today+yesterday hour map as
+    ordered rows ``(day, log_hour, value)`` — the declared, driver-
+    gated form of the endpoint (registry q38_realtime_hours_envelope).
+
+    The yesterday date math is Controller.java:79; the today/yesterday
+    merge the reference assembles client-side from two Phoenix queries
+    (Controller.java:80-99 via PublisherServiceImpl.java:53-63) happens
+    in-plan here: ONE scan partition-pruned to the two days, `day`
+    derived from the date column. The dict endpoint below collects this
+    single frame instead of running one job per day.
+
+    Hour keys are two-digit strings ("HH") exactly as Phoenix stores
+    the SimpleDateFormat split — preserved so the envelope is
+    byte-identical to the reference's JSON keys.
+    """
+    yesterday = (_dt.date.fromisoformat(date) - _dt.timedelta(days=1)).isoformat()
+    if id == "dau":
+        # count per hour of first sighting (DauMapper.xml:8-11 over the
+        # already-deduped DAU table)
+        src, date_col, hour_col = dau, "log_date", "log_hour"
+        value = F.count("*").cast("long").alias("value")
+    elif id == "order_amount":
+        src, date_col, hour_col = orders, "create_date", "create_hour"
+        value = F.sum("total_amount").cast("double").alias("value")
+    else:
+        raise ValueError(f"id must be 'dau' or 'order_amount', got {id!r}")
+    d = F.col(date_col).cast("date")
+    two = src.filter(
+        (d == F.lit(date).cast("date")) | (d == F.lit(yesterday).cast("date"))
+    )
+    return (
+        two.groupBy(date_col, hour_col)
+        .agg(value)
+        .select(
+            F.when(F.col(date_col).cast("date") == F.lit(date).cast("date"), "today")
+            .otherwise("yesterday")
+            .alias("day"),
+            F.lpad(F.col(hour_col).cast("string"), 2, "0").alias("log_hour"),
+            "value",
+        )
+        .orderBy("day", "log_hour")
+    )
+
+
 def realtime_hours(dau: DataFrame, orders: DataFrame, id: str, date: str) -> dict:
     """{"today": {HH: v}, "yesterday": {HH: v}} for id in
-    {dau, order_amount} (Controller.java:76-100; the yesterday date
-    math is Controller.java:79)."""
-    yesterday = (_dt.date.fromisoformat(date) - _dt.timedelta(days=1)).isoformat()
-
-    def one_day(d: str) -> dict:
-        if id == "dau":
-            # count per hour of first sighting (DauMapper.xml:8-11 over
-            # the already-deduped DAU table)
-            day = dau.filter(F.col("log_date") == F.lit(d))
-            return _hour_map(day, "log_hour", F.count("*").cast("long"))
-        elif id == "order_amount":
-            day = orders.filter(F.col("create_date") == F.lit(d))
-            return {
-                k: float(v)
-                for k, v in _hour_map(
-                    day, "create_hour", F.sum("total_amount")
-                ).items()
-            }
-        return {}
-
-    return {"today": one_day(date), "yesterday": one_day(yesterday)}
+    {dau, order_amount} (Controller.java:76-100). Thin envelope over
+    realtime_hours_frame — one collect, both days."""
+    out: dict = {"today": {}, "yesterday": {}}
+    for r in realtime_hours_frame(dau, orders, id, date).collect():
+        v = r["value"]
+        out[r["day"]][r["log_hour"]] = float(v) if id == "order_amount" else v
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1461,8 +1461,23 @@ def overlap_gate_admit(
     # spread before the CPU-heavy fingerprint pass (the
     # neardup_gate_admit single-scan-partition trap)
     batch_df = batch_df.repartition(F.col("doc_id"))
+    # Oversized-document guard (round-6 ADVICE): a document with more
+    # than 2^20 - 1 k-grams trips winnowing's deterministic
+    # raise_error (text.py packed-position overflow). Inside a
+    # foreachBatch sink that raise is a permanent wedge — the failure
+    # is content-deterministic, so checkpoint restart replays the same
+    # batch and fails again forever. Route such documents around the
+    # fingerprint pass instead: they contribute no overlap evidence
+    # and follow the same no-evidence admission path as
+    # shorter-than-k+w-1 docs (content-pure predicate — replay-stable).
+    # Production should chunk long documents upstream
+    # (operators/chunking.py); this bound only keeps one pathological
+    # crawl artifact from halting ingest.
+    fingerprintable = F.size(F.split(F.col("text"), " ")) - k + 1 <= (
+        text_ops.POS_SPACE - 1
+    )
     fps = (
-        text_ops.winnowing_fingerprints(batch_df, k, w)
+        text_ops.winnowing_fingerprints(batch_df.filter(fingerprintable), k, w)
         .select("doc_id", "fp")
         .distinct()
     )

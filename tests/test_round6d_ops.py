@@ -124,6 +124,20 @@ def test_zipf_slope_rank_tiebreak_deterministic(spark):
     assert r1["slope"] == r2["slope"] and r1["intercept"] == r2["intercept"]
 
 
+def test_zipf_slope_single_token_language_is_null_not_nan(spark):
+    """Round-6 ADVICE: v=1 means var_pop(lx)=0 — the guarded division
+    must report slope/intercept NULL (no line fits one point), and the
+    healthy language in the same frame keeps its fit."""
+    df = spark.createDataFrame(
+        [(0, "xx", "only only only"), (1, "en", "a a b")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["lang"]: r for r in vocab_ops.zipf_slope(df, top_v=4).collect()}
+    assert out["xx"]["v"] == 1
+    assert out["xx"]["slope"] is None and out["xx"]["intercept"] is None
+    assert out["en"]["v"] == 2 and out["en"]["slope"] is not None
+
+
 # ---------------------------------------------------------------------------
 # Source divergence
 # ---------------------------------------------------------------------------
@@ -205,6 +219,24 @@ def test_embedding_health_hand_case(spark):
     assert out[1]["n_nonfinite"] == 1
     assert out[1]["dim_min"] == 2 and out[1]["dim_max"] == 3
     assert out[1]["max_norm"] == 3.0
+
+
+def test_embedding_health_null_element_counts_as_nonfinite(spark):
+    """Round-6 ADVICE: a NULL array element must land in n_nonfinite —
+    before the fix it nulled the norm (dropping the vector from the
+    envelope) while isnan(NULL)'s three-valued logic counted nf=0, so
+    the malformed vector was reported NOWHERE."""
+    rows = [
+        (0, [None, 1.0], 0),   # NULL element: non-finite, no norm
+        (1, [3.0, 4.0], 0),    # healthy: norm 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = sim_ops.embedding_health(df).collect()[0]
+    assert out["n_vecs"] == 2
+    assert out["n_nonfinite"] == 1
+    assert out["n_zero_norm"] == 0
+    # envelope computed over the one finite vector only
+    assert out["avg_norm"] == 5.0 and out["min_norm"] == 5.0 and out["max_norm"] == 5.0
 
 
 # ---------------------------------------------------------------------------

@@ -307,6 +307,47 @@ def test_overlap_gate_batch_twin(spark, tmp_path):
     assert admitted == set(range(10)) | {101, 200, 300}
 
 
+def test_overlap_gate_oversized_doc_routed_not_wedged(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE (medium): a document with > POS_SPACE - 1 k-grams
+    trips winnowing's deterministic raise_error; inside foreachBatch
+    that wedges the checkpoint permanently (replay re-fails on the same
+    content). The gate must route such docs around the fingerprint pass
+    — no-evidence admission, like short docs — never into raise_error.
+
+    POS_SPACE is monkeypatched down to 64 so "oversized" is a 200-token
+    doc rather than a ~1M-token one; both winnowing's raise threshold
+    and the gate's guard read the module attribute at call time, so the
+    two stay consistent under the patch."""
+    monkeypatch.setattr(text_ops, "POS_SPACE", 64)
+    index_table = str(tmp_path / "ov_big_index")
+    big = " ".join(f"b{j}" for j in range(200))  # 197 k-grams > 63
+    batch = _df(spark, {1: _text(1), 2: big, 3: _text(3)})
+
+    # sanity: the raw fingerprint pass on the oversized doc DOES raise
+    # under the patched space — the wedge the gate must avoid
+    import pytest
+
+    with pytest.raises(Exception, match="winnowing"):
+        text_ops.winnowing_fingerprints(
+            batch.filter(F.col("doc_id") == 2), 4, 4
+        ).collect()
+
+    out = pipelines.overlap_gate_admit(batch, index_table)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+    out.unpersist()
+    # the oversized doc was admitted WITHOUT contributing fingerprints
+    idx = txn.snapshot(spark, index_table)
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 3}
+
+    # and a replay of the same batch still terminates (no wedge) and
+    # no-ops the index
+    v = txn.current_version(index_table)
+    out2 = pipelines.overlap_gate_admit(batch, index_table)
+    assert {r.doc_id for r in out2.collect()} == {1, 2, 3}
+    out2.unpersist()
+    assert txn.current_version(index_table) == v
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprint index (MOSS serve path)
 # ---------------------------------------------------------------------------
