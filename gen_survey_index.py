@@ -62,6 +62,37 @@ def render() -> str:
     return "".join(lines)
 
 
+def extract_table(text: str) -> str:
+    """The committed §2.17 table (header + contiguous |-rows) out of a
+    SURVEY.md text — the parse main() replaces, exposed for the
+    staleness guard."""
+    marker = "## 2.17 Declared-entry index"
+    _, _, rest = text.partition(marker)
+    if not rest:
+        raise ValueError("SURVEY.md has no §2.17 marker")
+    after = rest[rest.index("| # |"):]
+    lines = after.splitlines(keepends=True)
+    n = 0
+    while n < len(lines) and lines[n].startswith("|"):
+        n += 1
+    return "".join(lines[:n])
+
+
+def strip_ledger_column(table: str) -> str:
+    """Drop the 'last driver-green' column: the driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's final commit, so the
+    committed ledger column is one artifact behind by construction
+    (r5/r6 verdicts) — the staleness guard compares everything else
+    byte-for-byte."""
+    out = []
+    for line in table.splitlines():
+        cells = line.split("|")
+        if len(cells) >= 7:
+            del cells[4]
+        out.append("|".join(cells))
+    return "\n".join(out) + "\n"
+
+
 def main() -> None:
     table = render()
     survey_path = os.path.join(REPO, "SURVEY.md")

@@ -5,39 +5,39 @@ from . import extensions  # noqa: F401  (registers extension queries)
 # registry entries (round-1 finding). Dict order therefore IS the
 # driver-visibility order.
 #
-# Round-6 rotation (per VERDICT r5 items 1-3): clear EVERY entry
-# without a driver-green row, then rotate by staleness:
-#   - 8 core sentinels — the flagship family spanning dedup-count,
-#     decimal money, the 3-way join, the windowed alert, scored
-#     search, both sessionization variants, and banded ratios —
-#     so a cross-cutting regression still trips a driver row;
-#   - ALL 21 entries with NO driver-green row: the 3 r05 reds, fixed
-#     this round (ext_length_buckets -> integer pad_bp on both sides;
-#     ext_bpe_train/ext_bpe_encode -> unrolled chained-CTE merge
-#     oracles), the 3 registered after the r05 window froze
-#     (ext_keep_best_dedup, ext_containment_pairs, ext_bm25_indexed),
-#     the two VERDICT-item entries — ext_containment_pairs_filtered
-#     (the ppjoin-style scale kernel promoted to a declared entry,
-#     item 7) and ext_curation_bundle (the pair-graph-reuse
-#     composition, item 6) — and the 13 second-wave r6 additions
-#     (ext_dupspan_scrub, ext_sq8_topk, ext_salted_hot_key_agg,
-#     ext_gopher_report, ext_dsir_sample, ext_dup_cluster_histogram,
-#     ext_semantic_decontam, ext_salted_skew_join,
-#     ext_soft_dedup_weights, ext_perplexity_bands,
-#     ext_kcenter_coreset, ext_contrastive_pairs, ext_oov_rate —
-#     all oracle-green in pytest at both SFs before seating);
-#   - the 9 entries whose latest driver-green row is r3;
-#   - the first 12 (name order, deterministic) of the 42 whose latest
-#     green row is r4 — the remaining 30 r4-green entries (all q-row
-#     core queries plus the tail of the ext_ alphabet, each with two
-#     prior green rows) are the r7 rotation queue together with any
+# Round-7 rotation (per VERDICT r6 item 2 — finish the ledger): a
+# green r7 run gives EVERY entry registered before this window froze
+# >= 1 driver-green row across CORRECTNESS_r01-r07 (the verdict's
+# cross-round ledger, recomputed this round from the artifact union):
+#   - 8 core sentinels (unchanged — the cross-cutting regression trip
+#     wires: dedup-count, decimal money, the 3-way join, the windowed
+#     alert, scored search, both sessionization variants, banded
+#     ratios);
+#   - ALL 28 entries with NO driver-green row: the 3 r06 hash-reds,
+#     fixed this round (ext_length_buckets / ext_salted_hot_key_agg /
+#     ext_salted_skew_join — bare sum(BIGINT) typed HUGEINT by DuckDB,
+#     rendered float64 by the driver's canonicalizer; now CAST to
+#     BIGINT, and test_no_oracle_emits_decimal_or_hugeint_columns bans
+#     the class), the 23 wave-3..6 entries registered after the r06
+#     window froze (q37_cohort_retention, the winnowing/MOSS family,
+#     Gopher-funnel/classifier, zipf/divergence/overlap-matrix,
+#     unimax/curriculum, oov-sweep/embedding-health/quality-
+#     calibration/wilson/rare-token/ngram-novelty, normalization-dedup/
+#     source-dedup-report, cluster-capped sample, knn label prop,
+#     dedup threshold sweep), and the 2 NEW r7 entries
+#     (q38_realtime_hours_envelope — VERDICT item 4, the last
+#     uncovered Java post-processing path; ext_multimodal_decode_
+#     pipeline — VERDICT item 5, the decode->resize->frame-sample
+#     composition) — all oracle-green in pytest at both SFs before
+#     seating;
+#   - the first 14 (name order, deterministic) of the 30 entries whose
+#     latest driver-green row is r4 — the remaining 16 (q26..q9_
+#     keyword_search) are the r8 rotation queue together with any
 #     entries registered after this window froze.
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
 # pytest run, so nothing is unchecked — the cap only decides who gets
-# a driver CORRECTNESS row this round. A green r6 run makes the
-# cross-round ledger read: every pre-wave-3 entry has >= 1
-# driver-green row.
+# a driver CORRECTNESS row this round.
 _CORE_SENTINELS = [
     "q1_dau_total",
     "q3_gmv_total",
@@ -50,55 +50,56 @@ _CORE_SENTINELS = [
 ]
 
 _NEVER_DRIVER_CHECKED = [
-    "ext_bm25_indexed",
-    "ext_bpe_encode",
-    "ext_bpe_train",
-    "ext_containment_pairs",
-    "ext_containment_pairs_filtered",
-    "ext_contrastive_pairs",
-    "ext_curation_bundle",
-    "ext_dsir_sample",
-    "ext_dup_cluster_histogram",
-    "ext_dupspan_scrub",
-    "ext_gopher_report",
-    "ext_kcenter_coreset",
-    "ext_keep_best_dedup",
+    # r06 hash-reds, HUGEINT oracle typing fixed this round
     "ext_length_buckets",
-    "ext_oov_rate",
-    "ext_perplexity_bands",
     "ext_salted_hot_key_agg",
     "ext_salted_skew_join",
-    "ext_semantic_decontam",
-    "ext_soft_dedup_weights",
-    "ext_sq8_topk",
+    # registered after the r06 window froze (waves 3-6)
+    "q37_cohort_retention",
+    "ext_cluster_capped_sample",
+    "ext_curation_funnel",
+    "ext_curriculum_schedule",
+    "ext_dedup_threshold_sweep",
+    "ext_embedding_health",
+    "ext_hashed_classifier",
+    "ext_knn_label_prop",
+    "ext_ngram_novelty",
+    "ext_normalization_dedup",
+    "ext_oov_sweep",
+    "ext_overlap_span_locator",
+    "ext_quality_calibration",
+    "ext_rare_token_docs",
+    "ext_source_dedup_report",
+    "ext_source_divergence",
+    "ext_source_overlap_matrix",
+    "ext_unimax_mix",
+    "ext_wilson_source_rank",
+    "ext_winnowing_fingerprints",
+    "ext_winnowing_indexed",
+    "ext_winnowing_overlap_pairs",
+    "ext_zipf_slope",
+    # new this round (r7)
+    "q38_realtime_hours_envelope",
+    "ext_multimodal_decode_pipeline",
 ]
 
 _STALEST = [
-    # latest driver-green row is r3
-    "ext_deterministic_sample",
-    "ext_embedding_centroids",
-    "ext_ivf_topk",
-    "ext_length_quantiles",
-    "ext_minhash_neardup",
-    "ext_multimodal_meta",
-    "ext_rolling_fingerprint",
-    "ext_table_profile",
-    "ext_token_stats",
-    # latest driver-green row is r4 (first 12 in name order; the
-    # remaining 30 — q11..q9_keyword_search and the ext_ tail —
-    # rotate in r7)
-    "ext_contamination_report",
-    "ext_corpus_mix",
-    "ext_decontam_scrub",
-    "ext_decontamination",
-    "ext_event_pairs_within_gap",
-    "ext_heavy_hitters",
-    "ext_incremental_dedup",
-    "ext_pii_scrub",
-    "ext_repetition_scores",
-    "ext_scd2_history",
-    "ext_vocab_build",
-    "ext_weighted_sample",
+    # latest driver-green row is r4 (first 14 in name order; the
+    # remaining 16 — q26..q9_keyword_search — rotate in r8)
+    "q11_pagination",
+    "q12_alert_dedup_keys",
+    "q13_props_map_agg",
+    "q14_star_join_rollup",
+    "q15_rollup_hourly",
+    "q16_brand_revenue",
+    "q17_asof_prev_order",
+    "q18_running_gmv",
+    "q19_semi_anti_segments",
+    "q21_set_ops",
+    "q22_pivot_hourly_types",
+    "q23_balance_deciles",
+    "q24_corpus_cube",
+    "q25_funnel_daily",
 ]
 
 _DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST

@@ -258,14 +258,22 @@ def test_every_registry_entry_indexed_in_survey():
 
 
 def test_survey_index_is_regenerated():
-    """SURVEY §2.17 must byte-match gen_survey_index.render(): a
-    registry or window change without re-running the generator leaves
-    the judge-facing ledger stale — re-run `python gen_survey_index.py`
-    to fix a failure here."""
+    """SURVEY §2.17 must structurally match gen_survey_index.render():
+    a registry or window change without re-running the generator leaves
+    the judge-facing index stale — `python gen_survey_index.py` fixes a
+    failure here. The 'last driver-green' column is EXEMPT from the
+    byte-match (r6 verdict item 3): the driver writes
+    CORRECTNESS_r{N}.json after the builder's final commit, so the
+    committed ledger column is always one artifact behind — that lag is
+    expected, not staleness."""
     import gen_survey_index
 
     survey = open("SURVEY.md").read()
-    assert gen_survey_index.render() in survey, (
+    committed = gen_survey_index.strip_ledger_column(
+        gen_survey_index.extract_table(survey)
+    )
+    rendered = gen_survey_index.strip_ledger_column(gen_survey_index.render())
+    assert committed == rendered, (
         "SURVEY.md §2.17 is stale — run: python gen_survey_index.py"
     )
 
