@@ -1,6 +1,7 @@
-"""Fuzzy ingest gate throughput at realistic batch sizes — both the
-MinHash whole-document near-dup gate and the winnowing partial-overlap
-gate (quote-reuse rejection) through the same staged stream.
+"""Ingest gate throughput at realistic batch sizes — the MinHash
+whole-document near-dup gate, the winnowing partial-overlap gate
+(quote-reuse rejection), the exact-fingerprint novelty gate, and the
+Gopher+classifier quality gate, all through the same staged stream.
 
 The per-round streaming bench (bench_streaming.py) replays the 5k-doc
 sf0.1 documents fixture in 8 micro-batches (~625 docs/batch), which
@@ -101,11 +102,16 @@ def main() -> None:
     spark = get_spark("gmall-gate-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # both fuzzy gates ride the same staged stream: the MinHash
-    # whole-document gate and the winnowing partial-overlap gate (the
-    # quote-reuse detector) — same harness, same regimes, comparable
-    # docs/s. The verbatim regime is adversarial for both: ~90% of the
-    # stream is a dup, so probe/verify/component work is maximal.
+    # all four ingest gates ride the same staged stream (r6 verdict
+    # item 6 — the exact-novelty and quality gates were only measured
+    # in the 5k fixed-cost regime before): the MinHash whole-document
+    # gate, the winnowing partial-overlap gate (quote-reuse detector),
+    # the exact-fingerprint novelty gate, and the Gopher+classifier
+    # quality gate — same harness, same regimes, comparable docs/s.
+    # The verbatim regime is adversarial for the dedup gates (~90% of
+    # the stream is a dup, so probe/verify/component work is maximal);
+    # the quality gate's scoring is content-stateless per doc, so only
+    # the novel regime is measured for it.
     gates = {
         "neardup": lambda stream, work: pipelines.neardup_gate_pipeline(
             stream,
@@ -121,11 +127,31 @@ def main() -> None:
             os.path.join(work, "ckpt"),
             trigger={"availableNow": True},
         ),
+        "novelty": lambda stream, work: pipelines.novelty_gate_pipeline(
+            stream,
+            os.path.join(work, "nv_index"),
+            os.path.join(work, "admitted"),
+            os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        ),
+        "quality": lambda stream, work: pipelines.quality_gate_pipeline(
+            stream,
+            os.path.join(work, "admitted"),
+            os.path.join(work, "q_counts"),
+            os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        ),
+    }
+    regimes_of = {
+        "neardup": ("novel", "verbatim"),
+        "overlap": ("novel", "verbatim"),
+        "novelty": ("novel", "verbatim"),
+        "quality": ("novel",),
     }
     results = {g: {} for g in gates}
     n_docs = 0
     for gate_name, make in gates.items():
-        for regime in ("novel", "verbatim"):
+        for regime in regimes_of[gate_name]:
             work = tempfile.mkdtemp(
                 prefix=f"gmall_gate_bench_{gate_name}_{regime}_"
             )

@@ -15,6 +15,17 @@ exact pair count), and the oracle states the same anchors with literal
 driver's value-hash check gates them like any other query; the raw
 approximate outputs additionally keep their ground-truth tests in
 tests/test_neardup.py and tests/test_operators_unit.py.
+
+Pair-graph convention (r6 verdict item 7): operators that consume a
+near-dup pair graph (components, keep-best, cluster histograms/caps,
+leakage-safe splits) take the graph as a ``pairs=`` DataFrame argument
+(operators/sampling.py:curation_bundle is the model) so production
+pipelines derive it ONCE per corpus and fan it out. A declared entry
+may re-derive the exact pair kernel inline ONLY when it IS the oracle
+anchor for that kernel (ext_keep_best_dedup / ext_dup_cluster_histogram
+/ ext_cluster_capped_sample are such anchors by design); any NEW
+graph-composition entry should compose via ``pairs=`` like
+ext_curation_bundle does.
 """
 
 from __future__ import annotations
@@ -1349,11 +1360,14 @@ def ext_multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     list_transform reproduce the frame loop). Swapping PIL/ffmpeg into
     the stubs preserves every schema and batch shape gated here.
 
-    Plan: one scan; decode+resize are narrow map stages; the frame
-    fan-out happens inside the Python worker (no shuffle); the only
-    exchange is the doc_id join of frame stats back onto resized rows —
-    at 100 TB both sides are co-partitioned outputs of the same scan,
-    and AQE plans the join locally."""
+    Plan: decode+resize are narrow Arrow map stages and the frame
+    fan-out happens inside the Python worker (no shuffle introduced);
+    the only exchange is the doc_id join of frame stats back onto
+    resized rows. The two branches each scan the source (mapInPandas
+    subtrees share nothing) — acceptable for the declared composition,
+    but a production pipeline materializes the payload-attached frame
+    once (or fuses decode + frame-sample into one UDF) so media bytes
+    are read from the object store a single time."""
     docs = load_table(spark, sf_dir, "documents")
     p = mm_ops.attach_payload(docs)
     resized = mm_ops.resize_stub(

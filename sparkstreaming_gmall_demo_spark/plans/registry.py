@@ -1747,10 +1747,18 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import serving
 
     events = load_table(spark, sf_dir, "events")
+    # two-day prune as typed RANGE predicates on the raw ts column so
+    # it reaches the parquet scan (events_date_filter discipline — a
+    # cast-wrapped date filter above the aggregate never pushes down);
+    # the frame's own log_date filter is then a no-op re-statement
+    two_days = events.filter(
+        events_date_filter(events, EVENTS_DATE)
+        | events_date_filter(events, "2024-01-04")
+    )
     # the deduped DAU serving table derived from the raw stream: first
     # sighting per (user, day) — same shape the dau pipeline persists
     dau = (
-        events.groupBy("user_id", log_date("ts").alias("log_date"))
+        two_days.groupBy("user_id", log_date("ts").alias("log_date"))
         .agg(F.min("ts").alias("first_ts"))
         .select("user_id", "log_date", log_hour("first_ts").alias("log_hour"))
     )

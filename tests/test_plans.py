@@ -420,3 +420,38 @@ def test_wilson_rank_single_scan_no_explode(spark):
     plan = plan_of(spark, "ext_wilson_source_rank")
     assert "Generate" not in plan
     assert plan.count("Scan parquet") == 2  # tree line + details
+
+
+def test_no_expensive_rederivation_inside_transform_lambdas():
+    """The round-6 lambda re-evaluation audit, pinned (r6 verdict item
+    8): an expensive sub-array referenced INSIDE a higher-order lambda
+    is re-evaluated per element — `split(text)` per gram turned
+    winnowing into O(tokens^2) per document (10.5 s -> 0.42 s at 10x
+    once bound). House rule: bind token/gram arrays as lambda
+    variables via the single-element `transform(array(X), x -> ...)`
+    wrapper BEFORE entering any per-element lambda. This audit
+    AST-walks every string literal in the package and flags
+
+    - `element_at(split(` anywhere (the exact shape the fix removed),
+    - Spark `split(` appearing after a `->` lambda arrow
+
+    DuckDB oracle SQL is exempt by spelling: its splitter is
+    `string_split(`, excluded by the lookbehind (DuckDB evaluates
+    oracles once at sf0.01; it is not the 100 TB path)."""
+    import ast
+    import glob
+    import re
+
+    bad = []
+    for path in glob.glob("sparkstreaming_gmall_demo_spark/**/*.py", recursive=True):
+        with open(path) as f:
+            tree = ast.parse(f.read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Constant) and isinstance(node.value, str):
+                s = node.value
+                if "element_at(split(" in s:
+                    bad.append((path, node.lineno, "element_at(split("))
+                for m in re.finditer(r"->", s):
+                    if re.search(r"(?<!string_)split\(", s[m.end():]):
+                        bad.append((path, node.lineno, "split( inside lambda body"))
+    assert not bad, bad
