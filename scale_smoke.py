@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from sparkstreaming_gmall_demo_spark.operators import components as comp_ops
 from sparkstreaming_gmall_demo_spark.operators import dedup as dedup_ops
 from sparkstreaming_gmall_demo_spark.operators import importance as imp_ops
+from sparkstreaming_gmall_demo_spark.operators import multimodal as mm_ops
 from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
 from sparkstreaming_gmall_demo_spark.operators import rangejoin as rj_ops
 from sparkstreaming_gmall_demo_spark.operators import retrieval as retr_ops
@@ -252,6 +253,24 @@ def main() -> None:
             text_ops.winnowing_fingerprints(dc)
             .agg(F.count("*").alias("n"), F.sum("fp").alias("s"))
         ), r)
+        # multimodal decode path: three Arrow-batched mapInPandas
+        # stages (decode, resize, frame fan-out) + the doc_id
+        # frame-stats join — the Python-worker batch throughput claim
+        # under measurement: payload bytes never shuffle, so 10x docs
+        # should cost ~10x of the Python batch work and nothing
+        # super-linear
+        def _mm_pipeline(dc=dc):
+            p = mm_ops.attach_payload(dc)
+            resized = mm_ops.resize_stub(mm_ops.decode_image_stub(p), 320, 240)
+            fs = (
+                mm_ops.frame_sample_stub(p, every_k=4)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nf"), F.sum("n_bytes").alias("fb"))
+            )
+            return resized.join(fs, "doc_id").agg(
+                F.count("*").alias("docs"), F.sum("fb").alias("frame_bytes")
+            )
+        timed("multimodal_decode", _mm_pipeline, r)
         # MOSS match step: deduped (doc, fp) BIGINT pairs keyed on the
         # 44-bit fingerprint; the max_df ubiquity rule is the hot-key
         # bound. 10x verbatim copies make every doc 10 identical twins

@@ -455,3 +455,54 @@ def test_no_expensive_rederivation_inside_transform_lambdas():
                     if re.search(r"(?<!string_)split\(", s[m.end():]):
                         bad.append((path, node.lineno, "split( inside lambda body"))
     assert not bad, bad
+
+
+def test_q38_two_day_prune_reaches_scan(spark):
+    """q38: the today+yesterday prune must arrive at the parquet scan
+    as an OR of two typed ts ranges (events_date_filter discipline) —
+    a cast-wrapped date filter above the aggregate decodes every row
+    group of a year at 100 TB."""
+    plan = plan_of(spark, "q38_realtime_hours_envelope")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line][0]
+    assert "2024-01-05" in pushed and "2024-01-04" in pushed, pushed
+
+
+def test_winnowing_overlap_pairs_shuffles_fingerprints_not_text(spark):
+    """ext_winnowing_overlap_pairs: the MOSS match step shuffles only
+    (doc_id, fp) BIGINT pairs — document text stays inside the
+    document-local selection stage (the index-affordability claim).
+    The declared fixture-spread repartitions (REPARTITION_BY_NUM,
+    spread_fixture) are exempt: they exist because the fixture is one
+    parquet row group; a production scan splits naturally and they
+    carry the same text a scan partition would."""
+    import re
+
+    plan = plan_of(spark, "ext_winnowing_overlap_pairs")
+    # parse the formatted-explain DETAILS blocks: each "(N) Exchange"
+    # node's text runs to the next "(M) " header — the naive
+    # split("Exchange") would bleed neighboring nodes' column lists in
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for block in blocks:
+        if not re.match(r"\(\d+\) Exchange", block):
+            continue
+        if "REPARTITION_BY_NUM" in block:
+            continue
+        assert "text#" not in block, (
+            "text crossed a plan-required shuffle:\n" + block[:300]
+        )
+
+
+def test_multimodal_decode_pipeline_payload_never_shuffles(spark):
+    """ext_multimodal_decode_pipeline: media bytes must never cross an
+    exchange — the frame fan-out happens inside the Python worker and
+    only doc_id-keyed stats shuffle for the join."""
+    import re
+
+    plan = plan_of(spark, "ext_multimodal_decode_pipeline")
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for block in blocks:
+        if not re.match(r"\(\d+\) Exchange", block):
+            continue
+        assert "payload#" not in block, (
+            "payload bytes crossed a shuffle:\n" + block[:300]
+        )
