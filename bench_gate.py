@@ -1,7 +1,8 @@
 """Ingest gate throughput at realistic batch sizes — the MinHash
 whole-document near-dup gate, the winnowing partial-overlap gate
-(quote-reuse rejection), the exact-fingerprint novelty gate, and the
-Gopher+classifier quality gate, all through the same staged stream.
+(quote-reuse rejection), the exact-fingerprint novelty gate, the
+Gopher+classifier quality gate (same staged document stream), and the
+semantic (embedding cosine) novelty gate over a staged vector stream.
 
 The per-round streaming bench (bench_streaming.py) replays the 5k-doc
 sf0.1 documents fixture in 8 micro-batches (~625 docs/batch), which
@@ -96,6 +97,93 @@ def stage_amplified(input_dir: str, fixture: str, regime: str) -> int:
     return rows
 
 
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def stage_amplified_vectors(input_dir: str, fixture: str, regime: str) -> int:
+    """Amplified embeddings as N_CHUNKS vec_id-ordered chunks: copy c
+    shifts vec_id by c * OFF. ``verbatim`` keeps vectors identical
+    (every copy is an exact semantic dup — the maximal-rejection
+    regime); ``novel`` circularly rotates copy c's vector by c
+    positions, which drops cosine to the original (and to every other
+    rotation) far below the gate threshold for these embeddings — a
+    mostly-novel stream."""
+    import duckdb
+
+    os.makedirs(input_dir, exist_ok=True)
+    if regime == "verbatim":
+        vec_expr = "e.embedding"
+    else:
+        vec_expr = (
+            "CASE WHEN c.c = 0 THEN e.embedding ELSE "
+            "list_concat(e.embedding[c.c + 1:], e.embedding[1:c.c]) END"
+        )
+    con = duckdb.connect()
+    amplified = con.execute(
+        f"""
+        SELECT e.vec_id + c.c * {OFF} AS vec_id,
+               CAST({vec_expr} AS DOUBLE[]) AS embedding
+        FROM read_parquet('{fixture}') e
+        CROSS JOIN (SELECT unnest(range({COPIES})) AS c) c
+        ORDER BY vec_id
+        """
+    ).fetch_arrow_table()
+    import pyarrow.parquet as pq
+
+    rows = amplified.num_rows
+    step = (rows + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        p = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+        pq.write_table(amplified.slice(i * step, step), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    return rows
+
+
+def bench_semantic_gate(spark, sf_dir: str) -> dict:
+    """The embedding member of the gate family through the same staged
+    harness: centroids are trained ONCE on the 1x fixture (the frozen
+    offline artifact the gate contract requires) before the clock
+    starts; the timed wall covers assignment, within-cell pair
+    verification, the nprobe index probe, and both commits."""
+    from sparkstreaming_gmall_demo_spark.operators.similarity import ivf_train
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    centroids = ivf_train(load_table(spark, sf_dir, "embeddings"), k=16)
+    out: dict = {}
+    for regime in ("novel", "verbatim"):
+        work = tempfile.mkdtemp(prefix=f"gmall_gate_bench_semantic_{regime}_")
+        try:
+            input_dir = os.path.join(work, "vecs")
+            n = stage_amplified_vectors(
+                input_dir, f"{sf_dir.rstrip('/')}/embeddings.parquet", regime
+            )
+            stream = (
+                spark.readStream.schema(VEC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            t0 = time.perf_counter()
+            q = pipelines.semantic_gate_pipeline(
+                stream,
+                os.path.join(work, "sem_index"),
+                os.path.join(work, "admitted"),
+                os.path.join(work, "ckpt"),
+                centroids,
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            admitted = spark.read.parquet(os.path.join(work, "admitted")).count()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        out[regime] = {
+            "docs_per_sec": round(n / wall, 1),
+            "admitted": admitted,
+            "wall_sec": round(wall, 2),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -180,6 +268,8 @@ def main() -> None:
                 "admitted": admitted,
                 "wall_sec": round(wall, 2),
             }
+
+    results["semantic"] = bench_semantic_gate(spark, sf_dir)
 
     print(json.dumps({
         "metric": "neardup_gate_docs_per_sec",

@@ -268,6 +268,50 @@ def ivf_assign(
     )
 
 
+def with_cluster_and_norm(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cluster`` (frozen-centroid argmin, same rule as
+    ivf_assign) and ``nrm`` (L2 norm) to every row, keeping the rest
+    of the frame — the per-row material the semantic ingest gate's
+    within-batch pair kernel and index probe both need. One narrow map
+    against broadcast-literal centroids; the norm is computed once per
+    vector here so no downstream pair score recomputes it."""
+    return (
+        df.withColumn("_cents", _centroid_literal(centroids))
+        .withColumn("cluster", _assign_expr(vec_col, centroids))
+        .drop("_cents")
+        .withColumn("nrm", F.expr(NORM.format(a=vec_col)))
+    )
+
+
+def ivf_probe_clusters(
+    df: DataFrame,
+    centroids: list,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``probe_clusters``: each row's ``nprobe`` nearest centroid
+    ids (squared L2, ties to the lowest id — the ivf_topk probe rule
+    applied per row instead of per driver-side query). Narrow map; the
+    consumer explodes it to join against a cluster-partitioned index
+    with partition pruning intact."""
+    k = len(centroids)
+    expr = (
+        "transform(slice(array_sort(transform(sequence(0, {k} - 1), c -> struct("
+        " aggregate(zip_with({v}, element_at(_cents, c + 1), "
+        "   (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "  0D, (acc, y) -> acc + y) as d, c as c))), 1, {np}), s -> s.c)"
+    ).format(k=k, v=vec_col, np=min(nprobe, k))
+    return (
+        df.withColumn("_cents", _centroid_literal(centroids))
+        .withColumn("probe_clusters", F.expr(expr).cast("array<int>"))
+        .drop("_cents")
+    )
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     centroids: list,

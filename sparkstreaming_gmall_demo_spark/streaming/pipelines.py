@@ -1093,58 +1093,61 @@ def _driver_union_find(pair_rows) -> dict[int, int]:
     return {node: find(node) for node in list(parent)}
 
 
-def _gate_admit_ids(batch_df: DataFrame, pairs: DataFrame, dup_ids):
+def _gate_admit_ids(
+    batch_df: DataFrame, pairs: DataFrame, dup_ids, id_col: str = "doc_id"
+):
     """Shared admission machinery for the fuzzy ingest gates
-    (:func:`neardup_gate_admit` and :func:`overlap_gate_admit`):
-    whole-batch components over the within-batch pair frame, survivor
-    = min doc_id among a component's members NOT index-rejected,
-    admitted iff survivor. Factored out so the replay-determinism
-    argument (neardup_gate_admit's docstring) and the persist
-    discipline live in exactly one place instead of drifting apart in
-    two copies. Returns (admit_ids, members); ``members`` is
-    PERSISTED and materialized — the caller hangs its admit semi-join
-    and index merges off it, then unpersists it."""
+    (:func:`neardup_gate_admit`, :func:`overlap_gate_admit`,
+    :func:`semantic_gate_admit` — the last keyed on ``vec_id`` via
+    ``id_col``): whole-batch components over the within-batch pair
+    frame, survivor = min id among a component's members NOT
+    index-rejected, admitted iff survivor. Factored out so the
+    replay-determinism argument (neardup_gate_admit's docstring) and
+    the persist discipline live in exactly one place instead of
+    drifting apart in copies. Returns (admit_ids, members);
+    ``members`` is PERSISTED and materialized — the caller hangs its
+    admit semi-join and index merges off it, then unpersists it."""
     from ..operators import components as comp_ops
 
     spark = batch_df.sparkSession
     pairs = pairs.persist()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        members = batch_df.select("doc_id", F.col("doc_id").alias("comp"))
+        members = batch_df.select(id_col, F.col(id_col).alias("comp"))
     elif n_pairs <= NEARDUP_GATE_CC_DRIVER_CAP:
         # bounded graph: one collect + in-memory union-find beats
         # several distributed jobs per min-label round; labels
         # re-enter the plan as a (tiny) broadcastable frame
-        comp_map = _driver_union_find(pairs.collect())
-        id_type = dict(batch_df.dtypes)["doc_id"]
+        comp_map = _driver_union_find(pairs.select("i", "j").collect())
+        id_type = dict(batch_df.dtypes)[id_col]
         labels = spark.createDataFrame(
             list(comp_map.items()),
-            f"doc_id {id_type}, component {id_type}",
+            f"{id_col} {id_type}, component {id_type}",
         )
         members = (
-            batch_df.select("doc_id")
-            .join(F.broadcast(labels), "doc_id", "left")
+            batch_df.select(id_col)
+            .join(F.broadcast(labels), id_col, "left")
             .select(
-                "doc_id",
-                F.coalesce("component", F.col("doc_id")).alias("comp"),
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("comp"),
             )
         )
     else:
         labels = comp_ops.connected_components(pairs.select("i", "j"))
         members = (
-            batch_df.select("doc_id")
-            .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            batch_df.select(id_col)
+            .join(labels.withColumnRenamed("node", id_col), id_col, "left")
             .select(
-                "doc_id",
-                F.coalesce("component", F.col("doc_id")).alias("comp"),
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("comp"),
             )
         )
     pairs.unpersist()
     if dup_ids is not None:
         members = members.join(
-            dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+            dup_ids.withColumn("_dup", F.lit(True)), id_col, "left"
         ).select(
-            "doc_id", "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
+            id_col, "comp", F.coalesce("_dup", F.lit(False)).alias("_dup")
         )
     else:
         members = members.withColumn("_dup", F.lit(False))
@@ -1161,12 +1164,12 @@ def _gate_admit_ids(batch_df: DataFrame, pairs: DataFrame, dup_ids):
     survivors = (
         members.filter(~F.col("_dup"))
         .groupBy("comp")
-        .agg(F.min("doc_id").alias("survivor"))
+        .agg(F.min(id_col).alias("survivor"))
     )
     admit_ids = (
         members.join(survivors, "comp")
-        .filter((~F.col("_dup")) & (F.col("doc_id") == F.col("survivor")))
-        .select("doc_id")
+        .filter((~F.col("_dup")) & (F.col(id_col) == F.col("survivor")))
+        .select(id_col)
     )
     return admit_ids, members
 
@@ -1579,6 +1582,148 @@ def overlap_gate_pipeline(
             admit.unpersist()
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
+
+
+def semantic_gate_admit(
+    batch_df: DataFrame,
+    index_table: str,
+    centroids: list,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> DataFrame:
+    """One admission round of the SEMANTIC (embedding) novelty gate,
+    shared by the streaming sink and any batch backfill driver: reject
+    a vector whose cosine similarity to any already-admitted vector is
+    >= ``threshold``, collapse within-batch near-dup components to
+    their min-vec_id survivor, and commit the admitted vectors (with
+    cluster + norm) back into the persisted index. This is the
+    SemDeDup decision (operators/similarity.py:semantic_dedup_pairs)
+    closed into an ingest loop — the gate flavor the text-based family
+    provably misses: a paraphrase shares no fingerprints, no shingles,
+    and no winnowing runs, but its embedding sits inside the cosine
+    ball.
+
+    Replay convergence (the neardup_gate_admit argument, inherited via
+    _gate_admit_ids): ``centroids`` are a FROZEN offline artifact (the
+    ivf_append_index discipline — retraining per batch would re-bucket
+    every vector already at rest AND make admission view-dependent),
+    so cluster assignment, the within-batch pair frame, and the
+    nprobe probe set are all pure functions of batch content; the
+    index probe anti-joins the batch's own vec_ids out of the index
+    side, so rejection marks depend only on (batch, pre-batch index).
+
+    Approximation contract (the IVF/SemDeDup bargain, stated not
+    hidden): within-batch pairs are confined to same-cell vectors and
+    the cross-batch probe reads the batch vector's ``nprobe`` nearest
+    cells — a near-dup pair straddling a cell boundary beyond nprobe
+    is missed, exactly as in batch SemDeDup; raise nprobe (recall) or
+    re-train centroids offline (quality) to trade.
+
+    100 TB posture: only (vec_id, cluster, embedding, nrm) rows ever
+    shuffle; norms are computed once per vector and carried, so each
+    candidate score is one dot product; the index is keyed by cluster,
+    so the probe join touches nprobe/k of it (partition-pruned when
+    the consumer compacts the txn table by cluster); the hot-cell
+    salting cap inside the pair kernel bounds the within-batch blowup.
+    """
+    from ..operators.similarity import (
+        DOT,
+        ivf_probe_clusters,
+        semantic_dedup_pairs,
+        with_cluster_and_norm,
+    )
+    from . import txn
+
+    spark = batch_df.sparkSession
+    # one narrow pass adds cluster + norm to every batch row (spread
+    # first: the single-scan-partition fixture trap)
+    assigned = with_cluster_and_norm(
+        batch_df.repartition(F.col("vec_id")), centroids
+    ).persist()
+    try:
+        pairs = semantic_dedup_pairs(assigned, threshold).select("i", "j")
+        dup_ids = None
+        if txn.current_version(index_table) >= 0:
+            # probe side: the index minus the batch's own ids (replays
+            # see what the original run saw)
+            idx = (
+                txn.snapshot(spark, index_table)
+                .join(batch_df.select("vec_id"), "vec_id", "left_anti")
+                .select(
+                    F.col("vec_id").alias("old_id"),
+                    F.col("cluster"),
+                    F.col("embedding").alias("old_vec"),
+                    F.col("nrm").alias("old_nrm"),
+                )
+            )
+            probes = ivf_probe_clusters(assigned, centroids, nprobe).select(
+                "vec_id",
+                F.col("embedding").alias("v"),
+                "nrm",
+                F.explode("probe_clusters").alias("cluster"),
+            )
+            dup_ids = (
+                probes.join(idx, "cluster")
+                .filter(
+                    F.expr(DOT.format(a="v", b="old_vec"))
+                    / (F.col("nrm") * F.col("old_nrm"))
+                    >= F.lit(threshold)
+                )
+                .select("vec_id")
+                .dropDuplicates()
+            )
+        admit_ids, members = _gate_admit_ids(
+            batch_df, pairs, dup_ids, id_col="vec_id"
+        )
+        admit = batch_df.join(admit_ids, "vec_id", "left_semi").persist()
+        try:
+            admit.count()
+            txn.merge_keyed(
+                assigned.join(admit_ids, "vec_id").select(
+                    "vec_id", "cluster", "embedding", "nrm"
+                ),
+                index_table,
+                key_cols=["vec_id"],
+            )
+        finally:
+            members.unpersist()
+        return admit
+    finally:
+        assigned.unpersist()
+
+
+def semantic_gate_pipeline(
+    vectors: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint: str,
+    centroids: list,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Semantic novelty ingest gate: the embedding member of the gate
+    family (exact fingerprint -> novelty_gate_pipeline; whole-doc
+    MinHash -> neardup_gate_pipeline; quote reuse -> overlap_gate;
+    paraphrase/near-semantic reuse -> here). Exactly-once with NO
+    streaming state: cross-batch memory is the (vec_id, cluster,
+    embedding, nrm) txn index, the vector sink is keyed
+    idempotent_append, and full replays converge (see
+    :func:`semantic_gate_admit`)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit = semantic_gate_admit(
+            batch_df, index_table, centroids, threshold, nprobe
+        )
+        try:
+            idempotent_append(
+                admit, out_path, key_cols=["vec_id"],
+                partition_cols=None, batch_id=batch_id,
+            )
+        finally:
+            admit.unpersist()
+
+    return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
 
 
 

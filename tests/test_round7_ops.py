@@ -1,0 +1,133 @@
+"""Round-7 tests: the semantic (embedding) novelty ingest gate — the
+paraphrase-shaped member of the gate family (exact fingerprint /
+MinHash / winnowing overlap gates are text-based and provably miss
+near-semantic reuse). Hand-built unit vectors with known cosines,
+admission + within-batch collapse + index rejection + replay no-op +
+the streaming/batch twin equivalence."""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+# two frozen unit centroids on the first two axes
+CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+# cos(V_A, V_A99) = 0.99 (same cell 0); V_C sits in cell 1; V_D is
+# novel everywhere (max cosine 0.8 < 0.95); V_E is orthogonal to all.
+V_A = [1.0, 0.0, 0.0, 0.0]
+V_A99 = [0.99, math.sqrt(1.0 - 0.99 * 0.99), 0.0, 0.0]
+V_C = [0.0, 1.0, 0.0, 0.0]
+V_D = [0.6, 0.8, 0.0, 0.0]
+V_E = [0.0, 0.0, 1.0, 0.0]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_semantic_gate_admits_novel_rejects_neardup(spark, tmp_path):
+    index_table = str(tmp_path / "sem_index")
+
+    # batch 1: A and its 0.99-cosine twin collapse to min vec_id; C novel
+    b1 = _df(spark, [(1, V_A), (2, V_A99), (3, V_C)])
+    out1 = pipelines.semantic_gate_admit(b1, index_table, CENTROIDS)
+    assert {r.vec_id for r in out1.collect()} == {1, 3}
+    out1.unpersist()
+    idx = txn.snapshot(spark, index_table)
+    assert {r.vec_id for r in idx.select("vec_id").collect()} == {1, 3}
+    # index carries cluster + norm (the probe-ready materialization)
+    assert set(idx.columns) == {"vec_id", "cluster", "embedding", "nrm"}
+
+    # batch 2: a re-embedding of A is rejected by the index probe;
+    # D (max cosine 0.8) and E (orthogonal) are admitted
+    b2 = _df(spark, [(4, V_A99), (5, V_D), (6, V_E)])
+    out2 = pipelines.semantic_gate_admit(b2, index_table, CENTROIDS)
+    assert {r.vec_id for r in out2.collect()} == {5, 6}
+    out2.unpersist()
+    assert {
+        r.vec_id for r in txn.snapshot(spark, index_table).select("vec_id").collect()
+    } == {1, 3, 5, 6}
+
+
+def test_semantic_gate_replay_is_noop(spark, tmp_path):
+    index_table = str(tmp_path / "sem_replay_index")
+    b1 = _df(spark, [(1, V_A), (3, V_C)])
+    pipelines.semantic_gate_admit(b1, index_table, CENTROIDS).unpersist()
+    b2 = _df(spark, [(4, V_A99), (5, V_D)])
+    out = pipelines.semantic_gate_admit(b2, index_table, CENTROIDS)
+    want = {r.vec_id for r in out.collect()}
+    out.unpersist()
+    assert want == {5}
+    v = txn.current_version(index_table)
+
+    # replay of batch 2: the probe anti-joins the batch's own ids out
+    # of the index, so the admitted set and the index version both
+    # repeat exactly
+    out_r = pipelines.semantic_gate_admit(b2, index_table, CENTROIDS)
+    assert {r.vec_id for r in out_r.collect()} == want
+    out_r.unpersist()
+    assert txn.current_version(index_table) == v
+
+
+def test_semantic_gate_streaming_equals_batch_twin(spark, tmp_path):
+    # stage two chronological chunks through the file source
+    topic = tmp_path / "vecs"
+    topic.mkdir()
+    chunks = [
+        [(1, V_A), (2, V_A99), (3, V_C)],
+        [(4, V_A99), (5, V_D), (6, V_E)],
+    ]
+    for i, rows in enumerate(chunks):
+        p = topic / f"c{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(p),
+        )
+        now = time.time()
+        os.utime(p, (now - 10 + i, now - 10 + i))
+
+    out_path = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.semantic_gate_pipeline(
+        stream,
+        str(tmp_path / "sem_s_index"),
+        out_path,
+        str(tmp_path / "ck"),
+        CENTROIDS,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    streamed = {r.vec_id for r in spark.read.parquet(out_path).collect()}
+    assert streamed == {1, 3, 5, 6}
+
+    # batch twin: the same chunks through semantic_gate_admit directly
+    twin_index = str(tmp_path / "sem_t_index")
+    admitted: set[int] = set()
+    for rows in chunks:
+        out = pipelines.semantic_gate_admit(
+            _df(spark, rows), twin_index, CENTROIDS
+        )
+        admitted |= {r.vec_id for r in out.collect()}
+        out.unpersist()
+    assert admitted == streamed
