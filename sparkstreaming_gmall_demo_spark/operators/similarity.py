@@ -414,10 +414,18 @@ def cosine_neardup_pairs(
     ).select(
         F.col("p.x.vid").alias("i"),
         F.col("p.y.vid").alias("j"),
-        F.round(
-            F.expr(DOT.format(a="p.x.v", b="p.y.v"))
-            / (F.col("p.x.nrm") * F.col("p.y.nrm")),
-            4,
+        # zero-norm guard: under ANSI mode (Spark 4 default) 0/0 THROWS
+        # instead of yielding NULL/NaN — a single malformed vector would
+        # kill the whole pair job. when() makes the pair score NULL,
+        # which the >= filter drops — the same effective semantics as
+        # DuckDB's IEEE NaN failing the comparison.
+        F.when(
+            (F.col("p.x.nrm") > 0) & (F.col("p.y.nrm") > 0),
+            F.round(
+                F.expr(DOT.format(a="p.x.v", b="p.y.v"))
+                / (F.col("p.x.nrm") * F.col("p.y.nrm")),
+                4,
+            ),
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
@@ -504,10 +512,16 @@ def semantic_dedup_pairs(
     ).select(
         F.col("p.x.vid").alias("i"),
         F.col("p.y.vid").alias("j"),
-        F.round(
-            F.expr(DOT.format(a="p.x.v", b="p.y.v"))
-            / (F.col("p.x.nrm") * F.col("p.y.nrm")),
-            4,
+        # zero-norm guard (see cosine_neardup_pairs): ANSI 0/0 throws;
+        # when() -> NULL -> dropped by the >= filter, matching the
+        # oracle's IEEE-NaN comparison behavior
+        F.when(
+            (F.col("p.x.nrm") > 0) & (F.col("p.y.nrm") > 0),
+            F.round(
+                F.expr(DOT.format(a="p.x.v", b="p.y.v"))
+                / (F.col("p.x.nrm") * F.col("p.y.nrm")),
+                4,
+            ),
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

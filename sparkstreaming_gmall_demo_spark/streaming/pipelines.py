@@ -1625,6 +1625,17 @@ def semantic_gate_admit(
     so the probe join touches nprobe/k of it (partition-pruned when
     the consumer compacts the txn table by cluster); the hot-cell
     salting cap inside the pair kernel bounds the within-batch blowup.
+
+    Zero-norm vectors: cosine is undefined on them, and under ANSI
+    mode (Spark 4 default) the naive 0/0 division THROWS — inside
+    foreachBatch that is the same permanent content-deterministic
+    wedge as the overlap gate's oversized-document raise. They are
+    therefore excluded from the pair kernel and from both probe sides
+    (content-pure predicate, replay-safe): a zero-norm vector matches
+    NOTHING — always admitted, never rejecting a later arrival. That
+    is deliberate non-policy: the gate dedups, it does not validate;
+    run embedding_health (operators/similarity.py) upstream to
+    quarantine malformed producers.
     """
     from ..operators.similarity import (
         DOT,
@@ -1656,14 +1667,22 @@ def semantic_gate_admit(
                     F.col("nrm").alias("old_nrm"),
                 )
             )
-            probes = ivf_probe_clusters(assigned, centroids, nprobe).select(
-                "vec_id",
-                F.col("embedding").alias("v"),
-                "nrm",
-                F.explode("probe_clusters").alias("cluster"),
+            # zero-norm rows are excluded from BOTH probe sides: under
+            # ANSI mode 0/0 throws (the foreachBatch wedge class), and
+            # cosine is undefined on them anyway — see the docstring's
+            # zero-norm contract. Content-pure predicate, replay-safe.
+            probes = (
+                ivf_probe_clusters(assigned, centroids, nprobe)
+                .filter(F.col("nrm") > 0)
+                .select(
+                    "vec_id",
+                    F.col("embedding").alias("v"),
+                    "nrm",
+                    F.explode("probe_clusters").alias("cluster"),
+                )
             )
             dup_ids = (
-                probes.join(idx, "cluster")
+                probes.join(idx.filter(F.col("old_nrm") > 0), "cluster")
                 .filter(
                     F.expr(DOT.format(a="v", b="old_vec"))
                     / (F.col("nrm") * F.col("old_nrm"))

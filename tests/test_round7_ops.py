@@ -131,3 +131,20 @@ def test_semantic_gate_streaming_equals_batch_twin(spark, tmp_path):
         admitted |= {r.vec_id for r in out.collect()}
         out.unpersist()
     assert admitted == streamed
+
+
+def test_semantic_gate_zero_norm_vectors_never_match(spark, tmp_path):
+    """Documented non-policy: cosine is undefined on a zero-norm
+    vector (0/0 -> NULL), so such vectors match nothing — admitted
+    always, rejecting never. Validation is embedding_health's job."""
+    index_table = str(tmp_path / "sem_zero_index")
+    z = [0.0, 0.0, 0.0, 0.0]
+    b1 = _df(spark, [(1, z), (2, z), (3, V_A)])
+    out1 = pipelines.semantic_gate_admit(b1, index_table, CENTROIDS)
+    assert {r.vec_id for r in out1.collect()} == {1, 2, 3}
+    out1.unpersist()
+    # an exact copy of an indexed zero-norm vector is still admitted
+    b2 = _df(spark, [(4, z)])
+    out2 = pipelines.semantic_gate_admit(b2, index_table, CENTROIDS)
+    assert {r.vec_id for r in out2.collect()} == {4}
+    out2.unpersist()
