@@ -148,3 +148,126 @@ def test_semantic_gate_zero_norm_vectors_never_match(spark, tmp_path):
     out2 = pipelines.semantic_gate_admit(b2, index_table, CENTROIDS)
     assert {r.vec_id for r in out2.collect()} == {4}
     out2.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 dimension maintenance
+# ---------------------------------------------------------------------------
+OBS_SCHEMA = "uid long, ts long, val string"
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, OBS_SCHEMA)
+
+
+def _hist(df):
+    return sorted((r.uid, r.val, r.valid_from, r.valid_to) for r in df.collect())
+
+
+def test_scd2_incremental_equals_batch_rebuild(spark, tmp_path):
+    """Invariant: after every round the maintained table equals a
+    from-scratch scd2_history over the full observation set."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    obs_t = str(tmp_path / "scd2_obs")
+    hist_t = str(tmp_path / "scd2_hist")
+    chunks = [
+        [(1, 10, "A"), (1, 20, "A"), (2, 10, "X")],
+        [(1, 30, "B"), (2, 40, "X")],  # uid2 repeat: no new version
+        [(3, 5, "Q")],
+    ]
+    for i, rows in enumerate(chunks):
+        pipelines.scd2_apply_batch(
+            _obs(spark, rows), obs_t, hist_t, "uid", "ts", ["val"], batch_id=i
+        )
+        # the invariant holds after EVERY round, not just the last
+        want = scd2_ops.scd2_history(
+            _obs(spark, [r for c in chunks[: i + 1] for r in c]),
+            "uid", "ts", ["val"],
+        )
+        assert _hist(txn.snapshot(spark, hist_t)) == _hist(want), f"round {i}"
+
+
+def test_scd2_late_arrival_resurrects_collapsed_version(spark, tmp_path):
+    """The case that breaks any incremental scheme folding into the
+    COLLAPSED history: A@20 was an equal-attr repeat (collapsed away);
+    a late C@15 between A@10 and A@20 makes A@20 a change again —
+    recoverable only from the raw observation log."""
+    obs_t = str(tmp_path / "scd2_late_obs")
+    hist_t = str(tmp_path / "scd2_late_hist")
+    pipelines.scd2_apply_batch(
+        _obs(spark, [(1, 10, "A"), (1, 20, "A"), (1, 30, "B")]),
+        obs_t, hist_t, "uid", "ts", ["val"], batch_id=0,
+    )
+    assert _hist(txn.snapshot(spark, hist_t)) == sorted(
+        [(1, "A", 10, 30), (1, "B", 30, None)]
+    )
+    pipelines.scd2_apply_batch(
+        _obs(spark, [(1, 15, "C")]),
+        obs_t, hist_t, "uid", "ts", ["val"], batch_id=1,
+    )
+    assert _hist(txn.snapshot(spark, hist_t)) == sorted(
+        [
+            (1, "A", 10, 15),
+            (1, "C", 15, 20),
+            (1, "A", 20, 30),  # resurrected from the log
+            (1, "B", 30, None),
+        ]
+    )
+
+
+def test_scd2_replay_is_noop(spark, tmp_path):
+    obs_t = str(tmp_path / "scd2_rp_obs")
+    hist_t = str(tmp_path / "scd2_rp_hist")
+    b0 = _obs(spark, [(1, 10, "A"), (2, 10, "X")])
+    b1 = _obs(spark, [(1, 20, "B")])
+    pipelines.scd2_apply_batch(b0, obs_t, hist_t, "uid", "ts", ["val"], batch_id=0)
+    pipelines.scd2_apply_batch(b1, obs_t, hist_t, "uid", "ts", ["val"], batch_id=1)
+    want = _hist(txn.snapshot(spark, hist_t))
+    v = txn.current_version(hist_t)
+    # replayed batch: the scd2_through watermark short-circuits both commits
+    pipelines.scd2_apply_batch(b1, obs_t, hist_t, "uid", "ts", ["val"], batch_id=1)
+    assert txn.current_version(hist_t) == v
+    assert _hist(txn.snapshot(spark, hist_t)) == want
+
+
+def test_scd2_streaming_pipeline_end_to_end(spark, tmp_path):
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    topic = tmp_path / "dim_updates"
+    topic.mkdir()
+    chunks = [
+        [(1, 10, "A"), (2, 10, "X")],
+        [(1, 30, "B"), (1, 15, "C")],  # includes a late row for uid 1
+    ]
+    for i, rows in enumerate(chunks):
+        p = topic / f"c{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "uid": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "val": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(p),
+        )
+        now = time.time()
+        os.utime(p, (now - 10 + i, now - 10 + i))
+
+    hist_t = str(tmp_path / "scd2_s_hist")
+    stream = (
+        spark.readStream.schema(OBS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.scd2_pipeline(
+        stream, str(tmp_path / "scd2_s_obs"), hist_t,
+        str(tmp_path / "ck_scd2"), "uid", "ts", ["val"],
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    want = scd2_ops.scd2_history(
+        _obs(spark, [r for c in chunks for r in c]), "uid", "ts", ["val"]
+    )
+    assert _hist(txn.snapshot(spark, hist_t)) == _hist(want)
