@@ -81,11 +81,13 @@ _NEVER_DRIVER_CHECKED = [
     # new this round (r7)
     "q38_realtime_hours_envelope",
     "ext_multimodal_decode_pipeline",
+    "ext_scd2_asof_enrichment",
 ]
 
 _STALEST = [
-    # latest driver-green row is r4 (first 14 in name order; the
-    # remaining 16 — q26..q9_keyword_search — rotate in r8)
+    # latest driver-green row is r4 (first 13 in name order; the
+    # remaining 17 — q25_funnel_daily..q9_keyword_search — rotate
+    # in r8)
     "q11_pagination",
     "q12_alert_dedup_keys",
     "q13_props_map_agg",
@@ -99,7 +101,6 @@ _STALEST = [
     "q22_pivot_hourly_types",
     "q23_balance_deciles",
     "q24_corpus_cube",
-    "q25_funnel_daily",
 ]
 
 _DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST

@@ -1965,6 +1965,86 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ext_scd2_asof_enrichment",
+    """
+    WITH obs AS (
+        SELECT o_custkey AS cust, o_orderdate AS ts,
+               o_orderpriority AS priority, o_orderkey AS k
+        FROM orders WHERE o_custkey % 100 = 0
+    ),
+    marked AS (
+        SELECT cust, ts, priority, k,
+               (lag(priority) OVER w IS NULL
+                OR lag(priority) OVER w <> priority) AS changed
+        FROM obs WINDOW w AS (PARTITION BY cust ORDER BY ts, k)
+    ),
+    vers AS (SELECT cust, priority, ts, k FROM marked WHERE changed),
+    hist AS (
+        SELECT cust, priority, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY cust ORDER BY ts, k) AS valid_to
+        FROM vers
+    ),
+    facts AS (
+        SELECT o.o_custkey AS cust, l.l_shipdate AS ts,
+               CAST(floor(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey % 100 = 0
+    )
+    SELECT h.priority,
+           count(*) AS n_facts,
+           CAST(sum(f.qty) AS BIGINT) AS sum_qty
+    FROM facts f
+    LEFT JOIN hist h
+      ON f.cust = h.cust AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    GROUP BY h.priority ORDER BY h.priority
+    """,
+    "point-in-time fact enrichment over the SCD2 history (as-of lookup)",
+)
+def ext_scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition SCD2 exists for (operators/scd2.py:asof_lookup):
+    each lineitem fact enriched with the customer priority valid AT
+    SHIP TIME — which may differ from the priority at order time, the
+    distinction LWW dims cannot express. History side is dimension-
+    sized and broadcasts (asof_lookup pins the broadcast), so the
+    enrichment is a broadcast hash join with a residual range filter —
+    no nested loop over facts, no fact re-shuffle; the rollup on the
+    enriched priority is the only exchange. The streaming twin
+    (scd2_pipeline + asof_lookup over its maintained table) serves the
+    same semantics continuously."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    subset = orders.filter(F.col("o_custkey") % 100 == 0)
+    obs = subset.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("k"),
+    )
+    hist = scd2_ops.scd2_history(obs, "cust", "ts", ["priority"], tiebreak="k")
+    facts = lineitem.join(
+        F.broadcast(
+            subset.select("o_orderkey", F.col("o_custkey").alias("cust"))
+        ),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "cust",
+        F.col("l_shipdate").alias("ts"),
+        F.floor("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        scd2_ops.asof_lookup(hist, facts, "cust", "ts")
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy("priority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 family: tokenizer/vocab, LM-based quality, semantic dedup,
 # weighted corpus sampling, incremental ingest dedup
