@@ -1802,11 +1802,18 @@ def scd2_apply_batch(
         batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra]
     )
     affected = batch_df.select(key).dropDuplicates()
-    rebuilt = scd2_ops.scd2_history(
-        txn.snapshot(spark, obs_table).join(affected, key, "left_semi"),
-        key, ts_col, attr_cols, tiebreak,
-    )
     while True:
+        # the rebuild is re-derived INSIDE the retry loop: a lost CAS
+        # means another writer committed (possibly having merged more
+        # observations for our keys) — retrying with a rebuild pinned
+        # to the pre-conflict obs snapshot would clobber their rows.
+        # Single-maintenance-writer deployments take this branch never;
+        # the loop just makes the concurrent case re-derive instead of
+        # silently losing data (the compact_files discipline).
+        rebuilt = scd2_ops.scd2_history(
+            txn.snapshot(spark, obs_table).join(affected, key, "left_semi"),
+            key, ts_col, attr_cols, tiebreak,
+        )
         v = txn.current_version(history_table)
         if v >= 0:
             untouched = txn.snapshot(spark, history_table).join(
@@ -1815,10 +1822,13 @@ def scd2_apply_batch(
             new_hist = untouched.unionByName(rebuilt)
         else:
             new_hist = rebuilt
+        # carry forward whatever maintenance recorded (compaction
+        # watermarks etc.) — an overwrite must never drop meta
+        meta = dict(txn.table_meta(history_table))
+        meta["scd2_through"] = int(batch_id)
         try:
             txn.overwrite(
-                new_hist, history_table,
-                meta={"scd2_through": int(batch_id)}, expected_version=v,
+                new_hist, history_table, meta=meta, expected_version=v,
             )
             return
         except txn.ConcurrentWriteError:
