@@ -728,6 +728,15 @@ def jaccard_threshold_sweep(
 
     Returns (threshold_bp, n_pairs, n_dup_docs) — all BIGINT, one row
     per requested threshold, ordered loosest first.
+
+    EAGER by design (unlike the registry's lazy builders): the
+    quadratic pair frame is persisted, both 1-row aggregates are
+    collected, and the blocks are released BEFORE returning — the
+    explicit-lifetime contract that replaced the round-6
+    localCheckpoint (whose blocks were GC-released and unrecoverable
+    on executor loss). The returned frame is |ts| local rows; callers
+    timing this operator must wrap the BUILD call (bench.py does —
+    its timed region is build + collect).
     """
     if not thresholds_bp:
         raise ValueError("thresholds_bp must be non-empty")

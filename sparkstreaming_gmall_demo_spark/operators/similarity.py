@@ -268,25 +268,6 @@ def ivf_assign(
     )
 
 
-def with_cluster_and_norm(
-    df: DataFrame,
-    centroids: list,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Add ``cluster`` (frozen-centroid argmin, same rule as
-    ivf_assign) and ``nrm`` (L2 norm) to every row, keeping the rest
-    of the frame — the per-row material the semantic ingest gate's
-    within-batch pair kernel and index probe both need. One narrow map
-    against broadcast-literal centroids; the norm is computed once per
-    vector here so no downstream pair score recomputes it."""
-    return (
-        df.withColumn("_cents", _centroid_literal(centroids))
-        .withColumn("cluster", _assign_expr(vec_col, centroids))
-        .drop("_cents")
-        .withColumn("nrm", F.expr(NORM.format(a=vec_col)))
-    )
-
-
 def ivf_probe_clusters(
     df: DataFrame,
     centroids: list,
@@ -297,7 +278,11 @@ def ivf_probe_clusters(
     ids (squared L2, ties to the lowest id — the ivf_topk probe rule
     applied per row instead of per driver-side query). Narrow map; the
     consumer explodes it to join against a cluster-partitioned index
-    with partition pruning intact."""
+    with partition pruning intact. The first element IS the row's
+    cluster assignment (identical sort rule to _assign_expr), so a
+    consumer needing both pays the k distance folds once:
+    ``F.element_at("probe_clusters", 1)`` — the semantic gate does
+    exactly this."""
     k = len(centroids)
     expr = (
         "transform(slice(array_sort(transform(sequence(0, {k} - 1), c -> struct("
@@ -492,15 +477,23 @@ def semantic_dedup_pairs(
     bounds the worst case exactly like MinHash buckets. Norms are
     computed once per vector and carried in the cell payload, so each
     pair score is a single dot product + divide (identical arithmetic
-    to cosine_expr, which also divides the dot by the norm product)."""
+    to cosine_expr, which also divides the dot by the norm product).
+    An existing ``nrm`` column on ``assigned`` is REUSED (the semantic
+    gate materializes it once into its persisted batch frame); absent
+    one, the norm fold runs here."""
     from .neardup import DEFAULT_MAX_BUCKET, _bucket_pairs
 
     if max_bucket is None:
         max_bucket = DEFAULT_MAX_BUCKET
+    nrm = (
+        F.col("nrm")
+        if "nrm" in assigned.columns
+        else F.expr(NORM.format(a=vec_col))
+    )
     banded = assigned.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        F.expr(NORM.format(a=vec_col)).alias("nrm"),
+        nrm.alias("nrm"),
         F.lit(0).alias("band"),
         F.col("cluster").alias("bh"),
     )

@@ -13,7 +13,7 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #     wires: dedup-count, decimal money, the 3-way join, the windowed
 #     alert, scored search, both sessionization variants, banded
 #     ratios);
-#   - ALL 28 entries with NO driver-green row: the 3 r06 hash-reds,
+#   - ALL 29 entries with NO driver-green row: the 3 r06 hash-reds,
 #     fixed this round (ext_length_buckets / ext_salted_hot_key_agg /
 #     ext_salted_skew_join — bare sum(BIGINT) typed HUGEINT by DuckDB,
 #     rendered float64 by the driver's canonicalizer; now CAST to
@@ -24,16 +24,17 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #     unimax/curriculum, oov-sweep/embedding-health/quality-
 #     calibration/wilson/rare-token/ngram-novelty, normalization-dedup/
 #     source-dedup-report, cluster-capped sample, knn label prop,
-#     dedup threshold sweep), and the 2 NEW r7 entries
+#     dedup threshold sweep), and the 3 NEW r7 entries
 #     (q38_realtime_hours_envelope — VERDICT item 4, the last
 #     uncovered Java post-processing path; ext_multimodal_decode_
 #     pipeline — VERDICT item 5, the decode->resize->frame-sample
-#     composition) — all oracle-green in pytest at both SFs before
-#     seating;
-#   - the first 14 (name order, deterministic) of the 30 entries whose
-#     latest driver-green row is r4 — the remaining 16 (q26..q9_
-#     keyword_search) are the r8 rotation queue together with any
-#     entries registered after this window froze.
+#     composition; ext_scd2_asof_enrichment — the SCD2 point-in-time
+#     lookup composition) — all oracle-green in pytest at both SFs
+#     before seating;
+#   - the first 13 (name order, deterministic) of the 30 entries whose
+#     latest driver-green row is r4 — the remaining 17
+#     (q25_funnel_daily..q9_keyword_search) are the r8 rotation queue
+#     together with any entries registered after this window froze.
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
 # pytest run, so nothing is unchecked — the cap only decides who gets

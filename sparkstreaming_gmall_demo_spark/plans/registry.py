@@ -25,6 +25,7 @@ query non-empty at sf0.001 with 1h/threshold-2).
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -45,6 +46,13 @@ from ..operators import windows as win_ops
 
 # -- fixed, scale-independent parameters -----------------------------------
 EVENTS_DATE = "2024-01-05"
+# q38's "yesterday" derived, not hardcoded (review finding: a second
+# literal would silently desynchronize from EVENTS_DATE on a fixture
+# change — the scan prune would drop the day before the frame's own
+# filter could see it)
+EVENTS_DATE_PREV = (
+    _dt.date.fromisoformat(EVENTS_DATE) - _dt.timedelta(days=1)
+).isoformat()
 ORDERS_DATE = "1995-01-18"
 ALERT_WINDOW = "1 hour"          # reference uses 5 min (app/AlertApp.scala:39);
 ALERT_MIN_DISTINCT = 2           # and threshold 3 (:62). Fixture events are
@@ -1732,7 +1740,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(ts AS DATE) AS log_date, min(ts) AS first_ts
         FROM events
         WHERE CAST(ts AS DATE) = DATE '{EVENTS_DATE}'
-           OR CAST(ts AS DATE) = DATE '2024-01-04'
+           OR CAST(ts AS DATE) = DATE '{EVENTS_DATE_PREV}'
         GROUP BY 1, 2
     )
     SELECT CASE WHEN log_date = DATE '{EVENTS_DATE}' THEN 'today'
@@ -1753,7 +1761,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the frame's own log_date filter is then a no-op re-statement
     two_days = events.filter(
         events_date_filter(events, EVENTS_DATE)
-        | events_date_filter(events, "2024-01-04")
+        | events_date_filter(events, EVENTS_DATE_PREV)
     )
     # the deduped DAU serving table derived from the raw stream: first
     # sighting per (user, day) — same shape the dau pipeline persists

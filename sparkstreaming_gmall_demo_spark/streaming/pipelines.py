@@ -1637,20 +1637,25 @@ def semantic_gate_admit(
     run embedding_health (operators/similarity.py) upstream to
     quarantine malformed producers.
     """
-    from ..operators.similarity import (
-        DOT,
-        ivf_probe_clusters,
-        semantic_dedup_pairs,
-        with_cluster_and_norm,
-    )
+    from ..operators.similarity import NORM, DOT, ivf_probe_clusters, semantic_dedup_pairs
     from . import txn
 
     spark = batch_df.sparkSession
-    # one narrow pass adds cluster + norm to every batch row (spread
-    # first: the single-scan-partition fixture trap)
-    assigned = with_cluster_and_norm(
-        batch_df.repartition(F.col("vec_id")), centroids
-    ).persist()
+    # ONE narrow pass per batch row pays the k centroid-distance folds
+    # once and the norm fold once (review finding: assign + probe as
+    # separate helpers doubled the dominant per-row CPU): the probe
+    # array's first element IS the cluster assignment (same sorted
+    # (d, c) tie rule), and both columns materialize into the
+    # persisted frame. Spread first: the single-scan-partition
+    # fixture trap.
+    assigned = (
+        ivf_probe_clusters(
+            batch_df.repartition(F.col("vec_id")), centroids, nprobe
+        )
+        .withColumn("cluster", F.element_at("probe_clusters", 1).cast("int"))
+        .withColumn("nrm", F.expr(NORM.format(a="embedding")))
+        .persist()
+    )
     try:
         pairs = semantic_dedup_pairs(assigned, threshold).select("i", "j")
         dup_ids = None
@@ -1671,15 +1676,11 @@ def semantic_gate_admit(
             # ANSI mode 0/0 throws (the foreachBatch wedge class), and
             # cosine is undefined on them anyway — see the docstring's
             # zero-norm contract. Content-pure predicate, replay-safe.
-            probes = (
-                ivf_probe_clusters(assigned, centroids, nprobe)
-                .filter(F.col("nrm") > 0)
-                .select(
-                    "vec_id",
-                    F.col("embedding").alias("v"),
-                    "nrm",
-                    F.explode("probe_clusters").alias("cluster"),
-                )
+            probes = assigned.filter(F.col("nrm") > 0).select(
+                "vec_id",
+                F.col("embedding").alias("v"),
+                "nrm",
+                F.explode("probe_clusters").alias("cluster"),
             )
             dup_ids = (
                 probes.join(idx.filter(F.col("old_nrm") > 0), "cluster")
@@ -1753,7 +1754,7 @@ def scd2_apply_batch(
     ts_col: str,
     attr_cols: list,
     tiebreak: str | None = None,
-    batch_id: int = 0,
+    batch_id: int | None = None,
 ) -> None:
     """One incremental-maintenance round of the SCD2 dimension history
     (operators/scd2.py:scd2_history as a continuously-maintained
@@ -1782,6 +1783,15 @@ def scd2_apply_batch(
     a no-op log merge + an idempotent rebuild (history is a pure
     function of the log).
 
+    ``batch_id=None`` (the default, for direct/backfill callers
+    without a micro-batch counter) SKIPS the watermark guard and
+    stamp: every call ingests — still safe to re-run, because the log
+    merge is keyed and the rebuild is idempotent; the only cost of a
+    repeat is an extra identical history version. Defaulting to a
+    NUMBER here would make a backfiller's second un-id'd call
+    watermark-skip silently (review-found) — never default an
+    exactly-once id.
+
     100 TB: the per-round rebuild touches only affected keys' rows
     (one key-partitioned window over their observations — a dim
     changelog's hot-key set per batch is small); the overwrite
@@ -1794,7 +1804,10 @@ def scd2_apply_batch(
     from . import txn
 
     spark = batch_df.sparkSession
-    if batch_id <= txn.table_meta(history_table).get("scd2_through", -1):
+    if (
+        batch_id is not None
+        and batch_id <= txn.table_meta(history_table).get("scd2_through", -1)
+    ):
         return  # replayed batch: both commits already landed
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
@@ -1823,9 +1836,14 @@ def scd2_apply_batch(
         else:
             new_hist = rebuilt
         # carry forward whatever maintenance recorded (compaction
-        # watermarks etc.) — an overwrite must never drop meta
+        # watermarks etc.) — an overwrite must never drop meta; the
+        # watermark is monotone (max) so a CAS retry that carries a
+        # concurrent writer's NEWER stamp forward can never regress it
         meta = dict(txn.table_meta(history_table))
-        meta["scd2_through"] = int(batch_id)
+        if batch_id is not None:
+            meta["scd2_through"] = max(
+                int(batch_id), int(meta.get("scd2_through", -1))
+            )
         try:
             txn.overwrite(
                 new_hist, history_table, meta=meta, expected_version=v,
