@@ -133,3 +133,118 @@ def rerank_stub(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "rerank_score": s})
 
     return candidates.select("doc_id").mapInPandas(score, RERANKED_SCHEMA)
+
+
+# feature-based second-stage weights (micro-score space, integers so
+# the ranking is engine- and replay-exact; the oracle inlines the same
+# literals)
+FR_W_COVER = 2000   # per distinct query term present
+FR_W_PHRASE = 5000  # exact analyzed-phrase hit
+FR_W_PROX = 100     # per point of adjacent-term closeness under the cap
+FR_GAP_CAP = 10     # gaps >= cap (or undefined) contribute nothing
+
+
+def feature_rerank(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    depth: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL second-stage reranker over hand features — the
+    learning-to-rank shape (BM25 + coverage + exact-phrase + term
+    proximity with fixed integer weights: the classic LTR feature set,
+    e.g. Liu 2009's survey) filling the slot :func:`rerank_stub` keeps
+    open for a neural cross-encoder. Unlike the stub's md5 fake, every
+    feature here is a genuine relevance signal AND exactly
+    SQL-restatable, so the whole candidate-cut -> feature-extract ->
+    rescore -> re-rank path is driver-gated value-for-value
+    (ext_feature_rerank).
+
+    Features per candidate (terms from the shared analyzer):
+    - bm25_micro: the first-stage score in integer micro-space
+      (floor(score·10⁴ + 0.5) of the 4dp-rounded double — identical on
+      both engines);
+    - cover: how many distinct query terms appear;
+    - phrase: 1 if the analyzed terms appear CONSECUTIVELY (the
+      "spark join window" run, not just the bag);
+    - min_gap: smallest position distance between any adjacent query
+      term pair, capped at FR_GAP_CAP (closer terms ⇒ more credit;
+      missing pairs contribute the cap ⇒ zero credit).
+
+    score_micro = bm25_micro + cover·W_COVER + phrase·W_PHRASE +
+    (cap − min_gap)·W_PROX — all-integer, so ties and ordering are
+    bit-stable across engines, partitionings, and replays (the q9b
+    discipline applied to a rescoring stage).
+
+    Scale shape: the first stage cuts the corpus to ``depth`` rows
+    (TakeOrderedAndProject), so feature extraction — position arrays
+    via one filter(sequence) per term over the bound token array, pair
+    products bounded by tf·tf — touches O(depth) documents however
+    large the corpus; the final sort is a ≤depth-row
+    TakeOrderedAndProject."""
+    from .text import analyze, analyze_keyword
+
+    terms = analyze_keyword(query)
+    if not terms:
+        raise ValueError("query analyzes to no terms")
+    cands = bm25_topk(docs, query, id_col, text_col, k=depth)
+    with_toks = cands.join(
+        docs.select(F.col(id_col), analyze(text_col).alias("toks")), id_col
+    )
+    pos = [
+        F.expr(
+            f"filter(sequence(1, size(toks)), i -> element_at(toks, i) = '{t}')"
+        ).alias(f"p{i}")
+        for i, t in enumerate(terms)
+    ]
+    f = with_toks.select(id_col, "score", "toks", *pos)
+
+    cover = sum(
+        (F.size(f"p{i}") > 0).cast("int") for i in range(len(terms))
+    ).alias("cover")
+    gaps = [
+        F.least(
+            F.coalesce(
+                F.expr(
+                    f"array_min(flatten(transform(p{i}, "
+                    f"p -> transform(p{i + 1}, q -> abs(p - q)))))"
+                ).cast("int"),
+                F.lit(FR_GAP_CAP),
+            ),
+            F.lit(FR_GAP_CAP),
+        )
+        for i in range(len(terms) - 1)
+    ]
+    min_gap = (F.least(*gaps) if len(gaps) > 1 else gaps[0]) if gaps else F.lit(
+        FR_GAP_CAP
+    )
+    if len(terms) == 1:
+        phrase = (F.size("p0") > 0).cast("int")
+    else:
+        conj = " AND ".join(
+            f"try_element_at(toks, p + {j}) = '{terms[j]}'"
+            for j in range(1, len(terms))
+        )
+        phrase = F.expr(f"exists(p0, p -> {conj})").cast("int")
+
+    scored = f.select(
+        F.col(id_col),
+        F.expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").alias("bm25_micro"),
+        cover,
+        phrase.alias("phrase"),
+        min_gap.cast("int").alias("min_gap"),
+    ).select(
+        id_col,
+        (
+            F.col("bm25_micro")
+            + F.col("cover").cast("long") * FR_W_COVER
+            + F.col("phrase").cast("long") * FR_W_PHRASE
+            + (F.lit(FR_GAP_CAP) - F.col("min_gap")).cast("long") * FR_W_PROX
+        ).cast("long").alias("score_micro"),
+        "cover",
+        "phrase",
+        "min_gap",
+    )
+    return scored.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)

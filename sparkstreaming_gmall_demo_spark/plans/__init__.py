@@ -13,7 +13,7 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #     wires: dedup-count, decimal money, the 3-way join, the windowed
 #     alert, scored search, both sessionization variants, banded
 #     ratios);
-#   - ALL 29 entries with NO driver-green row: the 3 r06 hash-reds,
+#   - ALL 30 entries with NO driver-green row: the 3 r06 hash-reds,
 #     fixed this round (ext_length_buckets / ext_salted_hot_key_agg /
 #     ext_salted_skew_join — bare sum(BIGINT) typed HUGEINT by DuckDB,
 #     rendered float64 by the driver's canonicalizer; now CAST to
@@ -29,11 +29,12 @@ from . import extensions  # noqa: F401  (registers extension queries)
 #     uncovered Java post-processing path; ext_multimodal_decode_
 #     pipeline — VERDICT item 5, the decode->resize->frame-sample
 #     composition; ext_scd2_asof_enrichment — the SCD2 point-in-time
-#     lookup composition) — all oracle-green in pytest at both SFs
-#     before seating;
-#   - the first 13 (name order, deterministic) of the 30 entries whose
-#     latest driver-green row is r4 — the remaining 17
-#     (q25_funnel_daily..q9_keyword_search) are the r8 rotation queue
+#     lookup composition; ext_feature_rerank — the real LTR-shaped
+#     scorer in the reranker slot; 30 never-green seats total) — all
+#     oracle-green in pytest at both SFs before seating;
+#   - the first 12 (name order, deterministic) of the 30 entries whose
+#     latest driver-green row is r4 — the remaining 18
+#     (q24_corpus_cube..q9_keyword_search) are the r8 rotation queue
 #     together with any entries registered after this window froze.
 # Every entry outside the window stays oracle-paired and is verified
 # by tests/test_oracle_queries.py at sf0.001 AND sf0.01 on every
@@ -83,6 +84,7 @@ _NEVER_DRIVER_CHECKED = [
     "q38_realtime_hours_envelope",
     "ext_multimodal_decode_pipeline",
     "ext_scd2_asof_enrichment",
+    "ext_feature_rerank",
 ]
 
 _STALEST = [
@@ -101,7 +103,6 @@ _STALEST = [
     "q21_set_ops",
     "q22_pivot_hourly_types",
     "q23_balance_deciles",
-    "q24_corpus_cube",
 ]
 
 _DRIVER_WINDOW = _CORE_SENTINELS + _NEVER_DRIVER_CHECKED + _STALEST

@@ -3576,6 +3576,63 @@ def ext_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_feature_rerank",
+    f"""
+    WITH {_BM25_SQL_CTES},
+    cands AS (
+        SELECT doc_id, score FROM bm25
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH}
+    ),
+    f AS (
+        SELECT c.doc_id, c.score, d.t,
+               list_filter(range(1, len(d.t) + 1), i -> d.t[i] = 'spark') AS p0,
+               list_filter(range(1, len(d.t) + 1), i -> d.t[i] = 'join') AS p1,
+               list_filter(range(1, len(d.t) + 1), i -> d.t[i] = 'window') AS p2
+        FROM cands c JOIN d ON c.doc_id = d.doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(floor(score * 10000 + 0.5) AS BIGINT) AS bm25_micro,
+               CAST((len(p0) > 0)::INT + (len(p1) > 0)::INT
+                    + (len(p2) > 0)::INT AS INTEGER) AS cover,
+               CAST(len(list_filter(p0,
+                    p -> t[p + 1] = 'join' AND t[p + 2] = 'window')) > 0
+                    AS INTEGER) AS phrase,
+               CAST(least(
+                   least(coalesce(list_min(flatten(list_transform(p0,
+                       p -> list_transform(p1, q -> abs(p - q))))), 10), 10),
+                   least(coalesce(list_min(flatten(list_transform(p1,
+                       p -> list_transform(p2, q -> abs(p - q))))), 10), 10)
+               ) AS INTEGER) AS min_gap
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(bm25_micro + cover * 2000 + phrase * 5000
+                + (10 - min_gap) * 100 AS BIGINT) AS score_micro,
+           cover, phrase, min_gap
+    FROM s ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {RERANK_K}
+    """,
+    "feature-based second-stage rerank: BM25 + coverage + phrase + proximity",
+)
+def ext_feature_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL scorer in the reranker slot (operators/retrieval.py:
+    feature_rerank — the classic LTR feature set with fixed integer
+    weights; rerank_stub keeps the neural cross-encoder slot open):
+    BM25 cuts to RRF_DEPTH candidates, then per-candidate coverage /
+    exact-phrase / adjacent-term-proximity features rescore in an
+    all-integer micro-space, so ordering and ties are bit-stable
+    across engines. The phrase and proximity features distinguish a
+    document CONTAINING 'spark join window' as a run from one that
+    merely mentions the words — the signal bag-of-words BM25 cannot
+    express."""
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
+    return retr_ops.feature_rerank(
+        docs, BM25_KEYWORD, k=RERANK_K, depth=RRF_DEPTH
+    )
+
+
+@_register(
     "ext_leakage_safe_splits",
     f"""
     WITH RECURSIVE d AS (

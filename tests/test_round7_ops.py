@@ -271,3 +271,47 @@ def test_scd2_streaming_pipeline_end_to_end(spark, tmp_path):
         _obs(spark, [r for c in chunks for r in c]), "uid", "ts", ["val"]
     )
     assert _hist(txn.snapshot(spark, hist_t)) == _hist(want)
+
+
+# ---------------------------------------------------------------------------
+# Feature-based second-stage reranker
+# ---------------------------------------------------------------------------
+def test_feature_rerank_phrase_and_proximity_order_equal_bm25_docs(spark):
+    """Four docs with IDENTICAL length and term frequencies (so BM25
+    cannot distinguish 1-3): the exact-phrase doc must rank first, the
+    tight-proximity doc second, the spread doc third, and the
+    single-term doc last. This is precisely the signal bag-of-words
+    BM25 cannot express."""
+    from sparkstreaming_gmall_demo_spark.operators.retrieval import feature_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window a b c d e f"),   # exact phrase, gap 1
+            (2, "spark join x window a b c d e"),   # gaps 1,2 — no phrase
+            (3, "spark a b c join d e f window"),   # gaps 4,4
+            (4, "spark a b c d e f g h"),           # one term only
+        ],
+        "doc_id long, text string",
+    )
+    rows = feature_rerank(docs, "spark join window", k=4).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1]["phrase"] == 1 and by_id[2]["phrase"] == 0
+    assert by_id[1]["cover"] == 3 and by_id[4]["cover"] == 1
+    assert by_id[2]["min_gap"] == 1 and by_id[3]["min_gap"] == 4
+    # docs 1-3 share bm25 exactly (same dl, same tfs): the ordering
+    # above is PURELY the feature deltas
+    assert by_id[1]["score_micro"] - by_id[2]["score_micro"] == 5000
+    assert by_id[2]["score_micro"] - by_id[3]["score_micro"] == 300
+
+
+def test_feature_rerank_single_term_query(spark):
+    from sparkstreaming_gmall_demo_spark.operators.retrieval import feature_rerank
+
+    docs = spark.createDataFrame(
+        [(1, "spark x spark"), (2, "y z w")], "doc_id long, text string"
+    )
+    rows = feature_rerank(docs, "spark", k=2).collect()
+    assert [r.doc_id for r in rows] == [1]  # non-matching doc never enters
+    assert rows[0]["phrase"] == 1 and rows[0]["cover"] == 1
+    assert rows[0]["min_gap"] == 10  # no adjacent pair: cap, zero credit
