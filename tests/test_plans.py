@@ -63,6 +63,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ext_hybrid_rrf",  # both arms: 1-row stats / 1-row query vector
         "ext_temperature_mix",  # group counts x broadcast 1-row pow-sum
         "ext_rerank_stub",  # BM25 candidate stage carries its 1-row stats join
+        "ext_feature_rerank",  # same BM25 candidate stage, 1-row stats join
         # corpus x broadcast EVAL-SET frame: benchmark-sized by nature
         # (bounded rows by construction, the decontam asymmetry)
         "ext_semantic_decontam",
