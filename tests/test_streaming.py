@@ -1151,7 +1151,17 @@ def test_divergence_monitor_streaming_equals_batch_and_replays_noop(
     chunks = []
     for i in range(3):
         sl = table.slice(i * step, step)
-        pq.write_table(sl, str(topic / f"c{i}.parquet"))
+        p = topic / f"c{i}.parquet"
+        pq.write_table(sl, str(p))
+        # strictly increasing mtimes: the file source orders batches by
+        # modification time, and same-tick writes race the chunk order
+        # (observed as a full-suite-load flake: batch_id<->chunk
+        # mapping shifted) — the _stage_topic discipline
+        import os as _os
+        import time as _time
+
+        now = _time.time()
+        _os.utime(p, (now - 10 + i, now - 10 + i))
         chunks.append(sl)
 
     counts_table = str(tmp_path / "jsd_counts")
