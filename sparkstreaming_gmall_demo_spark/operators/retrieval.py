@@ -223,8 +223,13 @@ def feature_rerank(
     if len(terms) == 1:
         phrase = (F.size("p0") > 0).cast("int")
     else:
+        # each conjunct coalesced to false: try_element_at past the
+        # array end yields NULL, and under exists()'s three-valued
+        # logic `true AND NULL` would make the whole exists NULL (a
+        # doc ending mid-phrase) instead of false — the DuckDB
+        # oracle's list_filter counts it as 0, so Spark must too
         conj = " AND ".join(
-            f"try_element_at(toks, p + {j}) = '{terms[j]}'"
+            f"coalesce(try_element_at(toks, p + {j}) = '{terms[j]}', false)"
             for j in range(1, len(terms))
         )
         phrase = F.expr(f"exists(p0, p -> {conj})").cast("int")

@@ -115,7 +115,16 @@ def realtime_hours_frame(
 def realtime_hours(dau: DataFrame, orders: DataFrame, id: str, date: str) -> dict:
     """{"today": {HH: v}, "yesterday": {HH: v}} for id in
     {dau, order_amount} (Controller.java:76-100). Thin envelope over
-    realtime_hours_frame — one collect, both days."""
+    realtime_hours_frame — one collect, both days.
+
+    An unknown id returns {"today": None, "yesterday": None}: the
+    reference controller leaves both maps null when neither branch
+    matches (Controller.java:82-97 — todayHourMap/yesterdayHourMap
+    stay null and are serialized as JSON nulls), so the endpoint
+    tolerates unknown ids rather than erroring. Only the plan-level
+    realtime_hours_frame (a programming API, not the endpoint) raises."""
+    if id not in ("dau", "order_amount"):
+        return {"today": None, "yesterday": None}
     out: dict = {"today": {}, "yesterday": {}}
     for r in realtime_hours_frame(dau, orders, id, date).collect():
         v = r["value"]

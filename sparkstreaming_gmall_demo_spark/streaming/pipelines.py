@@ -1685,8 +1685,16 @@ def semantic_gate_admit(
             dup_ids = (
                 probes.join(idx.filter(F.col("old_nrm") > 0), "cluster")
                 .filter(
-                    F.expr(DOT.format(a="v", b="old_vec"))
-                    / (F.col("nrm") * F.col("old_nrm"))
+                    # same 4dp-rounded threshold semantics as the
+                    # within-batch semantic_dedup_pairs filter — else a
+                    # pair with cosine in [threshold-5e-5, threshold)
+                    # is rejected within a batch but admitted across
+                    # batches, making admission depend on chunking
+                    F.round(
+                        F.expr(DOT.format(a="v", b="old_vec"))
+                        / (F.col("nrm") * F.col("old_nrm")),
+                        4,
+                    )
                     >= F.lit(threshold)
                 )
                 .select("vec_id")

@@ -59,6 +59,17 @@ def test_realtime_hours_dau(dau_table, gmv_table):
     }
 
 
+def test_realtime_hours_unknown_id_returns_null_maps(dau_table, gmv_table):
+    """The reference controller leaves both hour maps null for an
+    unknown id (Controller.java:82-97) — the endpoint must tolerate
+    unknown ids with {"today": None, "yesterday": None}, not raise."""
+    got = serving.realtime_hours(dau_table, gmv_table, "no_such_id", "2023-11-14")
+    assert got == {"today": None, "yesterday": None}
+    # the plan-level frame builder is a programming API and DOES raise
+    with pytest.raises(ValueError):
+        serving.realtime_hours_frame(dau_table, gmv_table, "no_such_id", "2023-11-14")
+
+
 def test_realtime_hours_order_amount(dau_table, gmv_table):
     got = serving.realtime_hours(dau_table, gmv_table, "order_amount", "2023-11-14")
     assert got == {
