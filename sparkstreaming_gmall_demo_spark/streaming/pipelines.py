@@ -1093,6 +1093,54 @@ def _driver_union_find(pair_rows) -> dict[int, int]:
     return {node: find(node) for node in list(parent)}
 
 
+def _ttl_live_index(spark, table: str, batch_id: int, ttl_batches: int):
+    """Load a gate index snapshot under batch-TTL semantics (the
+    novelty_gate_pipeline discipline, factored out for the fuzzy and
+    semantic gates): migrate a legacy stamp-less table ONCE by
+    stamping every row as just-admitted and rewriting (conservative —
+    legacy rows suppress for one full TTL from the switch-over; the
+    one-time rewrite keeps storage uniformly stamped instead of
+    leaving mixed file schemas behind later keyed merges), then
+    return only the LIVE rows: admit_batch >= batch_id - ttl_batches.
+    batch_id is replay-stable (checkpoint-assigned) and the vacuum
+    only ever removes rows this filter drops anyway, so the live view
+    — and with it every probe decision — is identical on a replay
+    whether or not the crash interleaved with a vacuum."""
+    from . import txn
+
+    idx = txn.snapshot(spark, table)
+    if "admit_batch" not in idx.columns:
+        idx = idx.withColumn("admit_batch", F.lit(batch_id).cast("long"))
+        txn.overwrite(idx, table)
+        idx = txn.snapshot(spark, table)
+    return idx.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
+
+
+def _ttl_vacuum(spark, table: str, batch_id: int, ttl_batches: int) -> None:
+    """Bounded-state vacuum for a TTL'd gate index: CAS-overwrite the
+    table with its live rows, so index size is bounded by the TTL
+    window's admission volume instead of growing forever. The CAS pins
+    the version the replacement was derived from — each gate sink is
+    its tables' only writer, so the raise-path is a cannot-happen
+    guard, not a retry loop. A table still in legacy stamp-less form
+    (TTL never probed it yet) is left untouched."""
+    from . import txn
+
+    v = txn.current_version(table)
+    if v < 0:
+        return
+    snap = txn.snapshot(spark, table)
+    if "admit_batch" not in snap.columns:
+        return
+    live = snap.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
+    txn.overwrite(live, table, expected_version=v)
+
+
+def _require_batch_id(ttl_batches, batch_id) -> None:
+    if ttl_batches is not None and batch_id is None:
+        raise ValueError("ttl_batches requires batch_id (the replay-stable clock)")
+
+
 def _gate_admit_ids(
     batch_df: DataFrame, pairs: DataFrame, dup_ids, id_col: str = "doc_id"
 ):
@@ -1182,11 +1230,31 @@ def neardup_gate_admit(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    ttl_batches: int | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One admission round of the near-dup gate, shared verbatim by the
     streaming sink and any batch backfill driver. Returns the admitted
     subset of ``batch_df`` and commits the admitted documents' MinHash
     index rows (shingle-hash sets + band buckets).
+
+    ``ttl_batches`` bounds the state (round-8: the novelty gate's TTL
+    discipline extended to the fuzzy gates — previously the band/sig
+    tables grew without bound, the one unbounded-state path left in
+    continuous ingest): both index tables gain an ``admit_batch``
+    stamp, the probe sees only LIVE rows (admit_batch >= batch_id -
+    ttl_batches — an expired document stops suppressing near-dups of
+    its content, which is then re-admitted under its new doc_id), and
+    the pipeline vacuums expired rows every ``compact_every`` batches.
+    Unlike the exact gate there is no re-admission key collision:
+    re-served content always arrives under a fresh doc_id, so the
+    merge keys stay (doc_id) / (doc_id, band) and a replay re-stamps
+    identical values. Legacy stamp-less tables are migrated on first
+    probe (see :func:`_ttl_live_index`). ``ttl_batches=None`` keeps
+    the original unbounded index, byte-compatible with existing
+    tables; switching a TTL'd table back to unbounded mode is not
+    supported (the merges would write stamp-less rows into a stamped
+    schema).
 
     Admission rule (deterministic): near-dup components are computed
     over the WHOLE batch (not just index survivors — that would make
@@ -1230,6 +1298,7 @@ def neardup_gate_admit(
     from ..operators import neardup as nd_ops
     from . import txn
 
+    _require_batch_id(ttl_batches, batch_id)
     spark = batch_df.sparkSession
     # Spread the batch BEFORE the CPU-heavy signature pass: a
     # micro-batch often arrives as one file / one Kafka partition's
@@ -1247,8 +1316,12 @@ def neardup_gate_admit(
         banded = nd_ops.signature_bands(sigs, bands)
         dup_ids = None
         if txn.current_version(bands_table) >= 0:
-            idx_bands = txn.snapshot(spark, bands_table)
-            idx_sigs = txn.snapshot(spark, sigs_table)
+            if ttl_batches is not None:
+                idx_bands = _ttl_live_index(spark, bands_table, batch_id, ttl_batches)
+                idx_sigs = _ttl_live_index(spark, sigs_table, batch_id, ttl_batches)
+            else:
+                idx_bands = txn.snapshot(spark, bands_table)
+                idx_sigs = txn.snapshot(spark, sigs_table)
             cand = (
                 banded.join(
                     idx_bands.withColumnRenamed("doc_id", "old_id"),
@@ -1352,14 +1425,16 @@ def neardup_gate_admit(
             # materialize admit while members is still cached, so the
             # caller's sink replays the cache, not the full chain
             admit.count()
-            txn.merge_keyed(
-                sigs.join(admit_ids, "doc_id").select("doc_id", "hs"),
-                sigs_table, key_cols=["doc_id"],
+            sig_rows = sigs.join(admit_ids, "doc_id").select("doc_id", "hs")
+            band_rows = banded.join(admit_ids, "doc_id").select(
+                "doc_id", "band", "bh"
             )
-            txn.merge_keyed(
-                banded.join(admit_ids, "doc_id").select("doc_id", "band", "bh"),
-                bands_table, key_cols=["doc_id", "band"],
-            )
+            if ttl_batches is not None:
+                stamp = F.lit(batch_id).cast("long").alias("admit_batch")
+                sig_rows = sig_rows.select("*", stamp)
+                band_rows = band_rows.select("*", stamp)
+            txn.merge_keyed(sig_rows, sigs_table, key_cols=["doc_id"])
+            txn.merge_keyed(band_rows, bands_table, key_cols=["doc_id", "band"])
         finally:
             members.unpersist()
         return admit
@@ -1377,6 +1452,8 @@ def neardup_gate_pipeline(
     bands: int = 16,
     shingle_n: int = 3,
     trigger: dict | None = None,
+    ttl_batches: int | None = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Near-duplicate ingest gate: the MinHash/LSH upgrade of
     :func:`novelty_gate_pipeline` — instead of passing documents whose
@@ -1386,12 +1463,16 @@ def neardup_gate_pipeline(
     persisted index, closing the loop. Exactly-once with NO streaming
     state: all cross-batch memory is the two txn index tables, the doc
     sink is keyed idempotent_append, and full replays converge (see
-    :func:`neardup_gate_admit`)."""
+    :func:`neardup_gate_admit`). ``ttl_batches`` bounds both index
+    tables by the TTL window's admission volume (expiry + vacuum every
+    ``compact_every`` batches — see :func:`neardup_gate_admit`)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         admit = neardup_gate_admit(
             batch_df, index_table + "_sigs", index_table + "_bands",
             threshold, num_hashes, bands, shingle_n,
+            ttl_batches=ttl_batches, batch_id=batch_id,
         )
         try:
             idempotent_append(
@@ -1400,6 +1481,9 @@ def neardup_gate_pipeline(
             )
         finally:
             admit.unpersist()
+        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+            _ttl_vacuum(spark, index_table + "_sigs", batch_id, ttl_batches)
+            _ttl_vacuum(spark, index_table + "_bands", batch_id, ttl_batches)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -1412,6 +1496,8 @@ def overlap_gate_admit(
     min_shared: int = 2,
     max_df: int = 64,
     stop_fps: list | None = None,
+    ttl_batches: int | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One admission round of the partial-overlap gate, shared by the
     streaming sink and any batch backfill driver: reject documents
@@ -1456,10 +1542,19 @@ def overlap_gate_admit(
     cross any exchange; text never leaves the document-local
     selection stage. Index storage is ~2/(w+1) of the gram count per
     admitted doc — the affordable density that makes a 100 TB
-    fingerprint index feasible at all (the winnowing design point)."""
+    fingerprint index feasible at all (the winnowing design point).
+
+    ``ttl_batches`` bounds the (doc_id, fp) index exactly as in
+    :func:`neardup_gate_admit`: rows carry an ``admit_batch`` stamp,
+    the probe sees only live rows, re-served overlapping content is
+    re-admitted (under its fresh doc_id) once its suppressors expire,
+    and the pipeline vacuums expired rows. The stamp is per (doc_id,
+    fp) row but constant per doc, so vacuum expires whole documents
+    at once — the live index never holds a partial fingerprint set."""
     from ..operators import text as text_ops
     from . import txn
 
+    _require_batch_id(ttl_batches, batch_id)
     spark = batch_df.sparkSession
     # spread before the CPU-heavy fingerprint pass (the
     # neardup_gate_admit single-scan-partition trap)
@@ -1512,9 +1607,11 @@ def overlap_gate_admit(
             # probe side: the index minus the batch's own ids (so
             # replays see what the original run saw) and minus the
             # frozen stoplist — both content-pure, never view-derived
-            idx = txn.snapshot(spark, index_table).join(
-                batch_df.select("doc_id"), "doc_id", "left_anti"
-            )
+            if ttl_batches is not None:
+                idx = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
+            else:
+                idx = txn.snapshot(spark, index_table)
+            idx = idx.join(batch_df.select("doc_id"), "doc_id", "left_anti")
             if stop_fps:
                 idx = idx.filter(
                     ~F.col("fp").isin([int(f) for f in stop_fps])
@@ -1537,11 +1634,12 @@ def overlap_gate_admit(
             # contribute evidence, so storing it is pure waste); the
             # batch-side max_df rule is probe-time only — what is
             # locally common in one batch may be rare corpus-wide
-            txn.merge_keyed(
-                fps.join(admit_ids, "doc_id").select("doc_id", "fp"),
-                index_table,
-                key_cols=["doc_id", "fp"],
-            )
+            fp_rows = fps.join(admit_ids, "doc_id").select("doc_id", "fp")
+            if ttl_batches is not None:
+                fp_rows = fp_rows.select(
+                    "*", F.lit(batch_id).cast("long").alias("admit_batch")
+                )
+            txn.merge_keyed(fp_rows, index_table, key_cols=["doc_id", "fp"])
         finally:
             members.unpersist()
         return admit
@@ -1560,6 +1658,8 @@ def overlap_gate_pipeline(
     max_df: int = 64,
     stop_fps: list | None = None,
     trigger: dict | None = None,
+    ttl_batches: int | None = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Partial-overlap ingest gate: the winnowing-fingerprint member
     of the gate family (exact fingerprint -> novelty_gate_pipeline;
@@ -1567,11 +1667,15 @@ def overlap_gate_pipeline(
     reuse -> here). Exactly-once with NO streaming state: cross-batch
     memory is the (doc_id, fp) txn index, the doc sink is keyed
     idempotent_append, and full replays converge (see
-    :func:`overlap_gate_admit`)."""
+    :func:`overlap_gate_admit`). ``ttl_batches`` bounds the index by
+    the TTL window's admission volume (expiry + vacuum every
+    ``compact_every`` batches)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         admit = overlap_gate_admit(
-            batch_df, index_table, k, w, min_shared, max_df, stop_fps
+            batch_df, index_table, k, w, min_shared, max_df, stop_fps,
+            ttl_batches=ttl_batches, batch_id=batch_id,
         )
         try:
             idempotent_append(
@@ -1580,6 +1684,8 @@ def overlap_gate_pipeline(
             )
         finally:
             admit.unpersist()
+        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+            _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -1590,6 +1696,8 @@ def semantic_gate_admit(
     centroids: list,
     threshold: float = 0.95,
     nprobe: int = 2,
+    ttl_batches: int | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One admission round of the SEMANTIC (embedding) novelty gate,
     shared by the streaming sink and any batch backfill driver: reject
@@ -1640,6 +1748,7 @@ def semantic_gate_admit(
     from ..operators.similarity import NORM, DOT, ivf_probe_clusters, semantic_dedup_pairs
     from . import txn
 
+    _require_batch_id(ttl_batches, batch_id)
     spark = batch_df.sparkSession
     # ONE narrow pass per batch row pays the k centroid-distance folds
     # once and the norm fold once (review finding: assign + probe as
@@ -1661,9 +1770,15 @@ def semantic_gate_admit(
         dup_ids = None
         if txn.current_version(index_table) >= 0:
             # probe side: the index minus the batch's own ids (replays
-            # see what the original run saw)
+            # see what the original run saw); under TTL, only LIVE
+            # rows — an expired vector stops suppressing re-embeddings
+            # of its content (:func:`_ttl_live_index` semantics)
+            if ttl_batches is not None:
+                base = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
+            else:
+                base = txn.snapshot(spark, index_table)
             idx = (
-                txn.snapshot(spark, index_table)
+                base
                 .join(batch_df.select("vec_id"), "vec_id", "left_anti")
                 .select(
                     F.col("vec_id").alias("old_id"),
@@ -1706,13 +1821,14 @@ def semantic_gate_admit(
         admit = batch_df.join(admit_ids, "vec_id", "left_semi").persist()
         try:
             admit.count()
-            txn.merge_keyed(
-                assigned.join(admit_ids, "vec_id").select(
-                    "vec_id", "cluster", "embedding", "nrm"
-                ),
-                index_table,
-                key_cols=["vec_id"],
+            idx_rows = assigned.join(admit_ids, "vec_id").select(
+                "vec_id", "cluster", "embedding", "nrm"
             )
+            if ttl_batches is not None:
+                idx_rows = idx_rows.select(
+                    "*", F.lit(batch_id).cast("long").alias("admit_batch")
+                )
+            txn.merge_keyed(idx_rows, index_table, key_cols=["vec_id"])
         finally:
             members.unpersist()
         return admit
@@ -1729,6 +1845,8 @@ def semantic_gate_pipeline(
     threshold: float = 0.95,
     nprobe: int = 2,
     trigger: dict | None = None,
+    ttl_batches: int | None = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Semantic novelty ingest gate: the embedding member of the gate
     family (exact fingerprint -> novelty_gate_pipeline; whole-doc
@@ -1737,11 +1855,16 @@ def semantic_gate_pipeline(
     streaming state: cross-batch memory is the (vec_id, cluster,
     embedding, nrm) txn index, the vector sink is keyed
     idempotent_append, and full replays converge (see
-    :func:`semantic_gate_admit`)."""
+    :func:`semantic_gate_admit`). ``ttl_batches`` bounds the index by
+    the TTL window's admission volume (expiry + vacuum every
+    ``compact_every`` batches) — at 100 TB the embedding payload makes
+    this the costliest of the gate indexes to leave unbounded."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         admit = semantic_gate_admit(
-            batch_df, index_table, centroids, threshold, nprobe
+            batch_df, index_table, centroids, threshold, nprobe,
+            ttl_batches=ttl_batches, batch_id=batch_id,
         )
         try:
             idempotent_append(
@@ -1750,6 +1873,8 @@ def semantic_gate_pipeline(
             )
         finally:
             admit.unpersist()
+        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+            _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
 
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
 

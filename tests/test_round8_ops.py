@@ -6,7 +6,11 @@ SCD2 key-bucket rewrite, centroid refresh) added further down."""
 from __future__ import annotations
 
 import math
+import os
+import time
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
@@ -88,3 +92,194 @@ def test_semantic_gate_rounding_band_is_batch_chunking_invariant(spark, tmp_path
     assert two_batch_round2 == set()  # B rejected across batches too
     idx = txn.snapshot(spark, t2)
     assert {r.vec_id for r in idx.select("vec_id").collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 item 2: TTL/vacuum for the fuzzy and semantic gate indexes
+# (the novelty gate's bounded-state discipline, extended). One-file-
+# per-micro-batch staging with pinned ascending mtimes so file i IS
+# batch i (FileStreamSource orders by mtime, not name).
+# ---------------------------------------------------------------------------
+def _doc_text(i: int) -> str:
+    return " ".join(f"w{i}x{j}" for j in range(30))
+
+
+def _stage_batches(topic, columns_fn, batches):
+    topic.mkdir()
+    base = time.time() - 3600
+    for i, rows in enumerate(batches):
+        p = str(topic / f"c{i}.parquet")
+        pq.write_table(columns_fn(rows), p)
+        os.utime(p, (base + 60 * i, base + 60 * i))
+
+
+def _doc_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _vec_table(rows):
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float64())),
+        }
+    )
+
+
+DOC_SCHEMA = "doc_id long, text string"
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+CENTROIDS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+V_A = [1.0, 0.0, 0.0, 0.0]
+V_A99 = _vec_with_cosine(0.99)
+
+
+def _doc_stream(spark, topic):
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+
+
+def test_neardup_gate_ttl_readmits_vacuums_and_replays_noop(spark, tmp_path):
+    """ttl=2: doc 0's signature suppresses near-dups for exactly the
+    two batches after admission, then the content is re-admitted under
+    its new doc_id; compact_every=2 vacuums expired rows from BOTH
+    index tables; a fresh-checkpoint replay adds nothing."""
+    topic = tmp_path / "docs"
+    _stage_batches(
+        topic,
+        _doc_table,
+        [
+            [(0, _doc_text(0))],   # b0: novel -> admitted (stamp 0)
+            [(1, _doc_text(0))],   # b1: 0 >= 1-2 -> live -> suppressed
+            [(2, _doc_text(0))],   # b2: 0 >= 0 -> live -> suppressed
+            [(3, _doc_text(0))],   # b3: 0 >= 1 fails -> re-admitted (stamp 3)
+        ],
+    )
+    index_table = str(tmp_path / "nd_ttl")
+    out_path = str(tmp_path / "admitted")
+
+    def run(ckpt):
+        q = pipelines.neardup_gate_pipeline(
+            _doc_stream(spark, topic), index_table, out_path,
+            str(tmp_path / ckpt), threshold=0.8,
+            trigger={"availableNow": True}, ttl_batches=2, compact_every=2,
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {0, 3}
+    # vacuum at b3 dropped doc 0's expired rows from both tables
+    sigs = txn.snapshot(spark, index_table + "_sigs")
+    bands = txn.snapshot(spark, index_table + "_bands")
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {3}
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {3}
+    assert {r.admit_batch for r in sigs.collect()} == {3}
+
+    run("ck2")  # full replay from a fresh checkpoint
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == got
+
+
+def test_overlap_gate_ttl_readmits_and_vacuums(spark, tmp_path):
+    """Same TTL semantics on the winnowing (doc_id, fp) index: an
+    expired document's fingerprints stop suppressing overlapping
+    content, and vacuum expires whole documents at once (the stamp is
+    constant per doc — no partial fingerprint sets survive)."""
+    topic = tmp_path / "docs"
+    _stage_batches(
+        topic,
+        _doc_table,
+        [
+            [(0, _doc_text(0))],
+            [(1, _doc_text(0))],   # suppressed (stamp 0 live)
+            [(2, _doc_text(0))],   # suppressed
+            [(3, _doc_text(0))],   # re-admitted
+        ],
+    )
+    index_table = str(tmp_path / "ov_ttl")
+    out_path = str(tmp_path / "admitted")
+    q = pipelines.overlap_gate_pipeline(
+        _doc_stream(spark, topic), index_table, out_path,
+        str(tmp_path / "ck1"), trigger={"availableNow": True},
+        ttl_batches=2, compact_every=2,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {0, 3}
+    idx = txn.snapshot(spark, index_table)
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {3}
+    # every live row is uniformly stamped with its doc's admit batch
+    assert {r.admit_batch for r in idx.collect()} == {3}
+
+
+def test_semantic_gate_ttl_readmits_and_vacuums(spark, tmp_path):
+    """TTL on the (vec_id, cluster, embedding, nrm) index: an expired
+    vector stops suppressing re-embeddings of its content; vacuum
+    drops the expired embedding payload (the costliest gate state to
+    leave unbounded)."""
+    topic = tmp_path / "vecs"
+    _stage_batches(
+        topic,
+        _vec_table,
+        [
+            [(1, V_A)],
+            [(2, V_A99)],   # cos .99 vs live vec 1 -> suppressed
+            [(3, V_A99)],   # suppressed (stamp 0 still live)
+            [(4, V_A99)],   # vec 1 expired -> re-admitted
+        ],
+    )
+    index_table = str(tmp_path / "sem_ttl")
+    out_path = str(tmp_path / "admitted")
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.semantic_gate_pipeline(
+        stream, index_table, out_path, str(tmp_path / "ck1"), CENTROIDS,
+        trigger={"availableNow": True}, ttl_batches=2, compact_every=2,
+    )
+    q.awaitTermination()
+    got = {r.vec_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {1, 4}
+    idx = txn.snapshot(spark, index_table)
+    assert {r.vec_id for r in idx.select("vec_id").collect()} == {4}
+    assert set(idx.columns) == {"vec_id", "cluster", "embedding", "nrm", "admit_batch"}
+
+
+def test_fuzzy_gate_ttl_migrates_legacy_stampless_index(spark, tmp_path):
+    """Enabling ttl_batches against index tables built by the
+    unbounded mode must not crash: legacy rows are stamped as
+    just-admitted on first probe and suppress for a full TTL from the
+    switch-over (the novelty gate's migration contract, applied to the
+    fuzzy gates)."""
+    index_table = str(tmp_path / "ov_mig")
+    # seed a legacy (doc_id, fp) index by running one UNBOUNDED round
+    a0 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(0, _doc_text(0))], DOC_SCHEMA), index_table
+    )
+    assert {r.doc_id for r in a0.collect()} == {0}
+    a0.unpersist()
+    legacy = txn.snapshot(spark, index_table)
+    assert "admit_batch" not in legacy.columns
+
+    # TTL'd round against the legacy table: doc 1 overlaps doc 0 ->
+    # suppressed via the migrated (re-stamped) rows, no crash
+    a1 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(1, _doc_text(0))], DOC_SCHEMA), index_table,
+        ttl_batches=3, batch_id=7,
+    )
+    assert a1.count() == 0
+    a1.unpersist()
+    migrated = txn.snapshot(spark, index_table)
+    assert "admit_batch" in migrated.columns
+    assert migrated.filter(F.col("admit_batch").isNull()).count() == 0
+    # legacy rows were stamped with the first TTL'd batch_id
+    assert {r.admit_batch for r in migrated.collect()} == {7}
