@@ -283,3 +283,185 @@ def test_fuzzy_gate_ttl_migrates_legacy_stampless_index(spark, tmp_path):
     assert migrated.filter(F.col("admit_batch").isNull()).count() == 0
     # legacy rows were stamped with the first TTL'd batch_id
     assert {r.admit_batch for r in migrated.collect()} == {7}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 item 3: SCD2 key-bucket partitioned rewrite (fact scale)
+# ---------------------------------------------------------------------------
+OBS_SCHEMA = "uid long, ts long, val string"
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, OBS_SCHEMA)
+
+
+def _hist(df):
+    return sorted((r.uid, r.val, r.valid_from, r.valid_to) for r in df.collect())
+
+
+def _bucket_of(spark, uid: int, n_buckets: int) -> int:
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(uid).cast("string")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+
+
+def test_scd2_bucketed_invariant_and_partial_rewrite(spark, tmp_path):
+    """The rebuild-invariant of the snapshot writer, bit-for-bit over
+    the bucketed layout — AND the fact-scale payoff: a round touching
+    one key commits a new version ONLY in that key's bucket; every
+    other bucket table is left byte-untouched (rewrite cost
+    proportional to affected buckets, not history size)."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    n_buckets = 8
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    chunks = [
+        [(1, 10, "A"), (2, 10, "X"), (3, 10, "P"), (4, 10, "M")],
+        [(1, 30, "B")],  # touches only uid 1's bucket
+        [(5, 5, "Q")],   # a brand-new key -> possibly a brand-new bucket
+    ]
+    seen = []
+    for i, rows in enumerate(chunks):
+        before = {
+            t: txn.current_version(t) for t in pipelines.scd2_bucket_tables(root)
+        }
+        pipelines.scd2_apply_batch_bucketed(
+            _obs(spark, rows), obs_t, root, "uid", "ts", ["val"],
+            batch_id=i, n_buckets=n_buckets,
+        )
+        seen.extend(rows)
+        want = scd2_ops.scd2_history(_obs(spark, seen), "uid", "ts", ["val"])
+        got = pipelines.scd2_bucketed_history(spark, root)
+        assert _hist(got) == _hist(want), f"round {i}"
+        if i >= 1:
+            touched = {
+                _bucket_of(spark, uid, n_buckets) for uid, _, _ in rows
+            }
+            for t, v_before in before.items():
+                b = int(t.rsplit("bucket=", 1)[1])
+                v_after = txn.current_version(t)
+                if b in touched:
+                    assert v_after == v_before + 1, f"bucket {b} not rewritten"
+                else:
+                    assert v_after == v_before, f"bucket {b} needlessly rewritten"
+
+
+def test_scd2_bucketed_late_arrival_resurrects_collapsed_version(spark, tmp_path):
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    pipelines.scd2_apply_batch_bucketed(
+        _obs(spark, [(1, 10, "A"), (1, 20, "A"), (1, 30, "B")]),
+        obs_t, root, "uid", "ts", ["val"], batch_id=0, n_buckets=4,
+    )
+    pipelines.scd2_apply_batch_bucketed(
+        _obs(spark, [(1, 15, "C")]),
+        obs_t, root, "uid", "ts", ["val"], batch_id=1, n_buckets=4,
+    )
+    assert _hist(pipelines.scd2_bucketed_history(spark, root)) == sorted(
+        [(1, "A", 10, 15), (1, "C", 15, 20), (1, "A", 20, 30), (1, "B", 30, None)]
+    )
+
+
+def test_scd2_bucketed_replay_is_noop_per_bucket(spark, tmp_path):
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    b0 = _obs(spark, [(1, 10, "A"), (2, 10, "X")])
+    b1 = _obs(spark, [(1, 20, "B")])
+    pipelines.scd2_apply_batch_bucketed(
+        b0, obs_t, root, "uid", "ts", ["val"], batch_id=0, n_buckets=4
+    )
+    pipelines.scd2_apply_batch_bucketed(
+        b1, obs_t, root, "uid", "ts", ["val"], batch_id=1, n_buckets=4
+    )
+    want = _hist(pipelines.scd2_bucketed_history(spark, root))
+    versions = {
+        t: txn.current_version(t) for t in pipelines.scd2_bucket_tables(root)
+    }
+    # replay: every touched bucket's scd2_through watermark short-circuits
+    pipelines.scd2_apply_batch_bucketed(
+        b1, obs_t, root, "uid", "ts", ["val"], batch_id=1, n_buckets=4
+    )
+    assert {
+        t: txn.current_version(t) for t in pipelines.scd2_bucket_tables(root)
+    } == versions
+    assert _hist(pipelines.scd2_bucketed_history(spark, root)) == want
+
+
+def test_scd2_bucketed_reader_prunes_to_named_buckets(spark, tmp_path):
+    """The enrichment path's pruned read: asking for one key's bucket
+    returns that bucket's keys only — no other bucket table opened."""
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    n_buckets = 8
+    uids = [1, 2, 3, 4, 5]
+    pipelines.scd2_apply_batch_bucketed(
+        _obs(spark, [(u, 10, f"v{u}") for u in uids]),
+        obs_t, root, "uid", "ts", ["val"], batch_id=0, n_buckets=n_buckets,
+    )
+    b1 = _bucket_of(spark, 1, n_buckets)
+    pruned = pipelines.scd2_bucketed_history(spark, root, buckets=[b1])
+    got_uids = {r.uid for r in pruned.select("uid").collect()}
+    assert 1 in got_uids
+    assert got_uids == {
+        u for u in uids if _bucket_of(spark, u, n_buckets) == b1
+    }
+
+
+def test_scd2_bucketed_n_buckets_mismatch_raises(spark, tmp_path):
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    pipelines.scd2_apply_batch_bucketed(
+        _obs(spark, [(1, 10, "A")]), obs_t, root, "uid", "ts", ["val"],
+        batch_id=0, n_buckets=4,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipelines.scd2_apply_batch_bucketed(
+            _obs(spark, [(1, 20, "B")]), obs_t, root, "uid", "ts", ["val"],
+            batch_id=1, n_buckets=8,
+        )
+
+
+def test_scd2_bucketed_streaming_pipeline_end_to_end(spark, tmp_path):
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    topic = tmp_path / "dim_updates"
+    chunks = [
+        [(1, 10, "A"), (2, 10, "X")],
+        [(1, 30, "B"), (1, 15, "C")],  # includes a late row for uid 1
+    ]
+    _stage_batches(
+        topic,
+        lambda rows: pa.table(
+            {
+                "uid": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "val": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        chunks,
+    )
+    root = str(tmp_path / "hist")
+    stream = (
+        spark.readStream.schema(OBS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.scd2_bucketed_pipeline(
+        stream, str(tmp_path / "obs"), root, str(tmp_path / "ck"),
+        "uid", "ts", ["val"], n_buckets=4, trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    want = scd2_ops.scd2_history(
+        _obs(spark, [r for c in chunks for r in c]), "uid", "ts", ["val"]
+    )
+    assert _hist(pipelines.scd2_bucketed_history(spark, root)) == _hist(want)
