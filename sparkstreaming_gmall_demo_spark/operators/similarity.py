@@ -520,6 +520,188 @@ def semantic_dedup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def semantic_pairs_driver(
+    rows: list,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> list:
+    """Driver-side numpy twin of :func:`semantic_dedup_pairs` for a
+    COLLECTED micro-batch: same-cell (i, j) pairs with 4dp HALF_UP
+    rounded cosine >= threshold. ``rows`` are (id, cluster, vec, nrm);
+    zero-norm rows never pair (the when()-NULL drop of the SQL form).
+
+    Semantics parity with the distributed kernel, point by point:
+    members of a cell are sorted by id (the payload-struct sort — ids
+    are unique, so struct order IS id order) and chunked into
+    contiguous sub-buckets of ``max_bucket`` (neardup._bucket_pairs'
+    hot-bucket cap: cross-chunk pairs are traded away, intra-chunk
+    edges kept), scores are dot / (nrm_i * nrm_j) — the same formula
+    shape as the SQL DOT fold, BLAS sum order differing by ~1 ulp
+    (the cosine_match_scan numeric contract). The micro-batch is
+    bounded by construction (the semantic gate's broadcast cap), so
+    the O(chunk²) matmuls run in-process where the distributed form
+    paid a shuffle + per-pair array allocation.
+    """
+    import numpy as np
+
+    from .neardup import DEFAULT_MAX_BUCKET
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    by_cluster: dict = {}
+    for rid, c, v, nrm in rows:
+        if nrm is None or nrm <= 0:
+            continue
+        by_cluster.setdefault(int(c), []).append((rid, v, nrm))
+    pairs: list = []
+    for _, rs in by_cluster.items():
+        rs.sort(key=lambda r: r[0])
+        for s in range(0, len(rs), max_bucket):
+            chunk = rs[s : s + max_bucket]
+            if len(chunk) < 2:
+                continue
+            ids = [r[0] for r in chunk]
+            v = np.array([r[1] for r in chunk], dtype=np.float64)
+            nrm = np.array([r[2] for r in chunk], dtype=np.float64)
+            m = (v @ v.T) / np.outer(nrm, nrm)
+            r4 = np.floor(np.abs(m) * 1e4 + 0.5) * 1e-4 * np.sign(m)
+            ii, jj = np.nonzero(np.triu(r4 >= threshold, k=1))
+            pairs.extend((ids[a], ids[b]) for a, b in zip(ii, jj))
+    return pairs
+
+
+def cosine_match_scan(
+    index_df: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    nrm_col: str = "nrm",
+    row_chunk: int = 4096,
+) -> DataFrame:
+    """Which probe vectors have ANY index vector in their probed
+    cluster with 4dp-rounded cosine >= ``threshold``? Map-only BLAS
+    scan — the vectorized twin of the exploded probe⋈index join the
+    semantic gate originally ran (streaming/pipelines.py:
+    semantic_gate_admit), built for the regime where the index is
+    large and the probe set is a bounded micro-batch.
+
+    ``probes`` carries one row per (query, probed cluster):
+    (id_col, cluster_col, vec_col, nrm_col), zero-norm queries already
+    excluded by the caller (cosine is undefined on them, and they must
+    match nothing — the gate's zero-norm contract). The WHOLE probe
+    frame is collected and broadcast: the caller bounds it by
+    construction (a micro-batch × nprobe — the same bounded-broadcast
+    class as the ANN query batches above). The index side streams
+    through ``mapInPandas`` untouched: no shuffle, no explode, no
+    per-pair array allocation — each Arrow batch is grouped by cluster
+    and scored against that cluster's probe matrix with ONE numpy
+    matmul (index rows chunked at ``row_chunk`` to bound the temp).
+
+    Why this beats the join form by ~5x wall: Catalyst evaluates the
+    ``aggregate(zip_with(...))`` dot as an interpreted fold allocating
+    a fresh 64-element array per candidate PAIR (~10M pairs/batch at
+    realistic sizes), where BLAS does the same flops in one dgemm.
+
+    Numeric contract: scores are rounded HALF_UP at 4dp (numpy
+    ``floor(|x|·1e4 + 0.5)``, matching Spark's ``F.round``) before the
+    >= compare, so the decision boundary is the same as the SQL path's
+    ``F.round(cos, 4) >= threshold``; BLAS dot-sum order differs from
+    the SQL fold's left-to-right order by ~1 ulp, which can flip a
+    score EXACTLY at a 4dp rounding boundary — inside the gate's
+    stated approximation contract (the nprobe cell miss is a far
+    larger tolerance), and replay-deterministic since replays run the
+    same kernel on the same bytes.
+
+    Returns a DataFrame with the distinct matched probe ids
+    (column ``id_col``, probe-side dtype preserved).
+    """
+    id_type = dict(probes.dtypes)[id_col]
+    rows = probes.select(id_col, cluster_col, vec_col, nrm_col).collect()
+    packed = pack_probe_matrices(
+        (r[0], r[1], r[2], r[3]) for r in rows
+    )
+    return cosine_match_scan_packed(
+        index_df, packed, threshold, id_col, id_type,
+        cluster_col, vec_col, nrm_col, row_chunk,
+    )
+
+
+def pack_probe_matrices(probe_rows) -> dict:
+    """(id, cluster, vec, nrm) rows -> {cluster: (ids, unit-vector
+    matrix)} for :func:`cosine_match_scan_packed`. Zero/negative-norm
+    rows are dropped (cosine undefined; the gate's zero-norm contract
+    says they match nothing)."""
+    import numpy as np
+
+    by_cluster: dict = {}
+    for qid, c, v, nrm in probe_rows:
+        if nrm is None or nrm <= 0:
+            continue
+        by_cluster.setdefault(int(c), []).append((qid, v, nrm))
+    packed = {}
+    for c, rs in by_cluster.items():
+        ids = [r[0] for r in rs]
+        q = np.array([r[1] for r in rs], dtype=np.float64)
+        nrm = np.array([r[2] for r in rs], dtype=np.float64)
+        packed[c] = (ids, q / nrm[:, None])
+    return packed
+
+
+def cosine_match_scan_packed(
+    index_df: DataFrame,
+    packed: dict,
+    threshold: float,
+    id_col: str = "vec_id",
+    id_type: str = "bigint",
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    nrm_col: str = "nrm",
+    row_chunk: int = 4096,
+) -> DataFrame:
+    """:func:`cosine_match_scan` with the probe matrices already packed
+    ({cluster: (ids, unit-row matrix)}) — the semantic gate builds the
+    pack once from its collected batch and reuses it here."""
+    spark = index_df.sparkSession
+    if not packed:
+        return spark.createDataFrame([], f"{id_col} {id_type}")
+    bc = spark.sparkContext.broadcast(packed)
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        data = bc.value
+        matched: set = set()
+        for pdf in batches:
+            for c, grp in pdf.groupby(cluster_col, sort=False):
+                entry = data.get(int(c))
+                if entry is None:
+                    continue
+                ids, qn = entry
+                nrm = grp[nrm_col].to_numpy(dtype=np.float64)
+                live = nrm > 0
+                if not live.any():
+                    continue
+                o = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )[live] / nrm[live][:, None]
+                for s in range(0, len(o), row_chunk):
+                    m = o[s : s + row_chunk] @ qn.T
+                    r4 = np.floor(np.abs(m) * 1e4 + 0.5) * 1e-4 * np.sign(m)
+                    hit = (r4 >= threshold).any(axis=0)
+                    matched.update(ids[k] for k in np.nonzero(hit)[0])
+        if matched:
+            yield pd.DataFrame({id_col: sorted(matched)})
+
+    return (
+        index_df.select(cluster_col, vec_col, nrm_col)
+        .mapInPandas(scan, schema=f"{id_col} {id_type}")
+        .dropDuplicates()
+    )
+
+
 def semantic_dedup_keep(
     assigned: DataFrame,
     pairs: DataFrame,

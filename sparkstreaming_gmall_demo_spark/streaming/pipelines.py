@@ -1068,6 +1068,14 @@ NEARDUP_GATE_CAND_CAP = 64
 # histogram.
 NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
 
+# Semantic gate cross-batch probe: up to this many (vector, probed
+# cluster) rows are collected and broadcast for the map-only BLAS
+# index scan (operators/similarity.py:cosine_match_scan) — 200k rows
+# of 64-dim doubles is ~100 MB, the same bounded-collect class as the
+# union-find cap above. Bigger batches (a misconfigured trigger) fall
+# back to the distributed probe join instead of OOMing the driver.
+SEMANTIC_GATE_BROADCAST_PROBE_CAP = 200_000
+
 
 def _driver_union_find(pair_rows) -> dict[int, int]:
     """Min-label union-find over collected (i, j) pairs: same contract
@@ -1727,12 +1735,15 @@ def semantic_gate_admit(
     is missed, exactly as in batch SemDeDup; raise nprobe (recall) or
     re-train centroids offline (quality) to trade.
 
-    100 TB posture: only (vec_id, cluster, embedding, nrm) rows ever
-    shuffle; norms are computed once per vector and carried, so each
-    candidate score is one dot product; the index is keyed by cluster,
-    so the probe join touches nprobe/k of it (partition-pruned when
-    the consumer compacts the txn table by cluster); the hot-cell
-    salting cap inside the pair kernel bounds the within-batch blowup.
+    100 TB posture: the index NEVER shuffles for a probe — the batch's
+    own ids leave it via a broadcast anti-join, and scoring is a
+    map-only BLAS scan (cosine_match_scan) against the broadcast probe
+    matrix (bounded by SEMANTIC_GATE_BROADCAST_PROBE_CAP, distributed
+    join fallback beyond it); the index is keyed by cluster, so a
+    cluster-partitioned compaction makes the scan partition-pruned to
+    nprobe/k of the files; norms are computed once per vector and
+    carried; the hot-cell salting cap inside the pair kernel bounds
+    the within-batch blowup.
 
     Zero-norm vectors: cosine is undefined on them, and under ANSI
     mode (Spark 4 default) the naive 0/0 division THROWS — inside
@@ -1745,7 +1756,15 @@ def semantic_gate_admit(
     run embedding_health (operators/similarity.py) upstream to
     quarantine malformed producers.
     """
-    from ..operators.similarity import NORM, DOT, ivf_probe_clusters, semantic_dedup_pairs
+    from ..operators.similarity import (
+        NORM,
+        DOT,
+        cosine_match_scan_packed,
+        ivf_probe_clusters,
+        pack_probe_matrices,
+        semantic_dedup_pairs,
+        semantic_pairs_driver,
+    )
     from . import txn
 
     _require_batch_id(ttl_batches, batch_id)
@@ -1766,58 +1785,121 @@ def semantic_gate_admit(
         .persist()
     )
     try:
-        pairs = semantic_dedup_pairs(assigned, threshold).select("i", "j")
-        dup_ids = None
-        if txn.current_version(index_table) >= 0:
+        n_batch = assigned.count()
+        have_index = txn.current_version(index_table) >= 0
+        idx = None
+        if have_index:
             # probe side: the index minus the batch's own ids (replays
             # see what the original run saw); under TTL, only LIVE
             # rows — an expired vector stops suppressing re-embeddings
-            # of its content (:func:`_ttl_live_index` semantics)
+            # of its content (:func:`_ttl_live_index` semantics). The
+            # batch's own ids leave via a BROADCAST anti-join (batch
+            # ids are micro-batch-bounded; the index is the big side
+            # and must never shuffle for a probe).
             if ttl_batches is not None:
                 base = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
             else:
                 base = txn.snapshot(spark, index_table)
-            idx = (
-                base
-                .join(batch_df.select("vec_id"), "vec_id", "left_anti")
-                .select(
-                    F.col("vec_id").alias("old_id"),
+            idx = base.join(
+                F.broadcast(batch_df.select("vec_id")), "vec_id", "left_anti"
+            )
+        # both probe paths apply the same 4dp-rounded threshold
+        # semantics as the within-batch pair kernel — else a pair with
+        # cosine in [threshold-5e-5, threshold) is rejected within a
+        # batch but admitted across batches, making admission depend
+        # on chunking. Zero-norm rows are excluded from pairing and
+        # from BOTH probe sides everywhere: under ANSI mode 0/0 throws
+        # (the foreachBatch wedge class), and cosine is undefined on
+        # them anyway — see the docstring's zero-norm contract.
+        id_type = dict(batch_df.dtypes)["vec_id"]
+        if n_batch * min(nprobe, len(centroids)) <= SEMANTIC_GATE_BROADCAST_PROBE_CAP:
+            # bounded micro-batch (the overwhelmingly common case):
+            # collect the batch ONCE and run the whole decision
+            # driver-side — within-cell pairs as in-process BLAS
+            # matmuls (semantic_pairs_driver, cap semantics identical
+            # to the distributed kernel), the cross-batch probe as a
+            # map-only broadcast scan of the index
+            # (cosine_match_scan_packed: no index shuffle, no per-pair
+            # array allocation), and the component collapse as the
+            # union-find _gate_admit_ids already uses. ~2x the join
+            # form's wall at 5k-vector batches (BENCH_gate_r08).
+            rows = assigned.select(
+                "vec_id", "probe_clusters", "embedding", "nrm"
+            ).collect()
+            pair_rows = semantic_pairs_driver(
+                ((r[0], r[1][0], r[2], r[3]) for r in rows), threshold
+            )
+            dup_set: set = set()
+            if idx is not None:
+                packed = pack_probe_matrices(
+                    (r[0], c, r[2], r[3]) for r in rows for c in r[1]
+                )
+                dup_set = {
+                    r[0]
+                    for r in cosine_match_scan_packed(
+                        idx.filter(F.col("nrm") > 0).select(
+                            "cluster", "embedding", "nrm"
+                        ),
+                        packed,
+                        threshold,
+                        id_type=id_type,
+                    ).collect()
+                }
+            # survivor rule, verbatim from _gate_admit_ids: component
+            # = min-label union-find over the pair graph (singletons
+            # are their own component), survivor = min id among the
+            # component's NOT-index-rejected members, admitted iff
+            # survivor
+            comp_map = _driver_union_find(pair_rows)
+            comp_members: dict = {}
+            for r in rows:
+                comp_members.setdefault(
+                    comp_map.get(r[0], r[0]), []
+                ).append(r[0])
+            admitted = sorted(
+                min(live)
+                for ms in comp_members.values()
+                if (live := [m for m in ms if m not in dup_set])
+            )
+            admit_ids = F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in admitted], f"vec_id {id_type}"
+                )
+            )
+            members = None
+        else:
+            # oversized batch (misconfigured trigger): the fully
+            # distributed path — slower, never OOMs the driver
+            pairs = semantic_dedup_pairs(assigned, threshold).select("i", "j")
+            dup_ids = None
+            if idx is not None:
+                idx_r = idx.select(
                     F.col("cluster"),
                     F.col("embedding").alias("old_vec"),
                     F.col("nrm").alias("old_nrm"),
                 )
-            )
-            # zero-norm rows are excluded from BOTH probe sides: under
-            # ANSI mode 0/0 throws (the foreachBatch wedge class), and
-            # cosine is undefined on them anyway — see the docstring's
-            # zero-norm contract. Content-pure predicate, replay-safe.
-            probes = assigned.filter(F.col("nrm") > 0).select(
-                "vec_id",
-                F.col("embedding").alias("v"),
-                "nrm",
-                F.explode("probe_clusters").alias("cluster"),
-            )
-            dup_ids = (
-                probes.join(idx.filter(F.col("old_nrm") > 0), "cluster")
-                .filter(
-                    # same 4dp-rounded threshold semantics as the
-                    # within-batch semantic_dedup_pairs filter — else a
-                    # pair with cosine in [threshold-5e-5, threshold)
-                    # is rejected within a batch but admitted across
-                    # batches, making admission depend on chunking
-                    F.round(
-                        F.expr(DOT.format(a="v", b="old_vec"))
-                        / (F.col("nrm") * F.col("old_nrm")),
-                        4,
-                    )
-                    >= F.lit(threshold)
+                probes = assigned.filter(F.col("nrm") > 0).select(
+                    "vec_id",
+                    F.col("embedding").alias("v"),
+                    "nrm",
+                    F.explode("probe_clusters").alias("cluster"),
                 )
-                .select("vec_id")
-                .dropDuplicates()
+                dup_ids = (
+                    probes.join(idx_r.filter(F.col("old_nrm") > 0), "cluster")
+                    .filter(
+                        F.round(
+                            F.expr(DOT.format(a="v", b="old_vec"))
+                            / (F.col("nrm") * F.col("old_nrm")),
+                            4,
+                        )
+                        >= F.lit(threshold)
+                    )
+                    .select("vec_id")
+                    .dropDuplicates()
+                )
+            admit_ids, members = _gate_admit_ids(
+                batch_df, pairs, dup_ids, id_col="vec_id"
             )
-        admit_ids, members = _gate_admit_ids(
-            batch_df, pairs, dup_ids, id_col="vec_id"
-        )
         admit = batch_df.join(admit_ids, "vec_id", "left_semi").persist()
         try:
             admit.count()
@@ -1830,7 +1912,8 @@ def semantic_gate_admit(
                 )
             txn.merge_keyed(idx_rows, index_table, key_cols=["vec_id"])
         finally:
-            members.unpersist()
+            if members is not None:
+                members.unpersist()
         return admit
     finally:
         assigned.unpersist()

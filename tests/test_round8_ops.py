@@ -465,3 +465,96 @@ def test_scd2_bucketed_streaming_pipeline_end_to_end(spark, tmp_path):
         _obs(spark, [r for c in chunks for r in c]), "uid", "ts", ["val"]
     )
     assert _hist(pipelines.scd2_bucketed_history(spark, root)) == _hist(want)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 item 4: the semantic gate's cross-batch probe is a
+# broadcast BLAS scan (cosine_match_scan) — pin its semantics against
+# the SQL join form it replaced, on both sides of the decision boundary
+# ---------------------------------------------------------------------------
+def test_cosine_match_scan_equals_probe_join(spark):
+    """Matched-id sets from the map-only BLAS scan and the exploded
+    probe⋈index SQL join must agree, including the 4dp HALF_UP
+    rounding band edges (0.94996 rounds up to 0.95 → match; 0.94994
+    rounds down → no match) and cluster-restriction (a near-dup in an
+    unprobed cluster is invisible to BOTH paths)."""
+    from sparkstreaming_gmall_demo_spark.operators.similarity import (
+        DOT,
+        cosine_match_scan,
+    )
+
+    idx = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1.0),
+            (0, [0.0, 1.0, 0.0, 0.0], 1.0),
+            (1, [0.0, 0.0, 1.0, 0.0], 1.0),
+        ],
+        "cluster int, embedding array<double>, nrm double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, 0, _vec_with_cosine(0.94996), 1.0),  # rounds to .95: hit
+            (11, 0, _vec_with_cosine(0.94994), 1.0),  # rounds to .9499: miss
+            (12, 1, [1.0, 0.0, 0.0, 0.0], 1.0),       # twin lives in c0, probes c1: miss
+            (13, 1, [0.0, 0.0, 1.0, 0.0], 1.0),       # exact twin in probed cell: hit
+        ],
+        "vec_id long, cluster int, embedding array<double>, nrm double",
+    )
+    got = {
+        r.vec_id
+        for r in cosine_match_scan(idx, probes, 0.95).collect()
+    }
+    join_form = (
+        probes.withColumnRenamed("embedding", "v")
+        .join(
+            idx.select(
+                "cluster",
+                F.col("embedding").alias("old_vec"),
+                F.col("nrm").alias("old_nrm"),
+            ),
+            "cluster",
+        )
+        .filter(
+            F.round(
+                F.expr(DOT.format(a="v", b="old_vec"))
+                / (F.col("nrm") * F.col("old_nrm")),
+                4,
+            )
+            >= F.lit(0.95)
+        )
+        .select("vec_id")
+        .dropDuplicates()
+    )
+    want = {r.vec_id for r in join_form.collect()}
+    assert got == want == {10, 13}
+
+
+def test_semantic_gate_fallback_join_path_matches_scan_path(spark, tmp_path, monkeypatch):
+    """Forcing the probe cap to 0 routes the gate through the
+    distributed-join fallback; admissions and the committed index must
+    be identical to the broadcast-scan path on the same two batches."""
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    b2 = [
+        (3, _vec_with_cosine(0.94996)),   # near-dup of 1 across batches
+        (4, [0.0, 0.0, 1.0, 0.0]),        # novel
+        (5, [0.0, 0.0, 0.0, 0.0]),        # zero-norm: always admitted
+    ]
+
+    def run(table):
+        admitted = []
+        for batch in (b1, b2):
+            out = pipelines.semantic_gate_admit(
+                spark.createDataFrame(batch, schema), table, centroids
+            )
+            admitted.append({r.vec_id for r in out.collect()})
+            out.unpersist()
+        idx = {r.vec_id for r in txn.snapshot(spark, table).collect()}
+        return admitted, idx
+
+    scan_result = run(str(tmp_path / "scan_path"))
+    monkeypatch.setattr(pipelines, "SEMANTIC_GATE_BROADCAST_PROBE_CAP", 0)
+    join_result = run(str(tmp_path / "join_path"))
+    assert scan_result == join_result
+    assert scan_result[0] == [{1, 2}, {4, 5}]
