@@ -5549,6 +5549,7 @@ SWEEP_THRESHOLDS_BP = (7000, 7500, 8000, 8500, 9000, 9500)
     FROM t ORDER BY threshold_bp
     """,
     "dedup threshold sensitivity: pairs + touched docs per cutoff, one pass",
+    eager=True,  # persists + collects inside the build (see QuerySpec.eager)
 )
 def ext_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table a dedup planner reads before committing a corpus

@@ -80,14 +80,27 @@ class QuerySpec:
     # verdict). When set, bench.py times this plan; the driver's
     # correctness check still runs ``build``.
     bench_build: Optional[Callable[[SparkSession, str], DataFrame]] = None
+    # EAGER builders do the operator's real work INSIDE build (persist
+    # + collect, blocks released before returning) and return an
+    # already-materialized local-row frame. The registry's default
+    # contract is lazy — the returned plan composes freely and nothing
+    # heavy runs until the caller's action (small bounded artifact
+    # collects like codebook training aside) — and every entry keeps
+    # it except those flagged here: timing or re-triggering an eager
+    # entry's RETURNED frame measures nothing; wrap the BUILD call
+    # itself (bench.py's timed region is build + collect, so it
+    # charges eager entries correctly by construction).
+    eager: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def _register(name: str, oracle: Optional[str], description: str):
+def _register(
+    name: str, oracle: Optional[str], description: str, eager: bool = False
+):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, eager=eager)
         return fn
 
     return deco

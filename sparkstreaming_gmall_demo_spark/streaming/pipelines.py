@@ -1962,6 +1962,69 @@ def semantic_gate_pipeline(
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
 
 
+def semantic_gate_recluster(
+    spark: SparkSession, index_table: str, centroids: list
+) -> dict:
+    """Offline centroid refresh for the semantic gate's index — the
+    drift escape hatch the frozen-codebook contract defers to
+    (semantic_gate_admit docstring: "re-train centroids offline").
+    Frozen IVF centroids keep admission replay-pure, but as the corpus
+    drifts, cell purity degrades: new content crowds into a few stale
+    cells, inflating both the within-cell pair kernel and the probe's
+    per-cell candidate count. This pass re-assigns every indexed
+    vector's ``cluster`` to its nearest NEW centroid and CAS-commits
+    the rewrite (the compact_partials discipline: derived-from version
+    pinned, concurrent ingest raises instead of being clobbered) —
+    after it, the caller switches the RUNNING gate to the same new
+    centroids, and probes stay consistent with storage.
+
+    What the refresh can and cannot change (the invariant the test
+    pins): admitted rows are preserved byte-for-byte — only their
+    cluster ROUTING moves, so the no-two-admitted-near-dups property
+    of the indexed set is untouched. Recall even improves for the
+    drifted region: a duplicate of an admitted vector assigns (with
+    the new centroids) to the same nearest cell as its stored twin,
+    so the nprobe=1 probe finds it by construction. The cost is the
+    one the SemDeDup bargain always had: pairs straddling a NEW cell
+    boundary beyond nprobe are missed — the same tolerance, around
+    better-fitting cells.
+
+    Run with no gate batch in flight (single-maintenance-writer, like
+    txn.vacuum). Returns {"n_vectors", "n_moved"} — assignment churn,
+    the drift signal worth monitoring to schedule the next refresh.
+    """
+    from ..operators.similarity import ivf_probe_clusters
+    from . import txn
+
+    v = txn.current_version(index_table)
+    if v < 0:
+        return {"n_vectors": 0, "n_moved": 0}
+    snap = txn.snapshot(spark, index_table, version=v)
+    cols = snap.columns
+    re_assigned = (
+        ivf_probe_clusters(snap.withColumnRenamed("cluster", "_old_cluster"),
+                           centroids, nprobe=1)
+        .withColumn("cluster", F.element_at("probe_clusters", 1).cast("int"))
+        .persist()
+    )
+    try:
+        stats = re_assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("cluster") != F.col("_old_cluster")).cast("long")
+            ).alias("moved"),
+        ).collect()[0]
+        txn.overwrite(
+            re_assigned.select(*cols),
+            index_table,
+            meta=txn.table_meta(index_table, v),
+            expected_version=v,
+        )
+    finally:
+        re_assigned.unpersist()
+    return {"n_vectors": stats["n"], "n_moved": stats["moved"] or 0}
+
+
 def scd2_apply_batch(
     batch_df: DataFrame,
     obs_table: str,

@@ -507,3 +507,16 @@ def test_multimodal_decode_pipeline_payload_never_shuffles(spark):
         assert "payload#" not in block, (
             "payload bytes crossed a shuffle:\n" + block[:300]
         )
+
+
+def test_eager_registry_entries_are_exactly_the_declared_set():
+    """The registry's builder contract is lazy; the QuerySpec.eager
+    flag is the documented exception list (r7 verdict nit 3a). Any new
+    eager entry must be flagged — and flagging must stay rare: an
+    entry that persists/collects its real work inside build makes
+    callers' timing and recomposition silently wrong unless they wrap
+    the BUILD call."""
+    from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+
+    eager = {name for name, spec in REGISTRY.items() if spec.eager}
+    assert eager == {"ext_dedup_threshold_sweep"}

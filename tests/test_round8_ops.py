@@ -558,3 +558,94 @@ def test_semantic_gate_fallback_join_path_matches_scan_path(spark, tmp_path, mon
     join_result = run(str(tmp_path / "join_path"))
     assert scan_result == join_result
     assert scan_result[0] == [{1, 2}, {4, 5}]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 item 5: offline centroid refresh for the semantic gate —
+# re-assignment moves only cluster ROUTING, never admitted content,
+# and the refreshed gate still rejects duplicates of admitted vectors
+# ---------------------------------------------------------------------------
+def test_semantic_gate_recluster_preserves_admissions_and_rejection(spark, tmp_path):
+    cents_a = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    cents_b = [[0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "sem_idx")
+    out = pipelines.semantic_gate_admit(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]),
+             (2, [0.0, 1.0, 0.0, 0.0]),
+             (3, [0.0, 0.0, 1.0, 0.0])],
+            schema,
+        ),
+        table, cents_a,
+    )
+    assert {r.vec_id for r in out.collect()} == {1, 2, 3}
+    out.unpersist()
+    before = sorted(
+        (r.vec_id, tuple(r.embedding), r.nrm)
+        for r in txn.snapshot(spark, table).collect()
+    )
+
+    churn = pipelines.semantic_gate_recluster(spark, table, cents_b)
+    # under cents_a: 1->c0, 2->c1, 3->c0 (tie to lowest id); under
+    # cents_b: 1->c1, 2->c0 (tie), 3->c0 — vectors 1 and 2 move
+    assert churn == {"n_vectors": 3, "n_moved": 2}
+    after_rows = txn.snapshot(spark, table).collect()
+    after = sorted((r.vec_id, tuple(r.embedding), r.nrm) for r in after_rows)
+    assert after == before  # content untouched, only routing moved
+    by_id = {r.vec_id: r.cluster for r in after_rows}
+    assert by_id == {1: 1, 2: 0, 3: 0}
+
+    # the refreshed gate (NEW centroids on both sides) still rejects a
+    # duplicate of an admitted vector at nprobe=1 — dup and stored twin
+    # assign to the same new cell by construction — and admits novelty
+    out2 = pipelines.semantic_gate_admit(
+        spark.createDataFrame(
+            [(10, [0.0, 0.0, 1.0, 0.0]),   # exact copy of admitted 3
+             (11, [0.0, 0.0, 0.0, 1.0])],  # novel
+            schema,
+        ),
+        table, cents_b, nprobe=1,
+    )
+    assert {r.vec_id for r in out2.collect()} == {11}
+    out2.unpersist()
+
+
+def test_semantic_gate_recluster_raises_on_concurrent_ingest(
+    spark, tmp_path, monkeypatch
+):
+    """The rewrite is derived from a pinned version: a gate batch that
+    lands between the refresh's snapshot read and its commit must make
+    the refresh raise (re-derive and retry), never silently discard
+    the concurrent batch's rows."""
+    import pytest
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "sem_idx_race")
+    pipelines.semantic_gate_admit(
+        spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], schema),
+        table, cents,
+    ).unpersist()
+
+    real_snapshot = txn.snapshot
+    raced = {"done": False}
+
+    def racing_snapshot(spark_, table_, *a, **k):
+        df = real_snapshot(spark_, table_, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True  # guard: merge_keyed re-enters snapshot
+            pipelines.semantic_gate_admit(
+                spark.createDataFrame(
+                    [(2, [0.0, 1.0, 0.0, 0.0])], schema
+                ),
+                table, cents,
+            ).unpersist()
+        return df
+
+    monkeypatch.setattr(txn, "snapshot", racing_snapshot)
+    with pytest.raises(txn.ConcurrentWriteError):
+        pipelines.semantic_gate_recluster(spark, table, cents)
+    monkeypatch.undo()
+    # the concurrent batch's row survived — nothing was clobbered
+    assert {r.vec_id for r in txn.snapshot(spark, table).collect()} == {1, 2}
