@@ -92,6 +92,20 @@ def main() -> None:
     docs10 = amplify(docs1, ["doc_id"], COPIES)
     emb10 = amplify(emb1, ["vec_id"], COPIES)
 
+    # frozen artifacts for the cosine_scan smoke: centroids + a fixed
+    # 500-vector probe pack, both from the 1x corpus (the gate's
+    # offline-codebook discipline — only the INDEX side amplifies)
+    cents_sm = sim_ops.ivf_train(emb1, k=16, iters=2)
+    _probe_rows = (
+        sim_ops.ivf_probe_clusters(emb1.limit(500), cents_sm, 2)
+        .withColumn("nrm", F.expr(sim_ops.NORM.format(a="embedding")))
+        .select("vec_id", "probe_clusters", "embedding", "nrm")
+        .collect()
+    )
+    probe_pack = sim_ops.pack_probe_matrices(
+        (p[0], c, p[2], p[3]) for p in _probe_rows for c in p[1]
+    )
+
     runs = {}
     for tag, ev, dc, em in (
         ("1x", events1, docs1, emb1),
@@ -148,6 +162,24 @@ def main() -> None:
         timed("semantic_dedup", lambda: (
             sim_ops.semantic_dedup_pairs(sim_ops.assign_codebook(em, cb))
             .agg(F.count("*").alias("pairs"))
+        ), r)
+        # semantic gate probe kernel: map-only BLAS scan of the
+        # (amplified) index side against a FIXED broadcast probe pack
+        # — at 100 TB the index is the side that grows, and the scan
+        # (cluster assignment + norm + per-Arrow-batch matmul) must
+        # stay linear in index rows; the probe pack is pinned so only
+        # the index side varies between 1x and 10x
+        timed("cosine_scan", lambda: (
+            sim_ops.cosine_match_scan_packed(
+                sim_ops.ivf_probe_clusters(em, cents_sm, 1)
+                .withColumn(
+                    "cluster",
+                    F.element_at("probe_clusters", 1).cast("int"),
+                )
+                .withColumn("nrm", F.expr(sim_ops.NORM.format(a="embedding")))
+                .select("cluster", "embedding", "nrm"),
+                probe_pack, 0.95,
+            ).agg(F.count("*").alias("n"))
         ), r)
         # bm25: corpus stats arrive as ONE broadcast row and the tf map
         # is narrow — at 10x docs (every doc with 9 verbatim twins:

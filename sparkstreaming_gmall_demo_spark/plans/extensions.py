@@ -2350,6 +2350,88 @@ def _bench_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semantic_dedup_pairs(assigned, threshold=SEMDEDUP_THRESHOLD)
 
 
+@_register(
+    "ext_codebook_occupancy",
+    """
+    WITH aug AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               label
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM aug
+    ),
+    cent AS (
+        SELECT label AS clbl, pos, avg(val) AS c FROM flat GROUP BY 1, 2
+    ),
+    centv AS (SELECT clbl, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+    ranked AS (
+        SELECT a.vec_id, c.clbl,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_inner_product(
+                       list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]),
+                       list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2])) ASC,
+                       c.clbl ASC
+               ) AS rn
+        FROM aug a CROSS JOIN centv c
+    ),
+    counts AS (
+        SELECT clbl AS cluster, count(*) AS n FROM ranked WHERE rn = 1
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT sum(n) FROM counts) AS total,
+               (SELECT count(*) FROM centv) AS k
+    )
+    SELECT CAST(c.cluster AS BIGINT) AS cluster,
+           CAST(c.n AS BIGINT) AS n_vectors,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp,
+           CAST(c.n * t.k * 10000 // t.total AS BIGINT) AS hot_bp
+    FROM counts c CROSS JOIN tot t ORDER BY cluster
+    """,
+    "codebook cell occupancy skew: the drift signal that schedules centroid refresh",
+)
+def ext_codebook_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy of the semantic codebook — the table the
+    centroid-refresh policy reads (streaming/pipelines.py:
+    semantic_gate_recluster): cell sizes drifting away from uniform
+    mean the frozen centroids no longer fit the corpus, inflating both
+    the within-cell pair kernel and the probe's per-cell candidate
+    count (the SemDeDup cost model degrades as max(hot_bp) grows).
+    ``share_bp`` is the cell's corpus share and ``hot_bp`` its ratio
+    to the uniform share, both in integer basis points via exact
+    BIGINT division (`div` / `//` — no float reaches the hash).
+    Codebook = per-label mean centroids (the ext_semantic_dedup
+    discipline: exactly SQL-reproducible, unlike hash-seeded k-means).
+
+    100 TB posture: assignment is a narrow map against the broadcast
+    codebook literal, the count is a map-side-combinable groupBy to k
+    rows, and the total/k fold is a window over those k rows — output
+    and every post-aggregation frame are O(k) regardless of corpus
+    size."""
+    emb = spread_fixture(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    codebook = sim_ops.train_label_codebook(emb)
+    k = len(codebook)
+    counts = (
+        sim_ops.assign_codebook(emb, codebook)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("total", F.sum("n").over(w))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.expr("n * 10000L div total").alias("share_bp"),
+            F.expr(f"n * {k}L * 10000L div total").alias("hot_bp"),
+        )
+        .orderBy("cluster")
+    )
+
+
 HH_K = 5
 HH_DEPTH = 4
 HH_WIDTH = 1024
