@@ -649,3 +649,39 @@ def test_semantic_gate_recluster_raises_on_concurrent_ingest(
     monkeypatch.undo()
     # the concurrent batch's row survived — nothing was clobbered
     assert {r.vec_id for r in txn.snapshot(spark, table).collect()} == {1, 2}
+
+
+def test_semantic_gate_recluster_preserves_ttl_stamps(spark, tmp_path):
+    """A TTL'd index carries admit_batch stamps; the centroid refresh
+    must carry them through the rewrite unchanged (a refresh that
+    drops the stamp column would make every row legacy — conservative
+    but a silent TTL-window reset) and the refreshed gate must keep
+    honoring expiry: content admitted before the refresh still expires
+    on the original clock."""
+    cents_a = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    cents_b = [[0.0, 1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "sem_idx_ttl")
+    pipelines.semantic_gate_admit(
+        spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], schema),
+        table, cents_a, ttl_batches=2, batch_id=0,
+    ).unpersist()
+    pipelines.semantic_gate_recluster(spark, table, cents_b)
+    snap = txn.snapshot(spark, table)
+    assert "admit_batch" in snap.columns
+    assert [(r.vec_id, r.admit_batch) for r in snap.collect()] == [(1, 0)]
+    # within the TTL window the refreshed gate still rejects the dup...
+    o1 = pipelines.semantic_gate_admit(
+        spark.createDataFrame([(2, [1.0, 0.0, 0.0, 0.0])], schema),
+        table, cents_b, ttl_batches=2, batch_id=1,
+    )
+    assert o1.count() == 0
+    o1.unpersist()
+    # ...and past it (batch 3 > 0 + ttl 2) the content re-admits on
+    # the ORIGINAL clock, refresh or not
+    o2 = pipelines.semantic_gate_admit(
+        spark.createDataFrame([(3, [1.0, 0.0, 0.0, 0.0])], schema),
+        table, cents_b, ttl_batches=2, batch_id=3,
+    )
+    assert [r.vec_id for r in o2.collect()] == [3]
+    o2.unpersist()
