@@ -620,7 +620,7 @@ def novelty_gate_pipeline(
             if ttl_batches is None:
                 txn.merge_keyed(
                     out.select("fingerprint"), index_table,
-                    key_cols=["fingerprint"],
+                    key_cols=["fingerprint"], broadcast_probe=True,
                 )
             else:
                 txn.merge_keyed(
@@ -630,6 +630,7 @@ def novelty_gate_pipeline(
                     ),
                     index_table,
                     key_cols=["fingerprint", "admit_batch"],
+                    broadcast_probe=True,
                 )
         finally:
             out.unpersist()
@@ -1320,6 +1321,7 @@ def neardup_gate_admit(
     sigs = nd_ops.minhash_signature(
         batch_df, num_hashes, shingle_n
     ).persist()
+    cand = None
     try:
         banded = nd_ops.signature_bands(sigs, bands)
         dup_ids = None
@@ -1330,8 +1332,13 @@ def neardup_gate_admit(
             else:
                 idx_bands = txn.snapshot(spark, bands_table)
                 idx_sigs = txn.snapshot(spark, sigs_table)
+            # the batch's band frame broadcasts (micro-batch × bands
+            # rows of 3 ints): the INDEX side of the bucket probe then
+            # never shuffles — at 100 TB the band index is the side
+            # that grows, and the default shuffle plan moves all of it
+            # on every micro-batch
             cand = (
-                banded.join(
+                F.broadcast(banded).join(
                     idx_bands.withColumnRenamed("doc_id", "old_id"),
                     ["band", "bh"],
                 )
@@ -1357,6 +1364,10 @@ def neardup_gate_admit(
             # hot-bucket bound: at most CAND_CAP verification
             # candidates per probe doc (smallest old_ids win —
             # deterministic; only pathological buckets lose recall)
+            # persisted: the capped candidate frame (<= batch x CAP id
+            # pairs) feeds BOTH the broadcast signature prune and the
+            # verification join below — unpinned, the bucket probe
+            # would execute twice
             cand = (
                 cand.withColumn(
                     "_rn",
@@ -1366,15 +1377,23 @@ def neardup_gate_admit(
                 )
                 .filter(F.col("_rn") <= NEARDUP_GATE_CAND_CAP)
                 .drop("_rn")
+                .persist()
+            )
+            # verification touches only the COLLIDING old ids'
+            # signatures: prune the (growing) signature table with a
+            # broadcast semi-join on the capped candidate ids before
+            # the equi-join, so the big side is partition-scanned,
+            # filtered map-side, and never fully shuffled
+            idx_sigs_hit = idx_sigs.select(
+                F.col("doc_id").alias("old_id"), F.col("hs").alias("old_hs")
+            ).join(
+                F.broadcast(cand.select("old_id").dropDuplicates()),
+                "old_id",
+                "left_semi",
             )
             dup_ids = (
                 cand.join(sigs.select("doc_id", "hs"), "doc_id")
-                .join(
-                    idx_sigs.select(
-                        F.col("doc_id").alias("old_id"), F.col("hs").alias("old_hs")
-                    ),
-                    "old_id",
-                )
+                .join(idx_sigs_hit, "old_id")
                 .filter(
                     F.size(F.array_intersect("hs", "old_hs"))
                     / F.size(F.array_union("hs", "old_hs"))
@@ -1441,12 +1460,20 @@ def neardup_gate_admit(
                 stamp = F.lit(batch_id).cast("long").alias("admit_batch")
                 sig_rows = sig_rows.select("*", stamp)
                 band_rows = band_rows.select("*", stamp)
-            txn.merge_keyed(sig_rows, sigs_table, key_cols=["doc_id"])
-            txn.merge_keyed(band_rows, bands_table, key_cols=["doc_id", "band"])
+            txn.merge_keyed(
+                sig_rows, sigs_table, key_cols=["doc_id"],
+                broadcast_probe=True,
+            )
+            txn.merge_keyed(
+                band_rows, bands_table, key_cols=["doc_id", "band"],
+                broadcast_probe=True,
+            )
         finally:
             members.unpersist()
         return admit
     finally:
+        if cand is not None:
+            cand.unpersist()
         sigs.unpersist()
 
 
@@ -1619,14 +1646,19 @@ def overlap_gate_admit(
                 idx = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
             else:
                 idx = txn.snapshot(spark, index_table)
-            idx = idx.join(batch_df.select("doc_id"), "doc_id", "left_anti")
+            # batch ids and the batch's fp frame both broadcast
+            # (micro-batch-bounded): the fingerprint index — the side
+            # that grows at 100 TB — never shuffles for the probe
+            idx = idx.join(
+                F.broadcast(batch_df.select("doc_id")), "doc_id", "left_anti"
+            )
             if stop_fps:
                 idx = idx.filter(
                     ~F.col("fp").isin([int(f) for f in stop_fps])
                 )
             idx_kept = idx.withColumnRenamed("doc_id", "old_id")
             dup_ids = (
-                kept.join(idx_kept, "fp")
+                F.broadcast(kept).join(idx_kept, "fp")
                 .groupBy("doc_id", "old_id")
                 .agg(F.count("*").alias("_shared"))
                 .filter(F.col("_shared") >= min_shared)
@@ -1647,7 +1679,10 @@ def overlap_gate_admit(
                 fp_rows = fp_rows.select(
                     "*", F.lit(batch_id).cast("long").alias("admit_batch")
                 )
-            txn.merge_keyed(fp_rows, index_table, key_cols=["doc_id", "fp"])
+            txn.merge_keyed(
+                fp_rows, index_table, key_cols=["doc_id", "fp"],
+                broadcast_probe=True,
+            )
         finally:
             members.unpersist()
         return admit
@@ -1910,7 +1945,10 @@ def semantic_gate_admit(
                 idx_rows = idx_rows.select(
                     "*", F.lit(batch_id).cast("long").alias("admit_batch")
                 )
-            txn.merge_keyed(idx_rows, index_table, key_cols=["vec_id"])
+            txn.merge_keyed(
+                idx_rows, index_table, key_cols=["vec_id"],
+                broadcast_probe=True,
+            )
         finally:
             if members is not None:
                 members.unpersist()

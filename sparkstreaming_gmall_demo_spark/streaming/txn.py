@@ -194,6 +194,7 @@ def merge_keyed(
     table: str,
     key_cols: list,
     max_retries: int = 20,
+    broadcast_probe: bool = False,
 ) -> int:
     """Transactional insert-only MERGE: append exactly the rows whose
     keys are not yet in the table — atomic under concurrent writers.
@@ -206,6 +207,16 @@ def merge_keyed(
     may have inserted our keys) and retry. Replaying the same batch is
     a no-op: every key is anti-joined away and the empty commit is
     skipped. Returns the number of rows actually inserted.
+
+    ``broadcast_probe``: the anti-join's result depends only on
+    seen-keys ∩ batch-keys, so when the BATCH is bounded (a
+    micro-batch — the ingest-gate contract) the table's key set can be
+    cut down to the batch's keys with a broadcast semi-join BEFORE the
+    anti-join, and the survivor keys broadcast back: the table side
+    then never shuffles for the probe — at 100 TB the default plan
+    shuffles the table's entire key set across the cluster on every
+    micro-batch. Identical semantics, null-safe on every component;
+    leave False for merges whose batch may be arbitrarily large.
     """
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates(key_cols)
@@ -215,6 +226,17 @@ def merge_keyed(
         if v >= 0:
             existing = snapshot(spark, table, schema=batch.schema)
             seen = existing.select(*key_cols).dropDuplicates(key_cols)
+            if broadcast_probe:
+                bkeys = F.broadcast(
+                    batch.select(*key_cols).dropDuplicates(key_cols)
+                )
+                pcond = None
+                for c in key_cols:
+                    e = seen[c].eqNullSafe(bkeys[c])
+                    pcond = e if pcond is None else (pcond & e)
+                seen = F.broadcast(
+                    seen.join(bkeys, on=pcond, how="left_semi")
+                )
             cond = None
             for c in key_cols:
                 e = batch[c].eqNullSafe(seen[c])
