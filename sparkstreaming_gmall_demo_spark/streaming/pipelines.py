@@ -687,7 +687,10 @@ def sketch_pipeline(
         cells = cm_build(toks, depth=depth, width=width).select(
             F.lit(batch_id).cast("long").alias("batch_id"), "d", "b", "c"
         )
-        txn.merge_keyed(cells, sketch_table, key_cols=["batch_id", "d", "b"])
+        txn.merge_keyed(
+            cells, sketch_table, key_cols=["batch_id", "d", "b"],
+            broadcast_probe=True,
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_sketch_partials(batch_df.sparkSession, sketch_table)
 
@@ -799,7 +802,10 @@ def hll_pipeline(
             .agg(F.hll_sketch_agg("k", F.lit(lgk)).alias("sketch"))
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "d", "sketch")
         )
-        txn.merge_keyed(partials, sketch_table, key_cols=["batch_id", "d"])
+        txn.merge_keyed(
+            partials, sketch_table, key_cols=["batch_id", "d"],
+            broadcast_probe=True,
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_hll_partials(batch_df.sparkSession, sketch_table)
 
@@ -864,7 +870,10 @@ def bm25_index_pipeline(
                     F.lit(batch_id).cast("long").alias("batch_id"),
                     "n_docs", "sum_dl",
                 )
-                txn.merge_keyed(partial, stats_table, key_cols=["batch_id"])
+                txn.merge_keyed(
+                    partial, stats_table, key_cols=["batch_id"],
+                    broadcast_probe=True,
+                )
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_bm25_stats(batch_df.sparkSession, stats_table)
         finally:
@@ -930,7 +939,10 @@ def boilerplate_pipeline(
             .agg(F.count("*").alias("df"))
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "gram", "df")
         )
-        txn.merge_keyed(partial, gram_table, key_cols=["batch_id", "gram"])
+        txn.merge_keyed(
+            partial, gram_table, key_cols=["batch_id", "gram"],
+            broadcast_probe=True,
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_boilerplate_dictionary(batch_df.sparkSession, gram_table)
 
@@ -2129,7 +2141,8 @@ def scd2_apply_batch(
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
     txn.merge_keyed(
-        batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra]
+        batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra],
+        broadcast_probe=True,
     )
     affected = batch_df.select(key).dropDuplicates()
     while True:
@@ -2275,7 +2288,8 @@ def scd2_apply_batch_bucketed(
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
     txn.merge_keyed(
-        batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra]
+        batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra],
+        broadcast_probe=True,
     )
     affected = batch_df.select(key).dropDuplicates().persist()
     try:
@@ -2539,7 +2553,10 @@ def quality_gate_pipeline(
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .select("batch_id", "rule", "n_docs")
             )
-            txn.merge_keyed(counts, counts_table, key_cols=["batch_id", "rule"])
+            txn.merge_keyed(
+                counts, counts_table, key_cols=["batch_id", "rule"],
+                broadcast_probe=True,
+            )
         finally:
             out.unpersist()
 
@@ -2580,6 +2597,9 @@ def divergence_monitor_pipeline(
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .select("batch_id", "source", "n_tokens", "jsd4")
         )
-        txn.merge_keyed(res, counts_table, key_cols=["batch_id", "source"])
+        txn.merge_keyed(
+            res, counts_table, key_cols=["batch_id", "source"],
+            broadcast_probe=True,
+        )
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)

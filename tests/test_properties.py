@@ -612,3 +612,58 @@ def test_source_dedup_report_matches_python_model(spark):
         assert got[s]["cross_src_fps"] == sum(
             1 for f in uniq if len(src_of_fp[f]) >= 2
         )
+
+
+def test_cosine_match_scan_rounding_parity_sweep(spark):
+    """The semantic gate's BLAS probe (cosine_match_scan) must agree
+    with the SQL probe-join form across a dense sweep of cosines
+    straddling the 4dp HALF_UP boundary — one Spark job per side for
+    hundreds of boundary cases. Probes are unit vectors [c, sqrt(1-c²)]
+    against the index vector [1, 0]: cosine == c exactly, so every
+    case plants its score directly on or near the rounding edge."""
+    import math as m
+
+    from sparkstreaming_gmall_demo_spark.operators.similarity import (
+        DOT,
+        cosine_match_scan,
+    )
+
+    # 0.9499, 0.94992, ..., 0.95008, 0.9501 and ulp-adjacent values
+    base = [0.9499 + k * 2e-5 for k in range(11)]
+    cs = sorted(
+        {c for b in base for c in (b, m.nextafter(b, 0), m.nextafter(b, 1))}
+    )
+    probes = spark.createDataFrame(
+        [(i, 0, [c, m.sqrt(1 - c * c)], 1.0) for i, c in enumerate(cs)],
+        "vec_id long, cluster int, embedding array<double>, nrm double",
+    )
+    idx = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1.0)],
+        "cluster int, embedding array<double>, nrm double",
+    )
+    got = {r.vec_id for r in cosine_match_scan(idx, probes, 0.95).collect()}
+    sql_form = {
+        r.vec_id
+        for r in probes.withColumnRenamed("embedding", "v")
+        .join(
+            idx.select(
+                "cluster",
+                F.col("embedding").alias("old_vec"),
+                F.col("nrm").alias("old_nrm"),
+            ),
+            "cluster",
+        )
+        .filter(
+            F.round(
+                F.expr(DOT.format(a="v", b="old_vec"))
+                / (F.col("nrm") * F.col("old_nrm")),
+                4,
+            )
+            >= F.lit(0.95)
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert got == sql_form
+    # sanity: the sweep actually splits — some admit, some reject
+    assert 0 < len(got) < len(cs)
