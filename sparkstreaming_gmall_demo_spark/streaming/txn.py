@@ -247,7 +247,18 @@ def merge_keyed(
             n_new = remaining.count()
             if n_new == 0:
                 return 0  # pure replay: nothing new to commit
-            staged = _stage(remaining, table)
+            # size the staged file count from the (already-computed)
+            # row count: a micro-batch merge otherwise inherits the
+            # plan's task count and stages ~32 near-empty files per
+            # commit, and after a few hundred batches every snapshot
+            # read and downstream scan pays the small-file tax that
+            # compact_files exists to undo (measured: the semantic
+            # gate's index scan at 4 batches already touched 56 files
+            # of ~150 rows). One file per 256k rows, capped at 32.
+            staged = _stage(
+                remaining.coalesce(max(1, min(32, 1 + n_new // 256_000))),
+                table,
+            )
         finally:
             remaining.unpersist()
         base = _read_manifest(table, v) if v >= 0 else []
