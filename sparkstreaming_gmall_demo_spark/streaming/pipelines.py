@@ -1416,11 +1416,9 @@ def neardup_gate_admit(
             )
         # whole-batch components (replay-identical: a pure function of
         # batch content) from the already-computed signature frame —
-        # one text pass per batch. Fast path: most batches carry NO
-        # within-batch near-dups, and the component loop is the gate's
-        # dominant fixed cost (several jobs per iteration) — one cheap
-        # isEmpty() action skips it; semantics unchanged (every doc is
-        # its own component).
+        # one text pass per batch. Fast path for the common no-pairs
+        # batch lives in _gate_admit_ids (n_pairs == 0 skips the
+        # component machinery; every doc is its own component).
         # Within-batch pairs reuse the probe's payload-free ``banded``
         # frame: candidates are generated from (doc_id, band, bh) ints
         # only, then verified by joining the hash sets back from the
@@ -1433,8 +1431,6 @@ def neardup_gate_admit(
         # signature frame is already cached). Same banding expression,
         # same DEFAULT_MAX_BUCKET salting cap, same deterministic
         # chunking -> candidate set and replay behavior are identical.
-        # Pinned: isEmpty() and the component pass's edge checkpoint
-        # would otherwise each evaluate the bucket shuffle.
         cand_wb = (
             nd_ops._bucket_pairs(banded, [F.col("doc_id")])
             .select(
