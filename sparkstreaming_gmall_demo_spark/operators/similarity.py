@@ -531,16 +531,24 @@ def semantic_pairs_driver(
     zero-norm rows never pair (the when()-NULL drop of the SQL form).
 
     Semantics parity with the distributed kernel, point by point:
-    members of a cell are sorted by id (the payload-struct sort — ids
-    are unique, so struct order IS id order) and chunked into
-    contiguous sub-buckets of ``max_bucket`` (neardup._bucket_pairs'
-    hot-bucket cap: cross-chunk pairs are traded away, intra-chunk
-    edges kept), scores are dot / (nrm_i * nrm_j) — the same formula
-    shape as the SQL DOT fold, BLAS sum order differing by ~1 ulp
-    (the cosine_match_scan numeric contract). The micro-batch is
-    bounded by construction (the semantic gate's broadcast cap), so
-    the O(chunk²) matmuls run in-process where the distributed form
-    paid a shuffle + per-pair array allocation.
+    ALL of a cell's members — zero-norm and dimension-mismatched rows
+    included — are sorted by id (the payload-struct sort — ids are
+    unique, so struct order IS id order) and chunked into contiguous
+    sub-buckets of ``max_bucket`` (neardup._bucket_pairs' hot-bucket
+    cap: cross-chunk pairs are traded away, intra-chunk edges kept;
+    unmatchable rows still OCCUPY chunk slots exactly as they do in
+    the distributed sorted array — filtering them first would shift
+    chunk boundaries and change which pairs the cap trades away).
+    Within a chunk, only same-length positive-norm pairs score (the
+    SQL form's behavior: zip_with pads a length mismatch with NULL
+    and the fold collapses to NULL; zero norms NULL out under the
+    when() guard — both drop at the filter, never crash), as
+    dot / (nrm_i * nrm_j) — the same formula shape as the SQL DOT
+    fold, BLAS sum order differing by ~1 ulp (the cosine_match_scan
+    numeric contract). The micro-batch is bounded by construction
+    (the semantic gate's broadcast cap), so the O(chunk²) matmuls run
+    in-process where the distributed form paid a shuffle + per-pair
+    array allocation.
     """
     import numpy as np
 
@@ -550,23 +558,27 @@ def semantic_pairs_driver(
         max_bucket = DEFAULT_MAX_BUCKET
     by_cluster: dict = {}
     for rid, c, v, nrm in rows:
-        if nrm is None or nrm <= 0:
-            continue
         by_cluster.setdefault(int(c), []).append((rid, v, nrm))
     pairs: list = []
     for _, rs in by_cluster.items():
         rs.sort(key=lambda r: r[0])
         for s in range(0, len(rs), max_bucket):
             chunk = rs[s : s + max_bucket]
-            if len(chunk) < 2:
-                continue
-            ids = [r[0] for r in chunk]
-            v = np.array([r[1] for r in chunk], dtype=np.float64)
-            nrm = np.array([r[2] for r in chunk], dtype=np.float64)
-            m = (v @ v.T) / np.outer(nrm, nrm)
-            r4 = np.floor(np.abs(m) * 1e4 + 0.5) * 1e-4 * np.sign(m)
-            ii, jj = np.nonzero(np.triu(r4 >= threshold, k=1))
-            pairs.extend((ids[a], ids[b]) for a, b in zip(ii, jj))
+            by_dim: dict = {}
+            for rid, v, nrm in chunk:
+                if nrm is None or not nrm > 0:
+                    continue  # matches nothing; slot already counted
+                by_dim.setdefault(len(v), []).append((rid, v, nrm))
+            for grp in by_dim.values():
+                if len(grp) < 2:
+                    continue
+                ids = [r[0] for r in grp]
+                v = np.array([r[1] for r in grp], dtype=np.float64)
+                nrm = np.array([r[2] for r in grp], dtype=np.float64)
+                m = (v @ v.T) / np.outer(nrm, nrm)
+                r4 = np.floor(np.abs(m) * 1e4 + 0.5) * 1e-4 * np.sign(m)
+                ii, jj = np.nonzero(np.triu(r4 >= threshold, k=1))
+                pairs.extend((ids[a], ids[b]) for a, b in zip(ii, jj))
     return pairs
 
 
@@ -629,23 +641,28 @@ def cosine_match_scan(
 
 
 def pack_probe_matrices(probe_rows) -> dict:
-    """(id, cluster, vec, nrm) rows -> {cluster: (ids, unit-vector
-    matrix)} for :func:`cosine_match_scan_packed`. Zero/negative-norm
-    rows are dropped (cosine undefined; the gate's zero-norm contract
-    says they match nothing)."""
+    """(id, cluster, vec, nrm) rows -> {(cluster, dim): (ids,
+    unit-vector matrix)} for :func:`cosine_match_scan_packed`.
+    Zero/negative-norm rows are dropped (cosine undefined; the gate's
+    zero-norm contract says they match nothing). Keying by (cluster,
+    DIMENSION) makes a ragged corpus safe: a probe only ever scores
+    against index vectors of its own length — the SQL form's zip_with
+    pads a length mismatch with NULL and drops the pair, where a
+    naive matmul over mixed lengths would raise and wedge the
+    foreachBatch sink (round-8 review finding)."""
     import numpy as np
 
-    by_cluster: dict = {}
+    by_cell: dict = {}
     for qid, c, v, nrm in probe_rows:
-        if nrm is None or nrm <= 0:
+        if nrm is None or not nrm > 0:
             continue
-        by_cluster.setdefault(int(c), []).append((qid, v, nrm))
+        by_cell.setdefault((int(c), len(v)), []).append((qid, v, nrm))
     packed = {}
-    for c, rs in by_cluster.items():
+    for key, rs in by_cell.items():
         ids = [r[0] for r in rs]
         q = np.array([r[1] for r in rs], dtype=np.float64)
         nrm = np.array([r[2] for r in rs], dtype=np.float64)
-        packed[c] = (ids, q / nrm[:, None])
+        packed[key] = (ids, q / nrm[:, None])
     return packed
 
 
@@ -661,8 +678,13 @@ def cosine_match_scan_packed(
     row_chunk: int = 4096,
 ) -> DataFrame:
     """:func:`cosine_match_scan` with the probe matrices already packed
-    ({cluster: (ids, unit-row matrix)}) — the semantic gate builds the
-    pack once from its collected batch and reuses it here."""
+    ({(cluster, dim): (ids, unit-row matrix)} — see
+    :func:`pack_probe_matrices`) — the semantic gate builds the pack
+    once from its collected batch and reuses it here. Index rows are
+    scored only against the probe matrix matching their (cluster,
+    vector length); mismatched-length and zero-norm index rows match
+    nothing, exactly as the SQL probe join drops them, instead of
+    crashing the matmul."""
     spark = index_df.sparkSession
     if not packed:
         return spark.createDataFrame([], f"{id_col} {id_type}")
@@ -676,22 +698,36 @@ def cosine_match_scan_packed(
         matched: set = set()
         for pdf in batches:
             for c, grp in pdf.groupby(cluster_col, sort=False):
-                entry = data.get(int(c))
-                if entry is None:
-                    continue
-                ids, qn = entry
-                nrm = grp[nrm_col].to_numpy(dtype=np.float64)
-                live = nrm > 0
-                if not live.any():
-                    continue
-                o = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
-                )[live] / nrm[live][:, None]
-                for s in range(0, len(o), row_chunk):
-                    m = o[s : s + row_chunk] @ qn.T
-                    r4 = np.floor(np.abs(m) * 1e4 + 0.5) * 1e-4 * np.sign(m)
-                    hit = (r4 >= threshold).any(axis=0)
-                    matched.update(ids[k] for k in np.nonzero(hit)[0])
+                nrm = np.array(
+                    [x if x is not None else 0.0 for x in grp[nrm_col]],
+                    dtype=np.float64,
+                )
+                vecs = list(grp[vec_col])
+                lens = np.fromiter(
+                    (len(v) if v is not None else -1 for v in vecs),
+                    dtype=np.int64,
+                )
+                for dim in np.unique(lens):
+                    entry = data.get((int(c), int(dim)))
+                    if entry is None:
+                        continue
+                    ids, qn = entry
+                    live = (lens == dim) & (nrm > 0)
+                    if not live.any():
+                        continue
+                    o = np.array(
+                        [np.asarray(vecs[k], dtype=np.float64)
+                         for k in np.nonzero(live)[0]]
+                    ) / nrm[live][:, None]
+                    for s in range(0, len(o), row_chunk):
+                        m = o[s : s + row_chunk] @ qn.T
+                        r4 = (
+                            np.floor(np.abs(m) * 1e4 + 0.5)
+                            * 1e-4
+                            * np.sign(m)
+                        )
+                        hit = (r4 >= threshold).any(axis=0)
+                        matched.update(ids[k] for k in np.nonzero(hit)[0])
         if matched:
             yield pd.DataFrame({id_col: sorted(matched)})
 

@@ -634,7 +634,11 @@ def novelty_gate_pipeline(
                 )
         finally:
             out.unpersist()
-        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+        if (
+            ttl_batches is not None
+            and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
+            and batch_id % compact_every == compact_every - 1
+        ):
             # bounded-state vacuum: replace the table with its live rows.
             # The CAS pins the version the replacement was derived from —
             # this sink is the table's only writer, so the raise-path is
@@ -1089,6 +1093,13 @@ NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
 # back to the distributed probe join instead of OOMing the driver.
 SEMANTIC_GATE_BROADCAST_PROBE_CAP = 200_000
 
+# Batch-side frames (ids, band rows, fingerprint rows) broadcast into
+# the gate index probes and keyed merges only while the batch stays
+# under this row bound; a huge batch — the documented batch-backfill
+# usage of the *_gate_admit functions — falls back to the shuffle
+# plan instead of forcing a multi-GB broadcast past Spark's limit.
+GATE_BROADCAST_ROW_CAP = 1_000_000
+
 
 def _driver_union_find(pair_rows) -> dict[int, int]:
     """Min-label union-find over collected (i, j) pairs: same contract
@@ -1129,10 +1140,13 @@ def _ttl_live_index(spark, table: str, batch_id: int, ttl_batches: int):
     whether or not the crash interleaved with a vacuum."""
     from . import txn
 
-    idx = txn.snapshot(spark, table)
+    v = txn.current_version(table)
+    idx = txn.snapshot(spark, table, version=v)
     if "admit_batch" not in idx.columns:
         idx = idx.withColumn("admit_batch", F.lit(batch_id).cast("long"))
-        txn.overwrite(idx, table)
+        # meta carried forward: an overwrite must never silently drop
+        # what maintenance recorded (the merge_keyed contract)
+        txn.overwrite(idx, table, meta=txn.table_meta(table, v))
         idx = txn.snapshot(spark, table)
     return idx.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
 
@@ -1154,7 +1168,9 @@ def _ttl_vacuum(spark, table: str, batch_id: int, ttl_batches: int) -> None:
     if "admit_batch" not in snap.columns:
         return
     live = snap.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
-    txn.overwrite(live, table, expected_version=v)
+    txn.overwrite(
+        live, table, meta=txn.table_meta(table, v), expected_version=v
+    )
 
 
 def _require_batch_id(ttl_batches, batch_id) -> None:
@@ -1335,6 +1351,10 @@ def neardup_gate_admit(
     ).persist()
     cand = None
     try:
+        # micro-batches (the overwhelmingly common case) broadcast
+        # their band/id frames so the index side never shuffles; a
+        # large backfill batch keeps the shuffle plan
+        small = sigs.count() * bands <= GATE_BROADCAST_ROW_CAP
         banded = nd_ops.signature_bands(sigs, bands)
         dup_ids = None
         if txn.current_version(bands_table) >= 0:
@@ -1350,7 +1370,7 @@ def neardup_gate_admit(
             # that grows, and the default shuffle plan moves all of it
             # on every micro-batch
             cand = (
-                F.broadcast(banded).join(
+                (F.broadcast(banded) if small else banded).join(
                     idx_bands.withColumnRenamed("doc_id", "old_id"),
                     ["band", "bh"],
                 )
@@ -1398,11 +1418,13 @@ def neardup_gate_admit(
             # filtered map-side, and never fully shuffled
             idx_sigs_hit = idx_sigs.select(
                 F.col("doc_id").alias("old_id"), F.col("hs").alias("old_hs")
-            ).join(
-                F.broadcast(cand.select("old_id").dropDuplicates()),
-                "old_id",
-                "left_semi",
             )
+            if small:
+                idx_sigs_hit = idx_sigs_hit.join(
+                    F.broadcast(cand.select("old_id").dropDuplicates()),
+                    "old_id",
+                    "left_semi",
+                )
             dup_ids = (
                 cand.join(sigs.select("doc_id", "hs"), "doc_id")
                 .join(idx_sigs_hit, "old_id")
@@ -1464,17 +1486,28 @@ def neardup_gate_admit(
             band_rows = banded.join(admit_ids, "doc_id").select(
                 "doc_id", "band", "bh"
             )
+            # under TTL the stamp joins the merge KEY (the novelty
+            # gate's discipline): an id re-admitted after its rows
+            # expired must insert a FRESH stamped row — keyed on the
+            # bare id, the insert-only merge would match the expired
+            # row, the stamp would never refresh, and the content
+            # would permanently stop suppressing its near-dups
+            # (round-8 review finding). Replays re-derive the same
+            # (id, admit_batch), so they stay no-ops.
+            sig_keys, band_keys = ["doc_id"], ["doc_id", "band"]
             if ttl_batches is not None:
                 stamp = F.lit(batch_id).cast("long").alias("admit_batch")
                 sig_rows = sig_rows.select("*", stamp)
                 band_rows = band_rows.select("*", stamp)
+                sig_keys = sig_keys + ["admit_batch"]
+                band_keys = band_keys + ["admit_batch"]
             txn.merge_keyed(
-                sig_rows, sigs_table, key_cols=["doc_id"],
-                broadcast_probe=True,
+                sig_rows, sigs_table, key_cols=sig_keys,
+                broadcast_probe=small,
             )
             txn.merge_keyed(
-                band_rows, bands_table, key_cols=["doc_id", "band"],
-                broadcast_probe=True,
+                band_rows, bands_table, key_cols=band_keys,
+                broadcast_probe=small,
             )
         finally:
             members.unpersist()
@@ -1524,7 +1557,11 @@ def neardup_gate_pipeline(
             )
         finally:
             admit.unpersist()
-        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+        if (
+            ttl_batches is not None
+            and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
+            and batch_id % compact_every == compact_every - 1
+        ):
             _ttl_vacuum(spark, index_table + "_sigs", batch_id, ttl_batches)
             _ttl_vacuum(spark, index_table + "_bands", batch_id, ttl_batches)
 
@@ -1626,6 +1663,9 @@ def overlap_gate_admit(
         fps = fps.filter(~F.col("fp").isin([int(f) for f in stop_fps]))
     fps = fps.persist()
     try:
+        # micro-batches broadcast their fingerprint/id frames so the
+        # index never shuffles; a large backfill keeps the shuffle plan
+        small = fps.count() <= GATE_BROADCAST_ROW_CAP
         rare_batch = (
             fps.groupBy("fp")
             .agg(F.count("*").alias("_df"))
@@ -1655,10 +1695,11 @@ def overlap_gate_admit(
             else:
                 idx = txn.snapshot(spark, index_table)
             # batch ids and the batch's fp frame both broadcast
-            # (micro-batch-bounded): the fingerprint index — the side
-            # that grows at 100 TB — never shuffles for the probe
+            # (when micro-batch-bounded): the fingerprint index — the
+            # side that grows at 100 TB — never shuffles for the probe
+            bids = batch_df.select("doc_id")
             idx = idx.join(
-                F.broadcast(batch_df.select("doc_id")), "doc_id", "left_anti"
+                F.broadcast(bids) if small else bids, "doc_id", "left_anti"
             )
             if stop_fps:
                 idx = idx.filter(
@@ -1666,7 +1707,7 @@ def overlap_gate_admit(
                 )
             idx_kept = idx.withColumnRenamed("doc_id", "old_id")
             dup_ids = (
-                F.broadcast(kept).join(idx_kept, "fp")
+                (F.broadcast(kept) if small else kept).join(idx_kept, "fp")
                 .groupBy("doc_id", "old_id")
                 .agg(F.count("*").alias("_shared"))
                 .filter(F.col("_shared") >= min_shared)
@@ -1683,13 +1724,17 @@ def overlap_gate_admit(
             # batch-side max_df rule is probe-time only — what is
             # locally common in one batch may be rare corpus-wide
             fp_rows = fps.join(admit_ids, "doc_id").select("doc_id", "fp")
+            fp_keys = ["doc_id", "fp"]
             if ttl_batches is not None:
                 fp_rows = fp_rows.select(
                     "*", F.lit(batch_id).cast("long").alias("admit_batch")
                 )
+                # stamp in the key: see neardup_gate_admit — an id
+                # re-admitted after expiry must refresh its stamp
+                fp_keys = fp_keys + ["admit_batch"]
             txn.merge_keyed(
-                fp_rows, index_table, key_cols=["doc_id", "fp"],
-                broadcast_probe=True,
+                fp_rows, index_table, key_cols=fp_keys,
+                broadcast_probe=small,
             )
         finally:
             members.unpersist()
@@ -1735,7 +1780,11 @@ def overlap_gate_pipeline(
             )
         finally:
             admit.unpersist()
-        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+        if (
+            ttl_batches is not None
+            and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
+            and batch_id % compact_every == compact_every - 1
+        ):
             _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
@@ -1829,6 +1878,10 @@ def semantic_gate_admit(
     )
     try:
         n_batch = assigned.count()
+        fast = (
+            n_batch * min(nprobe, len(centroids))
+            <= SEMANTIC_GATE_BROADCAST_PROBE_CAP
+        )
         have_index = txn.current_version(index_table) >= 0
         idx = None
         if have_index:
@@ -1843,8 +1896,9 @@ def semantic_gate_admit(
                 base = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
             else:
                 base = txn.snapshot(spark, index_table)
+            bvids = batch_df.select("vec_id")
             idx = base.join(
-                F.broadcast(batch_df.select("vec_id")), "vec_id", "left_anti"
+                F.broadcast(bvids) if fast else bvids, "vec_id", "left_anti"
             )
         # both probe paths apply the same 4dp-rounded threshold
         # semantics as the within-batch pair kernel — else a pair with
@@ -1855,7 +1909,7 @@ def semantic_gate_admit(
         # (the foreachBatch wedge class), and cosine is undefined on
         # them anyway — see the docstring's zero-norm contract.
         id_type = dict(batch_df.dtypes)["vec_id"]
-        if n_batch * min(nprobe, len(centroids)) <= SEMANTIC_GATE_BROADCAST_PROBE_CAP:
+        if fast:
             # bounded micro-batch (the overwhelmingly common case):
             # collect the batch ONCE and run the whole decision
             # driver-side — within-cell pairs as in-process BLAS
@@ -1949,13 +2003,18 @@ def semantic_gate_admit(
             idx_rows = assigned.join(admit_ids, "vec_id").select(
                 "vec_id", "cluster", "embedding", "nrm"
             )
+            vec_keys = ["vec_id"]
             if ttl_batches is not None:
                 idx_rows = idx_rows.select(
                     "*", F.lit(batch_id).cast("long").alias("admit_batch")
                 )
+                # stamp in the key: see neardup_gate_admit — a vec_id
+                # re-admitted after expiry (re-embeddings often KEEP
+                # stable content-hash ids) must refresh its stamp
+                vec_keys = vec_keys + ["admit_batch"]
             txn.merge_keyed(
-                idx_rows, index_table, key_cols=["vec_id"],
-                broadcast_probe=True,
+                idx_rows, index_table, key_cols=vec_keys,
+                broadcast_probe=fast,
             )
         finally:
             if members is not None:
@@ -2002,7 +2061,11 @@ def semantic_gate_pipeline(
             )
         finally:
             admit.unpersist()
-        if ttl_batches is not None and batch_id % compact_every == compact_every - 1:
+        if (
+            ttl_batches is not None
+            and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
+            and batch_id % compact_every == compact_every - 1
+        ):
             _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
 
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
@@ -2136,6 +2199,9 @@ def scd2_apply_batch(
         return  # replayed batch: both commits already landed
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
+    # broadcast probe: a dimension changelog's per-batch key set is
+    # small by nature (the docstring's scale argument) — a caller
+    # backfilling a fact-sized frame through this API should chunk it
     txn.merge_keyed(
         batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra],
         broadcast_probe=True,
@@ -2188,6 +2254,38 @@ def _scd2_bucket_expr(key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast(
         "int"
     )
+
+
+def _scd2_layout_check(history_root: str, n_buckets: int) -> None:
+    """Record the bucket-layout constant ONCE at the history root
+    (O_EXCL — first writer wins) and validate every later apply
+    against it. The per-bucket meta check alone has a hole: a drifted
+    caller whose keys hash into never-created bucket ids sees empty
+    meta, skips validation, and silently commits a SECOND copy of
+    those keys' history into new bucket tables while the stale copy
+    stays behind — the union reader would then return duplicate
+    SCD2 intervals with no error (round-8 review finding)."""
+    import json
+
+    os.makedirs(history_root, exist_ok=True)
+    p = os.path.join(history_root, "_scd2_layout.json")
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps({"n_buckets": int(n_buckets)}).encode())
+        finally:
+            os.close(fd)
+        return
+    except FileExistsError:
+        pass
+    with open(p) as f:
+        stored = int(json.load(f)["n_buckets"])
+    if stored != int(n_buckets):
+        raise ValueError(
+            f"{history_root} was laid out with n_buckets={stored}, "
+            f"called with {n_buckets} — a drifted bucket count would "
+            "mis-route keys into duplicate history tables"
+        )
 
 
 def _scd2_bucket_table(history_root: str, b: int) -> str:
@@ -2274,15 +2372,21 @@ def scd2_apply_batch_bucketed(
     buckets cost N cheap filtered writes against the cached frame, not
     N window passes.
 
-    ``n_buckets`` is a layout constant: it is recorded in every bucket
-    table's meta and validated on each apply (a drifted caller would
-    silently mis-route keys)."""
+    ``n_buckets`` is a layout constant: it is recorded ONCE at the
+    history root (_scd2_layout_check — covers buckets that do not
+    exist yet) and in every bucket table's meta, and validated on
+    each apply (a drifted caller would silently mis-route keys into
+    duplicate history tables)."""
     from ..operators import scd2 as scd2_ops
     from . import txn
 
     spark = batch_df.sparkSession
+    _scd2_layout_check(history_root, n_buckets)
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
+    # broadcast probe: a dimension changelog's per-batch key set is
+    # small by nature (the docstring's scale argument) — a caller
+    # backfilling a fact-sized frame through this API should chunk it
     txn.merge_keyed(
         batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra],
         broadcast_probe=True,

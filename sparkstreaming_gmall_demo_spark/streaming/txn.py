@@ -254,10 +254,12 @@ def merge_keyed(
             # read and downstream scan pays the small-file tax that
             # compact_files exists to undo (measured: the semantic
             # gate's index scan at 4 batches already touched 56 files
-            # of ~150 rows). One file per 256k rows, capped at 32.
+            # of ~150 rows). One file per 256k rows, UNCAPPED upward:
+            # coalesce to more partitions than the plan has is a no-op,
+            # so a huge backfill merge keeps its full write parallelism
+            # while micro-batches collapse to one file.
             staged = _stage(
-                remaining.coalesce(max(1, min(32, 1 + n_new // 256_000))),
-                table,
+                remaining.coalesce(max(1, 1 + n_new // 256_000)), table
             )
         finally:
             remaining.unpersist()

@@ -685,3 +685,136 @@ def test_semantic_gate_recluster_preserves_ttl_stamps(spark, tmp_path):
     )
     assert [r.vec_id for r in o2.collect()] == [3]
     o2.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 self-review findings: regression pins
+# ---------------------------------------------------------------------------
+def test_semantic_gate_tolerates_ragged_and_zero_norm_vectors(spark, tmp_path):
+    """A malformed producer emitting a dimension-mismatched vector
+    must not crash the driver-side BLAS kernels (the SQL forms drop
+    such pairs via zip_with NULL padding): ragged vectors pair/match
+    only against vectors of their own length, zero-norms match
+    nothing, and the gate keeps flowing."""
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "ragged_idx")
+    b1 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0]),          # ragged: 2-dim among 4-dim
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+    ]
+    o1 = pipelines.semantic_gate_admit(
+        spark.createDataFrame(b1, schema), table, centroids
+    )
+    assert {r.vec_id for r in o1.collect()} == {1, 2, 3}
+    o1.unpersist()
+    # cross-batch: an exact 4-dim dup of 1 is rejected; a 2-dim dup of
+    # 2 is rejected via its own-dimension probe matrix; a fresh 2-dim
+    # vector orthogonal-ish to 2 is admitted
+    b2 = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [2.0, 0.0]),          # cosine 1.0 with vec 2
+        (12, [0.0, 1.0]),          # cosine 0 with vec 2
+    ]
+    o2 = pipelines.semantic_gate_admit(
+        spark.createDataFrame(b2, schema), table, centroids
+    )
+    assert {r.vec_id for r in o2.collect()} == {12}
+    o2.unpersist()
+
+
+def test_semantic_pairs_driver_chunk_slots_match_distributed_kernel():
+    """Zero-norm and ragged members must OCCUPY sub-bucket slots (the
+    distributed kernel sorts them into the chunked array): with
+    max_bucket=2, cell members [1: zero-norm, 2: v, 3: v] chunk as
+    [1,2] + [3] — dropping the zero-norm row first would chunk [2,3]
+    together and invent the (2,3) pair the distributed cap trades
+    away."""
+    from sparkstreaming_gmall_demo_spark.operators.similarity import (
+        semantic_pairs_driver,
+    )
+
+    v = [1.0, 0.0]
+    rows = [(1, 0, [0.0, 0.0], 0.0), (2, 0, v, 1.0), (3, 0, v, 1.0)]
+    assert semantic_pairs_driver(rows, 0.95, max_bucket=2) == []
+    # without the zero-norm occupant the pair is found
+    rows2 = [(2, 0, v, 1.0), (3, 0, v, 1.0)]
+    assert semantic_pairs_driver(rows2, 0.95, max_bucket=2) == [(2, 3)]
+
+
+def test_semantic_gate_ttl_same_id_readmission_refreshes_stamp(spark, tmp_path):
+    """A vec_id re-admitted after its index rows expired must insert a
+    FRESH stamped row (merge keyed on (vec_id, admit_batch)): keyed on
+    the bare id, the expired row blocked the new stamp and the content
+    permanently stopped suppressing its near-dups."""
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "stamp_idx")
+    v = [1.0, 0.0, 0.0, 0.0]
+    # batch 0: admit id 7; ttl=2 -> expires for batches > 2
+    pipelines.semantic_gate_admit(
+        spark.createDataFrame([(7, v)], schema), table, centroids,
+        ttl_batches=2, batch_id=0,
+    ).unpersist()
+    # batch 3: id 7 re-served (same id, same content) -> re-admitted
+    o = pipelines.semantic_gate_admit(
+        spark.createDataFrame([(7, v)], schema), table, centroids,
+        ttl_batches=2, batch_id=3,
+    )
+    assert [r.vec_id for r in o.collect()] == [7]
+    o.unpersist()
+    stamps = {
+        (r.vec_id, r.admit_batch)
+        for r in txn.snapshot(spark, table).collect()
+    }
+    assert (7, 3) in stamps  # the refreshed stamp landed
+    # batch 4: a near-dup of 7 must be SUPPRESSED by the fresh stamp
+    o2 = pipelines.semantic_gate_admit(
+        spark.createDataFrame([(8, v)], schema), table, centroids,
+        ttl_batches=2, batch_id=4,
+    )
+    assert o2.count() == 0
+    o2.unpersist()
+
+
+def test_scd2_bucketed_layout_drift_raises(spark, tmp_path):
+    """A caller re-applying with a different n_buckets must fail fast
+    even when its keys hash into never-created bucket ids — the
+    root-level layout record closes the empty-meta hole that would
+    silently commit duplicate history."""
+    import pytest
+
+    root = str(tmp_path / "hist")
+    obs = str(tmp_path / "obs")
+    batch = spark.createDataFrame([(1, 10, "a")], "uid long, ts long, val string")
+    pipelines.scd2_apply_batch_bucketed(
+        batch, obs, root, "uid", "ts", ["val"], n_buckets=16, batch_id=0
+    )
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        pipelines.scd2_apply_batch_bucketed(
+            batch, obs, root, "uid", "ts", ["val"], n_buckets=32, batch_id=1
+        )
+
+
+def test_gate_pipelines_compact_every_zero_disables_vacuum(spark, tmp_path):
+    """compact_every=0 means 'never vacuum' (the sketch-pipeline
+    convention), not ZeroDivisionError inside foreachBatch."""
+    topic = tmp_path / "vecs0"
+    _stage_batches(
+        topic, _vec_table,
+        [[(1, V_A)], [(2, [0.0, 1.0, 0.0, 0.0])]],
+    )
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+    q = pipelines.semantic_gate_pipeline(
+        stream, str(tmp_path / "idx0"), str(tmp_path / "out0"),
+        str(tmp_path / "ck0"), CENTROIDS,
+        trigger={"availableNow": True}, ttl_batches=2, compact_every=0,
+    )
+    q.awaitTermination()
+    got = {r.vec_id for r in spark.read.parquet(str(tmp_path / "out0")).collect()}
+    assert got == {1, 2}
