@@ -818,3 +818,29 @@ def test_gate_pipelines_compact_every_zero_disables_vacuum(spark, tmp_path):
     q.awaitTermination()
     got = {r.vec_id for r in spark.read.parquet(str(tmp_path / "out0")).collect()}
     assert got == {1, 2}
+
+
+def test_semantic_gate_nprobe_recall_trade(spark, tmp_path):
+    """The IVF bargain the bench's nprobe rows quantify, pinned as
+    semantics: a near-dup whose stored twin sits in the probe's
+    SECOND-nearest cell is missed (over-admitted) at nprobe=1 and
+    caught at nprobe=2. Twin t sits just on c0's side of the c0/c1
+    boundary; probe p is a near-duplicate (cosine ~0.9996) just on
+    c1's side, so p assigns to c1 while t rests in c0."""
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    t = _vec_with_cosine(0.7075)   # ~45° + eps: lands in c0
+    p = _vec_with_cosine(0.7065)   # ~45° - eps: lands in c1, cos(t,p)≈1
+
+    for nprobe, want in ((1, {2}), (2, set())):
+        table = str(tmp_path / f"np{nprobe}")
+        pipelines.semantic_gate_admit(
+            spark.createDataFrame([(1, t)], schema), table, centroids,
+            nprobe=nprobe,
+        ).unpersist()
+        out = pipelines.semantic_gate_admit(
+            spark.createDataFrame([(2, p)], schema), table, centroids,
+            nprobe=nprobe,
+        )
+        assert {r.vec_id for r in out.collect()} == want, nprobe
+        out.unpersist()
