@@ -1151,14 +1151,26 @@ def _ttl_live_index(spark, table: str, batch_id: int, ttl_batches: int):
     return idx.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
 
 
-def _ttl_vacuum(spark, table: str, batch_id: int, ttl_batches: int) -> None:
+def _ttl_vacuum(
+    spark,
+    table: str,
+    batch_id: int,
+    ttl_batches: int,
+    order_by: list | None = None,
+) -> None:
     """Bounded-state vacuum for a TTL'd gate index: CAS-overwrite the
     table with its live rows, so index size is bounded by the TTL
     window's admission volume instead of growing forever. The CAS pins
     the version the replacement was derived from — each gate sink is
     its tables' only writer, so the raise-path is a cannot-happen
     guard, not a retry loop. A table still in legacy stamp-less form
-    (TTL never probed it yet) is left untouched."""
+    (TTL never probed it yet) is left untouched.
+
+    ``order_by`` doubles the vacuum as the index's clustering
+    compaction (txn.compact_files' order_by semantics): the semantic
+    gate vacuums its index range-partitioned + sorted by ``cluster``,
+    so the next probe scan's cluster filter skips whole files via
+    parquet min/max stats instead of reading the full index."""
     from . import txn
 
     v = txn.current_version(table)
@@ -1168,6 +1180,10 @@ def _ttl_vacuum(spark, table: str, batch_id: int, ttl_batches: int) -> None:
     if "admit_batch" not in snap.columns:
         return
     live = snap.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
+    if order_by:
+        live = live.repartitionByRange(8, *order_by).sortWithinPartitions(
+            *order_by
+        )
     txn.overwrite(
         live, table, meta=txn.table_meta(table, v), expected_version=v
     )
@@ -1927,16 +1943,28 @@ def semantic_gate_admit(
                 ((r[0], r[1][0], r[2], r[3]) for r in rows), threshold
             )
             dup_set: set = set()
-            if idx is not None:
-                packed = pack_probe_matrices(
+            packed = (
+                pack_probe_matrices(
                     (r[0], c, r[2], r[3]) for r in rows for c in r[1]
                 )
+                if idx is not None
+                else {}
+            )
+            if packed:
+                # the scan only matches inside probed clusters, so
+                # push that as a filter: after a cluster-clustered
+                # vacuum/compaction the parquet min/max stats skip
+                # every file outside the probe set (~nprobe/k of the
+                # index read instead of all of it). Semantically a
+                # no-op — the kernel skips unprobed clusters anyway.
+                probed = sorted({c for (c, _dim) in packed})
                 dup_set = {
                     r[0]
                     for r in cosine_match_scan_packed(
-                        idx.filter(F.col("nrm") > 0).select(
-                            "cluster", "embedding", "nrm"
-                        ),
+                        idx.filter(
+                            (F.col("nrm") > 0)
+                            & F.col("cluster").isin(probed)
+                        ).select("cluster", "embedding", "nrm"),
                         packed,
                         threshold,
                         id_type=id_type,
@@ -2066,7 +2094,12 @@ def semantic_gate_pipeline(
             and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
             and batch_id % compact_every == compact_every - 1
         ):
-            _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
+            # cluster-clustered rewrite: the probe scan's cluster
+            # filter then skips whole files via parquet min/max stats
+            _ttl_vacuum(
+                spark, index_table, batch_id, ttl_batches,
+                order_by=["cluster"],
+            )
 
     return _start(vectors.writeStream.foreachBatch(sink), checkpoint, trigger)
 

@@ -364,7 +364,10 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
 
 
 def compact_files(
-    spark: SparkSession, table: str, target_files: int = 8
+    spark: SparkSession,
+    table: str,
+    target_files: int = 8,
+    order_by: list | None = None,
 ) -> tuple[int, int]:
     """Small-file maintenance: rewrite the current snapshot into
     ``target_files`` data files and commit the replacement atomically
@@ -374,14 +377,28 @@ def compact_files(
     Row-level metadata (e.g. a partial-table compaction watermark) is
     preserved. Returns (files_before, files_after). Run with no
     concurrent compactor, like vacuum; concurrent WRITERS are safe —
-    if one commits first, the rewrite rebases on a fresh snapshot."""
+    if one commits first, the rewrite rebases on a fresh snapshot.
+
+    ``order_by`` CLUSTERS the rewrite (range-partition + sort within
+    files on the named columns — the ZORDER-lite of this format): each
+    output file then covers a narrow value range, so a reader filtering
+    on those columns skips whole files via parquet min/max stats. The
+    semantic gate compacts its index by ``cluster`` this way, making
+    the probe scan touch ~nprobe/k of the files instead of all of
+    them."""
     for _ in range(20):
         v = current_version(table)
         if v < 0:
             return (0, 0)
         before = len(_read_manifest(table, v))
         snap = snapshot(spark, table, version=v)
-        staged = _stage(snap.repartition(target_files), table)
+        if order_by:
+            rewritten = snap.repartitionByRange(
+                target_files, *order_by
+            ).sortWithinPartitions(*order_by)
+        else:
+            rewritten = snap.repartition(target_files)
+        staged = _stage(rewritten, table)
         if _try_commit(table, v + 1, staged, table_meta(table, v)):
             return (before, len(staged))
         # lost the race: a writer landed v+1 — rebase on its snapshot

@@ -844,3 +844,78 @@ def test_semantic_gate_nprobe_recall_trade(spark, tmp_path):
         )
         assert {r.vec_id for r in out.collect()} == want, nprobe
         out.unpersist()
+
+
+def test_compact_files_order_by_clusters_files(spark, tmp_path):
+    """order_by compaction preserves the snapshot row-set and leaves
+    each data file covering a narrow value range (ZORDER-lite), so a
+    reader's equality/IN filter on that column can skip whole files
+    via parquet min/max stats."""
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "ordered")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "vec_id long, cluster int"
+    )
+    txn.merge_keyed(df, table, key_cols=["vec_id"])
+    before = {(r.vec_id, r.cluster) for r in txn.snapshot(spark, table).collect()}
+    n_before, n_after = txn.compact_files(
+        spark, table, target_files=4, order_by=["cluster"]
+    )
+    assert n_after <= 4
+    after_snap = txn.snapshot(spark, table)
+    assert {(r.vec_id, r.cluster) for r in after_snap.collect()} == before
+    # every rewritten file covers at most ~one cluster value band
+    files = [
+        os.path.join(table, f)
+        for f in txn._read_manifest(table, txn.current_version(table))
+    ]
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # cluster
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    # range partitioning: file spans are non-overlapping (sorted)
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
+def test_semantic_gate_probe_pushes_cluster_filter(spark, tmp_path):
+    """The probe's index side carries an In(cluster, probed) filter so
+    a cluster-clustered index skips unprobed files — and admissions
+    are unchanged by the pushdown (the kernel skipped those clusters
+    anyway)."""
+    # 4 well-separated centroids; the batch probes only 2 of them at
+    # nprobe=2, so the filter is a real subset
+    centroids = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "pushed_idx")
+    seed = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    pipelines.semantic_gate_admit(
+        spark.createDataFrame(seed, schema), table, centroids
+    ).unpersist()
+    # batch near c0 only: exact dup of 1 rejected, near-c0 novel kept
+    out = pipelines.semantic_gate_admit(
+        spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.9, 0.1, 0.0, 0.0])],
+            schema,
+        ),
+        table, centroids, nprobe=2, threshold=0.999,
+    )
+    assert {r.vec_id for r in out.collect()} == {11}
+    out.unpersist()
