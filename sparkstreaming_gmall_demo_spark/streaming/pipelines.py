@@ -2157,7 +2157,12 @@ def semantic_gate_recluster(
             ).alias("moved"),
         ).collect()[0]
         txn.overwrite(
-            re_assigned.select(*cols),
+            # cluster-clustered like the TTL vacuum: the refresh
+            # rewrites everything anyway, so leave the files in the
+            # layout the probe's cluster filter prunes best
+            re_assigned.select(*cols)
+            .repartitionByRange(8, "cluster")
+            .sortWithinPartitions("cluster"),
             index_table,
             meta=txn.table_meta(index_table, v),
             expected_version=v,
