@@ -1181,9 +1181,23 @@ def _ttl_vacuum(
         return
     live = snap.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
     if order_by:
-        live = live.repartitionByRange(8, *order_by).sortWithinPartitions(
-            *order_by
-        )
+        # persist: repartitionByRange samples range boundaries in its
+        # own job, which would otherwise re-read the full live index a
+        # second time; the count both pins the cache and sizes the
+        # rewrite's file count (txn.files_for_rows — row-proportional,
+        # never a hardcoded write-parallelism cap)
+        live = live.persist()
+        try:
+            n_live = live.count()
+            txn.overwrite(
+                txn.clustered(live, order_by, txn.files_for_rows(n_live)),
+                table,
+                meta=txn.table_meta(table, v),
+                expected_version=v,
+            )
+        finally:
+            live.unpersist()
+        return
     txn.overwrite(
         live, table, meta=txn.table_meta(table, v), expected_version=v
     )
@@ -1998,16 +2012,24 @@ def semantic_gate_admit(
             pairs = semantic_dedup_pairs(assigned, threshold).select("i", "j")
             dup_ids = None
             if idx is not None:
-                idx_r = idx.select(
-                    F.col("cluster"),
-                    F.col("embedding").alias("old_vec"),
-                    F.col("nrm").alias("old_nrm"),
-                )
                 probes = assigned.filter(F.col("nrm") > 0).select(
                     "vec_id",
                     F.col("embedding").alias("v"),
                     "nrm",
                     F.explode("probe_clusters").alias("cluster"),
+                )
+                # same probed-cluster pushdown as the fast path: the
+                # distinct probe clusters are <= k values (one tiny
+                # job over the cached assigned frame), and a
+                # cluster-clustered index then file-skips here too
+                probed = sorted(
+                    r.cluster
+                    for r in probes.select("cluster").distinct().collect()
+                )
+                idx_r = idx.filter(F.col("cluster").isin(probed)).select(
+                    F.col("cluster"),
+                    F.col("embedding").alias("old_vec"),
+                    F.col("nrm").alias("old_nrm"),
                 )
                 dup_ids = (
                     probes.join(idx_r.filter(F.col("old_nrm") > 0), "cluster")
@@ -2159,10 +2181,14 @@ def semantic_gate_recluster(
         txn.overwrite(
             # cluster-clustered like the TTL vacuum: the refresh
             # rewrites everything anyway, so leave the files in the
-            # layout the probe's cluster filter prunes best
-            re_assigned.select(*cols)
-            .repartitionByRange(8, "cluster")
-            .sortWithinPartitions("cluster"),
+            # layout the probe's cluster filter prunes best; file
+            # count row-proportional (re_assigned is persisted, so
+            # the range-boundary sampling reads the cache)
+            txn.clustered(
+                re_assigned.select(*cols),
+                ["cluster"],
+                txn.files_for_rows(int(stats["n"])),
+            ),
             index_table,
             meta=txn.table_meta(index_table, v),
             expected_version=v,

@@ -258,9 +258,7 @@ def merge_keyed(
             # coalesce to more partitions than the plan has is a no-op,
             # so a huge backfill merge keeps its full write parallelism
             # while micro-batches collapse to one file.
-            staged = _stage(
-                remaining.coalesce(max(1, 1 + n_new // 256_000)), table
-            )
+            staged = _stage(remaining.coalesce(files_for_rows(n_new)), table)
         finally:
             remaining.unpersist()
         base = _read_manifest(table, v) if v >= 0 else []
@@ -363,6 +361,28 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
     return removed
 
 
+def clustered(df: DataFrame, order_by: list, target_files: int) -> DataFrame:
+    """The ZORDER-lite rewrite shape in ONE place (compact_files, the
+    gate TTL vacuum, and the semantic centroid refresh all cluster
+    through here): range-partition into ``target_files`` output files
+    and sort within each, so every file covers a narrow ``order_by``
+    value band and filtered readers skip whole files via parquet
+    min/max stats. Callers size ``target_files`` from a row count
+    (files_for_rows) — never a hardcoded constant, the
+    write-parallelism-cap class this round's review kept finding."""
+    return df.repartitionByRange(target_files, *order_by).sortWithinPartitions(
+        *order_by
+    )
+
+
+def files_for_rows(n_rows: int) -> int:
+    """Staged/rewritten file count for ``n_rows``: one file per 256k
+    rows, uncapped upward (a bigger frame keeps its write parallelism;
+    only small frames collapse) — the merge_keyed staging rule, shared
+    so every rewrite sizes files the same way."""
+    return max(1, 1 + n_rows // 256_000)
+
+
 def compact_files(
     spark: SparkSession,
     table: str,
@@ -393,9 +413,7 @@ def compact_files(
         before = len(_read_manifest(table, v))
         snap = snapshot(spark, table, version=v)
         if order_by:
-            rewritten = snap.repartitionByRange(
-                target_files, *order_by
-            ).sortWithinPartitions(*order_by)
+            rewritten = clustered(snap, order_by, target_files)
         else:
             rewritten = snap.repartition(target_files)
         staged = _stage(rewritten, table)
