@@ -573,32 +573,24 @@ def novelty_gate_pipeline(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if ttl_batches is None:
-            index_schema = "fingerprint string"
-        else:
-            index_schema = "fingerprint string, admit_batch long"
         if txn.current_version(index_table) >= 0:
-            index = txn.snapshot(spark, index_table)
-        else:
-            index = spark.createDataFrame([], index_schema)
-        if ttl_batches is not None:
-            # a fingerprint admitted at batch a suppresses batches
-            # a+1 .. a+ttl: live iff admit_batch >= batch_id - ttl
-            # (ttl_batches=1 suppresses exactly the next batch)
-            if "admit_batch" not in index.columns:
-                # migration from the unbounded single-column index:
-                # stamp legacy rows as just-admitted (conservative —
-                # they suppress for one full TTL from the switch-over)
-                # and REWRITE the table once, so storage is uniformly
-                # two-column (a lazy per-probe stamp would leave mixed
-                # file schemas behind the later keyed merges)
-                index = index.withColumn(
-                    "admit_batch", F.lit(batch_id).cast("long")
-                )
-                txn.overwrite(index, index_table)
+            if ttl_batches is not None:
+                # a fingerprint admitted at batch a suppresses batches
+                # a+1 .. a+ttl (ttl_batches=1 suppresses exactly the
+                # next batch). Batch-TTL expiry + one-time legacy stamp
+                # migration via the helper shared with the fuzzy and
+                # semantic gates — it also carries table meta through
+                # the migration rewrite, a hole the inline copy had
+                # (round-8 advice).
+                index = _ttl_live_index(spark, index_table, batch_id, ttl_batches)
+            else:
                 index = txn.snapshot(spark, index_table)
-            index = index.filter(
-                F.col("admit_batch") >= F.lit(batch_id - ttl_batches)
+        else:
+            index = spark.createDataFrame(
+                [],
+                "fingerprint string"
+                if ttl_batches is None
+                else "fingerprint string, admit_batch long",
             )
         fresh = novel_against_index(batch_df, index.select("fingerprint"))
         first = (
@@ -613,6 +605,12 @@ def novelty_gate_pipeline(
         )
         out = first.persist()
         try:
+            # broadcast the merge probe only while the batch's admitted
+            # frame is bounded: a huge backfill batch falls back to the
+            # shuffle plan instead of forcing a multi-GB broadcast past
+            # Spark's limit (round-8 advice — the exact regime
+            # GATE_BROADCAST_ROW_CAP guards in the other three gates)
+            small = out.count() <= GATE_BROADCAST_ROW_CAP
             idempotent_append(
                 out.drop("fingerprint"), out_path, key_cols=["doc_id"],
                 partition_cols=None, batch_id=batch_id,
@@ -620,7 +618,7 @@ def novelty_gate_pipeline(
             if ttl_batches is None:
                 txn.merge_keyed(
                     out.select("fingerprint"), index_table,
-                    key_cols=["fingerprint"], broadcast_probe=True,
+                    key_cols=["fingerprint"], broadcast_probe=small,
                 )
             else:
                 txn.merge_keyed(
@@ -630,7 +628,7 @@ def novelty_gate_pipeline(
                     ),
                     index_table,
                     key_cols=["fingerprint", "admit_batch"],
-                    broadcast_probe=True,
+                    broadcast_probe=small,
                 )
         finally:
             out.unpersist()
@@ -639,16 +637,10 @@ def novelty_gate_pipeline(
             and compact_every  # 0 = never vacuum (the sketch-pipeline convention)
             and batch_id % compact_every == compact_every - 1
         ):
-            # bounded-state vacuum: replace the table with its live rows.
-            # The CAS pins the version the replacement was derived from —
-            # this sink is the table's only writer, so the raise-path is
-            # a cannot-happen guard, not a retry loop.
-            v = txn.current_version(index_table)
-            if v >= 0:
-                live = txn.snapshot(spark, index_table).filter(
-                    F.col("admit_batch") >= F.lit(batch_id - ttl_batches)
-                )
-                txn.overwrite(live, index_table, expected_version=v)
+            # bounded-state vacuum via the shared helper: CAS-pinned
+            # AND meta-carrying — the inline overwrite here silently
+            # dropped commit metadata (round-8 advice)
+            _ttl_vacuum(spark, index_table, batch_id, ttl_batches)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
 
@@ -942,11 +934,18 @@ def boilerplate_pipeline(
             .groupBy("gram")
             .agg(F.count("*").alias("df"))
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "gram", "df")
-        )
-        txn.merge_keyed(
-            partial, gram_table, key_cols=["batch_id", "gram"],
-            broadcast_probe=True,
-        )
+        ).persist()
+        try:
+            # the batch gram dictionary is unbounded in batch size —
+            # broadcast the merge probe only under the cap (round-8
+            # advice; k-bounded merges like sketch/stats stay True)
+            small = partial.count() <= GATE_BROADCAST_ROW_CAP
+            txn.merge_keyed(
+                partial, gram_table, key_cols=["batch_id", "gram"],
+                broadcast_probe=small,
+            )
+        finally:
+            partial.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_boilerplate_dictionary(batch_df.sparkSession, gram_table)
 
@@ -1091,7 +1090,14 @@ NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
 # of 64-dim doubles is ~100 MB, the same bounded-collect class as the
 # union-find cap above. Bigger batches (a misconfigured trigger) fall
 # back to the distributed probe join instead of OOMing the driver.
+# The collect's true size scales with rows x nprobe x DIMENSION, not
+# rows alone (round-8 advice: 200k rows of 4096-dim embeddings is
+# multiple GB), so the gate budgets in ELEMENTS — this row cap times
+# the 64-dim anchor below. High-dim deployments therefore fall back
+# proportionally earlier; monkeypatching the row cap to 0 still
+# forces the fallback (the round-8 test contract).
 SEMANTIC_GATE_BROADCAST_PROBE_CAP = 200_000
+SEMANTIC_GATE_PROBE_DIM_BUDGET = 64
 
 # Batch-side frames (ids, band rows, fingerprint rows) broadcast into
 # the gate index probes and keyed merges only while the batch stays
@@ -1711,7 +1717,11 @@ def overlap_gate_admit(
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-            .agg(F.count("*").alias("_shared"))
+            # kept is unique on (doc_id, fp) so count(*) would agree
+            # today; countDistinct pins the contract — evidence is
+            # "distinct shared fingerprints" — against refactors that
+            # introduce row copies (the cross-batch bug class below)
+            .agg(F.countDistinct(F.col("a.fp")).alias("_shared"))
             .filter(F.col("_shared") >= min_shared)
             .select("i", "j")
         )
@@ -1735,11 +1745,23 @@ def overlap_gate_admit(
                 idx = idx.filter(
                     ~F.col("fp").isin([int(f) for f in stop_fps])
                 )
-            idx_kept = idx.withColumnRenamed("doc_id", "old_id")
+            # the probe side must be UNIQUE on (old_id, fp): under the
+            # TTL'd (doc_id, fp, admit_batch) key, a doc_id re-delivered
+            # while its rows are still live is re-admitted (the probe
+            # anti-joins the batch's own ids) and inserts a SECOND live
+            # stamped copy of every (doc_id, fp) row — a plain count(*)
+            # then tallies each shared fingerprint once per copy,
+            # over-rejecting novel docs whose true overlap is below
+            # min_shared (round-8 advice). dropDuplicates restores
+            # uniqueness; countDistinct is the belt to that suspender.
+            idx_kept = (
+                idx.select(F.col("doc_id").alias("old_id"), "fp")
+                .dropDuplicates(["old_id", "fp"])
+            )
             dup_ids = (
                 (F.broadcast(kept) if small else kept).join(idx_kept, "fp")
                 .groupBy("doc_id", "old_id")
-                .agg(F.count("*").alias("_shared"))
+                .agg(F.countDistinct("fp").alias("_shared"))
                 .filter(F.col("_shared") >= min_shared)
                 .select("doc_id")
                 .dropDuplicates()
@@ -1908,9 +1930,15 @@ def semantic_gate_admit(
     )
     try:
         n_batch = assigned.count()
+        # budget the driver collect in ELEMENTS (rows x nprobe x dim),
+        # anchored so the historical row cap is exact at 64 dims: a
+        # 4096-dim corpus flips to the distributed join 64x earlier
+        # instead of collecting multiple GB (round-8 advice)
+        dim = len(centroids[0])
         fast = (
-            n_batch * min(nprobe, len(centroids))
+            n_batch * min(nprobe, len(centroids)) * dim
             <= SEMANTIC_GATE_BROADCAST_PROBE_CAP
+            * SEMANTIC_GATE_PROBE_DIM_BUDGET
         )
         have_index = txn.current_version(index_table) >= 0
         idx = None
@@ -2333,17 +2361,36 @@ def _scd2_layout_check(history_root: str, n_buckets: int) -> None:
 
     os.makedirs(history_root, exist_ok=True)
     p = os.path.join(history_root, "_scd2_layout.json")
-    try:
-        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    if not os.path.exists(p):
+        # Crash-atomic first write (round-8 advice): O_CREAT|O_EXCL
+        # then write left a window where a crash produced an EMPTY
+        # layout file, wedging every later apply with a raw
+        # JSONDecodeError forever. Write the full payload to a temp
+        # file, fsync, and os.link it into place — link is atomic and
+        # first-writer-wins (the txn._try_commit discipline), so the
+        # visible file is always complete.
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": int(n_buckets)}, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            os.write(fd, json.dumps({"n_buckets": int(n_buckets)}).encode())
+            os.link(tmp, p)
+        except FileExistsError:
+            pass  # concurrent writer won the race; validate against theirs
         finally:
-            os.close(fd)
-        return
-    except FileExistsError:
-        pass
-    with open(p) as f:
-        stored = int(json.load(f)["n_buckets"])
+            os.unlink(tmp)
+    try:
+        with open(p) as f:
+            stored = int(json.load(f)["n_buckets"])
+    except (ValueError, KeyError, OSError) as e:
+        # a corrupt/unreadable layout (e.g. left by a pre-fix crash)
+        # gets an actionable repair message, not a permanent wedge
+        raise ValueError(
+            f"{p} is unreadable ({e!r}); repair: delete it and re-run "
+            "one apply with the ORIGINAL n_buckets — the bucket=NNNNN "
+            f"directories under {history_root} record the laid-out ids"
+        ) from e
     if stored != int(n_buckets):
         raise ValueError(
             f"{history_root} was laid out with n_buckets={stored}, "

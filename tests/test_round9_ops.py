@@ -1,0 +1,254 @@
+"""Round-9 tests: regression pins for the r8 ADVICE findings —
+(1) the overlap gate's cross-batch evidence count must not inflate
+when a re-delivered live doc leaves duplicate stamped index copies,
+(2) novelty/boilerplate merge probes must fall back to the shuffle
+plan past GATE_BROADCAST_ROW_CAP (behavioral equivalence pin),
+(3) the semantic gate's driver-collect budget is in ELEMENTS, so
+high-dimension batches take the distributed fallback,
+(4) a corrupt/empty _scd2_layout.json raises an actionable repair
+error instead of wedging every apply with a JSONDecodeError,
+(5) the novelty gate's TTL vacuum carries table meta forward."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _doc_text(i: int) -> str:
+    return " ".join(f"w{i}x{j}" for j in range(30))
+
+
+def _stage_batches(topic, columns_fn, batches, start=0):
+    topic.mkdir(exist_ok=True)
+    base = time.time() - 3600
+    for i, rows in enumerate(batches):
+        j = start + i
+        p = str(topic / f"c{j}.parquet")
+        pq.write_table(columns_fn(rows), p)
+        os.utime(p, (base + 60 * j, base + 60 * j))
+
+
+def _doc_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _doc_stream(spark, topic):
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (medium): re-delivered live doc -> duplicate stamped index
+# copies -> count(*) inflated the shared-fingerprint evidence
+# ---------------------------------------------------------------------------
+def test_overlap_gate_readmitted_doc_does_not_inflate_evidence(spark, tmp_path):
+    """Under the TTL'd (doc_id, fp, admit_batch) key, doc A re-delivered
+    in a later batch while its rows are still live is re-admitted (the
+    probe anti-joins the batch's own ids) and inserts a SECOND live
+    stamped copy of every (A, fp) row. The cross-batch evidence count
+    must tally DISTINCT shared fingerprints, not index row copies —
+    otherwise a novel doc B sharing s fingerprints with A reads as
+    sharing 2*s and is over-rejected (round-8 advice)."""
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+
+    a_words = [f"s{j}" for j in range(20)]
+    b_words = a_words[:8] + [f"u{j}" for j in range(20)]
+    text_a, text_b = " ".join(a_words), " ".join(b_words)
+
+    # empirically pin s = distinct shared winnowing fps (k=4, w=4) and
+    # demand min_shared = s + 1: with the fix B's evidence is s (<
+    # min_shared, admitted); with the duplicated index it was 2*s
+    # (>= s+1 for s >= 1, rejected)
+    both = spark.createDataFrame([(0, text_a), (1, text_b)], DOC_SCHEMA)
+    fps = (
+        text_ops.winnowing_fingerprints(both, 4, 4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    shared = (
+        fps.filter(F.col("doc_id") == 0)
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == 1).select("fp"))
+        .count()
+    )
+    assert shared >= 1, "fixture regression: B must overlap A"
+    min_shared = shared + 1
+
+    table = str(tmp_path / "ov_dup")
+    kw = dict(min_shared=min_shared, ttl_batches=10)
+    a0 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(0, text_a)], DOC_SCHEMA), table,
+        batch_id=0, **kw,
+    )
+    assert a0.count() == 1
+    a0.unpersist()
+    # re-delivery of the SAME doc_id while its rows are live: re-admitted,
+    # and the stamp-in-key merge lands a second live copy of every fp
+    a1 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(0, text_a)], DOC_SCHEMA), table,
+        batch_id=1, **kw,
+    )
+    assert a1.count() == 1
+    a1.unpersist()
+    idx = txn.snapshot(spark, table)
+    per_fp = idx.groupBy("doc_id", "fp").count().agg(F.max("count")).first()[0]
+    assert per_fp == 2, "precondition: duplicate live copies must exist"
+
+    a2 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(1, text_b)], DOC_SCHEMA), table,
+        batch_id=2, **kw,
+    )
+    assert {r.doc_id for r in a2.collect()} == {1}
+    a2.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (medium): novelty/boilerplate merges must not broadcast an
+# unbounded batch frame — behavioral equivalence under a zero cap
+# ---------------------------------------------------------------------------
+def test_novelty_and_boilerplate_gates_match_under_shuffle_probe(
+    spark, tmp_path, monkeypatch
+):
+    """GATE_BROADCAST_ROW_CAP=0 forces every probe/merge onto the
+    shuffle plan; admissions and the gram dictionary must be identical
+    to the broadcast path (same-semantics contract of merge_keyed's
+    broadcast_probe flag)."""
+    topic = tmp_path / "docs"
+    _stage_batches(
+        topic,
+        _doc_table,
+        [
+            [(0, _doc_text(0)), (1, _doc_text(1))],
+            [(2, _doc_text(0)), (3, _doc_text(2))],  # 2 = exact dup of 0
+        ],
+    )
+    monkeypatch.setattr(pipelines, "GATE_BROADCAST_ROW_CAP", 0)
+    q = pipelines.novelty_gate_pipeline(
+        _doc_stream(spark, topic), str(tmp_path / "nov_idx"),
+        str(tmp_path / "admitted"), str(tmp_path / "ck_nov"),
+        trigger={"availableNow": True}, ttl_batches=4, compact_every=2,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "admitted")).collect()}
+    assert got == {0, 1, 3}
+
+    q2 = pipelines.boilerplate_pipeline(
+        _doc_stream(spark, topic), str(tmp_path / "grams"),
+        str(tmp_path / "ck_bp"), n=6,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+    # docs 0 and 2 are verbatim copies: their shared 6-grams have df=2
+    d = pipelines.boilerplate_read_dictionary(
+        spark, str(tmp_path / "grams"), min_df=2
+    )
+    assert d.count() == 25  # 30 words -> 25 six-grams, all shared by 0/2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (low): the semantic gate's collect budget scales with
+# dimension — a high-dim batch must take the distributed fallback even
+# when its row count alone would fit
+# ---------------------------------------------------------------------------
+def test_semantic_gate_high_dim_batch_takes_distributed_fallback(
+    spark, tmp_path, monkeypatch
+):
+    from sparkstreaming_gmall_demo_spark.operators import similarity
+
+    dim = 256
+    cents = [
+        [1.0] + [0.0] * (dim - 1),
+        [0.0, 1.0] + [0.0] * (dim - 2),
+    ]
+    batch = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * (dim - 1)), (2, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("fast path must not run for this batch")
+
+    monkeypatch.setattr(similarity, "semantic_pairs_driver", boom)
+    # rows x nprobe = 2 <= cap, but rows x nprobe x 256 dims = 512
+    # elements > cap x 64 = 256 -> the element budget forces fallback
+    monkeypatch.setattr(pipelines, "SEMANTIC_GATE_BROADCAST_PROBE_CAP", 4)
+    admitted = pipelines.semantic_gate_admit(
+        batch, str(tmp_path / "sem_idx"), cents, threshold=0.95, nprobe=1
+    )
+    assert {r.vec_id for r in admitted.collect()} == {1, 2}
+    admitted.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (low): corrupt/empty SCD2 layout file -> actionable error,
+# not a permanent JSONDecodeError wedge
+# ---------------------------------------------------------------------------
+def test_scd2_corrupt_layout_raises_actionable_error(tmp_path):
+    root = str(tmp_path / "hist")
+    os.makedirs(root)
+    with open(os.path.join(root, "_scd2_layout.json"), "w"):
+        pass  # the empty file a pre-fix crash left behind
+    with pytest.raises(ValueError, match="repair"):
+        pipelines._scd2_layout_check(root, 16)
+
+
+def test_scd2_layout_first_write_is_atomic_and_validates(tmp_path):
+    root = str(tmp_path / "hist")
+    pipelines._scd2_layout_check(root, 16)  # first writer records 16
+    pipelines._scd2_layout_check(root, 16)  # same layout: fine
+    assert not [
+        n for n in os.listdir(root) if n.startswith("_scd2_layout.json.tmp")
+    ], "temp files must not leak"
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        pipelines._scd2_layout_check(root, 8)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 (low): the novelty gate's TTL vacuum must carry table meta
+# forward (it routed around _ttl_vacuum and dropped it pre-fix)
+# ---------------------------------------------------------------------------
+def test_novelty_gate_vacuum_preserves_table_meta(spark, tmp_path):
+    topic = tmp_path / "docs"
+    _stage_batches(topic, _doc_table, [[(0, _doc_text(0))]])
+    index_table = str(tmp_path / "nov_meta_idx")
+    out_path = str(tmp_path / "admitted")
+
+    def run():
+        q = pipelines.novelty_gate_pipeline(
+            _doc_stream(spark, topic), index_table, out_path,
+            str(tmp_path / "ck"), trigger={"availableNow": True},
+            ttl_batches=4, compact_every=2,
+        )
+        q.awaitTermination()
+
+    run()  # batch 0: index exists, no vacuum yet (0 % 2 != 1)
+    v = txn.current_version(index_table)
+    assert v >= 0
+    txn.overwrite(
+        txn.snapshot(spark, index_table), index_table,
+        meta={**txn.table_meta(index_table), "sentinel": "keep"},
+    )
+    _stage_batches(topic, _doc_table, [[(1, _doc_text(1))]], start=1)
+    run()  # batch 1: merge + vacuum (1 % 2 == 1)
+    assert txn.table_meta(index_table).get("sentinel") == "keep"
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {0, 1}
