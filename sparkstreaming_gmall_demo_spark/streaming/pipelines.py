@@ -2403,6 +2403,162 @@ def _scd2_bucket_table(history_root: str, b: int) -> str:
     return os.path.join(history_root, f"bucket={b:05d}")
 
 
+# A wide obs-merge batch (backfill/seed) stages its files in contiguous
+# groups of at most this many buckets, so no file's zone-map entry ever
+# spans the whole bucket space (which would make every later probe read
+# it). 8 keeps a 256-bucket seed at 32 groups — one-off write cost —
+# while a steady-state micro-batch (touched <= 8) stays at ONE group.
+SCD2_OBS_FILE_BUCKET_SPAN = 8
+
+
+def _scd2_obs_files_for(obs_table: str, buckets: list) -> list[str]:
+    """The obs-log data files that can contain observations of keys in
+    ``buckets``, per the file->bucket-list zone map the obs merge
+    records in commit meta (``scd2_file_buckets``). A file WITHOUT an
+    entry — a pre-zone-map (round-8) file, or one rewritten by generic
+    maintenance like compact_files — is conservatively included: an
+    entry, when present, is always a superset of the buckets of the
+    rows in its file, so pruning on it is lossless."""
+    from . import txn
+
+    _v, names, meta = txn.snapshot_info(obs_table)
+    fmap = meta.get("scd2_file_buckets", {})
+    want = set(int(b) for b in buckets)
+    return [
+        os.path.join(obs_table, f)
+        for f in names
+        if f not in fmap or want & set(fmap[f])
+    ]
+
+
+def _scd2_obs_read(spark, obs_table: str, buckets: list) -> DataFrame:
+    """ONE flat parquet read over the obs files overlapping
+    ``buckets`` — the rebuild stops paying a full-changelog scan per
+    apply (an affected key's observations only live in files whose
+    zone-map entry covers its bucket, or in unmapped files)."""
+    return spark.read.parquet(*_scd2_obs_files_for(obs_table, buckets))
+
+
+def _scd2_obs_merge(
+    spark,
+    batch: DataFrame,
+    obs_table: str,
+    key_cols: list,
+    touched: list,
+    max_retries: int = 20,
+) -> None:
+    """txn.merge_keyed's zone-mapped sibling for the SCD2 obs log: ONE
+    commit per batch (vs a commit per touched bucket — latency-bound
+    at wide rounds), with two pruning payoffs recorded/used here:
+
+    - the insert-only anti-join probes ONLY obs files overlapping the
+      batch's touched buckets (a conflicting key's rows cannot live
+      anywhere else, by the zone-map superset invariant);
+    - each staged file's commit meta records the batch's exact touched
+      bucket list, which is a superset of its rows' buckets — the
+      rebuild scan and later probes prune on it.
+
+    Wide batches (a backfill/seed touching many buckets) stage in
+    contiguous groups of at most SCD2_OBS_FILE_BUCKET_SPAN buckets —
+    else one seed's files would span every bucket and its entries
+    would prune nothing forever after. Stale map entries self-heal:
+    the map is re-pruned to the manifest at each commit, and files
+    introduced by generic maintenance (compact_files/overwrite)
+    simply have no entry = never pruned. Uses txn's staging/commit
+    internals — same package, same commit protocol, only the probe
+    scope and meta differ."""
+    from . import txn
+
+    for _ in range(max_retries):
+        v, names, meta = txn.snapshot_info(obs_table)
+        remaining = batch
+        if v >= 0:
+            probe_files = _scd2_obs_files_for(obs_table, touched)
+            if probe_files:
+                seen = (
+                    spark.read.parquet(*probe_files)
+                    .select(*key_cols)
+                    .dropDuplicates(key_cols)
+                )
+                # micro-batch-bounded by the API contract (callers
+                # chunk backfills): batch keys broadcast, probe side
+                # semi-joined down before broadcasting back — the obs
+                # log never shuffles for the probe
+                bkeys = F.broadcast(
+                    batch.select(*key_cols).dropDuplicates(key_cols)
+                )
+                pcond = None
+                for c in key_cols:
+                    e = seen[c].eqNullSafe(bkeys[c])
+                    pcond = e if pcond is None else (pcond & e)
+                seen = F.broadcast(seen.join(bkeys, on=pcond, how="left_semi"))
+                cond = None
+                for c in key_cols:
+                    e = batch[c].eqNullSafe(seen[c])
+                    cond = e if cond is None else (cond & e)
+                remaining = batch.join(seen, on=cond, how="left_anti")
+        remaining = remaining.persist()
+        try:
+            n_new = remaining.count()
+            if n_new == 0:
+                return
+            span = SCD2_OBS_FILE_BUCKET_SPAN
+            groups = [
+                touched[i : i + span] for i in range(0, len(touched), span)
+            ]
+            staged: list[str] = []
+            fmap_new: dict[str, list[int]] = {}
+            per_group_files = txn.files_for_rows(
+                -(-n_new // len(groups))  # ceil
+            )
+            for g in groups:
+                part = (
+                    remaining
+                    if len(groups) == 1
+                    else remaining.filter(F.col("_bucket").isin(g))
+                )
+                got = txn._stage(
+                    part.drop("_bucket").coalesce(per_group_files), obs_table
+                )
+                staged += got
+                for f in got:
+                    fmap_new[f] = sorted(int(b) for b in g)
+        finally:
+            remaining.unpersist()
+        new_meta = dict(meta)
+        fmap = {
+            f: sorted(int(b) for b in bl)
+            for f, bl in meta.get("scd2_file_buckets", {}).items()
+            if f in set(names)  # drop entries for vacuumed files
+        }
+        fmap.update(fmap_new)
+        new_meta["scd2_file_buckets"] = fmap
+        if txn._try_commit(obs_table, v + 1, names + staged, new_meta):
+            return
+    raise txn.ConcurrentWriteError(
+        f"obs merge on {obs_table} lost {max_retries} CAS races"
+    )
+
+
+def _scd2_run_per_bucket(fn, buckets: list) -> None:
+    """Bucket tables are independent commit domains, and each job is a
+    small filtered write against a cached frame — run them concurrently
+    (Spark job submission is thread-safe; a wide-batch round is
+    otherwise LATENCY-bound on n_buckets sequential tiny jobs, measured
+    11.2 s -> ~2 s for 32 buckets at the micro-bench scale). Thread
+    count bounded: each job is already parallel inside. pool.map is
+    materialized to surface the first worker exception."""
+    if len(buckets) == 1:
+        fn(buckets[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(buckets))) as pool:
+        list(pool.map(fn, buckets))
+
+
+
+
 def scd2_bucket_tables(history_root: str) -> list[str]:
     """Existing bucket tables under ``history_root``, sorted."""
     try:
@@ -2467,21 +2623,35 @@ def scd2_apply_batch_bucketed(
     Semantics are bit-for-bit those of the snapshot writer: after
     every round, union(bucket tables) == scd2_history(every
     observation ever ingested) — the same rebuild-invariant, pinned by
-    the same test pattern. The observation LOG stays one keyed table
-    (it is the changelog — append-only merges, no rewrites; the
-    late-arrival resurrection argument in scd2_apply_batch's docstring
-    is unchanged and the rebuild still re-windows affected keys
-    against their own full observation set).
+    the same test pattern. The observation LOG stays ONE keyed table
+    (the changelog — append-only, no rewrites, byte-compatible with
+    round 8), but its commits now carry a file->bucket-list ZONE MAP
+    (round 9, ``scd2_file_buckets`` in commit meta): each staged file
+    records the touched buckets of its batch, so both the merge's
+    insert-only probe and the rebuild scan read ONLY the files whose
+    buckets overlap this round's — not the whole changelog. Without
+    this, the history rewrite was touched-bucket-proportional but
+    every apply still paid a full log scan, the term that dominates
+    once the log outgrows one round's delta (BENCH_scd2_r09: the
+    one-key apply was obs-scan-bound). Pre-map files — a round-8 log,
+    or files rewritten by generic maintenance — have no entry and are
+    conservatively always read: no migration, degraded pruning only.
+    The late-arrival resurrection argument in scd2_apply_batch's
+    docstring is unchanged (a key's observations all live in files
+    covering its bucket, so the rebuild still re-windows affected
+    keys against their full observation set).
 
     Exactly-once is PER BUCKET: each bucket table carries its own
     ``scd2_through`` watermark, so a crash midway through the bucket
     loop replays into keyed-merge no-ops plus rebuilds of exactly the
     buckets that missed their commit (each bucket's history is a pure
     function of the log restricted to its keys — per-bucket rebuilds
-    are idempotent). The rebuild itself runs as ONE window job over
-    all affected keys (persisted), then slices per bucket — N affected
-    buckets cost N cheap filtered writes against the cached frame, not
-    N window passes.
+    are idempotent). The obs merge lands BEFORE any history commit, so
+    a bucket's watermark never advances past observations that did not
+    reach the log. The rebuild itself runs as ONE window job over the
+    pending buckets' affected keys (persisted), then slices per bucket
+    — N affected buckets cost N cheap filtered writes against the
+    cached frame, not N window passes.
 
     ``n_buckets`` is a layout constant: it is recorded ONCE at the
     history root (_scd2_layout_check — covers buckets that do not
@@ -2495,24 +2665,24 @@ def scd2_apply_batch_bucketed(
     _scd2_layout_check(history_root, n_buckets)
     extra = [tiebreak] if tiebreak else []
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
-    # broadcast probe: a dimension changelog's per-batch key set is
-    # small by nature (the docstring's scale argument) — a caller
-    # backfilling a fact-sized frame through this API should chunk it
-    txn.merge_keyed(
-        batch_df.select(*obs_cols), obs_table, key_cols=[key, ts_col, *extra],
-        broadcast_probe=True,
+    batch = (
+        batch_df.select(*obs_cols)
+        .withColumn("_bucket", _scd2_bucket_expr(key, n_buckets))
+        .persist()
     )
-    affected = batch_df.select(key).dropDuplicates().persist()
+    affected = batch.select(key).dropDuplicates().persist()
     try:
         # the affected-bucket list is tiny by construction (<= distinct
         # dim keys in one micro-batch, capped at n_buckets)
         touched = sorted(
-            r.b
-            for r in affected.select(
-                _scd2_bucket_expr(key, n_buckets).alias("b")
-            )
-            .dropDuplicates()
-            .collect()
+            r._bucket
+            for r in batch.select("_bucket").dropDuplicates().collect()
+        )
+        # ONE zone-mapped obs commit for the whole batch (keyed —
+        # replay is a no-op), landing before any history commit so a
+        # bucket's scd2_through watermark never outruns the log
+        _scd2_obs_merge(
+            spark, batch, obs_table, [key, ts_col, *extra], touched
         )
         pending = []
         for b in touched:
@@ -2529,10 +2699,16 @@ def scd2_apply_batch_bucketed(
         if not pending:
             return
         # ONE key-partitioned window pass over every affected key's
-        # observations, sliced per bucket from the cache below
+        # observations, sliced per bucket from the cache below. The
+        # scan reads ONLY the pending buckets' obs files (one flat
+        # parquet read over their manifests) — a key's observations
+        # live entirely in its bucket, so this is lossless, and the
+        # apply stops paying a full-changelog scan per round.
         rebuilt = (
             scd2_ops.scd2_history(
-                txn.snapshot(spark, obs_table).join(affected, key, "left_semi"),
+                _scd2_obs_read(spark, obs_table, pending).join(
+                    affected, key, "left_semi"
+                ),
                 key, ts_col, attr_cols, tiebreak,
             )
             .withColumn("_bucket", _scd2_bucket_expr(key, n_buckets))
@@ -2564,27 +2740,12 @@ def scd2_apply_batch_bucketed(
 
         try:
             rebuilt.count()
-            # bucket tables are independent commit domains, and each
-            # write is a small filtered job against the cached rebuild
-            # — run them concurrently (Spark job submission is
-            # thread-safe; a wide-batch round is otherwise LATENCY-
-            # bound on n_buckets sequential tiny jobs, measured 11.2 s
-            # -> ~2 s for 32 buckets at the micro-bench scale). Thread
-            # count bounded: each job is already parallel inside.
-            if len(pending) == 1:
-                commit_bucket(pending[0])
-            else:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                    max_workers=min(8, len(pending))
-                ) as pool:
-                    # materialize to surface the first worker exception
-                    list(pool.map(commit_bucket, pending))
+            _scd2_run_per_bucket(commit_bucket, pending)
         finally:
             rebuilt.unpersist()
     finally:
         affected.unpersist()
+        batch.unpersist()
 
 
 def scd2_bucketed_pipeline(

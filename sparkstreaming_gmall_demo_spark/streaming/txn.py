@@ -77,6 +77,18 @@ def _read_manifest(table: str, version: int) -> list[str]:
         return json.load(f)["files"]
 
 
+def snapshot_info(table: str) -> tuple[int, list[str], dict]:
+    """(version, table-relative data files, commit meta) of the
+    current snapshot — one consistent view for callers that prune a
+    read to a SUBSET of a snapshot's files using metadata the writer
+    recorded (the bucketed-SCD2 obs log's file->bucket zone map).
+    (-1, [], {}) for an absent table."""
+    v = current_version(table)
+    if v < 0:
+        return -1, [], {}
+    return v, _read_manifest(table, v), table_meta(table, v)
+
+
 def list_versions(table: str) -> list[int]:
     """All committed versions, ascending (empty for an absent table)."""
     try:

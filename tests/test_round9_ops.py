@@ -226,6 +226,99 @@ def test_scd2_layout_first_write_is_atomic_and_validates(tmp_path):
 # ADVICE r8 (low): the novelty gate's TTL vacuum must carry table meta
 # forward (it routed around _ttl_vacuum and dropped it pre-fix)
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Round-9 obs-log zone map: the bucketed SCD2 apply must stop paying a
+# full-changelog scan, stay byte-compatible with a round-8 log, and
+# keep exactly the snapshot writer's semantics
+# ---------------------------------------------------------------------------
+def test_scd2_round8_obs_log_without_zone_map_still_works(spark, tmp_path):
+    """An obs log seeded through plain txn.merge_keyed (the round-8
+    writer — no scd2_file_buckets meta) must keep producing the exact
+    snapshot-writer history under round-9 applies, including
+    late-arrival resurrection of observations that only exist in the
+    UNMAPPED files: a file without a zone-map entry is conservatively
+    always read."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    seed = [(1, 10, "A"), (1, 30, "C"), (2, 10, "X"), (5, 5, "Q")]
+    txn.merge_keyed(
+        spark.createDataFrame(seed, "uid long, ts long, val string"),
+        obs_t, key_cols=["uid", "ts"],
+    )
+    assert "scd2_file_buckets" not in txn.table_meta(obs_t)
+
+    # late observation for uid 1 BETWEEN its legacy rows: the rebuild
+    # must re-window uid 1 against the unmapped legacy observations
+    all_rows = list(seed)
+    for i, rows in enumerate([[(1, 20, "B")], [(2, 40, "Y"), (5, 6, "R")]]):
+        pipelines.scd2_apply_batch_bucketed(
+            spark.createDataFrame(rows, "uid long, ts long, val string"),
+            obs_t, root, "uid", "ts", ["val"], batch_id=i, n_buckets=8,
+        )
+        all_rows += rows
+    want = scd2_ops.scd2_history(
+        spark.createDataFrame(all_rows, "uid long, ts long, val string"),
+        "uid", "ts", ["val"],
+    )
+    got = pipelines.scd2_bucketed_history(spark, root)
+    assert sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in got.collect()
+    ) == sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in want.collect()
+    )
+    # the r9 commits recorded zone-map entries for THEIR files only
+    fmap = txn.table_meta(obs_t)["scd2_file_buckets"]
+    assert len(fmap) == 2  # one staged file per one-key micro-batch... and one for the 2-key batch
+    # replayed apply: keyed merge no-ops, zone map unchanged
+    v_before = txn.current_version(obs_t)
+    pipelines.scd2_apply_batch_bucketed(
+        spark.createDataFrame([(1, 20, "B")], "uid long, ts long, val string"),
+        obs_t, root, "uid", "ts", ["val"], batch_id=0, n_buckets=8,
+    )
+    assert txn.current_version(obs_t) == v_before
+
+
+def test_scd2_obs_zone_map_prunes_rebuild_scan(spark, tmp_path):
+    """After rounds touching disjoint buckets, a one-key apply's
+    rebuild read must cover ONLY the files whose zone-map entry
+    overlaps that key's bucket (plus unmapped files — none here), not
+    the whole changelog."""
+    obs_t = str(tmp_path / "obs")
+    root = str(tmp_path / "hist")
+    n_buckets = 64
+    # find three uids in three DIFFERENT buckets
+    from sparkstreaming_gmall_demo_spark.streaming.pipelines import (
+        _scd2_bucket_expr,
+        _scd2_obs_files_for,
+    )
+
+    probe = spark.createDataFrame(
+        [(u,) for u in range(50)], "uid long"
+    ).select("uid", _scd2_bucket_expr("uid", n_buckets).alias("b"))
+    by_bucket = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r.b, r.uid)
+        if len(by_bucket) >= 3:
+            break
+    (b1, u1), (b2, u2), (b3, u3) = list(by_bucket.items())[:3]
+
+    for i, u in enumerate([u1, u2, u3]):
+        pipelines.scd2_apply_batch_bucketed(
+            spark.createDataFrame([(u, 10, f"v{u}")],
+                                  "uid long, ts long, val string"),
+            obs_t, root, "uid", "ts", ["val"], batch_id=i,
+            n_buckets=n_buckets,
+        )
+    all_files = txn.snapshot_info(obs_t)[1]
+    assert len(all_files) == 3
+    pruned = _scd2_obs_files_for(obs_t, [b1])
+    assert len(pruned) == 1, "one-bucket read must touch one file"
+    # and every file is mapped, so nothing rides the conservative path
+    assert len(txn.table_meta(obs_t)["scd2_file_buckets"]) == 3
+
+
 def test_driver_window_matches_rotation_policy():
     """VERDICT r8 item 5: the frozen 50-entry driver window literal in
     plans/__init__.py must BE the output of the formal rotation policy
