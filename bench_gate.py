@@ -197,6 +197,212 @@ def bench_semantic_gate(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_drift_cycle(spark, sf_dir: str) -> dict:
+    """The centroid-drift loop, measured end to end (VERDICT r8 item
+    4): centroids freeze on the PRE-drift corpus; a drifted stream
+    (every vector shifted by 1.5x the corpus mean, rotations keeping
+    copies mutually novel) then crowds a few stale cells. Recorded:
+
+    - occupancy before/after (max cell share in bp, and hot_bp = its
+      ratio to uniform — the ext_codebook_occupancy signal);
+    - the wall of an identical all-rejected probe pass (a re-emission
+      of one drifted copy under fresh ids: maximal cross-batch probe
+      work, zero index mutation, so before/after runs see identical
+      index content) before the recluster vs after it;
+    - recluster stats (n_moved = assignment churn).
+
+    The probe pass re-runs with the RETRAINED centroids after
+    semantic_gate_recluster — the caller-switches-the-gate contract —
+    so the delta is what a deployment actually recovers: per-cell
+    candidate lists shrink back toward uniform and the scan prunes to
+    the rebalanced cells."""
+    from pyspark.sql import functions as F
+    from sparkstreaming_gmall_demo_spark.operators.similarity import ivf_train
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+    from sparkstreaming_gmall_demo_spark.streaming import txn
+    import duckdb
+
+    fixture = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    base = load_table(spark, sf_dir, "embeddings")
+    centroids_old = ivf_train(base, k=16)
+    work = tempfile.mkdtemp(prefix="gmall_gate_bench_drift_")
+    try:
+        index_table = os.path.join(work, "sem_index")
+        # pre-drift corpus seeds the index with the frozen centroids
+        seed = pipelines.semantic_gate_admit(
+            base.select("vec_id", "embedding").withColumn(
+                "embedding", F.col("embedding").cast("array<double>")
+            ),
+            index_table, centroids_old,
+        )
+        seed.unpersist()
+
+        con = duckdb.connect()
+        drift_copies = 5
+        # drift direction: the first vector's direction scaled to 2x
+        # the corpus's average norm — embeddings are near zero-mean, so
+        # a mean-shift would be a no-op drift; this puts the drifted
+        # ball's center at 2r with radius ~r (pairwise cosine ~0.8 —
+        # mutually admitted — while the ball's angular spread crowds a
+        # handful of the old cells)
+        d_vec = con.execute(
+            f"""
+            WITH f AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS e
+                FROM read_parquet('{fixture}') ORDER BY vec_id LIMIT 1
+            ),
+            r AS (
+                SELECT avg(sqrt(list_inner_product(
+                    CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[])))) AS r
+                FROM read_parquet('{fixture}')
+            )
+            SELECT list_transform(
+                f.e, x -> x / sqrt(list_inner_product(f.e, f.e)) * 2 * r.r
+            ) FROM f, r
+            """
+        ).fetchone()[0]
+        d_lit = "[" + ", ".join(f"{x:.8f}" for x in d_vec) + "]"
+        input_dir = os.path.join(work, "vecs")
+        os.makedirs(input_dir)
+        amplified = con.execute(
+            f"""
+            SELECT e.vec_id + (c.c + 1) * {OFF} AS vec_id,
+                   CAST(list_transform(
+                       list_zip(
+                           list_concat(e.embedding[c.c + 1:],
+                                       e.embedding[1:c.c]),
+                           {d_lit}::DOUBLE[]),
+                       p -> CAST(p[1] AS DOUBLE) + p[2]
+                   ) AS DOUBLE[]) AS embedding
+            FROM read_parquet('{fixture}') e
+            CROSS JOIN (SELECT unnest(range({drift_copies})) AS c) c
+            ORDER BY vec_id
+            """
+        ).fetch_arrow_table()
+        import pyarrow.parquet as pq
+
+        n_drift = amplified.num_rows
+        step = (n_drift + N_CHUNKS - 1) // N_CHUNKS
+        for i in range(N_CHUNKS):
+            p = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+            pq.write_table(amplified.slice(i * step, step), p)
+            os.utime(p, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        t0 = time.perf_counter()
+        q = pipelines.semantic_gate_pipeline(
+            stream, index_table, os.path.join(work, "admitted"),
+            os.path.join(work, "ckpt"), centroids_old,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        drift_wall = time.perf_counter() - t0
+
+        def occupancy():
+            rows = (
+                txn.snapshot(spark, index_table)
+                .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+            )
+            total = sum(r.n for r in rows)
+            mx = max(r.n for r in rows)
+            return {
+                "cells_used": len(rows),
+                "max_share_bp": round(mx * 10000 / total),
+                "hot_bp": round(mx * len(centroids_old) * 10000 / total),
+            }
+
+        def candidate_pairs(cents):
+            # the BLAS probe's real work, fixed-cost-free: sum over
+            # probed cells of (probe vectors assigned there) x (index
+            # rows there) — what the scan actually multiplies
+            from sparkstreaming_gmall_demo_spark.operators.similarity import (
+                ivf_probe_clusters,
+            )
+
+            pc = (
+                ivf_probe_clusters(probe, cents, nprobe=2)
+                .select(F.explode("probe_clusters").alias("cluster"))
+                .groupBy("cluster").agg(F.count("*").alias("np"))
+            )
+            ic = (
+                txn.snapshot(spark, index_table)
+                .groupBy("cluster").agg(F.count("*").alias("ni"))
+            )
+            row = (
+                pc.join(ic, "cluster")
+                .agg(F.sum(F.col("np") * F.col("ni")))
+                .first()
+            )
+            return int(row[0] or 0)
+
+        occ_before = occupancy()
+        # all-rejected probe pass: copy 1's drifted vectors under fresh
+        # ids — every one has an exact stored twin, so both runs reject
+        # everything and the index is identical for both measurements
+        probe = (
+            spark.read.parquet(input_dir)
+            .filter(F.col("vec_id").between(OFF, 2 * OFF - 1))
+            .select(
+                (F.col("vec_id") + 100 * OFF).alias("vec_id"), "embedding"
+            )
+        ).persist()
+        n_probe = probe.count()
+        pairs_before = candidate_pairs(centroids_old)
+        t0 = time.perf_counter()
+        a = pipelines.semantic_gate_admit(
+            probe, index_table, centroids_old
+        )
+        admitted_before = a.count()
+        a.unpersist()
+        probe_before_wall = time.perf_counter() - t0
+
+        centroids_new = ivf_train(txn.snapshot(spark, index_table), k=16)
+        t0 = time.perf_counter()
+        stats = pipelines.semantic_gate_recluster(
+            spark, index_table, centroids_new
+        )
+        recluster_wall = time.perf_counter() - t0
+        occ_after = occupancy()
+        pairs_after = candidate_pairs(centroids_new)
+        t0 = time.perf_counter()
+        a = pipelines.semantic_gate_admit(
+            probe, index_table, centroids_new
+        )
+        admitted_after = a.count()
+        a.unpersist()
+        probe_after_wall = time.perf_counter() - t0
+        probe.unpersist()
+        return {
+            "drift_ingest": {
+                "vectors": n_drift,
+                "wall_sec": round(drift_wall, 2),
+                "vec_per_sec": round(n_drift / drift_wall, 1),
+            },
+            "occupancy_before": occ_before,
+            "occupancy_after": occ_after,
+            "recluster": {
+                "n_moved": stats["n_moved"],
+                "n_vectors": stats["n_vectors"],
+                "wall_sec": round(recluster_wall, 2),
+            },
+            "probe_pass": {
+                "vectors": n_probe,
+                "candidate_pairs_before": pairs_before,
+                "candidate_pairs_after": pairs_after,
+                "wall_before_sec": round(probe_before_wall, 2),
+                "wall_after_sec": round(probe_after_wall, 2),
+                "admitted_before": admitted_before,
+                "admitted_after": admitted_after,
+            },
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -283,6 +489,7 @@ def main() -> None:
             }
 
     results["semantic"] = bench_semantic_gate(spark, sf_dir)
+    results["drift_cycle"] = bench_drift_cycle(spark, sf_dir)
 
     print(json.dumps({
         "metric": "neardup_gate_docs_per_sec",

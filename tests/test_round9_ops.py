@@ -319,6 +319,109 @@ def test_scd2_obs_zone_map_prunes_rebuild_scan(spark, tmp_path):
     assert len(txn.table_meta(obs_t)["scd2_file_buckets"]) == 3
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 4: the drift loop, end to end — occupancy skew grows
+# under a drifted stream, recluster rebalances it, probe cost recovers,
+# and the gate's decisions survive the centroid switch
+# ---------------------------------------------------------------------------
+def test_semantic_gate_drift_cycle_end_to_end(spark, tmp_path):
+    """Frozen centroids [e1, e2]; a balanced round seeds one vector per
+    cell; six drifted vectors (all nearest e1, pairwise cosine < the
+    threshold) then crowd cell 0 — occupancy skew max_share 7/8. After
+    retraining on the indexed corpus and semantic_gate_recluster:
+    admitted rows byte-identical, occupancy strictly rebalanced, a
+    duplicate of a drifted admitted vector probes STRICTLY fewer
+    candidate rows and is still rejected, and novel content is still
+    admitted (recall held, probe cost recovered)."""
+    from sparkstreaming_gmall_demo_spark.operators.similarity import ivf_train
+
+    table = str(tmp_path / "sem_idx")
+    cents_old = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    def admit(rows, cents):
+        out = pipelines.semantic_gate_admit(
+            spark.createDataFrame(rows, schema), table, cents,
+            threshold=0.95, nprobe=1,
+        )
+        got = {r.vec_id for r in out.collect()}
+        out.unpersist()
+        return got
+
+    # balanced seed: one vector per cell
+    assert admit(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], cents_old
+    ) == {1, 2}
+    # drift: all six assign to cell 0 ((1,1,a,b) is equidistant from
+    # e1/e2 -> tie to cell 0), pairwise cosine < 0.95 -> all admitted
+    drift = [
+        (10, [1.0, 1.0, 0.0, 0.0]),
+        (11, [1.0, 1.0, 0.8, 0.0]),
+        (12, [1.0, 1.0, -0.8, 0.0]),
+        (13, [1.0, 1.0, 0.0, 0.8]),
+        (14, [1.0, 1.0, 0.0, -0.8]),
+        (15, [1.0, 1.0, 0.8, 0.8]),
+    ]
+    assert admit(drift, cents_old) == {10, 11, 12, 13, 14, 15}
+
+    def occupancy():
+        counts = {
+            r.cluster: r.n
+            for r in txn.snapshot(spark, table)
+            .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        return counts, max(counts.values()) / sum(counts.values())
+
+    counts_before, max_share_before = occupancy()
+    assert counts_before[0] == 7 and max_share_before == 7 / 8
+    stored_before = sorted(
+        (r.vec_id, tuple(r.embedding))
+        for r in txn.snapshot(spark, table).collect()
+    )
+
+    # probe cost BEFORE recluster: a dup of drifted vec 10 probes its
+    # (old) nearest cell = the hot cell -> 7 candidate rows
+    def probe_candidates(vec, cents):
+        from sparkstreaming_gmall_demo_spark.operators.similarity import (
+            ivf_probe_clusters,
+        )
+
+        cell = (
+            ivf_probe_clusters(
+                spark.createDataFrame([(99, vec)], schema), cents, nprobe=1
+            )
+            .select(F.element_at("probe_clusters", 1).cast("int").alias("c"))
+            .first()
+            .c
+        )
+        return txn.snapshot(spark, table).filter(F.col("cluster") == cell).count()
+
+    dup_of_drift = [1.0, 1.0, 0.0, 0.0]
+    cand_before = probe_candidates(dup_of_drift, cents_old)
+    assert cand_before == 7
+    assert admit([(90, dup_of_drift)], cents_old) == set()  # rejected
+
+    # retrain on the indexed corpus, recluster, switch the gate over
+    cents_new = ivf_train(txn.snapshot(spark, table), k=2)
+    stats = pipelines.semantic_gate_recluster(spark, table, cents_new)
+    assert stats["n_vectors"] == 8 and stats["n_moved"] > 0
+
+    stored_after = sorted(
+        (r.vec_id, tuple(r.embedding))
+        for r in txn.snapshot(spark, table).collect()
+    )
+    assert stored_after == stored_before  # payload byte-identical
+    _counts_after, max_share_after = occupancy()
+    assert max_share_after < max_share_before  # skew rebalanced
+    cand_after = probe_candidates(dup_of_drift, cents_new)
+    assert cand_after < cand_before  # probe cost recovered
+    assert admit([(91, dup_of_drift)], cents_new) == set()  # recall held
+    assert admit([(92, [0.0, 0.0, 1.0, 0.0])], cents_new) == {92}  # novel ok
+
+
 def test_driver_window_matches_rotation_policy():
     """VERDICT r8 item 5: the frozen 50-entry driver window literal in
     plans/__init__.py must BE the output of the formal rotation policy
