@@ -605,30 +605,32 @@ def novelty_gate_pipeline(
         )
         out = first.persist()
         try:
-            # broadcast the merge probe only while the batch's admitted
-            # frame is bounded: a huge backfill batch falls back to the
-            # shuffle plan instead of forcing a multi-GB broadcast past
-            # Spark's limit (round-8 advice — the exact regime
-            # GATE_BROADCAST_ROW_CAP guards in the other three gates)
-            small = out.count() <= GATE_BROADCAST_ROW_CAP
+            n_admit = out.count()
             idempotent_append(
                 out.drop("fingerprint"), out_path, key_cols=["doc_id"],
                 partition_cols=None, batch_id=batch_id,
             )
+            # probe-free insert (txn.append_new): the admitted
+            # fingerprints were derived by anti-joining THIS snapshot,
+            # so they are new-by-construction; replays are fenced by
+            # the appended_through watermark. Drops the merge's
+            # per-batch anti-join + count jobs — the fixed cost that
+            # bounded small micro-batches (r8 verdict item 7).
             if ttl_batches is None:
-                txn.merge_keyed(
-                    out.select("fingerprint"), index_table,
-                    key_cols=["fingerprint"], broadcast_probe=small,
+                fp_rows = out.select("fingerprint")
+                fp_keys = ["fingerprint"]
+            else:
+                fp_rows = out.select(
+                    "fingerprint",
+                    F.lit(batch_id).cast("long").alias("admit_batch"),
                 )
+                fp_keys = ["fingerprint", "admit_batch"]
+            if GATE_PROBE_FREE_INSERTS:
+                txn.append_new(fp_rows, index_table, batch_id, n_rows=n_admit)
             else:
                 txn.merge_keyed(
-                    out.select(
-                        "fingerprint",
-                        F.lit(batch_id).cast("long").alias("admit_batch"),
-                    ),
-                    index_table,
-                    key_cols=["fingerprint", "admit_batch"],
-                    broadcast_probe=small,
+                    fp_rows, index_table, key_cols=fp_keys,
+                    broadcast_probe=n_admit <= GATE_BROADCAST_ROW_CAP,
                 )
         finally:
             out.unpersist()
@@ -1099,6 +1101,15 @@ NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
 SEMANTIC_GATE_BROADCAST_PROBE_CAP = 200_000
 SEMANTIC_GATE_PROBE_DIM_BUDGET = 64
 
+# Ablation/compat switch for the gates' index commits: True (default)
+# uses txn.append_new — probe-free, replay-fenced by batch watermark;
+# False routes every insert through txn.merge_keyed's per-batch
+# anti-join, the pre-round-9 path. Identical admissions either way
+# (pinned by the gates' replay suites run under both modes);
+# bench_streaming measures both in one run so the commit-consolidation
+# speedup is a within-run ratio, immune to machine drift.
+GATE_PROBE_FREE_INSERTS = True
+
 # Batch-side frames (ids, band rows, fingerprint rows) broadcast into
 # the gate index probes and keyed merges only while the batch stays
 # under this row bound; a huge batch — the documented batch-backfill
@@ -1517,7 +1528,7 @@ def neardup_gate_admit(
         try:
             # materialize admit while members is still cached, so the
             # caller's sink replays the cache, not the full chain
-            admit.count()
+            n_adm = admit.count()
             sig_rows = sigs.join(admit_ids, "doc_id").select("doc_id", "hs")
             band_rows = banded.join(admit_ids, "doc_id").select(
                 "doc_id", "band", "bh"
@@ -1537,14 +1548,28 @@ def neardup_gate_admit(
                 band_rows = band_rows.select("*", stamp)
                 sig_keys = sig_keys + ["admit_batch"]
                 band_keys = band_keys + ["admit_batch"]
-            txn.merge_keyed(
-                sig_rows, sigs_table, key_cols=sig_keys,
-                broadcast_probe=small,
-            )
-            txn.merge_keyed(
-                band_rows, bands_table, key_cols=band_keys,
-                broadcast_probe=small,
-            )
+            if batch_id is not None and GATE_PROBE_FREE_INSERTS:
+                # probe-free inserts (txn.append_new): admitted rows
+                # are new-by-construction (their docs were not
+                # suppressed by this snapshot; under TTL the stamp
+                # joins the key), replays fenced by appended_through —
+                # TWO merge probes fewer per micro-batch (r8 verdict
+                # item 7). Un-id'd backfills keep the keyed merge.
+                # row counts are known without extra jobs: one sig row
+                # and ``bands`` band rows per admitted doc
+                txn.append_new(sig_rows, sigs_table, batch_id, n_rows=n_adm)
+                txn.append_new(
+                    band_rows, bands_table, batch_id, n_rows=n_adm * bands
+                )
+            else:
+                txn.merge_keyed(
+                    sig_rows, sigs_table, key_cols=sig_keys,
+                    broadcast_probe=small,
+                )
+                txn.merge_keyed(
+                    band_rows, bands_table, key_cols=band_keys,
+                    broadcast_probe=small,
+                )
         finally:
             members.unpersist()
         return admit
@@ -1701,7 +1726,8 @@ def overlap_gate_admit(
     try:
         # micro-batches broadcast their fingerprint/id frames so the
         # index never shuffles; a large backfill keeps the shuffle plan
-        small = fps.count() <= GATE_BROADCAST_ROW_CAP
+        n_fps = fps.count()
+        small = n_fps <= GATE_BROADCAST_ROW_CAP
         rare_batch = (
             fps.groupBy("fp")
             .agg(F.count("*").alias("_df"))
@@ -1784,10 +1810,19 @@ def overlap_gate_admit(
                 # stamp in the key: see neardup_gate_admit — an id
                 # re-admitted after expiry must refresh its stamp
                 fp_keys = fp_keys + ["admit_batch"]
-            txn.merge_keyed(
-                fp_rows, index_table, key_cols=fp_keys,
-                broadcast_probe=small,
-            )
+            if batch_id is not None and GATE_PROBE_FREE_INSERTS:
+                # probe-free insert: see neardup_gate_admit. The batch
+                # fps count (already computed for the broadcast bound)
+                # upper-bounds the admitted subset — n_rows only sizes
+                # the staged file count, so the bound is exact enough
+                txn.append_new(
+                    fp_rows, index_table, batch_id, n_rows=n_fps
+                )
+            else:
+                txn.merge_keyed(
+                    fp_rows, index_table, key_cols=fp_keys,
+                    broadcast_probe=small,
+                )
         finally:
             members.unpersist()
         return admit
@@ -2077,7 +2112,7 @@ def semantic_gate_admit(
             )
         admit = batch_df.join(admit_ids, "vec_id", "left_semi").persist()
         try:
-            admit.count()
+            n_adm = admit.count()
             idx_rows = assigned.join(admit_ids, "vec_id").select(
                 "vec_id", "cluster", "embedding", "nrm"
             )
@@ -2090,10 +2125,17 @@ def semantic_gate_admit(
                 # re-admitted after expiry (re-embeddings often KEEP
                 # stable content-hash ids) must refresh its stamp
                 vec_keys = vec_keys + ["admit_batch"]
-            txn.merge_keyed(
-                idx_rows, index_table, key_cols=vec_keys,
-                broadcast_probe=fast,
-            )
+            if batch_id is not None and GATE_PROBE_FREE_INSERTS:
+                # probe-free insert: see neardup_gate_admit; one index
+                # row per admitted vector, so the count is free
+                txn.append_new(
+                    idx_rows, index_table, batch_id, n_rows=n_adm
+                )
+            else:
+                txn.merge_keyed(
+                    idx_rows, index_table, key_cols=vec_keys,
+                    broadcast_probe=fast,
+                )
         finally:
             if members is not None:
                 members.unpersist()

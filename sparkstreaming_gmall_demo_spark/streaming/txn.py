@@ -285,6 +285,69 @@ def merge_keyed(
     )
 
 
+def append_new(
+    batch_df: DataFrame,
+    table: str,
+    batch_id: int,
+    n_rows: int | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Probe-free exactly-once insert for a SINGLE-WRITER sink whose
+    rows are new-by-construction: merge_keyed minus its per-batch
+    anti-join + probe jobs — the fixed cost that dominates an ingest
+    gate's small micro-batches (round-8 verdict item 7).
+
+    Two preconditions, both true of every *_gate_admit index write:
+    (1) one writing stream per table (the foreachBatch contract), and
+    (2) the caller's own suppression logic makes the insert set
+    key-unique against the table — admitted rows were derived by
+    anti-joining/cosine-rejecting against this table's CURRENT
+    snapshot in the same batch (and TTL'd tables stamp the batch id
+    into the key). Replays are fenced by an ``appended_through`` batch
+    watermark in commit meta: a replayed batch id returns before
+    running ANY job, and a crash before the commit replays into a
+    re-derive + re-stage (the caller re-reads the unchanged snapshot,
+    so it derives the same rows). ``n_rows`` skips the internal
+    persist+count — pass the count the caller already knows, or a
+    same-magnitude bound: it only sizes the staged file count
+    (files_for_rows), so any estimate within a file's 256k rows
+    stages identically. Metadata carries forward as everywhere else.
+    Returns n_rows as passed/counted (0 for a fenced replay or an
+    empty counted batch)."""
+    if batch_id is None:
+        raise ValueError("append_new requires batch_id (the replay fence)")
+    if batch_id <= table_meta(table).get("appended_through", -1):
+        return 0
+    owned_persist = n_rows is None
+    if owned_persist:
+        batch_df = batch_df.persist()
+    try:
+        if n_rows is None:
+            n_rows = batch_df.count()
+        if n_rows == 0:
+            # nothing to commit; the fence intentionally does NOT
+            # advance (a replay re-derives the same empty set)
+            return 0
+        staged = _stage(batch_df.coalesce(files_for_rows(n_rows)), table)
+    finally:
+        if owned_persist:
+            batch_df.unpersist()
+    for _ in range(max_retries):
+        v = current_version(table)
+        meta = dict(table_meta(table, v)) if v >= 0 else {}
+        if batch_id <= meta.get("appended_through", -1):
+            return 0  # a replay twin won; staged files stay orphaned
+        meta["appended_through"] = max(
+            int(batch_id), int(meta.get("appended_through", -1))
+        )
+        base = _read_manifest(table, v) if v >= 0 else []
+        if _try_commit(table, v + 1, base + staged, meta):
+            return n_rows
+    raise RuntimeError(
+        f"append_new: gave up after {max_retries} commit attempts on {table}"
+    )
+
+
 class ConcurrentWriteError(RuntimeError):
     """A full-snapshot replace lost its CAS to a concurrent commit."""
 

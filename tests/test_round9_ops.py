@@ -320,6 +320,83 @@ def test_scd2_obs_zone_map_prunes_rebuild_scan(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r8 item 7: probe-free gate index inserts (txn.append_new) —
+# the fence's exactly-once contract, standalone
+# ---------------------------------------------------------------------------
+def test_append_new_fences_replays_and_carries_meta(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert txn.append_new(df, table, batch_id=0, n_rows=2) == 2
+    v0 = txn.current_version(table)
+    # replayed batch id: fenced before any job runs, version unmoved
+    assert txn.append_new(df, table, batch_id=0, n_rows=2) == 0
+    assert txn.current_version(table) == v0
+    # later batch appends; n_rows=None path counts internally
+    assert txn.append_new(
+        spark.createDataFrame([(3, "c")], "k long, v string"), table,
+        batch_id=1,
+    ) == 1
+    assert txn.snapshot(spark, table).count() == 3
+    # empty batch: no commit AND the fence does not advance (a crash
+    # between derive and commit replays into the same empty derive)
+    assert txn.append_new(
+        spark.createDataFrame([], "k long, v string"), table, batch_id=5
+    ) == 0
+    assert txn.table_meta(table)["appended_through"] == 1
+    # maintenance meta carries through the append, and the fence
+    # survives an overwrite that carries meta (the vacuum contract)
+    txn.overwrite(
+        txn.snapshot(spark, table), table,
+        meta={**txn.table_meta(table), "sentinel": 7},
+    )
+    assert txn.append_new(
+        spark.createDataFrame([(4, "d")], "k long, v string"), table,
+        batch_id=2,
+    ) == 1
+    m = txn.table_meta(table)
+    assert m["sentinel"] == 7 and m["appended_through"] == 2
+    assert txn.append_new(df, table, batch_id=1, n_rows=2) == 0  # still fenced
+
+
+@pytest.mark.parametrize("probe_free", [True, False])
+def test_gate_admissions_identical_across_commit_modes(
+    spark, tmp_path, monkeypatch, probe_free
+):
+    """The GATE_PROBE_FREE_INSERTS ablation switch must be admission-
+    invariant: the probe-free (append_new) and merge_keyed commit
+    paths produce the same admitted set and the same index contents
+    over a stream with dups, TTL expiry, and a re-admission — the
+    contract bench_streaming's within-run ablation relies on."""
+    topic = tmp_path / "docs"
+    _stage_batches(
+        topic,
+        _doc_table,
+        [
+            [(0, _doc_text(0)), (1, _doc_text(1))],
+            [(2, _doc_text(0))],   # dup of 0: suppressed (stamp live)
+            [(3, _doc_text(2))],
+            [(4, _doc_text(0))],   # doc 0 expired (ttl=2) -> re-admitted
+        ],
+    )
+    monkeypatch.setattr(pipelines, "GATE_PROBE_FREE_INSERTS", probe_free)
+    q = pipelines.novelty_gate_pipeline(
+        _doc_stream(spark, topic), str(tmp_path / "idx"),
+        str(tmp_path / "admitted"), str(tmp_path / "ck"),
+        trigger={"availableNow": True}, ttl_batches=2, compact_every=2,
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "admitted")).collect()}
+    assert got == {0, 1, 3, 4}
+    idx = txn.snapshot(spark, str(tmp_path / "idx"))
+    # post-vacuum at b3 (ttl=2): stamps >= 1 live -> doc 3 (b2) and the
+    # re-admitted doc 4 (b3); the expired b0 stamps are gone in both modes
+    assert {(r.fingerprint is not None, r.admit_batch) for r in idx.collect()} == {
+        (True, 2),
+        (True, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r8 item 4: the drift loop, end to end — occupancy skew grows
 # under a drifted stream, recluster rebalances it, probe cost recovers,
 # and the gate's decisions survive the centroid switch
