@@ -1196,6 +1196,14 @@ def _ttl_vacuum(
     snap = txn.snapshot(spark, table)
     if "admit_batch" not in snap.columns:
         return
+    # record the append fence's floor: stamps below batch_id - ttl are
+    # about to be REMOVED, so replays of batches older than that must
+    # be allowed to re-insert (txn.append_new's appended_floor
+    # contract — the r6 fresh-checkpoint replay-convergence pin)
+    meta = dict(txn.table_meta(table, v))
+    meta["appended_floor"] = max(
+        int(meta.get("appended_floor", -1)), int(batch_id - ttl_batches)
+    )
     live = snap.filter(F.col("admit_batch") >= F.lit(batch_id - ttl_batches))
     if order_by:
         # persist: repartitionByRange samples range boundaries in its
@@ -1209,15 +1217,13 @@ def _ttl_vacuum(
             txn.overwrite(
                 txn.clustered(live, order_by, txn.files_for_rows(n_live)),
                 table,
-                meta=txn.table_meta(table, v),
+                meta=meta,
                 expected_version=v,
             )
         finally:
             live.unpersist()
         return
-    txn.overwrite(
-        live, table, meta=txn.table_meta(table, v), expected_version=v
-    )
+    txn.overwrite(live, table, meta=meta, expected_version=v)
 
 
 def _require_batch_id(ttl_batches, batch_id) -> None:

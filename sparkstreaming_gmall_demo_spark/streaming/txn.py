@@ -307,7 +307,21 @@ def append_new(
     watermark in commit meta: a replayed batch id returns before
     running ANY job, and a crash before the commit replays into a
     re-derive + re-stage (the caller re-reads the unchanged snapshot,
-    so it derives the same rows). ``n_rows`` skips the internal
+    so it derives the same rows).
+
+    Maintenance that REMOVES rows weakens precondition (2) for old
+    batches: after a TTL vacuum, a fresh-checkpoint replay of a batch
+    whose rows were vacuumed re-derives them as novel and MUST
+    re-insert them, or downstream batches' suppression decisions
+    diverge from the original run (the r6 TTL replay-convergence pin
+    caught exactly this). Row-removing maintenance therefore records
+    ``appended_floor`` — the oldest batch id whose inserts are still
+    intact (_ttl_vacuum: vacuum_batch - ttl) — and the fence applies
+    only to batch_id >= floor; older replayed batches insert again.
+    Such re-inserts recreate only EXPIRED rows (probes filter them,
+    the next vacuum removes them), and the fuzzy gates count evidence
+    per distinct key, so transient duplicates of expired rows are
+    semantically inert. ``n_rows`` skips the internal
     persist+count — pass the count the caller already knows, or a
     same-magnitude bound: it only sizes the staged file count
     (files_for_rows), so any estimate within a file's 256k rows
@@ -316,7 +330,11 @@ def append_new(
     empty counted batch)."""
     if batch_id is None:
         raise ValueError("append_new requires batch_id (the replay fence)")
-    if batch_id <= table_meta(table).get("appended_through", -1):
+    meta0 = table_meta(table)
+    if (
+        meta0.get("appended_floor", -1) <= batch_id
+        <= meta0.get("appended_through", -1)
+    ):
         return 0
     owned_persist = n_rows is None
     if owned_persist:
@@ -335,7 +353,10 @@ def append_new(
     for _ in range(max_retries):
         v = current_version(table)
         meta = dict(table_meta(table, v)) if v >= 0 else {}
-        if batch_id <= meta.get("appended_through", -1):
+        if (
+            meta.get("appended_floor", -1) <= batch_id
+            <= meta.get("appended_through", -1)
+        ):
             return 0  # a replay twin won; staged files stay orphaned
         meta["appended_through"] = max(
             int(batch_id), int(meta.get("appended_through", -1))

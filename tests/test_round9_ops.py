@@ -1,13 +1,24 @@
-"""Round-9 tests: regression pins for the r8 ADVICE findings —
-(1) the overlap gate's cross-batch evidence count must not inflate
-when a re-delivered live doc leaves duplicate stamped index copies,
-(2) novelty/boilerplate merge probes must fall back to the shuffle
-plan past GATE_BROADCAST_ROW_CAP (behavioral equivalence pin),
-(3) the semantic gate's driver-collect budget is in ELEMENTS, so
-high-dimension batches take the distributed fallback,
-(4) a corrupt/empty _scd2_layout.json raises an actionable repair
-error instead of wedging every apply with a JSONDecodeError,
-(5) the novelty gate's TTL vacuum carries table meta forward."""
+"""Round-9 tests.
+
+Regression pins for the r8 ADVICE findings: (1) the overlap gate's
+cross-batch evidence count must not inflate when a re-delivered live
+doc leaves duplicate stamped index copies, (2) novelty/boilerplate
+merge probes must fall back to the shuffle plan past
+GATE_BROADCAST_ROW_CAP (behavioral equivalence pin), (3) the semantic
+gate's driver-collect budget is in ELEMENTS, so high-dimension
+batches take the distributed fallback, (4) a corrupt/empty
+_scd2_layout.json raises an actionable repair error instead of
+wedging every apply with a JSONDecodeError, (5) the novelty gate's
+TTL vacuum carries table meta forward.
+
+Round-9 feature pins: the SCD2 obs-log zone map (round-8 log
+compatibility incl. late-arrival resurrection from unmapped files,
+pruned rebuild reads, replay no-op), txn.append_new's replay
+fence/meta contract and the commit-mode admission-equivalence of the
+GATE_PROBE_FREE_INSERTS ablation switch, the centroid-drift loop end
+to end (occupancy skew -> recluster -> probe-cost recovery at held
+recall), and the driver-window rotation policy recomputed from the
+committed CORRECTNESS ledger."""
 
 from __future__ import annotations
 
@@ -356,6 +367,18 @@ def test_append_new_fences_replays_and_carries_meta(spark, tmp_path):
     m = txn.table_meta(table)
     assert m["sentinel"] == 7 and m["appended_through"] == 2
     assert txn.append_new(df, table, batch_id=1, n_rows=2) == 0  # still fenced
+    # row-removing maintenance raises the floor: batches older than it
+    # re-insert (the TTL-vacuum fresh-replay convergence contract),
+    # newer replayed batches stay fenced
+    txn.overwrite(
+        txn.snapshot(spark, table), table,
+        meta={**txn.table_meta(table), "appended_floor": 2},
+    )
+    assert txn.append_new(
+        spark.createDataFrame([(9, "z")], "k long, v string"), table,
+        batch_id=1,
+    ) == 1  # 1 < floor 2 -> unfenced re-insert allowed
+    assert txn.append_new(df, table, batch_id=2, n_rows=2) == 0  # fenced
 
 
 @pytest.mark.parametrize("probe_free", [True, False])
