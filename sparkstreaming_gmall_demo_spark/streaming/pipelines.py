@@ -685,10 +685,11 @@ def sketch_pipeline(
         cells = cm_build(toks, depth=depth, width=width).select(
             F.lit(batch_id).cast("long").alias("batch_id"), "d", "b", "c"
         )
-        txn.merge_keyed(
-            cells, sketch_table, key_cols=["batch_id", "d", "b"],
-            broadcast_probe=True,
-        )
+        # probe-free insert: cells are keyed by THIS batch id, the
+        # compacted_through guard above already fences folded batches,
+        # and append_new's own appended_through fence covers intact
+        # replays — the per-batch anti-join bought nothing (r8 item 7)
+        txn.append_new(cells, sketch_table, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_sketch_partials(batch_df.sparkSession, sketch_table)
 
@@ -800,10 +801,8 @@ def hll_pipeline(
             .agg(F.hll_sketch_agg("k", F.lit(lgk)).alias("sketch"))
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "d", "sketch")
         )
-        txn.merge_keyed(
-            partials, sketch_table, key_cols=["batch_id", "d"],
-            broadcast_probe=True,
-        )
+        # probe-free insert: see sketch_pipeline
+        txn.append_new(partials, sketch_table, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_hll_partials(batch_df.sparkSession, sketch_table)
 
@@ -868,10 +867,9 @@ def bm25_index_pipeline(
                     F.lit(batch_id).cast("long").alias("batch_id"),
                     "n_docs", "sum_dl",
                 )
-                txn.merge_keyed(
-                    partial, stats_table, key_cols=["batch_id"],
-                    broadcast_probe=True,
-                )
+                # probe-free insert of the 1-row partial: see
+                # sketch_pipeline
+                txn.append_new(partial, stats_table, batch_id, n_rows=1)
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_bm25_stats(batch_df.sparkSession, stats_table)
         finally:
@@ -938,13 +936,12 @@ def boilerplate_pipeline(
             .select(F.lit(batch_id).cast("long").alias("batch_id"), "gram", "df")
         ).persist()
         try:
-            # the batch gram dictionary is unbounded in batch size —
-            # broadcast the merge probe only under the cap (round-8
-            # advice; k-bounded merges like sketch/stats stay True)
-            small = partial.count() <= GATE_BROADCAST_ROW_CAP
-            txn.merge_keyed(
-                partial, gram_table, key_cols=["batch_id", "gram"],
-                broadcast_probe=small,
+            # probe-free insert (see sketch_pipeline) — which also
+            # retires the r8 broadcast-cap concern for this merge: an
+            # unbounded batch gram dictionary no longer broadcasts
+            # anything, it just stages row-count-sized files
+            txn.append_new(
+                partial, gram_table, batch_id, n_rows=partial.count()
             )
         finally:
             partial.unpersist()
@@ -1031,7 +1028,12 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
             txn.overwrite(
                 merged,
                 table,
-                meta={"compacted_through": max(int(hwm), int(prev))},
+                # carry meta (e.g. the append fence) — an overwrite
+                # must never silently drop what maintenance recorded
+                meta={
+                    **txn.table_meta(table, version=v0),
+                    "compacted_through": max(int(hwm), int(prev)),
+                },
                 expected_version=v0,
             )
             return n
@@ -1749,11 +1751,12 @@ def overlap_gate_admit(
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-            # kept is unique on (doc_id, fp) so count(*) would agree
-            # today; countDistinct pins the contract — evidence is
-            # "distinct shared fingerprints" — against refactors that
-            # introduce row copies (the cross-batch bug class below)
-            .agg(F.countDistinct(F.col("a.fp")).alias("_shared"))
+            # evidence = distinct shared fingerprints; count(*) IS that
+            # here because kept is unique on (doc_id, fp) — fps is
+            # .distinct() and rare_batch is one row per fp. (countDistinct
+            # would restate the contract but costs a second aggregate
+            # phase — measured 35% off the adversarial verbatim regime.)
+            .agg(F.count("*").alias("_shared"))
             .filter(F.col("_shared") >= min_shared)
             .select("i", "j")
         )
@@ -1785,7 +1788,10 @@ def overlap_gate_admit(
             # then tallies each shared fingerprint once per copy,
             # over-rejecting novel docs whose true overlap is below
             # min_shared (round-8 advice). dropDuplicates restores
-            # uniqueness; countDistinct is the belt to that suspender.
+            # (old_id, fp) uniqueness, which joined with the unique
+            # (doc_id, fp) batch side makes count(*) exactly "distinct
+            # shared fingerprints" — the regression test drives the
+            # duplicated-index scenario end to end.
             idx_kept = (
                 idx.select(F.col("doc_id").alias("old_id"), "fp")
                 .dropDuplicates(["old_id", "fp"])
@@ -1793,7 +1799,7 @@ def overlap_gate_admit(
             dup_ids = (
                 (F.broadcast(kept) if small else kept).join(idx_kept, "fp")
                 .groupBy("doc_id", "old_id")
-                .agg(F.countDistinct("fp").alias("_shared"))
+                .agg(F.count("*").alias("_shared"))
                 .filter(F.col("_shared") >= min_shared)
                 .select("doc_id")
                 .dropDuplicates()
