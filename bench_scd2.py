@@ -53,12 +53,21 @@ def _obs_rows(spark, keys, ts, tag):
     would bench py4j serialization, not the writers."""
     from pyspark.sql import functions as F
 
-    keys_df = (
-        spark.range(len(keys)).toDF("i")
-        .select((F.element_at(F.array(*[F.lit(k) for k in keys]), F.col("i").cast("int") + 1)).alias("uid"))
-        if len(keys) <= 1024
-        else spark.range(len(keys)).toDF("uid")
-    )
+    keys = list(keys)
+    if len(keys) <= 1024:
+        keys_df = spark.range(len(keys)).toDF("i").select(
+            F.element_at(
+                F.array(*[F.lit(k) for k in keys]), F.col("i").cast("int") + 1
+            ).alias("uid")
+        )
+    elif keys == list(range(keys[0], keys[0] + len(keys))):
+        # contiguous big key sets ride spark.range + offset; anything
+        # else would silently bench the WRONG uids (round-9 review)
+        keys_df = spark.range(len(keys)).toDF("uid").select(
+            (F.col("uid") + F.lit(keys[0])).alias("uid")
+        )
+    else:
+        raise ValueError("large non-contiguous key sets are not supported")
     return keys_df.select(
         F.col("uid").cast("long").alias("uid"),
         F.explode(F.array(*[F.lit(t) for t in ts])).alias("ts"),

@@ -54,14 +54,17 @@ DRIVER_CAP = 50
 
 
 def row_is_green(rec: dict) -> bool:
-    """A driver row counts as green when nothing mismatched and
-    nothing errored. Rows-only checks (no oracle SQL) report None for
+    """A driver row counts as green when nothing mismatched, nothing
+    errored, AND at least one check actually ran (a record with all
+    three fields absent — a mid-check crash or schema drift — must not
+    stamp the entry fresh and rotate it out of the next window;
+    round-9 review). Rows-only checks (no oracle SQL) report None for
     the hash/schema fields — still green; the judge sees which."""
     if not isinstance(rec, dict) or rec.get("err"):
         return False
-    return all(
-        rec.get(k) in (True, None)
-        for k in ("rows_match", "schema_match", "hash_match")
+    checks = ("rows_match", "schema_match", "hash_match")
+    return all(rec.get(k) in (True, None) for k in checks) and any(
+        rec.get(k) is True for k in checks
     )
 
 
@@ -91,6 +94,11 @@ def driver_window(
     round, name ascending within a round."""
     if sentinels is None:
         sentinels = CORE_SENTINELS
+    if cap < len(sentinels):
+        # a negative pool slice would silently return MORE than cap
+        raise ValueError(
+            f"cap={cap} is below the {len(sentinels)} always-seated sentinels"
+        )
     missing = [s for s in sentinels if s not in registry_names]
     if missing:
         raise ValueError(f"sentinels not in registry: {missing}")

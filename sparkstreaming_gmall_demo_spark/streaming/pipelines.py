@@ -665,7 +665,8 @@ def sketch_pipeline(
     is mergeable by addition (operators/sketch.py), so instead of
     read-modify-writing one global sketch (a lost-update hazard under
     replay), each batch INSERTS its immutable partial keyed by
-    batch_id — ``txn.merge_keyed`` makes a replayed batch a no-op —
+    batch_id — the ``txn.append_new`` batch fence (plus the
+    compaction watermark guard) makes a replayed batch a no-op —
     and readers merge at query time with ``cm_read_merged`` (sum cells
     over batches, then min over depth as usual). Storage is
     batches x depth x width rows of three ints; ``compact_every=N``
@@ -913,8 +914,9 @@ def boilerplate_pipeline(
     batch, summing per-batch dfs IS the global distinct-doc count: the
     partial is mergeable by addition, the same
     immutable-partials/no-streaming-state discipline as
-    :func:`sketch_pipeline` (a replayed batch re-inserts existing
-    keys, which ``txn.merge_keyed`` makes a no-op). Readers derive the
+    :func:`sketch_pipeline` (a replayed
+    batch is fenced by ``txn.append_new``'s batch watermark before any
+    job runs; folded batches by the compaction watermark). Readers derive the
     current dictionary at query time
     (:func:`boilerplate_read_dictionary`) and feed it straight into
     operators/text.py:boilerplate_coverage — so the repeated-passage
@@ -1375,7 +1377,15 @@ def neardup_gate_admit(
     test_neardup_gate_chain_component_replay_is_noop. The index
     commits are ordered sigs-first so a crash between the two commits
     leaves a discoverable-by-verify but not-yet-bucketed doc — the
-    replay re-commits both, and merge_keyed makes the repeats no-ops.
+    replay re-commits both, and each table's append fence (or
+    merge_keyed, on the un-id'd backfill path) makes the repeats
+    no-ops. Cross-batch RE-DELIVERY of an already-admitted id at a NEW
+    batch id is out of contract engine-wide (the idempotent_append
+    replay-guard assumption): on the non-TTL path it re-admits the doc
+    and appends a second copy of its index rows — decision-neutral
+    (probe sides dedupe) but unbounded storage under a chronically
+    re-delivering source; run the TTL mode (stamped keys + vacuum) or
+    an upstream exact-novelty gate in that regime.
 
     Scale shape: the probe shuffles (band, bh) ints against the bucket
     index (partitionable by band); a hot index bucket (boilerplate-y
@@ -1807,7 +1817,7 @@ def overlap_gate_admit(
         admit_ids, members = _gate_admit_ids(batch_df, pairs, dup_ids)
         admit = batch_df.join(admit_ids, "doc_id", "left_semi").persist()
         try:
-            admit.count()
+            n_adm = admit.count()
             # an admitted doc's selected fps enter the index minus
             # only the frozen stoplist (a banned fp can never
             # contribute evidence, so storing it is pure waste); the
@@ -1826,9 +1836,14 @@ def overlap_gate_admit(
                 # probe-free insert: see neardup_gate_admit. The batch
                 # fps count (already computed for the broadcast bound)
                 # upper-bounds the admitted subset — n_rows only sizes
-                # the staged file count, so the bound is exact enough
+                # the staged file count, so the bound is exact enough —
+                # and an all-rejected batch passes 0, skipping the
+                # commit entirely (merge_keyed's n_new==0 return;
+                # without it every suppressed batch would accrete an
+                # empty file + manifest version — round-9 review)
                 txn.append_new(
-                    fp_rows, index_table, batch_id, n_rows=n_fps
+                    fp_rows, index_table, batch_id,
+                    n_rows=n_fps if n_adm else 0,
                 )
             else:
                 txn.merge_keyed(
@@ -2423,7 +2438,12 @@ def _scd2_layout_check(history_root: str, n_buckets: int) -> None:
         # file, fsync, and os.link it into place — link is atomic and
         # first-writer-wins (the txn._try_commit discipline), so the
         # visible file is always complete.
-        tmp = f"{p}.tmp.{os.getpid()}"
+        import uuid
+
+        # uuid, not pid: two hosts sharing the history root can collide
+        # on pid and truncate each other's temp mid-write (round-9
+        # review — the _try_commit staging discipline)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"n_buckets": int(n_buckets)}, f)
             f.flush()
@@ -2523,6 +2543,11 @@ def _scd2_obs_merge(
     scope and meta differ."""
     from . import txn
 
+    # within-batch duplicates dedupe exactly as txn.merge_keyed does —
+    # without this, two same-key observations in one micro-batch would
+    # both enter the changelog forever and the bucketed writer's
+    # history would diverge from the snapshot writer's (round-9 review)
+    batch = batch.dropDuplicates(key_cols)
     for _ in range(max_retries):
         v, names, meta = txn.snapshot_info(obs_table)
         remaining = batch

@@ -522,6 +522,40 @@ def test_semantic_gate_drift_cycle_end_to_end(spark, tmp_path):
     assert admit([(92, [0.0, 0.0, 1.0, 0.0])], cents_new) == {92}  # novel ok
 
 
+def test_overlap_gate_all_rejected_batch_commits_nothing(spark, tmp_path):
+    """A fully-suppressed batch must not commit: pre-fix, append_new
+    was handed the BATCH fp count (non-zero) and staged an empty file
+    + a new manifest version per rejected batch (round-9 review)."""
+    table = str(tmp_path / "ov_idx")
+    a0 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(0, _doc_text(0))], DOC_SCHEMA), table,
+        batch_id=0,
+    )
+    assert a0.count() == 1
+    a0.unpersist()
+    v = txn.current_version(table)
+    a1 = pipelines.overlap_gate_admit(
+        spark.createDataFrame([(1, _doc_text(0))], DOC_SCHEMA), table,
+        batch_id=1,
+    )
+    assert a1.count() == 0  # suppressed: full overlap with doc 0
+    a1.unpersist()
+    assert txn.current_version(table) == v  # no empty version accreted
+
+
+def test_window_policy_guards_degenerate_inputs():
+    from sparkstreaming_gmall_demo_spark.plans import window_policy as wp
+
+    with pytest.raises(ValueError, match="sentinel"):
+        wp.driver_window(sorted(wp.CORE_SENTINELS), {}, cap=4)
+    # a record with no checks run is NOT green (mid-check crash rows
+    # must not stamp an entry fresh in the ledger)
+    assert not wp.row_is_green({})
+    assert not wp.row_is_green({"err": "boom"})
+    assert wp.row_is_green({"rows_match": True, "schema_match": None,
+                            "hash_match": None, "err": None})
+
+
 def test_driver_window_matches_rotation_policy():
     """VERDICT r8 item 5: the frozen 50-entry driver window literal in
     plans/__init__.py must BE the output of the formal rotation policy
