@@ -780,8 +780,8 @@ def hll_pipeline(
     collapses to one HLL sketch per day it touched, committed keyed by
     (batch_id, d) — the same immutable-partials/no-streaming-state
     discipline as :func:`sketch_pipeline` (exactly-once: a replayed
-    batch re-inserts existing keys, which ``txn.merge_keyed`` makes a
-    no-op). Readers merge at query time (:func:`hll_read_daily`), and
+    batch is fenced by ``txn.append_new``'s batch watermark; folded
+    batches by the compaction watermark). Readers merge at query time (:func:`hll_read_daily`), and
     because HLL registers are max-merged, chunking is invisible: the
     merged estimate is bit-identical to a one-shot batch sketch over
     the same rows. Storage: one ~2^lgk-byte blob per (batch, day).
@@ -2956,8 +2956,9 @@ def quality_gate_pipeline(
     needs no streaming state. ``admitted`` (rules pass AND classifier
     score >= 0) is a FLAG, not a filter — routing is the consumer's
     policy (the decontam convention). The doc sink is doc_id-keyed
-    idempotent append; the monitoring counts merge keyed on
-    (batch_id, rule), so a replayed batch updates neither."""
+    idempotent append; the monitoring counts commit behind
+    ``txn.append_new``'s batch fence, so a replayed batch updates
+    neither."""
     from ..operators.text import gopher_rules, hashed_classifier_score
     from . import txn
 
@@ -3004,9 +3005,10 @@ def quality_gate_pipeline(
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .select("batch_id", "rule", "n_docs")
             )
-            txn.merge_keyed(
-                counts, counts_table, key_cols=["batch_id", "rule"],
-                broadcast_probe=True,
+            # probe-free insert: counts are keyed by THIS batch id and
+            # the row count is the known rule set (+1 admitted row)
+            txn.append_new(
+                counts, counts_table, batch_id, n_rows=len(rules) + 1
             )
         finally:
             out.unpersist()
@@ -3048,9 +3050,8 @@ def divergence_monitor_pipeline(
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .select("batch_id", "source", "n_tokens", "jsd4")
         )
-        txn.merge_keyed(
-            res, counts_table, key_cols=["batch_id", "source"],
-            broadcast_probe=True,
-        )
+        # probe-free insert: rows are keyed by THIS batch id; the
+        # per-source frame is source-cardinality-bounded
+        txn.append_new(res, counts_table, batch_id)
 
     return _start(docs.writeStream.foreachBatch(sink), checkpoint, trigger)
