@@ -291,6 +291,33 @@ def test_scd2_round8_obs_log_without_zone_map_still_works(spark, tmp_path):
     assert txn.current_version(obs_t) == v_before
 
 
+def test_scd2_bucketed_dedupes_within_batch_duplicate_keys(spark, tmp_path):
+    """Two same-(key, ts) observations in one micro-batch must collapse
+    to one changelog row (txn.merge_keyed's dropDuplicates semantics) —
+    the zone-mapped obs merge initially skipped this, storing both
+    forever and diverging from the snapshot writer (round-9 review)."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+
+    obs_t, root = str(tmp_path / "obs"), str(tmp_path / "hist")
+    batch = spark.createDataFrame(
+        [(1, 10, "A"), (1, 10, "A"), (1, 20, "B")],
+        "uid long, ts long, val string",
+    )
+    pipelines.scd2_apply_batch_bucketed(
+        batch, obs_t, root, "uid", "ts", ["val"], batch_id=0, n_buckets=4
+    )
+    assert txn.snapshot(spark, obs_t).count() == 2  # dup collapsed
+    want = scd2_ops.scd2_history(
+        batch.dropDuplicates(["uid", "ts"]), "uid", "ts", ["val"]
+    )
+    got = pipelines.scd2_bucketed_history(spark, root)
+    assert sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in got.collect()
+    ) == sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in want.collect()
+    )
+
+
 def test_scd2_obs_zone_map_prunes_rebuild_scan(spark, tmp_path):
     """After rounds touching disjoint buckets, a one-key apply's
     rebuild read must cover ONLY the files whose zone-map entry
