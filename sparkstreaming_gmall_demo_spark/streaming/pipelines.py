@@ -2619,6 +2619,76 @@ def _scd2_obs_merge(
     )
 
 
+def scd2_obs_compact(
+    spark, obs_table: str, history_root: str, key: str, n_buckets: int
+) -> tuple[int, int]:
+    """Zone-map-PRESERVING compaction for the SCD2 obs log. Generic
+    txn.compact_files keeps every row but writes unmapped files, which
+    the conservative reader must always include — one generic OPTIMIZE
+    pass silently degrades every later probe and rebuild back to a
+    full-log read. This pass rewrites the snapshot bucket-grouped
+    (the obs merge's <=SCD2_OBS_FILE_BUCKET_SPAN contiguous grouping)
+    and commits a FRESH exact map with the files: pruning is restored
+    and the file count re-bounded at ~populated_buckets/span
+    (row-proportional splits within a group), however many micro-batch
+    commits accreted. Commit meta (the append fence, scd2 watermarks)
+    carries forward — rows are preserved, so the fence stays valid.
+
+    ``n_buckets`` is validated against the history root's recorded
+    layout first: map entries written under a DRIFTED bucket count
+    would make readers prune away files that still hold their keys —
+    silent missing-observation corruption, the exact class the layout
+    stamp exists to stop. Run with no concurrent compactor, like
+    txn.vacuum; concurrent writers are safe (lost CAS -> rebase)."""
+    from . import txn
+
+    _scd2_layout_check(history_root, n_buckets)
+    for _ in range(20):
+        v, names, meta = txn.snapshot_info(obs_table)
+        if v < 0:
+            return (0, 0)
+        snap = (
+            txn.snapshot(spark, obs_table, version=v)
+            .withColumn("_bucket", _scd2_bucket_expr(key, n_buckets))
+            .persist()
+        )
+        try:
+            n_total = snap.count()
+            present = sorted(
+                r._bucket
+                for r in snap.select("_bucket").dropDuplicates().collect()
+            )
+            span = SCD2_OBS_FILE_BUCKET_SPAN
+            groups = [
+                present[i : i + span] for i in range(0, len(present), span)
+            ]
+            per_group_files = txn.files_for_rows(
+                -(-n_total // max(len(groups), 1))
+            )
+            staged: list[str] = []
+            fmap: dict[str, list[int]] = {}
+            for g in groups:
+                got = txn._stage(
+                    snap.filter(F.col("_bucket").isin(g))
+                    .drop("_bucket")
+                    .coalesce(per_group_files),
+                    obs_table,
+                )
+                staged += got
+                for f in got:
+                    fmap[f] = [int(b) for b in g]
+            new_meta = dict(meta)
+            new_meta["scd2_file_buckets"] = fmap
+            if txn._try_commit(obs_table, v + 1, staged, new_meta):
+                return (len(names), len(staged))
+        finally:
+            snap.unpersist()
+        # lost the race: a writer landed v+1 — rebase on its snapshot
+    raise RuntimeError(
+        f"scd2_obs_compact: gave up after 20 attempts on {obs_table}"
+    )
+
+
 def _scd2_run_per_bucket(fn, buckets: list) -> None:
     """Bucket tables are independent commit domains, and each job is a
     small filtered write against a cached frame — run them concurrently

@@ -357,6 +357,71 @@ def test_scd2_obs_zone_map_prunes_rebuild_scan(spark, tmp_path):
     assert len(txn.table_meta(obs_t)["scd2_file_buckets"]) == 3
 
 
+def test_scd2_obs_compact_restores_pruning_and_bounds_files(spark, tmp_path):
+    """After many micro-batch commits (and a generic compact_files pass
+    that strips the zone map), scd2_obs_compact must rewrite the log
+    bucket-grouped with a FRESH exact map: file count bounded, every
+    manifest file mapped, one-bucket reads pruned again, meta carried,
+    and subsequent applies still bit-match the snapshot writer."""
+    from sparkstreaming_gmall_demo_spark.operators import scd2 as scd2_ops
+    from sparkstreaming_gmall_demo_spark.streaming.pipelines import (
+        _scd2_bucket_expr,
+        _scd2_obs_files_for,
+    )
+
+    obs_t, root = str(tmp_path / "obs"), str(tmp_path / "hist")
+    n_buckets = 64
+    all_rows = []
+    for i in range(6):  # six commits -> six obs files
+        rows = [(10 * i + j, 10, f"v{i}{j}") for j in range(3)]
+        pipelines.scd2_apply_batch_bucketed(
+            spark.createDataFrame(rows, "uid long, ts long, val string"),
+            obs_t, root, "uid", "ts", ["val"], batch_id=i,
+            n_buckets=n_buckets,
+        )
+        all_rows += rows
+    # a generic OPTIMIZE pass: rows preserved, zone map NOT — the
+    # conservative reader now includes every file
+    txn.compact_files(spark, obs_t, target_files=4)
+    assert len(_scd2_obs_files_for(obs_t, [0])) == len(
+        txn.snapshot_info(obs_t)[1]
+    ), "unmapped files must be conservatively included"
+
+    fence_before = txn.table_meta(obs_t).get("appended_through")
+    n_before, n_after = pipelines.scd2_obs_compact(
+        spark, obs_t, root, "uid", n_buckets
+    )
+    assert n_after <= n_before
+    _v, names, meta = txn.snapshot_info(obs_t)
+    fmap = meta["scd2_file_buckets"]
+    assert set(fmap) == set(names), "every file mapped after compaction"
+    assert meta.get("appended_through") == fence_before  # fence carried
+    b0 = spark.createDataFrame([(0,)], "uid long").select(
+        _scd2_bucket_expr("uid", n_buckets).alias("b")
+    ).first().b
+    assert len(_scd2_obs_files_for(obs_t, [b0])) < len(names)
+    # drifted bucket count refuses before writing a poisoned map
+    with pytest.raises(ValueError, match="n_buckets"):
+        pipelines.scd2_obs_compact(spark, obs_t, root, "uid", 8)
+
+    # post-compaction applies keep the rebuild-invariant
+    late = [(0, 5, "early"), (51, 20, "w")]
+    pipelines.scd2_apply_batch_bucketed(
+        spark.createDataFrame(late, "uid long, ts long, val string"),
+        obs_t, root, "uid", "ts", ["val"], batch_id=6, n_buckets=n_buckets,
+    )
+    want = scd2_ops.scd2_history(
+        spark.createDataFrame(all_rows + late, "uid long, ts long, val string"),
+        "uid", "ts", ["val"],
+    )
+    got = pipelines.scd2_bucketed_history(spark, root)
+    assert sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in got.collect()
+    ) == sorted(
+        (r.uid, r.val, r.valid_from, r.valid_to) for r in want.collect()
+    )
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r8 item 7: probe-free gate index inserts (txn.append_new) —
 # the fence's exactly-once contract, standalone
