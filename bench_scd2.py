@@ -10,7 +10,7 @@ both writers, then times one maintenance round under three regimes:
   - bucketed_spread  : scd2_apply_batch_bucketed, 16 keys -> <=16 of
     256 buckets (touched << n_buckets)
 
-each timed as min-of-3 rounds over distinct keys (see _best_of), and
+each timed as min-of-5 rounds over distinct keys (the one-key regimes; this VM's single-run swing is 2-3x) (see _best_of), and
 verifies proportionality structurally: a one-key round commits a new
 version in EXACTLY one bucket table; rows rewritten are that bucket's
 slice (~SEED_KEYS/N_BUCKETS keys x 3 obs), vs the snapshot writer's
@@ -40,7 +40,7 @@ from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
 # proportionality only): 200k keys x 3 obs = 600k-row history, 256
 # buckets -> a one-key round rewrites ~1/256 of the history where the
 # snapshot writer rewrites all of it.
-SEED_KEYS = 600_000
+SEED_KEYS = 800_000
 N_BUCKETS = 256
 
 
@@ -120,7 +120,7 @@ def main() -> None:
                 _obs_rows(spark, [k], [40], "w"), s_obs, s_hist,
                 "uid", "ts", ["val"], batch_id=i,
             ))
-            for i, k in enumerate([7, 8, 9], start=1)
+            for i, k in enumerate([7, 8, 9, 11, 12], start=1)
         ])
         snapshot_rows = txn.snapshot(spark, s_hist).count()
 
@@ -139,7 +139,7 @@ def main() -> None:
                 _obs_rows(spark, [k], [40], "w"), b_obs, b_root, "uid",
                 "ts", ["val"], batch_id=i, n_buckets=N_BUCKETS,
             ))
-            for i, k in enumerate([7, 8, 9], start=1)
+            for i, k in enumerate([7, 8, 9, 11, 12], start=1)
         ])
         after = {
             t: txn.current_version(t)

@@ -2543,11 +2543,13 @@ def _scd2_obs_merge(
     scope and meta differ."""
     from . import txn
 
-    # within-batch duplicates dedupe exactly as txn.merge_keyed does —
-    # without this, two same-key observations in one micro-batch would
-    # both enter the changelog forever and the bucketed writer's
-    # history would diverge from the snapshot writer's (round-9 review)
-    batch = batch.dropDuplicates(key_cols)
+    # PRECONDITION: ``batch`` is key-unique — the apply dedupes
+    # within-batch duplicates BEFORE persisting (txn.merge_keyed's
+    # dropDuplicates semantics; without it two same-key observations
+    # in one micro-batch would both enter the changelog forever and
+    # the bucketed history would diverge from the snapshot writer's —
+    # round-9 review). Deduping there, under the cache, pays the
+    # exchange once instead of once per probe/stage action here.
     for _ in range(max_retries):
         v, names, meta = txn.snapshot_info(obs_table)
         remaining = batch
@@ -2816,6 +2818,9 @@ def scd2_apply_batch_bucketed(
     obs_cols = list(dict.fromkeys([key, ts_col, *attr_cols, *extra]))
     batch = (
         batch_df.select(*obs_cols)
+        # key-unique under the cache: _scd2_obs_merge's stated
+        # precondition (merge_keyed's within-batch dedup semantics)
+        .dropDuplicates([key, ts_col, *extra])
         .withColumn("_bucket", _scd2_bucket_expr(key, n_buckets))
         .persist()
     )
