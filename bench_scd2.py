@@ -37,7 +37,7 @@ from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
 
 # Sized so rewrite I/O dominates Spark's per-job fixed cost (the r8
 # regime at 20k keys / 32 buckets was fixed-cost-bound and showed row
-# proportionality only): 200k keys x 3 obs = 600k-row history, 256
+# proportionality only): 800k keys x 3 obs = 2.4M-row history, 256
 # buckets -> a one-key round rewrites ~1/256 of the history where the
 # snapshot writer rewrites all of it.
 SEED_KEYS = 800_000
@@ -92,7 +92,7 @@ def _best_of(rounds):
     """min wall over ``rounds`` one-arg thunks (each doing REAL work on
     distinct keys/batch ids): single-shot timings on a shared machine
     swing 2x+ on scheduler/GC noise (measured 1.5 s vs 3.7 s for the
-    identical one-key apply back-to-back); min-of-3 reports the
+    identical one-key apply back-to-back); the min over rounds reports the
     steady-state cost the regime actually has."""
     best = None
     for fn in rounds:
@@ -146,7 +146,7 @@ def main() -> None:
             for t in pipelines.scd2_bucket_tables(b_root)
         }
         moved = [t for t in after if after[t] != before.get(t, -1)]
-        # three one-key rounds -> at most three buckets moved, each by
+        # five one-key rounds -> at most five buckets moved, each by
         # exactly one version; report per-round proportionality
         one_key_buckets = max(
             after[t] - before.get(t, -1) for t in moved

@@ -2513,6 +2513,37 @@ def _scd2_obs_read(spark, obs_table: str, buckets: list) -> DataFrame:
     return spark.read.parquet(*_scd2_obs_files_for(obs_table, buckets))
 
 
+def _scd2_stage_grouped(
+    frame: DataFrame, buckets: list, n_rows: int, table: str
+) -> tuple[list[str], dict[str, list[int]]]:
+    """Stage ``frame`` (carrying a ``_bucket`` column) into contiguous
+    groups of at most SCD2_OBS_FILE_BUCKET_SPAN buckets and return
+    (staged file names, exact file->bucket-list zone-map entries) —
+    the ONE kernel both the obs merge and scd2_obs_compact stage
+    through, so the grouping rule and map shape cannot drift apart
+    (the superset invariant is shared between writer and compactor).
+    Per-group file count is the uniform ceil(n_rows / n_groups) rows
+    budget through txn.files_for_rows."""
+    from . import txn
+
+    span = SCD2_OBS_FILE_BUCKET_SPAN
+    groups = [buckets[i : i + span] for i in range(0, len(buckets), span)]
+    per_group_files = txn.files_for_rows(-(-n_rows // max(len(groups), 1)))
+    staged: list[str] = []
+    fmap: dict[str, list[int]] = {}
+    for g in groups:
+        part = (
+            frame
+            if len(groups) == 1
+            else frame.filter(F.col("_bucket").isin(g))
+        )
+        got = txn._stage(part.drop("_bucket").coalesce(per_group_files), table)
+        staged += got
+        for f in got:
+            fmap[f] = sorted(int(b) for b in g)
+    return staged, fmap
+
+
 def _scd2_obs_merge(
     spark,
     batch: DataFrame,
@@ -2583,27 +2614,9 @@ def _scd2_obs_merge(
             n_new = remaining.count()
             if n_new == 0:
                 return
-            span = SCD2_OBS_FILE_BUCKET_SPAN
-            groups = [
-                touched[i : i + span] for i in range(0, len(touched), span)
-            ]
-            staged: list[str] = []
-            fmap_new: dict[str, list[int]] = {}
-            per_group_files = txn.files_for_rows(
-                -(-n_new // len(groups))  # ceil
+            staged, fmap_new = _scd2_stage_grouped(
+                remaining, touched, n_new, obs_table
             )
-            for g in groups:
-                part = (
-                    remaining
-                    if len(groups) == 1
-                    else remaining.filter(F.col("_bucket").isin(g))
-                )
-                got = txn._stage(
-                    part.drop("_bucket").coalesce(per_group_files), obs_table
-                )
-                staged += got
-                for f in got:
-                    fmap_new[f] = sorted(int(b) for b in g)
         finally:
             remaining.unpersist()
         new_meta = dict(meta)
@@ -2631,8 +2644,8 @@ def scd2_obs_compact(
     full-log read. This pass rewrites the snapshot bucket-grouped
     (the obs merge's <=SCD2_OBS_FILE_BUCKET_SPAN contiguous grouping)
     and commits a FRESH exact map with the files: pruning is restored
-    and the file count re-bounded at ~populated_buckets/span
-    (row-proportional splits within a group), however many micro-batch
+    and the file count re-bounded at ~populated_buckets/span groups, each
+    sized by the uniform per-group row budget, however many micro-batch
     commits accreted. Commit meta (the append fence, scd2 watermarks)
     carries forward — rows are preserved, so the fence stays valid.
 
@@ -2660,25 +2673,9 @@ def scd2_obs_compact(
                 r._bucket
                 for r in snap.select("_bucket").dropDuplicates().collect()
             )
-            span = SCD2_OBS_FILE_BUCKET_SPAN
-            groups = [
-                present[i : i + span] for i in range(0, len(present), span)
-            ]
-            per_group_files = txn.files_for_rows(
-                -(-n_total // max(len(groups), 1))
+            staged, fmap = _scd2_stage_grouped(
+                snap, present, n_total, obs_table
             )
-            staged: list[str] = []
-            fmap: dict[str, list[int]] = {}
-            for g in groups:
-                got = txn._stage(
-                    snap.filter(F.col("_bucket").isin(g))
-                    .drop("_bucket")
-                    .coalesce(per_group_files),
-                    obs_table,
-                )
-                staged += got
-                for f in got:
-                    fmap[f] = [int(b) for b in g]
             new_meta = dict(meta)
             new_meta["scd2_file_buckets"] = fmap
             if txn._try_commit(obs_table, v + 1, staged, new_meta):
@@ -3110,9 +3107,9 @@ def divergence_monitor_pipeline(
     a V-row broadcast frozen offline (vocab_distribution of a trusted
     snapshot), per-batch JSD is a pure function of the batch + the
     reference, so the monitor needs NO streaming state and streaming
-    output ≡ the batch operator on the same rows by construction. The
-    (batch_id, source)-keyed transactional merge makes replays
-    no-ops; rows are (batch_id, source, n_tokens, jsd4). Like every
+    output ≡ the batch operator on the same rows by construction. Replays
+    are fenced by ``txn.append_new``'s batch watermark before any job
+    runs; rows are (batch_id, source, n_tokens, jsd4). Like every
     monitor here it OBSERVES, it does not gate — routing on a drift
     alarm is the consumer's policy (the decontam convention).
     """

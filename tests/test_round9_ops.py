@@ -387,7 +387,12 @@ def test_scd2_obs_compact_restores_pruning_and_bounds_files(spark, tmp_path):
         txn.snapshot_info(obs_t)[1]
     ), "unmapped files must be conservatively included"
 
-    fence_before = txn.table_meta(obs_t).get("appended_through")
+    # seed sentinel meta so the meta-carry assertion is non-vacuous
+    # (the obs log itself never sets appended_through — round-9 review)
+    txn.overwrite(
+        txn.snapshot(spark, obs_t), obs_t,
+        meta={**txn.table_meta(obs_t), "sentinel": "keep"},
+    )
     n_before, n_after = pipelines.scd2_obs_compact(
         spark, obs_t, root, "uid", n_buckets
     )
@@ -395,7 +400,7 @@ def test_scd2_obs_compact_restores_pruning_and_bounds_files(spark, tmp_path):
     _v, names, meta = txn.snapshot_info(obs_t)
     fmap = meta["scd2_file_buckets"]
     assert set(fmap) == set(names), "every file mapped after compaction"
-    assert meta.get("appended_through") == fence_before  # fence carried
+    assert meta.get("sentinel") == "keep"  # meta carried through
     b0 = spark.createDataFrame([(0,)], "uid long").select(
         _scd2_bucket_expr("uid", n_buckets).alias("b")
     ).first().b
