@@ -1121,6 +1121,15 @@ GATE_PROBE_FREE_INSERTS = True
 # plan instead of forcing a multi-GB broadcast past Spark's limit.
 GATE_BROADCAST_ROW_CAP = 1_000_000
 
+# Age gate for the orphan-staging sweep every _ttl_vacuum runs: a
+# staging dir this old that NO manifest references can only be the
+# leavings of a crashed/lost-race writer (stage -> commit is seconds),
+# so sweeping it is safe even with a writer in flight — closing the
+# round-9 verdict leak where append_new/merge_keyed orphans accreted
+# forever because nothing ever called txn.vacuum (which needs a
+# writer quiesce this long-running-gate context can't provide).
+GATE_ORPHAN_AGE_S = 3600.0
+
 
 def _driver_union_find(pair_rows) -> dict[int, int]:
     """Min-label union-find over collected (i, j) pairs: same contract
@@ -1226,8 +1235,13 @@ def _ttl_vacuum(
             )
         finally:
             live.unpersist()
+        txn.vacuum_orphans(table, min_age_s=GATE_ORPHAN_AGE_S)
         return
     txn.overwrite(live, table, meta=meta, expected_version=v)
+    # piggyback the age-gated orphan-staging GC on the same cadence:
+    # crashed/lost-race writers leave _staged/<uuid> dirs no manifest
+    # references, and this hook is the gates' only maintenance slot
+    txn.vacuum_orphans(table, min_age_s=GATE_ORPHAN_AGE_S)
 
 
 def _require_batch_id(ttl_batches, batch_id) -> None:
@@ -1833,17 +1847,19 @@ def overlap_gate_admit(
                 # re-admitted after expiry must refresh its stamp
                 fp_keys = fp_keys + ["admit_batch"]
             if batch_id is not None and GATE_PROBE_FREE_INSERTS:
-                # probe-free insert: see neardup_gate_admit. The batch
-                # fps count (already computed for the broadcast bound)
-                # upper-bounds the admitted subset — n_rows only sizes
-                # the staged file count, so the bound is exact enough —
-                # and an all-rejected batch passes 0, skipping the
-                # commit entirely (merge_keyed's n_new==0 return;
-                # without it every suppressed batch would accrete an
-                # empty file + manifest version — round-9 review)
+                # probe-free insert: see neardup_gate_admit. n_rows
+                # must be the ACTUAL fp_rows count, not n_fps-if-
+                # admitted: an admitted set whose every fingerprint was
+                # stoplisted (or whose docs were too short to shingle)
+                # leaves fp_rows empty while n_adm>0, and a nonzero
+                # n_rows proxy would stage+commit an empty file set AND
+                # advance the fence — contradicting the round-9
+                # "suppressed batches commit nothing" rule (round-9
+                # advice). fp_rows joins two cached frames, so the
+                # count is a cheap job; 0 skips the commit entirely.
                 txn.append_new(
                     fp_rows, index_table, batch_id,
-                    n_rows=n_fps if n_adm else 0,
+                    n_rows=fp_rows.count() if n_adm else 0,
                 )
             else:
                 txn.merge_keyed(
@@ -2457,9 +2473,10 @@ def _scd2_layout_check(history_root: str, n_buckets: int) -> None:
     try:
         with open(p) as f:
             stored = int(json.load(f)["n_buckets"])
-    except (ValueError, KeyError, OSError) as e:
+    except (ValueError, KeyError, OSError, TypeError) as e:
         # a corrupt/unreadable layout (e.g. left by a pre-fix crash)
         # gets an actionable repair message, not a permanent wedge
+        # (TypeError covers {"n_buckets": null} -> int(None))
         raise ValueError(
             f"{p} is unreadable ({e!r}); repair: delete it and re-run "
             "one apply with the ORIGINAL n_buckets — the bucket=NNNNN "
@@ -2522,22 +2539,40 @@ def _scd2_stage_grouped(
     the ONE kernel both the obs merge and scd2_obs_compact stage
     through, so the grouping rule and map shape cannot drift apart
     (the superset invariant is shared between writer and compactor).
-    Per-group file count is the uniform ceil(n_rows / n_groups) rows
-    budget through txn.files_for_rows."""
+    Each group's file count comes from its OWN row count: the old
+    uniform ceil(n_rows / n_groups) budget let a skewed batch (one
+    hot bucket) stage a single oversized file for the hot group while
+    the other groups wrote near-empty ones (round-9 verdict perf nit).
+    Multi-group staging pays one bounded count job (collects at most
+    len(buckets) rows); the single-group fast path — every routine
+    narrow batch — stays job-free as before. A group with zero rows
+    stages no file and gets no zone-map entry (no file, nothing to
+    prune)."""
     from . import txn
 
     span = SCD2_OBS_FILE_BUCKET_SPAN
     groups = [buckets[i : i + span] for i in range(0, len(buckets), span)]
-    per_group_files = txn.files_for_rows(-(-n_rows // max(len(groups), 1)))
     staged: list[str] = []
     fmap: dict[str, list[int]] = {}
-    for g in groups:
-        part = (
-            frame
-            if len(groups) == 1
-            else frame.filter(F.col("_bucket").isin(g))
+    if len(groups) == 1:
+        got = txn._stage(
+            frame.drop("_bucket").coalesce(txn.files_for_rows(n_rows)), table
         )
-        got = txn._stage(part.drop("_bucket").coalesce(per_group_files), table)
+        for f in got:
+            fmap[f] = sorted(int(b) for b in groups[0])
+        return got, fmap
+    counts = {
+        int(r["_bucket"]): int(r["n"])
+        for r in frame.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for g in groups:
+        g_rows = sum(counts.get(int(b), 0) for b in g)
+        if g_rows == 0:
+            continue
+        part = frame.filter(F.col("_bucket").isin(g))
+        got = txn._stage(
+            part.drop("_bucket").coalesce(txn.files_for_rows(g_rows)), table
+        )
         staged += got
         for f in got:
             fmap[f] = sorted(int(b) for b in g)
@@ -2620,10 +2655,11 @@ def _scd2_obs_merge(
         finally:
             remaining.unpersist()
         new_meta = dict(meta)
+        live = set(names)
         fmap = {
             f: sorted(int(b) for b in bl)
             for f, bl in meta.get("scd2_file_buckets", {}).items()
-            if f in set(names)  # drop entries for vacuumed files
+            if f in live  # drop entries for vacuumed files
         }
         fmap.update(fmap_new)
         new_meta["scd2_file_buckets"] = fmap

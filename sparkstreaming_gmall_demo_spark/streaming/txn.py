@@ -336,6 +336,24 @@ def append_new(
         <= meta0.get("appended_through", -1)
     ):
         return 0
+    if "appended_through" not in meta0 and current_version(table) >= 0:
+        # Fence seeding (round-10): a table whose prior commits all came
+        # through merge_keyed (pre-probe-free history, or flipping
+        # GATE_PROBE_FREE_INSERTS False->True mid-life) carries no
+        # appended_through, so a crash-replay of the LAST keyed-path
+        # batch would sail past the fence and re-insert its rows —
+        # additive readers (count-min cells, monitor counts, bm25
+        # stats) would then double-count that batch. Exactly the first
+        # append_new commit on such a table pays one full-row anti-join
+        # probe instead: a replay re-derives byte-equal rows (the
+        # append_new contract — same snapshot in, same rows out), so
+        # exceptAll strips precisely the replayed duplicates, and a
+        # genuinely new batch (key-unique against the table by
+        # precondition 2) is untouched. Once this commit lands it
+        # records appended_through and the probe never runs again.
+        existing = snapshot(batch_df.sparkSession, table, schema=batch_df.schema)
+        batch_df = batch_df.exceptAll(existing.select(*batch_df.columns))
+        n_rows = None  # caller's count predates the probe; recount
     owned_persist = n_rows is None
     if owned_persist:
         batch_df = batch_df.persist()
@@ -453,6 +471,52 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
     for d in dirs:
         if d not in live:
             shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+            removed += 1
+    return removed
+
+
+def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
+    """Age-gated orphan-staging GC, safe WITH a writer in flight — the
+    sweep long-running gate pipelines need (round-9 verdict: append_new
+    and merge_keyed replay-twin/lost-race/crash paths orphan their
+    ``_staged/<uuid>`` dirs forever, and nothing called ``vacuum``
+    because it requires a writer quiesce). Deletes a staging dir only
+    when (a) NO retained manifest references it — any version, not
+    just the newest, so time-travel stays intact — and (b) its newest
+    mtime (dir or any file inside) is older than ``min_age_s``. An
+    in-flight writer's staging dir is by construction younger than any
+    sane age gate (stage → commit is seconds), so the age check closes
+    the eager-sweep race that makes plain ``vacuum`` writer-unsafe —
+    the same timestamp-aging discipline Delta's VACUUM documents.
+    Returns the number of staging dirs removed. Manifests are never
+    touched. Idempotent; callers wire it into periodic maintenance
+    (the gates' compact_every hook)."""
+    import shutil
+    import time
+
+    live: set[str] = set()
+    for v in list_versions(table):
+        for f in _read_manifest(table, v):
+            live.add(f.split(os.sep)[1])
+    stage_root = os.path.join(table, _STAGE_DIR)
+    try:
+        dirs = os.listdir(stage_root)
+    except OSError:
+        return 0
+    now = time.time()
+    removed = 0
+    for d in dirs:
+        if d in live:
+            continue
+        path = os.path.join(stage_root, d)
+        try:
+            newest = os.path.getmtime(path)
+            for n in os.listdir(path):
+                newest = max(newest, os.path.getmtime(os.path.join(path, n)))
+        except OSError:
+            continue  # concurrently removed or being written; skip
+        if now - newest >= min_age_s:
+            shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed
 
