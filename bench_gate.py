@@ -403,11 +403,398 @@ def bench_drift_cycle(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Index-size sweep (VERDICT r9 item 1): the real 100 TB regime is a
+# SMALL micro-batch probing a HUGE live index — the headline regimes
+# above grow batch and index together, so probe-cost growth was
+# unmeasured. Here the batch is pinned at SWEEP_BATCH docs and the
+# index is pre-seeded at 4x-stepped sizes; per size we time two admit
+# rounds: `novel` (first contact — ~PLANT_FRAC of the batch has a
+# planted twin in the index) and `dup` (the same content under fresh
+# ids — everything now has a stored twin: maximal probe/verify work).
+#
+# Index seeding is direct-commit: filler rows are SYNTHESIZED in the
+# index schema (synthetic digests / band hashes / fingerprints can't
+# collide with the batch, exactly like unrelated corpus history), and
+# the planted fraction is DERIVED from the batch twins through the
+# same operators the gate uses — so probe hit paths are exercised
+# against real collisions while seeding stays minutes, not hours.
+# ---------------------------------------------------------------------------
+
+SWEEP_BATCH = 12_500
+SWEEP_SIZES = [50_000, 200_000, 800_000]
+SWEEP_SIZES_SEM = [25_000, 100_000, 400_000]
+PLANT_FRAC = 0.1
+PLANT_OFF = 5 * 10**10
+RERUN_OFF = 7 * 10**10
+
+
+def _amplified_docs(spark, fixture: str, n: int):
+    """n salted-novel docs (the stage_amplified `novel` scheme, Spark-
+    side): copy 0 is the fixture, copy c>0 prepends (doc, copy)-unique
+    salt so cross-copy Jaccard lands ~0.5."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(fixture)
+    base = docs.count()
+    copies = -(-n // base)
+    c = spark.range(copies).select(F.col("id").alias("c"))
+    salt = (
+        "concat_ws(' ', transform(sequence(0, int(greatest(n_chars / 12, 8)) - 1), "
+        "i -> concat('s', doc_id, 'c', c, 't', i)))"
+    )
+    return (
+        docs.crossJoin(c)
+        .select(
+            (F.col("doc_id") + F.col("c") * OFF).alias("doc_id"),
+            F.when(F.col("c") == 0, F.col("text"))
+            .otherwise(F.concat(F.expr(salt), F.lit(" "), F.col("text")))
+            .alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .orderBy("doc_id")
+        .limit(n)
+    )
+
+
+def _shift_ids(df, col: str, off: int):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col, F.col(col) + F.lit(off))
+
+
+def _seed_index(spark, df, table: str, n_rows: int, order_by=None):
+    """One direct commit of a pre-built index snapshot (row-sized file
+    count; optional clustering so min/max file-skipping is realistic)."""
+    from sparkstreaming_gmall_demo_spark.streaming import txn
+
+    files = max(16, txn.files_for_rows(n_rows)) if order_by else txn.files_for_rows(n_rows)
+    shaped = (
+        txn.clustered(df, order_by, files) if order_by else df.coalesce(files)
+    )
+    txn.overwrite(shaped, table)
+
+
+def _timed_admit(fn) -> dict:
+    t0 = time.perf_counter()
+    admitted = fn()
+    wall = time.perf_counter() - t0
+    return {"wall_sec": round(wall, 2), "admitted": admitted}
+
+
+def _sweep_sizes(sizes: list, run_size) -> dict:
+    """Run ``run_size`` once untimed at the smallest size (JVM/codegen
+    warmup — the first gate invocation otherwise charges whole-stage
+    compilation to the smallest index, inverting the slope), then once
+    per size for the record."""
+    run_size(sizes[0])
+    return {s: run_size(s) for s in sizes}
+
+
+def bench_index_sweep(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+    from sparkstreaming_gmall_demo_spark.operators import neardup as nd_ops
+    from sparkstreaming_gmall_demo_spark.operators import text as text_ops
+    from sparkstreaming_gmall_demo_spark.operators.dedup import (
+        novel_against_index,
+    )
+    from sparkstreaming_gmall_demo_spark.operators.similarity import (
+        ivf_probe_clusters,
+        ivf_train,
+    )
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    fixture = f"{sf_dir.rstrip('/')}/documents.parquet"
+    batch = _amplified_docs(spark, fixture, SWEEP_BATCH).persist()
+    batch.count()
+    batch2 = _shift_ids(batch, "doc_id", RERUN_OFF)  # same content, fresh ids
+    planted = _shift_ids(
+        batch.sample(PLANT_FRAC, seed=7), "doc_id", PLANT_OFF
+    ).persist()
+    n_plant = planted.count()
+    results: dict = {"batch_docs": SWEEP_BATCH, "planted": n_plant, "gates": {}}
+
+    # --- novelty: digest index -------------------------------------------
+    plant_fp = planted.select(
+        F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+    def nov_size(size):
+        work = tempfile.mkdtemp(prefix="gmall_sweep_nov_")
+        try:
+            table = os.path.join(work, "idx")
+            filler = spark.range(size - n_plant).select(
+                F.md5(F.concat(F.lit("filler"), F.col("id"))).alias("fingerprint")
+            )
+            _seed_index(spark, filler.unionByName(plant_fp), table, size)
+
+            def novelty_round(bdf, bid):
+                fresh = novel_against_index(
+                    bdf, txn.snapshot(spark, table), broadcast_probe=True
+                )
+                first = fresh.dropDuplicates(["fingerprint"]).persist()
+                n = first.count()
+                txn.append_new(
+                    first.select("fingerprint"), table, bid, n_rows=n
+                )
+                first.unpersist()
+                return n
+
+            entry = {
+                "novel": _timed_admit(lambda: novelty_round(batch, 9001)),
+                "dup": _timed_admit(lambda: novelty_round(batch2, 9002)),
+            }
+            # ablation: the pre-r10 anti-join plan (index shuffled +
+            # sorted per batch) vs the inverted broadcast probe (index
+            # scanned map-side) — probe only, no commit
+            idx = txn.snapshot(spark, table)
+            for key, bp in (("probe_bcast_sec", True), ("probe_smj_sec", False)):
+                t0 = time.perf_counter()
+                novel_against_index(batch2, idx, broadcast_probe=bp).count()
+                entry[key] = round(time.perf_counter() - t0, 2)
+            return entry
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    results["gates"]["novelty"] = _sweep_sizes(SWEEP_SIZES, nov_size)
+
+    # --- neardup: MinHash signature + band-bucket index -------------------
+    plant_sigs = nd_ops.minhash_signature(planted).persist()
+    plant_sigs.count()
+    plant_bands = nd_ops.signature_bands(plant_sigs).select(
+        "doc_id", "band", "bh"
+    )
+    n_bands = 16
+
+    def nd_size(size):
+        work = tempfile.mkdtemp(prefix="gmall_sweep_nd_")
+        try:
+            table = os.path.join(work, "idx")
+            n_fill = size - n_plant
+            fill = spark.range(n_fill).select(
+                (F.col("id") + 9 * 10**10).alias("doc_id")
+            )
+            fill_sigs = fill.select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(0, 63), i -> xxhash64(doc_id, i))"
+                ).alias("hs"),
+            )
+            fill_bands = fill.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {n_bands - 1}), "
+                        "b -> named_struct('band', b, 'bh', "
+                        "xxhash64(doc_id, b, 424242)))"
+                    )
+                ).alias("bb"),
+            ).select(
+                "doc_id",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh"),
+            )
+            _seed_index(
+                spark,
+                fill_sigs.unionByName(plant_sigs.select("doc_id", "hs")),
+                table + "_sigs", size,
+            )
+            _seed_index(
+                spark, fill_bands.unionByName(plant_bands),
+                table + "_bands", size * n_bands,
+            )
+
+            def nd_round(bdf, bid):
+                a = pipelines.neardup_gate_admit(
+                    bdf, table + "_sigs", table + "_bands", batch_id=bid
+                )
+                n = a.count()
+                a.unpersist()
+                return n
+
+            return {
+                "novel": _timed_admit(lambda: nd_round(batch, 9001)),
+                "dup": _timed_admit(lambda: nd_round(batch2, 9002)),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    results["gates"]["neardup"] = _sweep_sizes(SWEEP_SIZES, nd_size)
+    plant_sigs.unpersist()
+
+    # --- overlap: winnowing (doc_id, fp) index -----------------------------
+    plant_fps = (
+        text_ops.winnowing_fingerprints(planted)
+        .select("doc_id", "fp")
+        .dropDuplicates()
+        .persist()
+    )
+    fp_per_doc = max(1, plant_fps.count() // max(n_plant, 1))
+
+    def ov_size(size):
+        work = tempfile.mkdtemp(prefix="gmall_sweep_ov_")
+        try:
+            table = os.path.join(work, "idx")
+            n_fill_docs = size - n_plant
+            fill_fps = (
+                spark.range(n_fill_docs)
+                .select((F.col("id") + 9 * 10**10).alias("doc_id"))
+                .select(
+                    "doc_id",
+                    F.explode(
+                        F.expr(
+                            f"transform(sequence(0, {fp_per_doc - 1}), "
+                            "i -> xxhash64(doc_id, i, 737373))"
+                        )
+                    ).alias("fp"),
+                )
+            )
+            _seed_index(
+                spark, fill_fps.unionByName(plant_fps), table,
+                size * fp_per_doc,
+            )
+
+            def ov_round(bdf, bid):
+                a = pipelines.overlap_gate_admit(bdf, table, batch_id=bid)
+                n = a.count()
+                a.unpersist()
+                return n
+
+            return {
+                "novel": _timed_admit(lambda: ov_round(batch, 9001)),
+                "dup": _timed_admit(lambda: ov_round(batch2, 9002)),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    results["gates"]["overlap"] = _sweep_sizes(SWEEP_SIZES, ov_size)
+    plant_fps.unpersist()
+    results["overlap_fp_per_doc"] = fp_per_doc
+
+    # --- semantic: IVF-clustered vector index ------------------------------
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = ivf_train(emb, k=16)
+    dim = len(centroids[0])
+    vec_batch = (
+        emb.crossJoin(
+            spark.range(-(-SWEEP_BATCH // emb.count())).select(
+                F.col("id").alias("c")
+            )
+        )
+        .select(
+            (F.col("vec_id") + F.col("c") * OFF).alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, size(embedding) - 1), "
+                "i -> embedding[int(pmod(i + c, size(embedding)))] "
+                "+ 0.001 * c)"
+            ).alias("embedding"),
+        )
+        .limit(SWEEP_BATCH)
+        .persist()
+    )
+    vec_batch.count()
+    vec_batch2 = _shift_ids(vec_batch, "vec_id", RERUN_OFF)
+    vplant = _shift_ids(
+        vec_batch.sample(PLANT_FRAC, seed=7), "vec_id", PLANT_OFF
+    )
+    vplant_rows = (
+        ivf_probe_clusters(vplant, centroids, 1)
+        .select(
+            "vec_id",
+            F.element_at("probe_clusters", 1).cast("int").alias("cluster"),
+            "embedding",
+            F.expr(
+                "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + x * x))"
+            ).alias("nrm"),
+        )
+        .persist()
+    )
+    n_vplant = vplant_rows.count()
+    # narrow batch: content concentrated near ONE centroid — the probe
+    # then touches nprobe cells and a cluster-clustered index
+    # file-skips the rest (the sublinear path to pin)
+    c0 = centroids[0]
+    narrow = spark.range(800).select(
+        (F.col("id") + 3 * RERUN_OFF).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d} - 1), i -> {c}[int(i)] "
+            "+ (pmod(xxhash64(id, i), 1000) / 1000.0d - 0.5d) * 0.01d)".format(
+                d=dim,
+                c="array(" + ",".join(f"{x}d" for x in c0) + ")",
+            )
+        ).alias("embedding"),
+    ).persist()
+    narrow.count()
+
+    def sem_size(size):
+        work = tempfile.mkdtemp(prefix="gmall_sweep_sem_")
+        try:
+            table = os.path.join(work, "idx")
+            fill = spark.range(size - n_vplant).select(
+                (F.col("id") + 9 * 10**10).alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, {dim} - 1), "
+                    "i -> pmod(xxhash64(id, i), 1000000) / 500000.0d - 1.0d)"
+                ).alias("embedding"),
+            )
+            fill_rows = ivf_probe_clusters(fill, centroids, 1).select(
+                "vec_id",
+                F.element_at("probe_clusters", 1).cast("int").alias("cluster"),
+                "embedding",
+                F.expr(
+                    "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + x * x))"
+                ).alias("nrm"),
+            )
+            _seed_index(
+                spark,
+                fill_rows.unionByName(
+                    vplant_rows.select("vec_id", "cluster", "embedding", "nrm")
+                ),
+                table, size, order_by=["cluster"],
+            )
+
+            def sem_round(bdf, bid):
+                a = pipelines.semantic_gate_admit(
+                    bdf, table, centroids, batch_id=bid
+                )
+                n = a.count()
+                a.unpersist()
+                return n
+
+            return {
+                "novel": _timed_admit(lambda: sem_round(vec_batch, 9001)),
+                "dup": _timed_admit(lambda: sem_round(vec_batch2, 9002)),
+                "narrow": _timed_admit(lambda: sem_round(narrow, 9003)),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    results["gates"]["semantic"] = _sweep_sizes(SWEEP_SIZES_SEM, sem_size)
+    vec_batch.unpersist()
+    vplant_rows.unpersist()
+    narrow.unpersist()
+
+    batch.unpersist()
+    planted.unpersist()
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gmall-gate-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--sweep-only" in sys.argv:
+        print(json.dumps({
+            "metric": "gate_probe_index_sweep",
+            "index_sweep": bench_index_sweep(spark, sf_dir),
+            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        }))
+        spark.stop()
+        return
 
     # all four ingest gates ride the same staged stream (r6 verdict
     # item 6 — the exact-novelty and quality gates were only measured
@@ -490,6 +877,7 @@ def main() -> None:
 
     results["semantic"] = bench_semantic_gate(spark, sf_dir)
     results["drift_cycle"] = bench_drift_cycle(spark, sf_dir)
+    results["index_sweep"] = bench_index_sweep(spark, sf_dir)
 
     print(json.dumps({
         "metric": "neardup_gate_docs_per_sec",

@@ -84,7 +84,8 @@ def fingerprint_index(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def novel_against_index(
-    df: DataFrame, index: DataFrame, text_col: str = "text"
+    df: DataFrame, index: DataFrame, text_col: str = "text",
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Incremental dedup: keep only rows whose content fingerprint is
     NOT in the existing corpus index — the "what is actually new in
@@ -93,18 +94,34 @@ def novel_against_index(
 
     A left-anti hash join on the 32-char digest: the batch side
     computes fingerprints map-side and only digests shuffle, never
-    text. At 100 TB of history the index is still only ~32 bytes per
-    unique document; bucket/partition the persisted index by a
-    fingerprint prefix and the probe co-partitions without a full
-    shuffle of the index side. Adds the ``fingerprint`` column so the
-    caller can append the survivors straight back into the index
-    (see streaming.pipelines.novelty_gate_pipeline for the streaming
-    form of exactly that loop)."""
+    text. Adds the ``fingerprint`` column so the caller can append the
+    survivors straight back into the index (see
+    streaming.pipelines.novelty_gate_pipeline for the streaming form
+    of exactly that loop).
+
+    ``broadcast_probe``: a left-anti join cannot broadcast its LEFT
+    side, so the default plan sort-merge-shuffles BOTH sides — at
+    100 TB of history that exchanges and sorts the entire digest index
+    on every micro-batch. When the BATCH is bounded (the ingest-gate
+    contract), invert the probe exactly like txn.merge_keyed's
+    broadcast_probe: broadcast the batch digests INTO a semi-join over
+    the index (the index is scanned map-side, never shuffled, never
+    sorted), and broadcast the surviving hit set — at most
+    |batch ∩ index| rows — back into the anti-join. Identical output;
+    probe cost drops from O(index) shuffle+sort to one O(index)
+    columnar scan of a single 32-byte column. Leave False for
+    arbitrarily large batches (backfills), where broadcasting the
+    batch digests would not fit the driver."""
     fp = df.withColumn("fingerprint", F.md5(F.lower(F.col(text_col))))
+    idx = index.select("fingerprint")
+    if broadcast_probe:
+        batch_fps = fp.select("fingerprint").dropDuplicates()
+        hits = idx.join(
+            F.broadcast(batch_fps), "fingerprint", "left_semi"
+        ).dropDuplicates(["fingerprint"])
+        return fp.join(F.broadcast(hits), on="fingerprint", how="left_anti")
     return fp.join(
-        index.select("fingerprint").dropDuplicates(["fingerprint"]),
-        on="fingerprint",
-        how="left_anti",
+        idx.dropDuplicates(["fingerprint"]), on="fingerprint", how="left_anti"
     )
 
 

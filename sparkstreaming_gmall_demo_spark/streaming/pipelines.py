@@ -592,7 +592,17 @@ def novelty_gate_pipeline(
                 if ttl_batches is None
                 else "fingerprint string, admit_batch long",
             )
-        fresh = novel_against_index(batch_df, index.select("fingerprint"))
+        # micro-batches take the inverted broadcast probe: the digest
+        # index — the side that grows at 100 TB — is scanned map-side,
+        # never shuffled or sorted (the default anti-join SMJ plan
+        # exchanges+sorts the WHOLE index per batch — the linear-probe
+        # regime the r10 index-size sweep measures). The one count job
+        # sizing the decision is a parquet metadata read on a
+        # file-source micro-batch.
+        small = batch_df.count() <= GATE_BROADCAST_ROW_CAP
+        fresh = novel_against_index(
+            batch_df, index.select("fingerprint"), broadcast_probe=small
+        )
         first = (
             fresh.withColumn(
                 "__rn",

@@ -317,3 +317,58 @@ def test_driver_window_matches_rotation_policy():
     # seats, and sentinels are pinned by the policy
     expected = wp.driver_window(sorted(plans.REGISTRY), ledger)
     assert list(plans.REGISTRY)[:50] == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the novelty gate's inverted broadcast probe — the index
+# side must never shuffle or sort (the default anti-join SMJ plan
+# exchanges the ENTIRE digest index per micro-batch; at 100 TB that is
+# the probe's scale killer — r9 verdict item 1)
+
+
+def _fmt_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_novel_against_index_broadcast_probe_never_shuffles_index(spark):
+    from sparkstreaming_gmall_demo_spark.operators.dedup import (
+        novel_against_index,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    index = spark.createDataFrame(
+        [(f"{i:032x}",) for i in range(100)], "fingerprint string"
+    )
+    plan = _fmt_plan(novel_against_index(batch, index, broadcast_probe=True))
+    # both joins broadcast; the index side is scanned, never exchanged
+    # into a sort-merge join (its only Exchange feeds a broadcast).
+    # formatted explain prints each node twice (tree + details).
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_novel_against_index_probe_modes_agree(spark):
+    from sparkstreaming_gmall_demo_spark.operators.dedup import (
+        novel_against_index,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    seen = batch.filter(F.col("doc_id") < 20).select(
+        F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+    a = novel_against_index(batch, seen, broadcast_probe=False)
+    b = novel_against_index(batch, seen, broadcast_probe=True)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
