@@ -374,6 +374,58 @@ def main() -> None:
                 "merge_keyed": best["merge_keyed"],
                 "ratio": round(best["probe_free"] / best["merge_keyed"], 3),
             }
+        # r10 fixed-cost decomposition (VERDICT r9 item 5): gmv has sat
+        # at 2.2-2.6k rows/s for six rounds against a ~3.0k bare-append
+        # ceiling. Decompose the gap over the SAME staged topic: bare
+        # append (the engine floor: source listing, micro-batch
+        # planning, offset+commit log), + date-partitioned write
+        # (dynamic-partition commit), + within-batch dropDuplicates
+        # (the one shuffle), then the full pipeline (+ replay guard
+        # hwm read/claim). Interleaved best-of-2 per variant, like the
+        # commit ablation above, so warm-up order and box drift don't
+        # masquerade as a delta.
+        def _gmv_variant(kind, tag):
+            def make(out, ckpt):
+                src = parquet_stream(spark, o_dir, ORDER_SCHEMA)
+                if kind == "full":
+                    return pipelines.gmv_pipeline(
+                        src, out, ckpt, trigger={"availableNow": True}
+                    )
+                derived = src.withColumn(
+                    "create_date", F.to_date("create_time")
+                ).withColumn("create_hour", F.hour("create_time"))
+                if kind == "bare":
+                    def sink(b, i):
+                        b.write.mode("append").parquet(out)
+                    stream = src
+                elif kind == "partitioned":
+                    def sink(b, i):
+                        b.write.mode("append").partitionBy(
+                            "create_date"
+                        ).parquet(out)
+                    stream = derived
+                else:  # dedup_partitioned
+                    def sink(b, i):
+                        b.dropDuplicates(["id"]).write.mode(
+                            "append"
+                        ).partitionBy("create_date").parquet(out)
+                    stream = derived
+                return pipelines._start(
+                    stream.writeStream.foreachBatch(sink), ckpt,
+                    {"availableNow": True},
+                )
+            return make
+        gmv_ablation = {}
+        for kind in ("bare", "partitioned", "dedup_partitioned", "full"):
+            gmv_ablation[kind] = 0.0
+        for rep in range(2):
+            for kind in gmv_ablation:
+                rate = run(
+                    f"gmv_abl_{kind}_{rep}",
+                    _gmv_variant(kind, f"{kind}_{rep}"),
+                    o_rows, work,
+                )
+                gmv_ablation[kind] = max(gmv_ablation[kind], rate)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -382,6 +434,7 @@ def main() -> None:
             {
                 "metric": "streaming_rows_per_sec",
                 "gate_commit_ablation": gate_commit_ablation,
+                "gmv_fixed_cost_ablation": gmv_ablation,
                 # headline = min over the REFERENCE pipelines; the
                 # novelty gate and boilerplate dict run on the (tiny)
                 # documents fixture and measure per-batch fixed cost

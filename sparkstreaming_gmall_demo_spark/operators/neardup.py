@@ -544,6 +544,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    overflow_obs=None,
 ) -> DataFrame:
     """Scale-path near-dup: MinHash signatures -> LSH banding ->
     candidate pairs -> exact shingle-Jaccard verification of candidates
@@ -553,10 +554,13 @@ def minhash_near_duplicates(
     string-shingle Jaccard up to negligible hash collisions). The
     shingle sets ride through the bucket shuffle with the ids, so the
     whole op is: one pass over text, one shuffle on band buckets, one
-    dedup shuffle — no joins back to the corpus.
+    dedup shuffle — no joins back to the corpus. ``overflow_obs``
+    records salting-cap engagement (near_duplicates_from_signatures).
     """
     sigs = minhash_signature(df, num_hashes, shingle_n, id_col, text_col)
-    return near_duplicates_from_signatures(sigs, threshold, bands, max_bucket)
+    return near_duplicates_from_signatures(
+        sigs, threshold, bands, max_bucket, overflow_obs=overflow_obs
+    )
 
 
 def signature_from_hash_sets(hs_df: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -577,14 +581,20 @@ def near_duplicates_from_signatures(
     threshold: float,
     bands: int = 16,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    overflow_obs=None,
 ) -> DataFrame:
     """(i, j, jaccard >= threshold) from a (doc_id, hs, signature)
     frame: LSH banding -> bucket candidate pairs -> exact hash-set
     Jaccard verification. The shared back half of the MinHash family
-    (text and binary-payload callers)."""
+    (text and binary-payload callers). ``overflow_obs``: an
+    ``Observation`` passed through to the bucket kernel records how
+    often the ``max_bucket`` salting cap engaged (oversize_buckets /
+    oversize_members) — the recall-vs-blowup control a verbatim-twin
+    corpus exercises (SCALE_SMOKE_100X pair_kernel rows)."""
     banded = signature_bands(sigs, bands, payload_cols=("hs",))
     pairs = _bucket_pairs(
-        banded, [F.col("doc_id"), F.col("hs")], max_bucket=max_bucket
+        banded, [F.col("doc_id"), F.col("hs")], max_bucket=max_bucket,
+        overflow_obs=overflow_obs,
     ).select(
         F.col("p.x.doc_id").alias("i"),
         F.col("p.y.doc_id").alias("j"),

@@ -1814,24 +1814,30 @@ def overlap_gate_admit(
                 idx = idx.filter(
                     ~F.col("fp").isin([int(f) for f in stop_fps])
                 )
-            # the probe side must be UNIQUE on (old_id, fp): under the
-            # TTL'd (doc_id, fp, admit_batch) key, a doc_id re-delivered
-            # while its rows are still live is re-admitted (the probe
-            # anti-joins the batch's own ids) and inserts a SECOND live
-            # stamped copy of every (doc_id, fp) row — a plain count(*)
-            # then tallies each shared fingerprint once per copy,
-            # over-rejecting novel docs whose true overlap is below
-            # min_shared (round-8 advice). dropDuplicates restores
-            # (old_id, fp) uniqueness, which joined with the unique
-            # (doc_id, fp) batch side makes count(*) exactly "distinct
-            # shared fingerprints" — the regression test drives the
-            # duplicated-index scenario end to end.
-            idx_kept = (
-                idx.select(F.col("doc_id").alias("old_id"), "fp")
-                .dropDuplicates(["old_id", "fp"])
-            )
+            # evidence = DISTINCT shared fingerprints per (doc_id,
+            # old_id): under the TTL'd (doc_id, fp, admit_batch) key, a
+            # doc_id re-delivered while its rows are still live is
+            # re-admitted (the probe anti-joins the batch's own ids)
+            # and inserts a SECOND live stamped copy of every
+            # (doc_id, fp) row — a plain count(*) would tally each
+            # shared fingerprint once per copy, over-rejecting novel
+            # docs whose true overlap is below min_shared (round-8
+            # advice). r9 restored uniqueness by dropDuplicates-ing the
+            # INDEX side before the join — a full shuffle of the
+            # (growing) fingerprint index on every micro-batch, and the
+            # r10 index-size sweep measured it superlinear (8->48 s
+            # from 1.3M to 20.8M index rows at a fixed 12.5k batch).
+            # Dedup AFTER the join instead: the batch side is unique on
+            # (doc_id, fp), so post-join (doc_id, old_id, fp)
+            # uniqueness is the same count — and the deduped frame is
+            # bounded by probe HITS, not index size. The index is then
+            # only ever scanned (broadcast hash join), never exchanged;
+            # the round-8 duplicated-index regression test pins the
+            # semantics across this plan change.
+            idx_r = idx.select(F.col("doc_id").alias("old_id"), "fp")
             dup_ids = (
-                (F.broadcast(kept) if small else kept).join(idx_kept, "fp")
+                (F.broadcast(kept) if small else kept).join(idx_r, "fp")
+                .dropDuplicates(["doc_id", "old_id", "fp"])
                 .groupBy("doc_id", "old_id")
                 .agg(F.count("*").alias("_shared"))
                 .filter(F.col("_shared") >= min_shared)
