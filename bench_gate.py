@@ -772,6 +772,67 @@ def bench_index_sweep(spark, sf_dir: str) -> dict:
             shutil.rmtree(work, ignore_errors=True)
 
     results["gates"]["semantic"] = _sweep_sizes(SWEEP_SIZES_SEM, sem_size)
+
+    # codebook-size control, measured (the one honestly-linear regime
+    # left): a WIDE batch probes essentially every cell of a small
+    # codebook, so its scan reads the whole index — but the BLAS
+    # probe's real work is sum over cells of (probe rows there) x
+    # (index rows there) ~ B x N / k, so growing the codebook cuts the
+    # per-batch compute linearly even when every cell is probed. One
+    # extra leg at the LARGEST index size with k=128 (vs the sweep's
+    # k=16) quantifies exactly that lever.
+    k_big = 128
+    centroids_big = ivf_train(emb, k=k_big)
+    size = SWEEP_SIZES_SEM[-1]
+    work = tempfile.mkdtemp(prefix="gmall_sweep_semk_")
+    try:
+        table = os.path.join(work, "idx")
+        fill = spark.range(size - n_vplant).select(
+            (F.col("id") + 9 * 10**10).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim} - 1), "
+                "i -> pmod(xxhash64(id, i), 1000000) / 500000.0d - 1.0d)"
+            ).alias("embedding"),
+        )
+        vplant_big = ivf_probe_clusters(vplant, centroids_big, 1).select(
+            "vec_id",
+            F.element_at("probe_clusters", 1).cast("int").alias("cluster"),
+            "embedding",
+            F.expr(
+                "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + x * x))"
+            ).alias("nrm"),
+        )
+        fill_rows = ivf_probe_clusters(fill, centroids_big, 1).select(
+            "vec_id",
+            F.element_at("probe_clusters", 1).cast("int").alias("cluster"),
+            "embedding",
+            F.expr(
+                "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + x * x))"
+            ).alias("nrm"),
+        )
+        _seed_index(
+            spark, fill_rows.unionByName(vplant_big), table, size,
+            order_by=["cluster"],
+        )
+
+        def semk_round(bdf, bid):
+            a = pipelines.semantic_gate_admit(
+                bdf, table, centroids_big, batch_id=bid
+            )
+            n = a.count()
+            a.unpersist()
+            return n
+
+        semk_round(narrow, 8999)  # warmup (codegen for the k=128 path)
+        results["gates"]["semantic_k128_at_largest"] = {
+            size: {
+                "novel": _timed_admit(lambda: semk_round(vec_batch, 9001)),
+                "dup": _timed_admit(lambda: semk_round(vec_batch2, 9002)),
+                "narrow": _timed_admit(lambda: semk_round(narrow, 9003)),
+            }
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     vec_batch.unpersist()
     vplant_rows.unpersist()
     narrow.unpersist()
