@@ -691,6 +691,7 @@ def bench_index_sweep(spark, sf_dir: str) -> dict:
                 "+ 0.001 * c)"
             ).alias("embedding"),
         )
+        .orderBy("vec_id")
         .limit(SWEEP_BATCH)
         .persist()
     )

@@ -192,6 +192,37 @@ def _centroid_literal(cents: list) -> F.Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
 
+# Above this many k*dim elements the centroid table rides as broadcast
+# DATA instead of a plan literal: Catalyst's analysis/optimization cost
+# over a lambda tree containing the literal grows with its size
+# (measured on this box: 0.64 / 2.36 / 3.99 s PLAN-ONLY at k=16/64/128,
+# dim 64, while execution stays ~0.1 s) — and a foreachBatch gate
+# builds a fresh plan every micro-batch, so at k=128 every batch paid
+# ~25 s of pure planning (r10 codebook-size sweep leg). 4096 keeps
+# every existing small-codebook caller (k=16, dim 64 -> 1024) on the
+# exact literal plan it had.
+_CENTROID_LITERAL_MAX_ELEMENTS = 4096
+
+
+def _with_cents(df: DataFrame, cents: list) -> DataFrame:
+    """Attach the centroid table as a ``_cents`` column
+    (array<array<double>>): inline literal for small codebooks (narrow
+    map, zero extra plan nodes), a broadcast ONE-ROW cross join for
+    large ones. The join form feeds the same doubles through the same
+    zip_with/aggregate fold — element order and rounding identical, so
+    assignments and probe lists are bit-identical across the
+    threshold; it just moves the bytes out of the expression tree and
+    into broadcast data, where plan analysis no longer walks them."""
+    elems = len(cents) * (len(cents[0]) if cents else 0)
+    if elems <= _CENTROID_LITERAL_MAX_ELEMENTS:
+        return df.withColumn("_cents", _centroid_literal(cents))
+    cdf = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)],
+        "_cents array<array<double>>",
+    )
+    return df.crossJoin(F.broadcast(cdf))
+
+
 def _assign_expr(vec_col: str, cents: list) -> F.Column:
     """argmin over centroids of squared L2 distance (0-based cluster id).
     Distances computed once per centroid; argmin via sorting the tiny
@@ -230,7 +261,7 @@ def ivf_train(
     )
     cents = [_to_double_list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = embeddings.withColumn("_cents", _centroid_literal(cents)).select(
+        assigned = _with_cents(embeddings, cents).select(
             _assign_expr(vec_col, cents).alias("cluster"),
             F.col(vec_col).alias("v"),
         )
@@ -261,7 +292,7 @@ def ivf_assign(
     """The inverted-list table: (id, vector, cluster). Train-once
     artifact — persist/write it partitioned by cluster so probes
     partition-prune instead of re-assigning the corpus per query."""
-    return embeddings.withColumn("_cents", _centroid_literal(centroids)).select(
+    return _with_cents(embeddings, centroids).select(
         F.col(id_col),
         F.col(vec_col),
         _assign_expr(vec_col, centroids).alias("cluster"),
@@ -291,7 +322,7 @@ def ivf_probe_clusters(
         "  0D, (acc, y) -> acc + y) as d, c as c))), 1, {np}), s -> s.c)"
     ).format(k=k, v=vec_col, np=min(nprobe, k))
     return (
-        df.withColumn("_cents", _centroid_literal(centroids))
+        _with_cents(df, centroids)
         .withColumn("probe_clusters", F.expr(expr).cast("array<int>"))
         .drop("_cents")
     )
@@ -458,7 +489,7 @@ def assign_codebook(
     may land on a different label than its own (that's quantization)."""
     cents = [c for _, c in codebook]
     labels = F.array(*[F.lit(int(l)) for l, _ in codebook])
-    return embeddings.withColumn("_cents", _centroid_literal(cents)).withColumn(
+    return _with_cents(embeddings, cents).withColumn(
         "cluster", F.element_at(labels, _assign_expr(vec_col, cents) + 1)
     ).drop("_cents")
 

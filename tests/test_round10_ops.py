@@ -372,3 +372,40 @@ def test_novel_against_index_probe_modes_agree(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_centroid_join_path_matches_literal_path(spark):
+    """Large codebooks ride as broadcast DATA instead of a plan
+    literal (_with_cents): Catalyst analysis cost over a lambda tree
+    containing a k x dim literal grows with its size (~4 s plan-only
+    at k=128, dim 64 — paid per micro-batch in foreachBatch gates).
+    The join form must be BIT-identical: same zip_with/aggregate fold,
+    same element order, same tie rule."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            "pmod(xxhash64(id, i), 1000) / 500.0d - 1.0d)"
+        ).alias("embedding"),
+    )
+    import random
+
+    rng = random.Random(7)
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(16)]
+    lit = sim.ivf_probe_clusters(df, cents, 3).collect()
+    old_max = sim._CENTROID_LITERAL_MAX_ELEMENTS
+    sim._CENTROID_LITERAL_MAX_ELEMENTS = 0  # force the join path
+    try:
+        join = sim.ivf_probe_clusters(df, cents, 3).collect()
+        assign_join = sim.ivf_assign(df, cents).collect()
+    finally:
+        sim._CENTROID_LITERAL_MAX_ELEMENTS = old_max
+    assign_lit = sim.ivf_assign(df, cents).collect()
+    assert sorted((r.vec_id, r.probe_clusters) for r in lit) == sorted(
+        (r.vec_id, r.probe_clusters) for r in join
+    )
+    assert sorted((r.vec_id, r.cluster) for r in assign_lit) == sorted(
+        (r.vec_id, r.cluster) for r in assign_join
+    )
