@@ -843,6 +843,88 @@ def bench_index_sweep(spark, sf_dir: str) -> dict:
     return results
 
 
+def bench_ttl_bounded_probe(spark, sf_dir: str, n_batches: int = 24) -> dict:
+    """Does the TTL vacuum actually bound PROBE WALL, not just rows?
+    (r10 residual ii). The same 24-chunk mostly-novel stream runs
+    through the novelty gate twice — unbounded index vs ttl_batches=4
+    + compact_every=4 — and per-trigger walls come from the streaming
+    progress log. Unbounded, each batch probes every digest ever
+    admitted (wall drifts up with history); TTL'd, the vacuum rewrites
+    the index down to the live window, so late batches probe the same
+    ~4 batches' worth as early ones. Recorded: per-batch trigger walls
+    (first/last 5 averaged), final index row count, and total wall."""
+    import statistics
+
+    fixture = f"{sf_dir.rstrip('/')}/documents.parquet"
+    out: dict = {}
+    batch_rows = SWEEP_BATCH
+    docs = _amplified_docs(spark, fixture, batch_rows * n_batches)
+    work0 = tempfile.mkdtemp(prefix="gmall_ttl_probe_stage_")
+    input_dir = os.path.join(work0, "docs")
+    os.makedirs(input_dir)
+    pdf = docs.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    for i in range(n_batches):
+        p = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+        pq.write_table(tbl.slice(i * batch_rows, batch_rows), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    try:
+        for mode, kwargs in (
+            ("unbounded", {}),
+            ("ttl4", {"ttl_batches": 4, "compact_every": 4}),
+        ):
+            work = tempfile.mkdtemp(prefix=f"gmall_ttl_probe_{mode}_")
+            try:
+                stream = (
+                    spark.readStream.schema(DOC_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(input_dir)
+                )
+                t0 = time.perf_counter()
+                q = pipelines.novelty_gate_pipeline(
+                    stream,
+                    os.path.join(work, "idx"),
+                    os.path.join(work, "admitted"),
+                    os.path.join(work, "ckpt"),
+                    trigger={"availableNow": True},
+                    **kwargs,
+                )
+                q.awaitTermination()
+                wall = time.perf_counter() - t0
+                def _asdict(x):
+                    if isinstance(x, str):
+                        return json.loads(x)
+                    if hasattr(x, "json"):
+                        return json.loads(x.json)
+                    return x
+
+                prog = [
+                    p["durationMs"].get("triggerExecution", 0) / 1000.0
+                    for p in (_asdict(x) for x in q.recentProgress)
+                    if p.get("numInputRows", 0) > 0
+                ]
+                from sparkstreaming_gmall_demo_spark.streaming import txn
+
+                n_index = txn.snapshot(spark, os.path.join(work, "idx")).count()
+                out[mode] = {
+                    "total_wall_sec": round(wall, 2),
+                    "batches": len(prog),
+                    "first5_batch_sec": round(statistics.mean(prog[:5]), 3),
+                    "last5_batch_sec": round(statistics.mean(prog[-5:]), 3),
+                    "index_rows_final": int(n_index),
+                }
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(work0, ignore_errors=True)
+    out["batch_docs"] = batch_rows
+    out["n_batches"] = n_batches
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -853,6 +935,15 @@ def main() -> None:
         print(json.dumps({
             "metric": "gate_probe_index_sweep",
             "index_sweep": bench_index_sweep(spark, sf_dir),
+            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        }))
+        spark.stop()
+        return
+
+    if "--ttl-only" in sys.argv:
+        print(json.dumps({
+            "metric": "gate_ttl_bounded_probe",
+            "ttl_bounded_probe": bench_ttl_bounded_probe(spark, sf_dir),
             "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         }))
         spark.stop()
