@@ -1048,6 +1048,11 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
                 },
                 expected_version=v0,
             )
+            # same age-gated orphan-staging GC the TTL gates run: this
+            # hook is the partial sinks' only maintenance slot, and
+            # their append_new lost-race/crash paths orphan _staged
+            # dirs exactly like the gate indexes (round-10)
+            txn.vacuum_orphans(table, min_age_s=GATE_ORPHAN_AGE_S)
             return n
         except txn.ConcurrentWriteError:
             continue  # a writer landed mid-merge: re-derive on its snapshot
@@ -2731,6 +2736,9 @@ def scd2_obs_compact(
             new_meta = dict(meta)
             new_meta["scd2_file_buckets"] = fmap
             if txn._try_commit(obs_table, v + 1, staged, new_meta):
+                # the obs log's only maintenance slot doubles as its
+                # orphan-staging GC (merge lost-race/crash leavings)
+                txn.vacuum_orphans(obs_table, min_age_s=GATE_ORPHAN_AGE_S)
                 return (len(names), len(staged))
         finally:
             snap.unpersist()

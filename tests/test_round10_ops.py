@@ -409,3 +409,48 @@ def test_centroid_join_path_matches_literal_path(spark):
     assert sorted((r.vec_id, r.cluster) for r in assign_lit) == sorted(
         (r.vec_id, r.cluster) for r in assign_join
     )
+
+
+def test_compact_partials_sweeps_aged_orphans(spark, tmp_path):
+    """Every maintenance slot doubles as orphan GC: the partial sinks
+    (sketch/HLL/BM25-stats/boilerplate) compact through
+    compact_partials, so a crash-orphaned staging dir must be swept on
+    its cadence too, not only on the TTL gates'."""
+    t = str(tmp_path / "partials")
+    df = spark.createDataFrame(
+        [(0, "a", 2), (1, "a", 3)], "batch_id long, gram string, df long"
+    )
+    txn.append_new(df, t, batch_id=1, n_rows=2)
+    orphan_files = txn._stage(df, t)
+    orphan_dir = os.path.join(t, "_staged", orphan_files[0].split(os.sep)[1])
+    old = time.time() - 2 * pipelines.GATE_ORPHAN_AGE_S
+    os.utime(orphan_dir, (old, old))
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    pipelines.compact_boilerplate_dictionary(spark, t)
+    assert not os.path.exists(orphan_dir)
+    got = {(r.gram, r.df) for r in txn.snapshot(spark, t).collect()}
+    assert got == {("a", 5)}  # fold unaffected
+
+
+def test_scd2_obs_compact_sweeps_aged_orphans(spark, tmp_path):
+    root = str(tmp_path / "hist")
+    obs = str(tmp_path / "obs")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")],
+        "k long, ts string, attr string",
+    )
+    pipelines.scd2_apply_batch_bucketed(
+        batch, obs, root, key="k", ts_col="ts", attr_cols=["attr"],
+        n_buckets=4, batch_id=0,
+    )
+    orphan_files = txn._stage(batch, obs)
+    orphan_dir = os.path.join(
+        obs, "_staged", orphan_files[0].split(os.sep)[1]
+    )
+    old = time.time() - 2 * pipelines.GATE_ORPHAN_AGE_S
+    os.utime(orphan_dir, (old, old))
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    pipelines.scd2_obs_compact(spark, obs, root, key="k", n_buckets=4)
+    assert not os.path.exists(orphan_dir)
