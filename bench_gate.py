@@ -28,6 +28,14 @@ streaming pipeline:
 docs/s = total staged docs / wall time. Prints ONE JSON line:
   {"metric": "neardup_gate_docs_per_sec", "value": <novel rate>,
    "regimes": {...}, "docs": N, "batches": N, "sf": ...}
+
+Round-10 additions, included in the full run and runnable standalone:
+  --sweep-only  index-size sweep (bench_index_sweep): fixed 12.5k-doc
+                batch probing 4x-stepped pre-seeded indexes — the
+                small-batch-vs-huge-index regime that IS 100 TB ingest
+  --ttl-only    TTL-bounded probe (bench_ttl_bounded_probe): per-
+                trigger walls of the same 24-batch stream, unbounded
+                vs ttl+vacuum — probe cost must track the LIVE window
 """
 
 from __future__ import annotations
