@@ -41,31 +41,56 @@ def main() -> None:
     spark = get_spark("gmall-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up pass: executes the same plan shape end-to-end (collect,
+    # not count: count() prunes to a different physical plan and leaves
+    # the real query's codegen cold). bench_build (when set) times the
+    # operator alone; the declared invariant build stays the driver's
+    # correctness entry. Per-query fault isolation: one raising build
+    # must not cost the round its entire bench artifact (BENCH_r03
+    # lesson) — record the error, keep timing the rest, always emit the
+    # JSON line.
     timings: dict[str, float | None] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    builds = {}
     for name, spec in REGISTRY.items():
-        # Warm-up executes the same plan shape end-to-end (collect, not
-        # count: count() prunes to a different physical plan and leaves
-        # the real query's codegen cold). Three timed fresh builds, best
-        # taken -- "warm wall" per BASELINE.md methodology; best-of-3
-        # because single-run wall times on this VM vary +/-40%.
-        # bench_build (when set) times the operator alone; the declared
-        # invariant build stays the driver's correctness entry.
-        # Per-query fault isolation: one raising build must not cost the
-        # round its entire bench artifact (BENCH_r03 lesson) — record
-        # the error, keep timing the rest, always emit the JSON line.
         build = spec.bench_build or spec.build
         try:
             build(spark, sf_dir).collect()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                build(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            builds[name] = build
+            timings[name] = float("inf")
         except Exception as exc:  # noqa: BLE001 — isolate ANY query fault
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # Timed passes are INTERLEAVED (round-robin over all queries, N full
+    # sweeps, min per query) rather than back-to-back per query: a
+    # transient box-load spike then inflates at most one rep of each
+    # query instead of all reps of whichever query it lands on, so a
+    # single loaded-VM window can't fabricate a 3x reading on untouched
+    # code (BENCH_r10 lesson; same discipline bench_gate.py uses).
+    # worst/best spread per query is recorded to the sidecar so a noisy
+    # run is distinguishable from a plan regression after the fact.
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    worsts: dict[str, float] = {}
+    for _ in range(n_reps):
+        for name, build in builds.items():
+            try:
+                t0 = time.perf_counter()
+                build(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001
+                timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            if timings[name] is not None:
+                timings[name] = min(timings[name], dt)
+                worsts[name] = max(worsts.get(name, 0.0), dt)
+    for name, t in list(timings.items()):
+        if t is not None:
+            timings[name] = round(t, 4)
+            if worsts.get(name):
+                spreads[name] = round(worsts[name] / max(t, 1e-9), 2)
 
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     total = round(sum(t for t in timings.values() if t is not None), 4)
@@ -79,6 +104,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
+        "reps": n_reps,
+        "spread_worst_over_best": spreads,
     }
     if errors:
         full["errors"] = errors

@@ -596,9 +596,13 @@ def novelty_gate_pipeline(
         # index — the side that grows at 100 TB — is scanned map-side,
         # never shuffled or sorted (the default anti-join SMJ plan
         # exchanges+sorts the WHOLE index per batch — the linear-probe
-        # regime the r10 index-size sweep measures). The one count job
-        # sizing the decision is a parquet metadata read on a
-        # file-source micro-batch.
+        # regime the r10 index-size sweep measures). The batch is
+        # persisted around the whole sink: the plan-sizing count below
+        # then materializes it ONCE, instead of recomputing the source
+        # per downstream job — a parquet micro-batch made the count a
+        # metadata read, but a Kafka-style source would replay the
+        # whole batch for it (round-10 advice).
+        batch_df = batch_df.persist()
         small = batch_df.count() <= GATE_BROADCAST_ROW_CAP
         fresh = novel_against_index(
             batch_df, index.select("fingerprint"), broadcast_probe=small
@@ -644,6 +648,7 @@ def novelty_gate_pipeline(
                 )
         finally:
             out.unpersist()
+            batch_df.unpersist()
         if (
             ttl_batches is not None
             and compact_every  # 0 = never vacuum (the sketch-pipeline convention)

@@ -336,7 +336,9 @@ def append_new(
         <= meta0.get("appended_through", -1)
     ):
         return 0
+    seeded_probe = False
     if "appended_through" not in meta0 and current_version(table) >= 0:
+        seeded_probe = True
         # Fence seeding (round-10): a table whose prior commits all came
         # through merge_keyed (pre-probe-free history, or flipping
         # GATE_PROBE_FREE_INSERTS False->True mid-life) carries no
@@ -361,7 +363,25 @@ def append_new(
         if n_rows is None:
             n_rows = batch_df.count()
         if n_rows == 0:
-            # nothing to commit; the fence intentionally does NOT
+            if seeded_probe:
+                # Seed the fence even though nothing landed: without
+                # this, a run of all-suppressed batches on a legacy
+                # merge_keyed table re-runs the full-snapshot exceptAll
+                # probe EVERY batch until the first non-empty commit
+                # (round-10 advice — a full table scan + shuffle per
+                # empty batch). A meta-only commit (same file list,
+                # appended_through stamped) records the seeding once;
+                # replaying this empty batch re-derives the same empty
+                # set, so advancing the fence here changes nothing.
+                v = current_version(table)
+                if v >= 0:
+                    meta = dict(table_meta(table, v))
+                    if "appended_through" not in meta:
+                        meta["appended_through"] = int(batch_id)
+                        _try_commit(table, v + 1, _read_manifest(table, v), meta)
+                        # a lost CAS means a concurrent commit landed;
+                        # the next batch re-reads meta and re-decides.
+            # nothing to commit; beyond seeding, the fence does NOT
             # advance (a replay re-derives the same empty set)
             return 0
         staged = _stage(batch_df.coalesce(files_for_rows(n_rows)), table)
@@ -475,6 +495,38 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
     return removed
 
 
+# vacuum_orphans live-set cache: {table -> (newest parsed version,
+# union of staged-dir uuids referenced by ALL manifests parsed so
+# far)}. Manifests are immutable once written, so the union only needs
+# the versions added since the last sweep — without this, each
+# maintenance cadence re-parses every retained manifest and the
+# sweep's JSON cost grows O(versions x files) over a long-running
+# pipeline's lifetime (round-10 advice). The union is a SUPERSET of
+# the truly-live set once ``vacuum`` drops old versions (their uuids
+# linger in the cache) — strictly conservative: a stale entry only
+# defers an orphan's deletion to after a process restart, never
+# deletes a live dir. A version list that moved BACKWARD (table
+# dropped/recreated) resets the cache.
+_orphan_live_cache: dict[str, tuple[int, set[str]]] = {}
+
+
+def _live_staging_uuids(table: str, upto: list[int] | None = None) -> set[str]:
+    """Incrementally-maintained set of staged-dir uuids referenced by
+    any manifest seen so far (see _orphan_live_cache)."""
+    vs = upto if upto is not None else list_versions(table)
+    seen_v, live = _orphan_live_cache.get(table, (-1, set()))
+    if vs and vs[-1] < seen_v:
+        seen_v, live = -1, set()  # version history moved backward: reset
+    for v in vs:
+        if v <= seen_v:
+            continue
+        for f in _read_manifest(table, v):
+            live.add(f.split(os.sep)[1])
+    if vs:
+        _orphan_live_cache[table] = (max(seen_v, vs[-1]), live)
+    return live
+
+
 def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
     """Age-gated orphan-staging GC, safe WITH a writer in flight — the
     sweep long-running gate pipelines need (round-9 verdict: append_new
@@ -483,27 +535,36 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
     because it requires a writer quiesce). Deletes a staging dir only
     when (a) NO retained manifest references it — any version, not
     just the newest, so time-travel stays intact — and (b) its newest
-    mtime (dir or any file inside) is older than ``min_age_s``. An
-    in-flight writer's staging dir is by construction younger than any
-    sane age gate (stage → commit is seconds), so the age check closes
-    the eager-sweep race that makes plain ``vacuum`` writer-unsafe —
-    the same timestamp-aging discipline Delta's VACUUM documents.
-    Returns the number of staging dirs removed. Manifests are never
-    touched. Idempotent; callers wire it into periodic maintenance
-    (the gates' compact_every hook)."""
+    mtime (dir or any file inside) is older than ``min_age_s``
+    measured against the SWEEP START, not deletion time. An in-flight
+    writer's staging dir is by construction younger than any sane age
+    gate (stage → commit is seconds), so the age check closes the
+    eager-sweep race that makes plain ``vacuum`` writer-unsafe — the
+    same timestamp-aging discipline Delta's VACUUM documents.
+
+    Two hardening details (round-10 advice): (1) the live-uuid set is
+    maintained incrementally across sweeps (_live_staging_uuids), so a
+    long-running pipeline's cadence parses only the manifests added
+    since the last sweep instead of the whole O(versions x files)
+    history; (2) a slow multi-dir stager (e.g. _scd2_stage_grouped
+    stages up to 32 group dirs before ONE commit) can exceed the age
+    gate, so immediately before each rmtree the sweep re-reads any
+    versions committed after its initial snapshot and re-checks
+    membership — a commit landing mid-sweep can no longer lose a dir
+    it references. Returns the number of staging dirs removed.
+    Manifests are never touched. Idempotent; callers wire it into
+    periodic maintenance (the gates' compact_every hook)."""
     import shutil
     import time
 
-    live: set[str] = set()
-    for v in list_versions(table):
-        for f in _read_manifest(table, v):
-            live.add(f.split(os.sep)[1])
+    sweep_start = time.time()
+    vs = list_versions(table)
+    live = _live_staging_uuids(table, vs)
     stage_root = os.path.join(table, _STAGE_DIR)
     try:
         dirs = os.listdir(stage_root)
     except OSError:
         return 0
-    now = time.time()
     removed = 0
     for d in dirs:
         if d in live:
@@ -515,9 +576,20 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
                 newest = max(newest, os.path.getmtime(os.path.join(path, n)))
         except OSError:
             continue  # concurrently removed or being written; skip
-        if now - newest >= min_age_s:
-            shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+        # age measured against sweep start: time spent sweeping earlier
+        # dirs must not age this one past the gate
+        if sweep_start - newest < min_age_s:
+            continue
+        # last-moment recheck: a commit that landed after the sweep's
+        # version snapshot may reference this dir (slow stage → commit
+        # crossing the age gate); parse only the NEW manifests.
+        if current_version(table) > (vs[-1] if vs else -1):
+            vs = list_versions(table)
+            live = _live_staging_uuids(table, vs)
+            if d in live:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed += 1
     return removed
 
 

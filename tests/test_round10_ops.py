@@ -349,9 +349,13 @@ def test_novel_against_index_broadcast_probe_never_shuffles_index(spark):
     plan = _fmt_plan(novel_against_index(batch, index, broadcast_probe=True))
     # both joins broadcast; the index side is scanned, never exchanged
     # into a sort-merge join (its only Exchange feeds a broadcast).
-    # formatted explain prints each node twice (tree + details).
+    # Assert the invariant (no SMJ, both an anti and a semi hash join
+    # present) rather than an exact doubled node count — formatted
+    # explain happens to print each node twice today, but that is a
+    # printer detail, not the plan property under test (round-10
+    # advice).
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftAnti" in plan and "LeftSemi" in plan
 
 

@@ -1,0 +1,237 @@
+"""Round-11 tests.
+
+Regression pins for the r10 ADVICE findings on txn maintenance:
+
+(1) append_new's fence-seeding probe runs AT MOST ONCE per legacy
+    (merge_keyed-history) table — an all-suppressed/empty batch now
+    lands a meta-only commit stamping ``appended_through``, so a run
+    of empty batches no longer pays a full-snapshot exceptAll scan +
+    shuffle per batch.
+(2) vacuum_orphans maintains its live-uuid set incrementally across
+    sweeps (parses only manifests added since the last sweep — the
+    per-cadence JSON cost no longer grows O(versions x files) over a
+    pipeline's lifetime) and re-checks newly-landed commits
+    immediately before each rmtree, so a slow multi-dir stager whose
+    commit lands mid-sweep cannot lose a staged dir it references.
+    Ages are measured against sweep start, not deletion time.
+
+Plus the bench.py interleaving contract (VERDICT r10 item 2): timed
+reps are round-robin across queries with per-query spread recorded,
+so a transient box-load spike inflates at most one rep of each query
+instead of every rep of one query.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from sparkstreaming_gmall_demo_spark.streaming import txn
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: fence seeding runs the full-snapshot probe at most once
+
+
+def test_append_new_empty_batch_seeds_fence_once(spark, tmp_path, monkeypatch):
+    """A legacy merge_keyed table with a run of all-suppressed batches:
+    pre-fix every empty append_new re-ran the full-snapshot exceptAll
+    probe (table scan + shuffle per batch); post-fix the FIRST empty
+    batch lands a meta-only commit stamping appended_through and the
+    probe never runs again."""
+    t = str(tmp_path / "t")
+    seeded = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert txn.merge_keyed(seeded, t, ["k"]) == 1
+    assert "appended_through" not in txn.table_meta(t)
+
+    probes = {"n": 0}
+    real_snapshot = txn.snapshot
+
+    def counting_snapshot(*a, **kw):
+        probes["n"] += 1
+        return real_snapshot(*a, **kw)
+
+    monkeypatch.setattr(txn, "snapshot", counting_snapshot)
+    empty = spark.createDataFrame([], "k long, v string")
+    assert txn.append_new(empty, t, batch_id=3) == 0
+    assert probes["n"] == 1  # the one seeding probe
+    # the empty batch stamped the fence via a meta-only commit …
+    assert txn.table_meta(t).get("appended_through") == 3
+    # … whose snapshot is unchanged (same file list, new meta)
+    monkeypatch.setattr(txn, "snapshot", real_snapshot)
+    assert txn.snapshot(spark, t).count() == 1
+    monkeypatch.setattr(txn, "snapshot", counting_snapshot)
+
+    # subsequent empty batches: fenced/short-circuited, NO probe job
+    probes["n"] = 0
+    assert txn.append_new(empty, t, batch_id=4) == 0
+    assert txn.append_new(empty, t, batch_id=3) == 0  # replay twin
+    assert probes["n"] == 0
+
+    # and the first non-empty batch takes the probe-free fast path
+    b9 = spark.createDataFrame([(9, "y")], "k long, v string")
+    assert txn.append_new(b9, t, batch_id=9) == 1
+    assert probes["n"] == 0
+    assert txn.table_meta(t).get("appended_through") == 9
+    monkeypatch.setattr(txn, "snapshot", real_snapshot)
+    assert txn.snapshot(spark, t).count() == 2
+
+
+def test_append_new_empty_seed_replay_converges(spark, tmp_path):
+    """Replaying the seeding empty batch after the meta-only commit
+    returns 0 at the fence — byte-identical table either way."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    empty = spark.createDataFrame([], "k long, v string")
+    assert txn.append_new(empty, t, batch_id=5) == 0
+    v_after_seed = txn.current_version(t)
+    assert txn.append_new(empty, t, batch_id=5) == 0  # replay
+    assert txn.current_version(t) == v_after_seed  # no extra commit
+    assert txn.snapshot(spark, t).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: vacuum_orphans incremental live-set + pre-rmtree recheck
+
+
+def test_vacuum_orphans_parses_only_new_manifests(spark, tmp_path, monkeypatch):
+    """The per-sweep manifest-parse count must track versions ADDED
+    since the last sweep, not total table history."""
+    t = str(tmp_path / "t")
+    for i in range(5):
+        txn.merge_keyed(
+            spark.createDataFrame([(i, "v")], "k long, v string"), t, ["k"]
+        )
+    reads = {"n": 0}
+    real_read = txn._read_manifest
+
+    def counting_read(*a, **kw):
+        reads["n"] += 1
+        return real_read(*a, **kw)
+
+    monkeypatch.setattr(txn, "_read_manifest", counting_read)
+    txn._orphan_live_cache.pop(t, None)  # cold start
+    txn.vacuum_orphans(t, min_age_s=3600)
+    assert reads["n"] == 5  # first sweep parses the full history …
+    reads["n"] = 0
+    txn.vacuum_orphans(t, min_age_s=3600)
+    assert reads["n"] == 0  # … steady-state sweep parses nothing new
+    txn.merge_keyed(
+        spark.createDataFrame([(99, "v")], "k long, v string"), t, ["k"]
+    )
+    reads["n"] = 0
+    txn.vacuum_orphans(t, min_age_s=3600)
+    assert reads["n"] == 1  # exactly the one manifest added since
+
+
+def test_vacuum_orphans_cache_resets_on_recreated_table(spark, tmp_path):
+    """A table dropped and recreated (version history moves backward)
+    must not inherit the old incarnation's live set."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        txn.merge_keyed(
+            spark.createDataFrame([(i, "v")], "k long, v string"), t, ["k"]
+        )
+    txn._orphan_live_cache.pop(t, None)
+    txn.vacuum_orphans(t, min_age_s=3600)
+    assert txn._orphan_live_cache[t][0] == 2  # cached through v2
+    shutil.rmtree(t)
+    txn.merge_keyed(spark.createDataFrame([(7, "v")], "k long, v string"), t, ["k"])
+    # fresh incarnation: stage an orphan, age it, sweep must still
+    # correctly protect the NEW live files and remove the orphan
+    orphan_files = txn._stage(
+        spark.createDataFrame([(8, "v")], "k long, v string"), t
+    )
+    orphan_dir = os.path.join(t, "_staged", orphan_files[0].split(os.sep)[1])
+    old = time.time() - 7200
+    os.utime(orphan_dir, (old, old))
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1
+    assert not os.path.exists(orphan_dir)
+    assert txn.snapshot(spark, t).count() == 1
+    assert txn._orphan_live_cache[t][0] == 0  # reset to the new history
+
+
+def test_vacuum_orphans_recheck_spares_dir_committed_mid_sweep(
+    spark, tmp_path, monkeypatch
+):
+    """A slow stager (stage → … → commit crossing the age gate): the
+    commit lands AFTER the sweep snapshotted the version list but
+    before the rmtree. Pre-fix the dir was deleted out from under the
+    just-landed commit; post-fix the pre-rmtree recheck re-reads the
+    new manifest and spares it."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    txn._orphan_live_cache.pop(t, None)
+    # the "slow stager": staged long ago, not yet committed
+    staged = txn._stage(spark.createDataFrame([(2, "y")], "k long, v string"), t)
+    slow_dir = os.path.join(t, "_staged", staged[0].split(os.sep)[1])
+    old = time.time() - 7200
+    os.utime(slow_dir, (old, old))
+    for n in os.listdir(slow_dir):
+        os.utime(os.path.join(slow_dir, n), (old, old))
+
+    # land the commit the moment the sweep inspects the dir's mtime —
+    # i.e. after the sweep's version-list snapshot, before its rmtree
+    committed = {"done": False}
+    real_getmtime = os.path.getmtime
+
+    def commit_on_first_touch(path):
+        if not committed["done"] and os.path.normpath(path) == os.path.normpath(
+            slow_dir
+        ):
+            committed["done"] = True
+            v = txn.current_version(t)
+            base = txn._read_manifest(t, v)
+            assert txn._try_commit(t, v + 1, base + staged, dict(txn.table_meta(t)))
+        return real_getmtime(path)
+
+    monkeypatch.setattr(txn.os.path, "getmtime", commit_on_first_touch)
+    removed = txn.vacuum_orphans(t, min_age_s=3600)
+    monkeypatch.undo()
+    assert committed["done"]
+    assert removed == 0
+    assert os.path.isdir(slow_dir)
+    # and the landed commit's rows are readable
+    assert txn.snapshot(spark, t).count() == 2
+
+
+def test_vacuum_orphans_still_removes_aged_garbage_with_cache(spark, tmp_path):
+    """End-to-end with the cache warm: crash garbage older than the
+    gate goes, referenced dirs stay — across two sweeps."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    txn._orphan_live_cache.pop(t, None)
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 0  # warm the cache
+    orphan_files = txn._stage(
+        spark.createDataFrame([(2, "y")], "k long, v string"), t
+    )
+    orphan_dir = os.path.join(t, "_staged", orphan_files[0].split(os.sep)[1])
+    old = time.time() - 7200
+    os.utime(orphan_dir, (old, old))
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1
+    assert not os.path.exists(orphan_dir)
+    assert txn.snapshot(spark, t).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 2: bench.py timed reps are interleaved
+
+
+def test_bench_source_interleaves_reps_and_records_spread():
+    """Shape pin (the bench runs at sf0.1 and is driver-invoked, so
+    this asserts the source contract, not a timing): the timed loop is
+    rep-major over builds (round-robin), and the sidecar carries the
+    per-query worst/best spread."""
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    assert "for _ in range(n_reps):" in src
+    assert "for name, build in builds.items():" in src
+    assert src.index("for _ in range(n_reps):") < src.index(
+        "for name, build in builds.items():"
+    )
+    assert '"spread_worst_over_best"' in src
