@@ -5899,3 +5899,203 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.overlap_span_anchors(
         docs, r.i, r.j, WINNOW_K, WINNOW_W, allowed_fps=rare
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 queue: the 100 TB twins of the graph compositions
+# (VERDICT r10 item 3). ext_cluster_capped_sample / ext_keep_best_dedup
+# / ext_leakage_safe_splits ride the exact O(n^2)-within-partition
+# Jaccard kernel BY ORACLE-BASELINE DESIGN — relationally restatable,
+# the anchors DuckDB can verify value-for-value. These twins run the
+# SAME label-consuming compositions over MinHash+LSH pairs (the kernel
+# you'd actually run at 100 TB: one text pass, one band shuffle, one
+# dedup shuffle — never all-pairs) and gate them the ext_minhash_neardup
+# way: a planted verbatim-twin cohort whose cluster structure is
+# hash-family-INDEPENDENT. Verbatim copies have identical shingle-hash
+# sets, hence identical MinHash signatures, hence share a bucket in
+# EVERY band — candidate generation finds them with probability 1 and
+# exact verification scores them at Jaccard 1.0 >= threshold. The
+# planted vocabulary is disjoint from the corpus, so a planted<->organic
+# edge would need exact verification to pass on disjoint shingle sets —
+# impossible (not merely improbable). The declared output is therefore
+# the planted slice of the composition's output, byte-reproducible by
+# an oracle that re-derives the cohort relationally; one missed twin
+# pair (recall) or one false cross edge (precision) reshapes a cluster
+# and hash-mismatches the row. The organic corpus still flows through
+# the full pair->components->consume path — the bench rows measure the
+# scale kernel at corpus size, and the r9 100x smoke (SCALE_SMOKE_100X)
+# covers the verbatim-twin blowup behavior of the same kernel.
+# ---------------------------------------------------------------------------
+PLANT_BASE = 10_000_000
+N_PLANT_CLUSTERS = 8
+
+_PLANT_COHORT_SQL = f"""
+    plant AS (
+        SELECT CAST({PLANT_BASE} + c.c * 10 + m.m AS BIGINT) AS doc_id,
+               CAST({PLANT_BASE} + c.c * 10 AS BIGINT) AS group_key,
+               CAST(100 * (m.m + 1) + c.c AS BIGINT) AS n_chars
+        FROM range({N_PLANT_CLUSTERS}) c(c), range(4) m(m)
+        WHERE m.m < 2 + c.c % 3
+    )
+"""
+
+
+def _planted_twin_docs(spark: SparkSession) -> DataFrame:
+    """The verbatim-twin cohort: N_PLANT_CLUSTERS clusters of 2..4
+    members each (size = 2 + c % 3), every member an exact copy of a
+    40-token text over a vocabulary disjoint from the documents
+    corpus. n_chars is synthetic and strictly increasing with member
+    index, so quality-aware selection must pick the LAST member —
+    score-based, not the min-id tie-break."""
+    rows = []
+    for c in range(N_PLANT_CLUSTERS):
+        text = " ".join(f"plantzz{c}tok{j}" for j in range(40))
+        for m in range(2 + c % 3):
+            rows.append((PLANT_BASE + c * 10 + m, text, 100 * (m + 1) + c))
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def _minhash_twin_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, labels) for the scale-twin entries: organic corpus
+    (lang-partitioned like every Jaccard entry) + planted twins,
+    labeled by connected components over MinHash+LSH pairs — the
+    100 TB pair kernel, not the exact all-pairs oracle baseline."""
+    organic = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == JACCARD_LANG)
+        .select("doc_id", "text", "n_chars")
+    )
+    docs = organic.unionByName(_planted_twin_docs(spark))
+    pairs = nd_ops.minhash_near_duplicates(
+        docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
+    ).select("i", "j")
+    return docs, comp_ops.connected_components(pairs)
+
+
+@_register(
+    "ext_keep_best_dedup_minhash",
+    f"""
+    WITH {_PLANT_COHORT_SQL}
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY group_key ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM plant
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    "keep-best dedup on MinHash labels, gated on planted verbatim twins",
+)
+def ext_keep_best_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext_keep_best_dedup's 100 TB twin: same quality-aware canonical
+    selection (operators/components.py:keep_best), labels from the
+    MinHash+LSH kernel instead of exact all-pairs Jaccard. Declared
+    output = the planted verbatim-twin slice (see the section comment
+    for why that slice is hash-family-independent); each planted
+    cluster must surface exactly its max-n_chars member."""
+    docs, labels = _minhash_twin_labels(spark, sf_dir)
+    return (
+        comp_ops.keep_best(docs, labels, score_col="n_chars")
+        .filter(F.col("doc_id") >= PLANT_BASE)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@_bench("ext_keep_best_dedup_minhash")
+def _bench_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator path at corpus size: MinHash pairs -> components ->
+    keep_best over the full organic+planted union (no planted-slice
+    filter — the filter is the gate, not the workload)."""
+    docs, labels = _minhash_twin_labels(spark, sf_dir)
+    return comp_ops.keep_best(docs, labels, score_col="n_chars")
+
+
+@_register(
+    "ext_cluster_capped_sample_minhash",
+    f"""
+    WITH {_PLANT_COHORT_SQL}
+    SELECT doc_id, group_key, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, group_key,
+               row_number() OVER (
+                   PARTITION BY group_key
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                       || '{CLUSTER_CAP_SALT}'), 1, 8),
+                            doc_id
+               ) AS rk
+        FROM plant
+    ) WHERE rk <= {CLUSTER_CAP} ORDER BY doc_id
+    """,
+    "count-capped dedup on MinHash labels, gated on planted verbatim twins",
+)
+def ext_cluster_capped_sample_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ext_cluster_capped_sample's 100 TB twin: the same md5-priority
+    cap (operators/sampling.py:cluster_capped_sample, cap=CLUSTER_CAP)
+    over MinHash+LSH component labels. The size-4 planted clusters
+    overflow the cap, so the declared slice also pins WHICH member the
+    salted house rank drops — selection portability, not just cluster
+    shape."""
+    docs, labels = _minhash_twin_labels(spark, sf_dir)
+    return (
+        samp_ops.cluster_capped_sample(
+            docs, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
+        )
+        .filter(F.col("doc_id") >= PLANT_BASE)
+        .orderBy("doc_id")
+    )
+
+
+@_bench("ext_cluster_capped_sample_minhash")
+def _bench_cluster_capped_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, labels = _minhash_twin_labels(spark, sf_dir)
+    return samp_ops.cluster_capped_sample(
+        docs, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
+    )
+
+
+@_register(
+    "ext_leakage_safe_splits_minhash",
+    f"""
+    WITH {_PLANT_COHORT_SQL}
+    SELECT doc_id, group_key, {_split_case_sql('group_key')} AS split
+    FROM plant ORDER BY doc_id
+    """,
+    "leakage-safe splits on MinHash labels, gated on planted verbatim twins",
+)
+def ext_leakage_safe_splits_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ext_leakage_safe_splits' 100 TB twin: dedup_aware_split keyed on
+    MinHash component canonicals — every planted twin must inherit its
+    cluster's split fate (group_key = cluster min id, split = the house
+    md5 bucket of that key), so near-duplicates can never straddle
+    train/eval even when the pair graph came from the approximate
+    kernel."""
+    docs, labels = _minhash_twin_labels(spark, sf_dir)
+    return (
+        samp_ops.dedup_aware_split(docs, labels, SPLITS)
+        .filter(F.col("doc_id") >= PLANT_BASE)
+        .select("doc_id", "group_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+@_bench("ext_leakage_safe_splits_minhash")
+def _bench_leakage_splits_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale path a real curation run executes: ONE
+    MinHash pair derivation feeding components + keep-best + splits
+    through curation_bundle (pair-graph reuse), at full corpus size."""
+    organic = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == JACCARD_LANG)
+        .select("doc_id", "text", "n_chars")
+    )
+    docs = organic.unionByName(_planted_twin_docs(spark))
+    pairs = nd_ops.minhash_near_duplicates(
+        docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
+    ).select("i", "j")
+    return samp_ops.curation_bundle(docs, pairs, SPLITS, score_col="n_chars")

@@ -26,6 +26,8 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from sparkstreaming_gmall_demo_spark.streaming import txn
 
 
@@ -235,3 +237,98 @@ def test_bench_source_interleaves_reps_and_records_spread():
         "for name, build in builds.items():"
     )
     assert '"spread_worst_over_best"' in src
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation: the r11 literal IS the policy's output
+# (VERDICT r10 item 4 — this rotation retires the r7 staleness floor)
+
+
+def test_driver_window_matches_rotation_policy():
+    """The frozen 50-entry driver window literal in plans/__init__.py
+    must BE the output of the formal rotation policy
+    (window_policy.driver_window) over the committed r01..r10 ledger —
+    sentinels every round, never-seated first (the three MinHash scale
+    twins registered this round), then stalest-first. A hand-edited
+    window that drifts from the policy fails here."""
+    import glob
+    import re
+
+    import sparkstreaming_gmall_demo_spark.plans as plans
+    from sparkstreaming_gmall_demo_spark.plans import window_policy as wp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # pinned to the r01..r10 inputs the r11 window was generated from —
+    # later rounds' files (written by the driver after this freeze)
+    # must not retroactively change what this round shipped
+    paths = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rnd <= 10:
+            paths[rnd] = f
+    assert len(paths) == 10, "committed ledger files r01..r10 expected"
+    ledger = wp.ledger_from_files(paths)
+    # the registry dict was reordered at import; recover name order
+    # independence by passing the sorted name list — the policy sorts
+    # its pool itself, so input order is immaterial for the rotating
+    # seats, and sentinels are pinned by the policy
+    expected = wp.driver_window(sorted(plans.REGISTRY), ledger)
+    assert list(plans.REGISTRY)[:50] == expected
+    # the r7 staleness floor is retired: every entry whose newest green
+    # was r7 (and the never-seated twins) is seated this round
+    seated = set(expected)
+    for name in plans.REGISTRY:
+        rnd = ledger.get(name, -1)
+        if rnd in (-1, 7):
+            assert name in seated, f"{name} (newest green r{rnd}) not seated"
+
+
+# ---------------------------------------------------------------------------
+# The MinHash scale twins (VERDICT r10 item 3): planted verbatim-twin
+# cohort invariants beyond the oracle slice
+
+
+def test_planted_twin_cohort_is_vocab_disjoint(spark):
+    """The determinism argument requires the planted vocabulary to be
+    disjoint from the documents corpus at every fixture SF — one
+    shared token is harmless for Jaccard but this pins the stronger
+    property the docstrings claim."""
+    from sparkstreaming_gmall_demo_spark.plans.extensions import (
+        _planted_twin_docs,
+    )
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    planted_toks = (
+        _planted_twin_docs(spark)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        organic_toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+        assert planted_toks.join(organic_toks, "tok", "inner").count() == 0
+
+
+def test_minhash_twin_labels_cluster_exactly_the_planted_cohort(spark):
+    """Every planted cluster must come out of the MinHash pair kernel
+    + components as exactly itself: group key = cluster min id, no
+    planted doc unlabeled, no planted<->organic merge."""
+    from sparkstreaming_gmall_demo_spark.plans.extensions import (
+        PLANT_BASE,
+        _minhash_twin_labels,
+    )
+
+    _, labels = _minhash_twin_labels(spark, "/root/testdata/sf0.001")
+    planted = labels.filter(F.col("node") >= PLANT_BASE).collect()
+    # all 23 planted docs are clustered (sizes 2+3+4 repeated = 23)
+    assert len(planted) == 23
+    for r in planted:
+        assert r.component == (r.node // 10) * 10  # cluster min id
+    # and no organic doc was pulled into a planted component
+    organic_in_planted = labels.filter(
+        (F.col("node") < PLANT_BASE) & (F.col("component") >= PLANT_BASE)
+    ).count()
+    assert organic_in_planted == 0
