@@ -202,5 +202,5 @@ def _buckets_py(terms: list[str], n_buckets: int) -> list[int]:
     spark = SparkSession.getActiveSession()
     rows = spark.createDataFrame(
         [(t,) for t in terms], "term string"
-    ).select(_term_bucket(F.col("term"), n_buckets).alias("tb")).collect()
+    ).select(_term_bucket(F.col("term"), n_buckets).alias("tb")).collect()  # collect-bound: len(terms) query-term rows
     return sorted({int(r.tb) for r in rows})

@@ -76,8 +76,8 @@ def dsir_weights(
     scans)."""
     tgt = bucket_counts(target, text_col, buckets).withColumnRenamed("cnt", "tgt_cnt")
     src = bucket_counts(pool, text_col, buckets).withColumnRenamed("cnt", "src_cnt")
-    tgt_total = tgt.agg(F.sum("tgt_cnt")).collect()[0][0] or 0
-    src_total = src.agg(F.sum("src_cnt")).collect()[0][0] or 0
+    tgt_total = tgt.agg(F.sum("tgt_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg
+    src_total = src.agg(F.sum("src_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg
     joined = (
         tgt.join(src, "bucket", "full_outer")
         .select(

@@ -802,7 +802,7 @@ def jaccard_threshold_sweep(
                 F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")
                 for t in ts
             ]
-        ).collect()[0]
+        ).collect()[0]  # collect-bound: 1-row agg
         best = (
             pairs.select(
                 F.explode(F.array(F.col("i"), F.col("j"))).alias("doc"),
@@ -816,7 +816,7 @@ def jaccard_threshold_sweep(
                 F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"d{t}")
                 for t in ts
             ]
-        ).collect()[0]
+        ).collect()[0]  # collect-bound: 1-row agg
     finally:
         pairs.unpersist()
     rows = [

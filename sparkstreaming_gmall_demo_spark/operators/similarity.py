@@ -156,7 +156,7 @@ def lsh_index_topk(
     from itertools import combinations
 
     q_bucket = (
-        query.select(_sketch_expr("q_vec", num_planes).alias("b")).collect()[0][0]
+        query.select(_sketch_expr("q_vec", num_planes).alias("b")).collect()[0][0]  # collect-bound: 1 row (query sketch)
     )
     shift = num_planes - prefix_bits
     prefixes = {q_bucket >> shift}
@@ -257,7 +257,7 @@ def ivf_train(
         embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(id_col).alias("h"))
         .orderBy("h")
         .limit(k)
-        .collect()
+        .collect()  # collect-bound: limit(k) seed rows
     )
     cents = [_to_double_list(r.v) for r in seeds]
     for _ in range(iters):
@@ -274,7 +274,7 @@ def ivf_train(
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cluster", F.col("dm.m").alias("centroid"))
-            .collect()
+            .collect()  # collect-bound: <= n_clusters centroid rows
         )
         new_cents = list(cents)
         for r in means:
@@ -371,7 +371,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_train(embeddings, n_clusters, iters, id_col, vec_col)
-    qv = _to_double_list(query.select("q_vec").collect()[0][0])
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])  # collect-bound: 1 row (query vector)
     # driver-side probe selection: nprobe nearest centroids to q
     dists = sorted(
         (sum((a - b) * (a - b) for a, b in zip(c, qv)), i)
@@ -472,7 +472,7 @@ def train_label_codebook(
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
         .select(F.col(label_col).alias("lbl"), F.col("dm.m").alias("centroid"))
         .orderBy("lbl")
-        .collect()
+        .collect()  # collect-bound: <= n_clusters centroid rows
     )
     return [(r.lbl, _to_double_list(r.centroid)) for r in rows]
 
@@ -661,7 +661,7 @@ def cosine_match_scan(
     (column ``id_col``, probe-side dtype preserved).
     """
     id_type = dict(probes.dtypes)[id_col]
-    rows = probes.select(id_col, cluster_col, vec_col, nrm_col).collect()
+    rows = probes.select(id_col, cluster_col, vec_col, nrm_col).collect()  # collect-bound: ELEMENTS-budgeted probe batch
     packed = pack_probe_matrices(
         (r[0], r[1], r[2], r[3]) for r in rows
     )
@@ -852,7 +852,7 @@ def pq_train(
         embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(id_col).alias("h"))
         .orderBy("h")
         .limit(ksub)
-        .collect()
+        .collect()  # collect-bound: limit(ksub) seed rows
     )
     books = [
         [_to_double_list(r.v)[s * dsub : (s + 1) * dsub] for r in seeds]
@@ -870,7 +870,7 @@ def pq_train(
             )
             .groupBy("s", "c", "dim")
             .agg(F.avg("x").alias("mu"))
-            .collect()
+            .collect()  # collect-bound: ksub x subspaces codebook rows
         )
         new_books = [[list(c) for c in book] for book in books]
         for r in cells:
@@ -983,7 +983,7 @@ def pq_topk(
     fetch their raw vectors (a k-sized broadcast-able semi-join at any
     scale) for exact L2, and the final top-``k`` orders by true
     distance. Returns (id, l2sq rounded 4dp)."""
-    qv = _to_double_list(query.select("q_vec").collect()[0][0])
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])  # collect-bound: 1 row (query vector)
     cand = (
         pq_adc_scores(codes, codebooks, qv, id_col)
         .orderBy(F.asc("adc"), F.asc(id_col))
@@ -1048,7 +1048,7 @@ def sq8_train(
             F.max(F.col("v").cast("double")).alias("hi"),
         )
     )
-    rows = sorted(mm.collect(), key=lambda r: r.dim)
+    rows = sorted(mm.collect(), key=lambda r: r.dim)  # collect-bound: dim min/max rows
     return [r.lo for r in rows], [r.hi for r in rows]
 
 
@@ -1164,7 +1164,7 @@ def sq8_read_index(
 ) -> tuple[DataFrame, list[float], list[float]]:
     """(codes, lo, hi) from a sq8_write_index layout."""
     codes = spark.read.parquet(f"{path}/codes")
-    rows = sorted(spark.read.parquet(f"{path}/params").collect(),
+    rows = sorted(spark.read.parquet(f"{path}/params").collect(),  # collect-bound: dim param rows
                   key=lambda r: r.dim)
     return codes, [r.lo for r in rows], [r.hi for r in rows]
 
@@ -1241,7 +1241,7 @@ def kcenter_coreset(
         embeddings.select(id_col, vec_col)
         .orderBy(F.asc(id_col))
         .limit(1)
-        .collect()
+        .collect()  # collect-bound: limit(1)
     )
     selected = [(1, seed[0][0], 0.0)]
     centers = [[float(x) for x in seed[0][1]]]
@@ -1255,7 +1255,7 @@ def kcenter_coreset(
             .orderBy(F.desc("d2"), F.asc(id_col))
             .limit(1)
             .select(id_col, vec_col, F.round("d2", 4).alias("d24"))
-            .collect()[0]
+            .collect()[0]  # collect-bound: limit(1)
         )
         selected.append((r, far[0], far[2]))
         centers.append([float(x) for x in far[1]])

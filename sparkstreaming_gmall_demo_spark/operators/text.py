@@ -1276,7 +1276,7 @@ def winnowing_read_index(spark, path: str):
     layout that actually exists on disk."""
     import os
 
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]  # collect-bound: 1-row meta
     return spark.read.parquet(os.path.join(path, "postings")), meta.n_buckets
 
 

@@ -193,7 +193,7 @@ def bpe_train(
     if wf.limit(max_word_types + 1).count() > max_word_types:
         return bpe_train_distributed(df, n_merges, text_col, min_freq)
     words: dict[tuple, int] = {}
-    for r in wf.collect():
+    for r in wf.collect():  # collect-bound: <= max_word_types rows (guard above)
         words[tuple(list(r["word"]) + [END_OF_WORD])] = int(r["freq"])
     merges: list[dict] = []
     for step in range(n_merges):
@@ -255,7 +255,7 @@ def bpe_train_distributed(
             .agg(F.sum("freq").alias("pfreq"))
             .orderBy(F.desc("pfreq"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .collect()
+            .collect()  # collect-bound: limit(1)
         )
         if not best or best[0]["pfreq"] < min_freq:
             break

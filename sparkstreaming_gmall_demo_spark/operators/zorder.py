@@ -45,7 +45,7 @@ def quantile_cuts(df: DataFrame, col: str, bits: int) -> list[float]:
     fracs = [i / (n + 1) for i in range(1, n + 1)]
     row = df.agg(
         F.percentile_approx(F.col(col).cast("double"), fracs, 10_000).alias("c")
-    ).collect()[0]
+    ).collect()[0]  # collect-bound: 1-row agg
     return list(row["c"])
 
 

@@ -2127,7 +2127,7 @@ def ext_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = (
         vocab_ops.corpus_tokens(docs.select("text"))
         .agg(F.count("*").alias("n"))
-        .collect()[0][0]
+        .collect()[0][0]  # collect-bound: 1-row agg
     )
     vsize = voc.count()
     scored = vocab_ops.unigram_surprisal(
@@ -3198,7 +3198,7 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.vec_id
         for r in sim_ops.pq_topk(
             emb, codes, books, q, k=TOPK_K, rerank=PQ_RERANK
-        ).collect()
+        ).collect()  # collect-bound: k=TOPK_K rows
     }
     exact = (
         emb.crossJoin(F.broadcast(q))
@@ -3209,7 +3209,7 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("l2sq"), F.asc("vec_id"))
         .limit(TOPK_K)
     )
-    recall = len(pq_ids & {r.vec_id for r in exact.collect()}) / float(TOPK_K)
+    recall = len(pq_ids & {r.vec_id for r in exact.collect()}) / float(TOPK_K)  # collect-bound: k=TOPK_K rows
     return exact.select(
         "vec_id", "l2sq", F.lit(recall >= PQ_RECALL_FLOOR).alias("recall_ok")
     )
@@ -3606,7 +3606,7 @@ def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, so corpus text never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     voc = vocab_ops.vocab_build(docs, top_n=BIGRAM_VOCAB_N)
-    vocab_tokens = [r.token for r in voc.orderBy(F.desc("cnt"), F.asc("token")).collect()]
+    vocab_tokens = [r.token for r in voc.orderBy(F.desc("cnt"), F.asc("token")).collect()]  # collect-bound: <= BIGRAM_VOCAB_N vocab rows
     scored = vocab_ops.bigram_surprisal(docs, vocab_tokens)
     per_doc = scored.join(docs.select("doc_id", "lang"), "doc_id")
     return (
@@ -4544,7 +4544,7 @@ def ext_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = (
         vocab_ops.corpus_tokens(docs.select("text"))
         .agg(F.count("*").alias("n"))
-        .collect()[0][0]
+        .collect()[0][0]  # collect-bound: 1-row agg
     )
     scored = vocab_ops.unigram_surprisal(
         docs, voc, total_tokens=total, vocab_size=voc.count()
@@ -5713,11 +5713,11 @@ def _winnow_query_doc(docs, fps) -> int:
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .agg(F.min(F.col("a.doc_id")).alias("q"))
-        .collect()[0]
+        .collect()[0]  # collect-bound: 1-row agg
     )
     if row.q is not None:
         return row.q
-    return docs.agg(F.min("doc_id").alias("q")).collect()[0].q
+    return docs.agg(F.min("doc_id").alias("q")).collect()[0].q  # collect-bound: 1-row agg
 
 
 @_register(
@@ -5771,7 +5771,7 @@ def ext_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaking past the build
     fps = fps.persist()
     qid = _winnow_query_doc(docs, fps)
-    qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]
+    qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]  # collect-bound: one doc's fingerprint list
     fps.unpersist()
     postings = (
         fps
@@ -5812,7 +5812,7 @@ def _bench_winnowing_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         qid = _winnow_query_doc(docs, fps)
-        qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]
+        qfps = [r.fp for r in fps.filter(F.col("doc_id") == qid).collect()]  # collect-bound: one doc's fingerprint list
         tmp = _bench_tmpdir("gmall_winnow_index_")
         path = os.path.join(tmp, "idx")
         text_ops.winnowing_write_index(docs, path, WINNOW_K, WINNOW_W)
@@ -5877,7 +5877,7 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("shared_fps").desc(), "i", "j")
         .limit(1)
-        .collect()
+        .collect()  # collect-bound: limit(1)
     )
     if not top:
         return spark.createDataFrame([], "fp long, pos_i long, pos_j long")

@@ -52,7 +52,7 @@ def realtime_total(dau: DataFrame, orders: DataFrame, date: str) -> list:
     amount = (
         orders.filter(F.col("create_date") == F.lit(date))
         .agg(F.sum("total_amount").alias("s"))
-        .collect()[0]["s"]
+        .collect()[0]["s"]  # collect-bound: 1-row agg
     )
     amount_total = float(amount) if amount is not None else 0.0
     return [
@@ -126,7 +126,7 @@ def realtime_hours(dau: DataFrame, orders: DataFrame, id: str, date: str) -> dic
     if id not in ("dau", "order_amount"):
         return {"today": None, "yesterday": None}
     out: dict = {"today": {}, "yesterday": {}}
-    for r in realtime_hours_frame(dau, orders, id, date).collect():
+    for r in realtime_hours_frame(dau, orders, id, date).collect():  # collect-bound: <= 24 hourly rows
         v = r["value"]
         out[r["day"]][r["log_hour"]] = float(v) if id == "order_amount" else v
     return out
@@ -210,7 +210,7 @@ def sale_detail(
             F.sum(F.when(F.col("user_age") < 20, 1).otherwise(0)).alias("low20"),
             F.sum(F.when(F.col("user_age") >= 30, 1).otherwise(0)).alias("up30"),
             F.sum(F.when(F.col("user_gender") == "M", 1).otherwise(0)).alias("male"),
-        ).collect()[0]
+        ).collect()[0]  # collect-bound: 1-row agg
         if total > 0:
             low20_ratio = _java_round_half_up(band["low20"] * 1000.0 / total) / 10.0
             up30_ratio = _java_round_half_up(band["up30"] * 1000.0 / total) / 10.0
@@ -252,7 +252,7 @@ def sale_detail(
         else:
             ordered = filtered.orderBy("sale_detail_id")
         page = ordered.offset(start).limit(size)
-        detail = [r.asDict() for r in page.collect()]
+        detail = [r.asDict() for r in page.collect()]  # collect-bound: one page (limit size)
     finally:
         filtered.unpersist()
     return {"total": total, "stat": stat, "detail": detail}
@@ -303,5 +303,5 @@ def search_documents(
         docs, embeddings, keyword, query_vec_id, k=depth, depth=depth
     )
     start = (page - 1) * size
-    hits = [r.asDict() for r in fused.offset(start).limit(size).collect()]
+    hits = [r.asDict() for r in fused.offset(start).limit(size).collect()]  # collect-bound: one page (limit size)
     return {"total": total, "page": page, "size": size, "hits": hits}

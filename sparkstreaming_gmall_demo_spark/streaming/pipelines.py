@@ -1032,7 +1032,7 @@ def compact_partials(spark: SparkSession, table: str, merge_fn) -> int:
         if v0 < 0:
             return 0
         snap = txn.snapshot(spark, table, version=v0)
-        hwm = snap.agg(F.max("batch_id")).collect()[0][0]
+        hwm = snap.agg(F.max("batch_id")).collect()[0][0]  # collect-bound: 1-row agg
         prev = txn.table_meta(table, version=v0).get("compacted_through", -1)
         merged = (
             merge_fn(snap.drop("batch_id"))
@@ -1294,7 +1294,7 @@ def _gate_admit_ids(
         # bounded graph: one collect + in-memory union-find beats
         # several distributed jobs per min-label round; labels
         # re-enter the plan as a (tiny) broadcastable frame
-        comp_map = _driver_union_find(pairs.select("i", "j").collect())
+        comp_map = _driver_union_find(pairs.select("i", "j").collect())  # collect-bound: <= NEARDUP_GATE_CC_DRIVER_CAP pairs
         id_type = dict(batch_df.dtypes)[id_col]
         labels = spark.createDataFrame(
             list(comp_map.items()),
@@ -2084,7 +2084,7 @@ def semantic_gate_admit(
             # form's wall at 5k-vector batches (BENCH_gate_r08).
             rows = assigned.select(
                 "vec_id", "probe_clusters", "embedding", "nrm"
-            ).collect()
+            ).collect()  # collect-bound: ELEMENTS-gated fast path (rows x nprobe x dim cap)
             pair_rows = semantic_pairs_driver(
                 ((r[0], r[1][0], r[2], r[3]) for r in rows), threshold
             )
@@ -2114,7 +2114,7 @@ def semantic_gate_admit(
                         packed,
                         threshold,
                         id_type=id_type,
-                    ).collect()
+                    ).collect()  # collect-bound: fast-path probe hits, batch-bounded
                 }
             # survivor rule, verbatim from _gate_admit_ids: component
             # = min-label union-find over the pair graph (singletons
@@ -2156,7 +2156,7 @@ def semantic_gate_admit(
                 # cluster-clustered index then file-skips here too
                 probed = sorted(
                     r.cluster
-                    for r in probes.select("cluster").distinct().collect()
+                    for r in probes.select("cluster").distinct().collect()  # collect-bound: distinct probe clusters <= nprobe x batch rows
                 )
                 idx_r = idx.filter(F.col("cluster").isin(probed)).select(
                     F.col("cluster"),
@@ -2316,7 +2316,7 @@ def semantic_gate_recluster(
             F.sum(
                 (F.col("cluster") != F.col("_old_cluster")).cast("long")
             ).alias("moved"),
-        ).collect()[0]
+        ).collect()[0]  # collect-bound: 1-row agg
         txn.overwrite(
             # cluster-clustered like the TTL vacuum: the refresh
             # rewrites everything anyway, so leave the files in the
@@ -2589,7 +2589,7 @@ def _scd2_stage_grouped(
         return got, fmap
     counts = {
         int(r["_bucket"]): int(r["n"])
-        for r in frame.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        for r in frame.groupBy("_bucket").agg(F.count("*").alias("n")).collect()  # collect-bound: per-bucket counts <= n_buckets rows
     }
     for g in groups:
         g_rows = sum(counts.get(int(b), 0) for b in g)
@@ -2733,7 +2733,7 @@ def scd2_obs_compact(
             n_total = snap.count()
             present = sorted(
                 r._bucket
-                for r in snap.select("_bucket").dropDuplicates().collect()
+                for r in snap.select("_bucket").dropDuplicates().collect()  # collect-bound: distinct buckets <= n_buckets
             )
             staged, fmap = _scd2_stage_grouped(
                 snap, present, n_total, obs_table
@@ -2892,7 +2892,7 @@ def scd2_apply_batch_bucketed(
         # dim keys in one micro-batch, capped at n_buckets)
         touched = sorted(
             r._bucket
-            for r in batch.select("_bucket").dropDuplicates().collect()
+            for r in batch.select("_bucket").dropDuplicates().collect()  # collect-bound: distinct buckets of one micro-batch <= n_buckets
         )
         # ONE zone-mapped obs commit for the whole batch (keyed —
         # replay is a no-op), landing before any history commit so a

@@ -184,7 +184,7 @@ def _idempotent_append_inner(
                     batch.select(*sel)
                     .distinct()
                     .limit(PROBE_ISIN_MAX_KEYS + 1)
-                    .collect()
+                    .collect()  # collect-bound: limit(PROBE_ISIN_MAX_KEYS+1)
                 )
                 truncated = len(tuples) > PROBE_ISIN_MAX_KEYS
             else:
@@ -192,7 +192,7 @@ def _idempotent_append_inner(
             if truncated:  # small sink or jumbo batch: partitions only
                 parts = [
                     tuple(r)
-                    for r in batch.select(*partition_cols).distinct().collect()
+                    for r in batch.select(*partition_cols).distinct().collect()  # collect-bound: distinct partition keys of one micro-batch
                 ]
             else:
                 parts = sorted(
@@ -247,7 +247,7 @@ def _idempotent_append_inner(
                     for r in batch.select(probe_col)
                     .distinct()
                     .limit(PROBE_ISIN_MAX_KEYS + 1)
-                    .collect()
+                    .collect()  # collect-bound: limit(PROBE_ISIN_MAX_KEYS+1)
                 ]
                 truncated = len(key_rows) > PROBE_ISIN_MAX_KEYS
         if (
