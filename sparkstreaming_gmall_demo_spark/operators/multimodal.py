@@ -8,15 +8,21 @@ Pattern for image/audio/video at 100 TB:
   ``mapInPandas`` stages: one Python worker per partition, whole
   columnar batches across the JVM<->Python boundary, no per-row cost.
 
-The actual codec step is STUBBED here (image/audio libraries are not in
-this container): ``decode_image_stub`` raises NotImplementedError when
-``strict`` else produces a deterministic fake decode. The Spark-side
-plumbing — schema, batching, partitioning — is real and tested;
-swapping in PIL/ffmpeg is a one-function change inside the UDF.
+Codec status: PNG (8-bit RGB, non-interlaced) decodes FOR REAL via the
+stdlib-only codec below (zlib inflate + full scanline de-filtering,
+all five PNG filter types) — see ``decode_image``. Every other format
+stays STUBBED (``decode_image_stub``: image/audio/video libraries are
+not in this container): NotImplementedError when ``strict`` else a
+deterministic fake decode. The Spark-side plumbing — schema, batching,
+partitioning — is identical either way; swapping in PIL/ffmpeg for the
+remaining formats is a one-function change inside the UDF.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+from binascii import crc32
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,6 +68,240 @@ def attach_payload(df: DataFrame, text_col: str = "text", source_col: str = "sou
             F.octet_length(payload).cast("long").alias("n_bytes"),
             F.col(source_col).alias("source"),
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib only): 8-bit RGB, non-interlaced. The encoder
+# exists to build planted fixtures whose expected pixels are known
+# INDEPENDENTLY of the decoder (the oracle literals come from the
+# pattern fed to encode_png, never from running the decoder), and it
+# deliberately cycles through all five PNG filter types so the decoder
+# must execute every de-filter branch to reproduce them.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # 8-bit RGB
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _build_png_decoder():
+    """Factory for the decode-side codec. The returned functions are
+    CLOSURES (qualname under <locals>), so cloudpickle ships them BY
+    VALUE into Spark workers — the decode UDF must run under a plain
+    driver-contract session where this package is not importable on
+    executors (the house rule: worker-side code is self-contained; see
+    vocab.py's n_bpe_tokens). Module-level helpers would pickle by
+    reference and ModuleNotFoundError on the worker."""
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def decode(data: bytes) -> tuple[int, int, bytes]:
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos = 8
+        width = height = None
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                width, height, depth, ctype, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or ctype != 2 or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG variant (depth={depth}, "
+                        f"color={ctype}, interlace={interlace}): only "
+                        "8-bit RGB non-interlaced"
+                    )
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # len + tag + body + crc
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        raw = zlib.decompress(bytes(idat))
+        bpp = 3
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        rgb = bytearray()
+        prior = bytes(stride)
+        for y in range(height):
+            ft = raw[y * (stride + 1)]
+            row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if ft == 1:  # Sub
+                for x in range(stride):
+                    row[x] = (row[x] + (row[x - bpp] if x >= bpp else 0)) & 0xFF
+            elif ft == 2:  # Up
+                for x in range(stride):
+                    row[x] = (row[x] + prior[x]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    row[x] = (
+                        row[x]
+                        + ((row[x - bpp] if x >= bpp else 0) + prior[x]) // 2
+                    ) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    row[x] = (
+                        row[x]
+                        + paeth(
+                            row[x - bpp] if x >= bpp else 0,
+                            prior[x],
+                            prior[x - bpp] if x >= bpp else 0,
+                        )
+                    ) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            rgb.extend(row)
+            prior = bytes(row)
+        return width, height, bytes(rgb)
+
+    return paeth, decode
+
+
+_paeth, decode_png = _build_png_decoder()
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal stdlib PNG writer (8-bit RGB, no interlace). ``rgb`` is
+    height x width x 3 raw bytes, row-major. Each scanline is filtered
+    with type (row % 5), so a round-trip exercises None/Sub/Up/Average/
+    Paeth de-filtering — not just the trivial filter-0 path."""
+    if len(rgb) != width * height * _PNG_BPP:
+        raise ValueError("rgb length != width*height*3")
+    stride = width * _PNG_BPP
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = y % 5
+        out.append(ft)
+        if ft == 0:
+            out.extend(row)
+        elif ft == 1:  # Sub
+            out.extend(
+                (row[x] - (row[x - _PNG_BPP] if x >= _PNG_BPP else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            out.extend((row[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            out.extend(
+                (
+                    row[x]
+                    - ((row[x - _PNG_BPP] if x >= _PNG_BPP else 0) + prior[x]) // 2
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            out.extend(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - _PNG_BPP] if x >= _PNG_BPP else 0,
+                        prior[x],
+                        prior[x - _PNG_BPP] if x >= _PNG_BPP else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+DECODED_REAL_SCHEMA = T.StructType(
+    DECODED_SCHEMA.fields
+    + [
+        T.StructField("pixel_crc32", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
+    """The decode stage with a REAL codec for PNG payloads: the same
+    Arrow-batched ``mapInPandas`` shape as ``decode_image_stub``, but a
+    payload starting with the PNG signature is actually decoded
+    (inflate + de-filter) — width/height come from IHDR and
+    ``pixel_crc32`` is crc32 over the reconstructed raw RGB bytes, so
+    a decoder that mis-reconstructs even one byte is caught by the
+    planted-fixture oracle. Non-PNG payloads keep the documented stub
+    behavior (fake dimensions when not ``strict``, NotImplementedError
+    when ``strict``), with ``pixel_crc32`` null and ``codec`` set to
+    'stub'. PNGs report n_frames=1 (a still image IS one frame)."""
+    # bind worker-side dependencies as closure cells: decode_png is a
+    # dynamic closure (ships by value), PNG_MAGIC a bytes constant,
+    # crc32 a stdlib reference — the UDF needs no package import on
+    # the executor (driver-contract sessions can't provide one)
+    _magic, _decode, _crc = PNG_MAGIC, decode_png, crc32
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "modality": [], "n_bytes": [],
+                "width": [], "height": [], "n_frames": [],
+                "pixel_crc32": [], "codec": [],
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(data))
+                if data[: len(_magic)] == _magic:
+                    w, h, rgb = _decode(data)
+                    out["modality"].append("image")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(1)
+                    out["pixel_crc32"].append(_crc(rgb) & 0xFFFFFFFF)
+                    out["codec"].append("png")
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "no codec for non-PNG payloads in this "
+                            "environment; swap this block for PIL/ffmpeg"
+                        )
+                    out["modality"].append(meta["modality"])
+                    out["width"].append(len(data) % 640 + 1)
+                    out["height"].append(len(data) % 480 + 1)
+                    out["n_frames"].append(len(data) % 16 + 1)
+                    out["pixel_crc32"].append(None)
+                    out["codec"].append("stub")
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            pdf_out["n_frames"] = pdf_out["n_frames"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(
+        decode, DECODED_REAL_SCHEMA
     )
 
 
@@ -120,7 +360,17 @@ def resize_stub(decoded: DataFrame, width: int, height: int) -> DataFrame:
     """STUB resize stage: element-wise Arrow-batched transform keeping
     aspect ratio (fit-inside semantics). Real impl replaces the
     arithmetic with PIL thumbnail; batch shape is 1 row in -> 1 row out.
+    The output schema is input + (resized_width, resized_height), so
+    both decode stages (stub DECODED_SCHEMA and the PNG-capable
+    DECODED_REAL_SCHEMA) flow through unchanged.
     """
+    out_schema = T.StructType(
+        decoded.schema.fields
+        + [
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
+        ]
+    )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,7 +380,7 @@ def resize_stub(decoded: DataFrame, width: int, height: int) -> DataFrame:
             out["resized_height"] = (pdf["height"] * scale).clip(lower=1).astype("int32")
             yield out
 
-    return decoded.mapInPandas(resize, RESIZED_SCHEMA)
+    return decoded.mapInPandas(resize, out_schema)
 
 
 def frame_sample_stub(df: DataFrame, every_k: int = 4) -> DataFrame:

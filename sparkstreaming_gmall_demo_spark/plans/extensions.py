@@ -1312,6 +1312,59 @@ def ext_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_W, RESIZE_H = 320, 240
 FRAME_EVERY_K = 4
 
+# Planted PNG fixtures (VERDICT r10 item 6): real 8-bit RGB PNGs built
+# by the stdlib encoder over a KNOWN pixel pattern — the oracle's
+# expected width/height/crc32 literals come from the pattern itself,
+# never from running the decoder, so encoder/decoder cannot share a
+# hidden symmetric bug past the crc check. The encoder cycles all five
+# PNG filter types across scanlines, forcing the decoder through every
+# de-filter branch.
+PNG_PLANT_BASE = 20_000_000
+_PNG_PLANT_SPECS = [(0, 5, 3), (1, 8, 8), (2, 16, 9), (3, 12, 20), (4, 32, 32), (5, 7, 11)]
+
+
+def _png_plant_rows() -> list[tuple]:
+    """[(doc_id, png_bytes, width, height, pixel_crc32)] — pixel
+    pattern px[x] = (x*7 + 13*k) % 256 per image k."""
+    from binascii import crc32
+
+    rows = []
+    for k, w, h in _PNG_PLANT_SPECS:
+        rgb = bytes((x * 7 + 13 * k) % 256 for x in range(w * h * 3))
+        rows.append(
+            (
+                PNG_PLANT_BASE + k,
+                mm_ops.encode_png(w, h, rgb),
+                w,
+                h,
+                crc32(rgb) & 0xFFFFFFFF,
+            )
+        )
+    return rows
+
+
+_PNG_PLANT_ROWS = _png_plant_rows()
+
+# VALUES literals for the oracle: (doc_id, modality, n_bytes, width,
+# height, n_frames, pixel_crc32, codec) per planted PNG
+_PNG_VALUES = ",\n        ".join(
+    f"({did}, 'image', {len(png)}, {w}, {h}, 1, {crc}, 'png')"
+    for did, png, w, h, crc in _PNG_PLANT_ROWS
+)
+
+
+def _png_planted_frame(spark: SparkSession) -> DataFrame:
+    """(doc_id, payload, meta) rows carrying the planted PNG bytes,
+    schema-aligned with attach_payload output."""
+    return spark.createDataFrame(
+        [
+            (did, bytearray(png), ("image", len(png), "planted"))
+            for did, png, w, h, crc in _PNG_PLANT_ROWS
+        ],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,n_bytes:bigint,source:string>",
+    )
+
 
 @_register(
     "ext_multimodal_decode_pipeline",
@@ -1322,12 +1375,25 @@ FRAME_EVERY_K = 4
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     ),
-    d AS (
+    d0 AS (
         SELECT doc_id, modality, n_bytes,
                CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
                CAST(n_bytes % 480 + 1 AS INTEGER) AS height,
-               CAST(n_bytes % 16 + 1 AS INTEGER) AS n_frames
+               CAST(n_bytes % 16 + 1 AS INTEGER) AS n_frames,
+               CAST(NULL AS BIGINT) AS pixel_crc32,
+               'stub' AS codec
         FROM t
+    ),
+    dp(doc_id, modality, n_bytes, width, height, n_frames, pixel_crc32, codec) AS (
+        VALUES {_PNG_VALUES}
+    ),
+    d AS (
+        SELECT * FROM d0
+        UNION ALL
+        SELECT CAST(doc_id AS BIGINT), modality, CAST(n_bytes AS BIGINT),
+               CAST(width AS INTEGER), CAST(height AS INTEGER),
+               CAST(n_frames AS INTEGER), CAST(pixel_crc32 AS BIGINT), codec
+        FROM dp
     ),
     r AS (
         SELECT *,
@@ -1337,28 +1403,36 @@ FRAME_EVERY_K = 4
     ),
     f AS (
         SELECT doc_id,
-               CAST(len(range(0, CAST(n_frames AS BIGINT), {FRAME_EVERY_K})) AS BIGINT) AS n_sampled_frames,
-               CAST(list_sum(list_transform(range(0, CAST(n_frames AS BIGINT), {FRAME_EVERY_K}),
+               CAST(len(range(0, CAST(n_bytes % 16 + 1 AS BIGINT), {FRAME_EVERY_K})) AS BIGINT) AS n_sampled_frames,
+               CAST(list_sum(list_transform(range(0, CAST(n_bytes % 16 + 1 AS BIGINT), {FRAME_EVERY_K}),
                     i -> least(8, n_bytes - (i * 7) % greatest(n_bytes, 1)))) AS BIGINT) AS sum_frame_bytes
         FROM d
     )
     SELECT r.doc_id, r.modality, r.n_bytes, r.width, r.height, r.n_frames,
+           r.pixel_crc32, r.codec,
            r.resized_width, r.resized_height, f.n_sampled_frames, f.sum_frame_bytes
     FROM r JOIN f USING (doc_id)
     ORDER BY r.doc_id
     """,
-    "full decode->resize->frame-sample multimodal pipeline, per-doc gated",
+    "decode->resize->frame-sample pipeline; PNG payloads decode for real",
 )
 def ext_multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode-path composition the stubs promise (VERDICT r6 item
-    5): attach_payload -> decode_image_stub -> resize_stub ->
-    frame_sample_stub end-to-end (multimodal.py:68-163), per-doc
+    """The decode-path composition with a TRUE codec in the decode slot
+    (VERDICT r10 item 6): attach_payload -> decode_image ->
+    resize_stub -> frame_sample_stub end-to-end, per-doc
     value-for-value — three Arrow-batched mapInPandas stages including
-    the fan-out frame sampler, re-keyed and joined. Every fake-decode
-    quantity is a pure function of the payload byte length, so the
-    oracle restates the whole pipeline relationally (range() +
-    list_transform reproduce the frame loop). Swapping PIL/ffmpeg into
-    the stubs preserves every schema and batch shape gated here.
+    the fan-out frame sampler, re-keyed and joined. The input is the
+    documents corpus (utf-8 payloads: the documented stub path, every
+    quantity a pure function of payload length) PLUS the planted PNG
+    cohort, which decode_image actually decodes (zlib inflate + all
+    five PNG de-filter branches, multimodal.py:decode_png) — the
+    declared width/height/pixel_crc32 for those rows are literals
+    derived from the encoded pixel pattern, so one mis-reconstructed
+    byte anywhere in the de-filter logic hash-mismatches the row. The
+    frame sampler branch stays payload-driven for both cohorts (its
+    fake frame count is a function of byte length — the oracle's f CTE
+    states it from n_bytes, not from the decoded n_frames, because a
+    real PNG reports n_frames=1).
 
     Plan: decode+resize are narrow Arrow map stages and the frame
     fan-out happens inside the Python worker (no shuffle introduced);
@@ -1370,11 +1444,14 @@ def ext_multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     are read from the object store a single time."""
     docs = load_table(spark, sf_dir, "documents")
     p = mm_ops.attach_payload(docs)
+    pay = p.select("doc_id", "payload", "meta").unionByName(
+        _png_planted_frame(spark)
+    )
     resized = mm_ops.resize_stub(
-        mm_ops.decode_image_stub(p), RESIZE_W, RESIZE_H
+        mm_ops.decode_image(pay), RESIZE_W, RESIZE_H
     )
     frame_stats = (
-        mm_ops.frame_sample_stub(p, every_k=FRAME_EVERY_K)
+        mm_ops.frame_sample_stub(pay, every_k=FRAME_EVERY_K)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_sampled_frames"),
@@ -6099,3 +6176,57 @@ def _bench_leakage_splits_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
     ).select("i", "j")
     return samp_ops.curation_bundle(docs, pairs, SPLITS, score_col="n_chars")
+
+
+PNG_STUB_SAMPLE_DOCS = 8  # organic docs riding along to pin the stub dispatch
+
+
+@_register(
+    "ext_png_decode",
+    f"""
+    WITH planted(doc_id, modality, n_bytes, width, height, n_frames, pixel_crc32, codec) AS (
+        VALUES {_PNG_VALUES}
+    ),
+    organic AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('web', 'wiki') THEN 'image' ELSE 'audio' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
+               CAST(NULL AS BIGINT) AS pixel_crc32,
+               'stub' AS codec
+        FROM documents WHERE doc_id < {PNG_STUB_SAMPLE_DOCS}
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, modality,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(pixel_crc32 AS BIGINT) AS pixel_crc32, codec
+    FROM (SELECT * FROM planted UNION ALL SELECT * FROM organic)
+    ORDER BY doc_id
+    """,
+    "real stdlib PNG decode (inflate + full de-filter), planted-pattern gated",
+)
+def ext_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true-codec decode stage in isolation (VERDICT r10 item 6):
+    decode_image over the planted PNG cohort (REAL decode — zlib
+    inflate, chunk walk, and scanline reconstruction through all five
+    PNG filter types; operators/multimodal.py:decode_png) plus a few
+    organic utf-8 payloads pinning the non-PNG dispatch to the
+    documented stub path. Expected width/height/pixel_crc32 are
+    literals computed from the ENCODED pixel pattern, independent of
+    the decoder — a single wrong reconstructed byte (e.g. an
+    off-by-one in the Paeth predictor) flips the crc and fails the
+    row. The decode itself is an Arrow-batched mapInPandas stage: at
+    100 TB the payload bytes stay inside the Python worker per
+    partition; only the typed metadata row comes out."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PNG_STUB_SAMPLE_DOCS
+    )
+    pay = (
+        mm_ops.attach_payload(docs)
+        .select("doc_id", "payload", "meta")
+        .unionByName(_png_planted_frame(spark))
+    )
+    return mm_ops.decode_image(pay).orderBy("doc_id")

@@ -123,3 +123,115 @@ def test_payload_shingle_hashes_short_payload(spark):
     df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
     rows = mm.payload_shingle_hashes(df, n_bytes=8, stride=4).collect()
     assert len(rows) == 1 and len(rows[0].hs) == 1  # one clamped window
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the real stdlib PNG codec behind decode_image
+# (VERDICT r10 item 6)
+
+
+def test_encode_png_filter_bytes_match_spec():
+    """Pin the ENCODER to the PNG spec with hand-computed filtered
+    scanlines (so a symmetric encoder/decoder bug can't hide behind
+    the round-trip): 2x5 RGB, rows filtered with types 0..4."""
+    import struct
+    import zlib
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    rgb = bytes(range(10, 10 + 2 * 5 * 3))  # rows of 6 bytes, values 10..39
+    png = mm.encode_png(2, 5, rgb)
+    assert png[:8] == mm.PNG_MAGIC
+    # IHDR: 2x5, depth 8, color type 2 (RGB), no interlace
+    assert struct.unpack(">IIBBBBB", png[16:29]) == (2, 5, 8, 2, 0, 0, 0)
+    (idat_len,) = struct.unpack(">I", png[33:37])
+    raw = zlib.decompress(png[41 : 41 + idat_len])
+    rows = [raw[i * 7 : (i + 1) * 7] for i in range(5)]
+    # row 0 filter None: bytes pass through
+    assert rows[0] == bytes([0, 10, 11, 12, 13, 14, 15])
+    # row 1 Sub: first pixel raw, second minus first (all deltas 3)
+    assert rows[1] == bytes([1, 16, 17, 18, 3, 3, 3])
+    # row 2 Up: minus row 1 recon (all deltas 6)
+    assert rows[2] == bytes([2] + [6] * 6)
+    # row 3 Average (row=[28..33], prior recon=[22..27]):
+    #   x<3: raw - prior//2          -> 28-11, 29-11, 30-12 = 17,18,18
+    #   x>=3: raw - (left+prior)//2  -> 31-26, 32-27, 33-28 = 5,5,5
+    assert rows[3] == bytes([3, 17, 18, 18, 5, 5, 5])
+    # row 4 Paeth (row=[34..39], prior recon=[28..33]):
+    #   x<3: a=c=0, p=b -> pb=0 wins, predictor=b=prior -> 34-28=6 ...
+    #   x>=3: p=a+b-c, pa=|b-c|=3 smallest -> predictor=a=left -> 3 ...
+    assert rows[4] == bytes([4, 6, 6, 6, 3, 3, 3])
+
+
+def test_decode_png_round_trips_all_filter_types():
+    from binascii import crc32
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    for (w, h) in [(1, 1), (7, 5), (33, 9), (16, 16)]:
+        rgb = bytes((x * 7 + 13) % 256 for x in range(w * h * 3))
+        w2, h2, rgb2 = mm.decode_png(mm.encode_png(w, h, rgb))
+        assert (w2, h2) == (w, h)
+        assert rgb2 == rgb
+        assert crc32(rgb2) == crc32(rgb)
+
+
+def test_decode_png_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JFIF not a png")
+    # corrupt a filter-type byte into an invalid value: decode must
+    # fail loudly, never emit silently-wrong pixels
+    import struct
+    import zlib
+
+    rgb = bytes(range(2 * 2 * 3))
+    png = mm.encode_png(2, 2, rgb)
+    (idat_len,) = struct.unpack(">I", png[33:37])
+    raw = bytearray(zlib.decompress(png[41 : 41 + idat_len]))
+    raw[0] = 9  # invalid filter type
+    body = zlib.compress(bytes(raw), 6)
+    bad = png[:33] + mm._png_chunk(b"IDAT", body) + png[41 + idat_len + 4 :]
+    with _pytest.raises(ValueError, match="filter type"):
+        mm.decode_png(bad)
+
+
+def test_decode_image_dispatches_png_vs_stub(spark):
+    from binascii import crc32
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    rgb = bytes((x * 3 + 1) % 256 for x in range(6 * 4 * 3))
+    png = mm.encode_png(6, 4, rgb)
+    frame = spark.createDataFrame(
+        [
+            (1, bytearray(png), ("image", len(png), "planted")),
+            (2, bytearray(b"plain text bytes"), ("audio", 16, "books")),
+        ],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,n_bytes:bigint,source:string>",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(frame).collect()}
+    assert rows[1].codec == "png"
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (6, 4, 1)
+    assert rows[1].pixel_crc32 == (crc32(rgb) & 0xFFFFFFFF)
+    assert rows[2].codec == "stub"
+    assert rows[2].pixel_crc32 is None
+    assert rows[2].width == 16 % 640 + 1  # documented fake-decode shape
+
+
+def test_decode_image_strict_still_raises_for_non_png(spark):
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    frame = spark.createDataFrame(
+        [(2, bytearray(b"plain text"), ("audio", 10, "books"))],
+        "doc_id long, payload binary, "
+        "meta struct<modality:string,n_bytes:bigint,source:string>",
+    )
+    with _pytest.raises(Exception, match="codec"):
+        mm.decode_image(frame, strict=True).collect()
