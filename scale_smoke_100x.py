@@ -175,8 +175,178 @@ def main() -> None:
         "max_ratio": max(ratios.values()),
         "linear_bar": COPIES,
         "pair_kernel": pair_kernel,
+        "novelty_gate_ttl": novelty_gate_leg(spark, docs1, docs100),
+        "scd2_bucketed": scd2_bucketed_leg(spark, docs1, docs100),
     }))
     spark.stop()
+
+
+def novelty_gate_leg(spark, docs1, docs100) -> dict:
+    """One FULL gate at 100x with TTL on (VERDICT r10 item 7): the
+    novelty gate end-to-end — file-twin stream, fingerprint probe,
+    idempotent admit sink, probe-free index insert, TTL vacuum — over
+    the 1x and 100x corpora in N_CHUNKS micro-batches. The recorded
+    row is wall ratio (bar: ~COPIES x — the gate touches every doc
+    once) PLUS the bounded-state pin: with ttl_batches=2 the index's
+    LIVE rows after the run must track the last TTL window's
+    admissions, not the whole corpus — state the vacuum provably
+    bounds at any stream length. The probe plan itself (index never
+    shuffles; broadcast semi/anti) is pinned by
+    tests/test_round10_ops.py; this leg is the wall-and-state
+    evidence at 100x."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines, txn
+
+    N_CHUNKS = 4
+    TTL = 2
+    out = {"ttl_batches": TTL, "chunks": N_CHUNKS}
+    # warmup outside the clock: JIT/codegen otherwise inflates the 1x
+    # denominator and flatters the ratio
+    for tag, dc in (
+        ("warmup", docs1.limit(50)),
+        ("1x", docs1),
+        ("100x", docs100),
+    ):
+        work = tempfile.mkdtemp(prefix=f"gmall_smoke100_gate_{tag}_")
+        try:
+            input_dir = os.path.join(work, "docs")
+            os.makedirs(input_dir)
+            # ONE file per chunk with increasing mtimes (the bench_gate
+            # staging discipline, Spark-side): maxFilesPerTrigger=1
+            # then yields exactly N_CHUNKS micro-batches
+            import glob as _glob
+
+            for i in range(N_CHUNKS):
+                stage = os.path.join(work, f"stage_{i}")
+                (
+                    dc.select("doc_id", "text")
+                    .filter(
+                        F.pmod(F.xxhash64("doc_id"), F.lit(N_CHUNKS)) == i
+                    )
+                    .coalesce(1)
+                    .write.parquet(stage)
+                )
+                (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+                dst = os.path.join(input_dir, f"chunk_{i:02d}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (_time.time() + i, _time.time() + i))
+                shutil.rmtree(stage, ignore_errors=True)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(input_dir)
+            )
+            index_table = os.path.join(work, "nv_index")
+            t0 = _time.perf_counter()
+            q = pipelines.novelty_gate_pipeline(
+                stream,
+                index_table,
+                os.path.join(work, "admitted"),
+                os.path.join(work, "ckpt"),
+                trigger={"availableNow": True},
+                ttl_batches=TTL,
+                compact_every=TTL,
+            )
+            q.awaitTermination()
+            wall = _time.perf_counter() - t0
+            admitted = spark.read.parquet(os.path.join(work, "admitted")).count()
+            index_rows = txn.snapshot(spark, index_table).count()
+            if tag != "warmup":
+                out[tag] = {
+                    "wall_sec": round(wall, 2),
+                    "admitted": admitted,
+                    "index_rows_final": index_rows,
+                    # bounded state: the persisted index holds stamped
+                    # rows of at most the retained batch window, NOT
+                    # the corpus
+                    "index_bounded": index_rows < admitted or admitted == 0,
+                }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    out["wall_ratio"] = round(
+        out["100x"]["wall_sec"] / max(out["1x"]["wall_sec"], 1e-9), 1
+    )
+    out["linear_bar"] = COPIES
+    return out
+
+
+def scd2_bucketed_leg(spark, docs1, docs100) -> dict:
+    """Bucketed SCD2 apply at 100x (VERDICT r10 item 7): one
+    maintenance round ingesting the corpus-sized observation batch
+    (key=doc_id, attrs from the fixture) into a fresh bucketed history
+    — wall ratio vs 1x (bar ~COPIES x: every key is affected, every
+    bucket rewrites). Then the claim that matters at fact scale: a
+    16-key FOLLOW-UP apply against the resulting history must cost
+    about the same over the 100x history as over the 1x one — rewrite
+    work proportional to AFFECTED buckets (zone-mapped obs scan +
+    per-bucket tables), not history size."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from sparkstreaming_gmall_demo_spark.streaming import pipelines
+
+    N_BUCKETS = 64
+    out = {"n_buckets": N_BUCKETS}
+    # warmup outside the clock, as in novelty_gate_leg
+    for tag, dc in (
+        ("warmup", docs1.limit(50)),
+        ("1x", docs1),
+        ("100x", docs100),
+    ):
+        work = tempfile.mkdtemp(prefix=f"gmall_smoke100_scd2_{tag}_")
+        try:
+            obs_table = os.path.join(work, "obs")
+            hist_root = os.path.join(work, "hist")
+            batch = dc.select(
+                F.col("doc_id").alias("k"),
+                F.lit(1).cast("long").alias("ts"),
+                "lang",
+                "source",
+            )
+            t0 = _time.perf_counter()
+            pipelines.scd2_apply_batch_bucketed(
+                batch, obs_table, hist_root, "k", "ts",
+                ["lang", "source"], batch_id=1, n_buckets=N_BUCKETS,
+            )
+            bulk_wall = _time.perf_counter() - t0
+            # the fact-scale claim: a small follow-up apply must track
+            # affected buckets, not history size
+            small = (
+                dc.select("doc_id").orderBy("doc_id").limit(16)
+                .select(
+                    F.col("doc_id").alias("k"),
+                    F.lit(2).cast("long").alias("ts"),
+                    F.lit("zz").alias("lang"),
+                    F.lit("patch").alias("source"),
+                )
+            )
+            t0 = _time.perf_counter()
+            pipelines.scd2_apply_batch_bucketed(
+                small, obs_table, hist_root, "k", "ts",
+                ["lang", "source"], batch_id=2, n_buckets=N_BUCKETS,
+            )
+            small_wall = _time.perf_counter() - t0
+            if tag != "warmup":
+                out[tag] = {
+                    "bulk_apply_sec": round(bulk_wall, 2),
+                    "small_apply_sec": round(small_wall, 2),
+                }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    out["bulk_ratio"] = round(
+        out["100x"]["bulk_apply_sec"] / max(out["1x"]["bulk_apply_sec"], 1e-9),
+        1,
+    )
+    out["small_apply_ratio_100x_over_1x"] = round(
+        out["100x"]["small_apply_sec"] / max(out["1x"]["small_apply_sec"], 1e-9),
+        1,
+    )
+    out["linear_bar"] = COPIES
+    return out
 
 
 if __name__ == "__main__":
