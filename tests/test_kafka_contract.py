@@ -370,3 +370,44 @@ def test_kafka_sink_serializes_value_as_string(spark, monkeypatch):
     sinks.kafka_sink(stream, "b:9092", "t", "/tmp/ck")
     fields = {f.name: f.dataType.simpleString() for f in captured["df_schema"].fields}
     assert fields == {"value": "string"}
+
+
+def test_record_batch_round_trips_exhaustive_shape_sweep():
+    """Deterministic record-shape sweep: null/empty/unicode/large
+    keys and values, record counts crossing the varint multi-byte
+    boundary, multi-frame offset splicing — parse(encode(x)) == x for
+    every shape (the test_properties.py sweep discipline)."""
+    import hashlib
+
+    from sparkstreaming_gmall_demo_spark.streaming import kafka_wire as kw
+
+    def blob(tag, n):
+        seed = hashlib.sha256(tag.encode()).digest()
+        return (seed * (n // len(seed) + 1))[:n]
+
+    shapes = [
+        [(None, b"")],                      # empty (not null) value
+        [(b"", None)],                      # null value, empty key
+        [(None, None)],                     # both null
+        [(b"k", "café 中文".encode())],  # unicode payload
+        [(blob("k", 1), blob("v", 200))],   # value len needs 2-byte varint
+        [(None, blob("big", 5_000))],       # multi-KB value
+        [(blob(f"k{i}", i % 7), blob(f"v{i}", (i * 13) % 300)) for i in range(40)],
+    ]
+    base_off = 0
+    frames = []
+    expected = []
+    for recs in shapes:
+        frames.append(
+            kw.encode_record_batch(recs, base_offset=base_off, base_timestamp=1000)
+        )
+        for i, (k, v) in enumerate(recs):
+            expected.append((base_off + i, 1000 + i, k, v))
+        base_off += len(recs)
+    got = []
+    for f in frames:
+        got.extend(kw.parse_record_batch(f)["records"])
+    assert got == expected
+    # wire-row splice preserves cross-frame offset order
+    rows = kw.wire_rows_from_batches(frames, "t")
+    assert [r[4] for r in rows] == list(range(base_off))

@@ -235,3 +235,45 @@ def test_decode_image_strict_still_raises_for_non_png(spark):
     )
     with _pytest.raises(Exception, match="codec"):
         mm.decode_image(frame, strict=True).collect()
+
+
+def test_png_codec_round_trips_exhaustive_shape_sweep():
+    """Deterministic shape x content sweep (the test_properties.py
+    discipline): every (width, height) across degenerate and odd
+    geometries — single pixel, single row/column (no left neighbor for
+    Sub/Average/Paeth), widths around filter-cycle boundaries — with
+    seeded pseudo-random pixels. Exact pixel equality after the
+    five-filter encode."""
+    import hashlib
+
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    shapes = [
+        (1, 1), (1, 7), (7, 1), (2, 2), (3, 5), (5, 3),
+        (1, 64), (64, 1), (17, 13), (31, 2), (2, 31), (40, 11),
+    ]
+    for w, h in shapes:
+        seed = hashlib.sha256(f"{w}x{h}".encode()).digest()
+        rgb = (seed * (w * h * 3 // len(seed) + 1))[: w * h * 3]
+        w2, h2, rgb2 = mm.decode_png(mm.encode_png(w, h, rgb))
+        assert (w2, h2, rgb2) == (w, h, rgb), f"{w}x{h} round trip"
+
+
+def test_png_decode_never_emits_partial_pixels_on_truncation():
+    """Every truncation point of a valid PNG must either raise or
+    decode the COMPLETE frame (cuts inside the trailing IEND/CRC bytes
+    legitimately still carry all pixel data) — never silently emit
+    partial pixels (torn object-store reads at scale)."""
+    from sparkstreaming_gmall_demo_spark.operators import multimodal as mm
+
+    rgb = bytes(range(2 * 3 * 3))
+    png = mm.encode_png(2, 3, rgb)
+    n_raised = 0
+    for cut in range(8, len(png) - 1):
+        try:
+            got = mm.decode_png(png[:cut])
+        except Exception:
+            n_raised += 1
+            continue
+        assert got == (2, 3, rgb), f"partial decode at cut={cut}"
+    assert n_raised > 0  # the sweep actually hit torn-frame territory
