@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 NORM = "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
@@ -299,6 +300,88 @@ def ivf_assign(
     )
 
 
+# Above this many k x dim codebook elements the per-row SQL
+# higher-order-function fold becomes the dominant wall: Spark
+# evaluates transform/zip_with/aggregate lambdas per ELEMENT through
+# interpreted expression paths, so a batch pays B*k*dim lambda steps —
+# measured ~30 ns/element (12.5k rows x k=2000 x dim=64 = 1.6G steps =
+# ~50 s/round, the entire semantic-gate wall at sqrt(n) codebooks;
+# round-11 decomposition). The numpy backend computes the same
+# nprobe-nearest list via one BLAS matmul (~100x less wall). The
+# threshold IS _CENTROID_LITERAL_MAX_ELEMENTS' value: beyond it the
+# codebook already rides as broadcast data (the "large codebook"
+# regime), so the backend boundary coincides with the existing
+# layout boundary; every small-k caller (all registry entries, the
+# k=16 gates) keeps the SQL fold bit-for-bit.
+_PROBE_FOLD_MAX_ELEMENTS = 4096
+
+
+def _probe_clusters_numpy(
+    df: DataFrame, centroids: list, nprobe: int, vec_col: str
+) -> DataFrame:
+    """Arrow-batched BLAS backend for :func:`ivf_probe_clusters` at
+    large k. Distances are squared L2 computed as |v|^2 - 2 v.C^T +
+    |c|^2 in float64 — mathematically the SQL fold's sum but with BLAS
+    summation order, so per-distance values can differ by ~1 ulp; a
+    near-tie across centroids could therefore order differently than
+    the SQL fold. The IVF contract already treats the probe list as
+    part of the FROZEN offline artifact (assignment must be a pure
+    function of batch content under ONE configuration), and backend
+    selection is by codebook size — deterministic per deployment — so
+    replays converge exactly as before; flipping backends mid-stream
+    is the same class of config change as retraining centroids.
+    Ties break to the lowest centroid id (stable argsort), matching
+    the SQL struct-sort rule.
+
+    Honest boundary: rows whose vector is NULL or whose length differs
+    from the codebook's dim RAISE here (the SQL fold silently NULLs
+    their distances) — a mixed-dim corpus on the large-codebook path
+    is malformed input; quarantine with embedding_health upstream."""
+    import numpy as np
+
+    k = len(centroids)
+    npb = min(nprobe, k)
+    dim = len(centroids[0])
+    cents = [list(map(float, c)) for c in centroids]
+    in_schema = df.schema
+    out_schema = T.StructType(
+        in_schema.fields
+        + [T.StructField("probe_clusters", T.ArrayType(T.IntegerType()))]
+    )
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.asarray(cents, dtype=_np.float64)  # k x dim
+        c2 = (C * C).sum(axis=1)  # k
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["probe_clusters"] = _pd.Series([], dtype=object)
+                yield out
+                continue
+            vecs = list(pdf[vec_col])
+            for v in vecs:
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        "large-codebook probe path requires every vector "
+                        f"to be non-null with dim={dim}; got "
+                        f"{'null' if v is None else len(v)} — filter or "
+                        "quarantine (embedding_health) upstream"
+                    )
+            V = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in vecs])
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            order = _np.argsort(d, axis=1, kind="stable")[:, :npb]
+            out = pdf.copy()
+            out["probe_clusters"] = [
+                [int(x) for x in row] for row in order
+            ]
+            yield out
+
+    return df.mapInPandas(probe, out_schema)
+
+
 def ivf_probe_clusters(
     df: DataFrame,
     centroids: list,
@@ -313,8 +396,16 @@ def ivf_probe_clusters(
     cluster assignment (identical sort rule to _assign_expr), so a
     consumer needing both pays the k distance folds once:
     ``F.element_at("probe_clusters", 1)`` — the semantic gate does
-    exactly this."""
+    exactly this.
+
+    Backend: the SQL fold up to _PROBE_FOLD_MAX_ELEMENTS codebook
+    elements (bit-stable for every existing caller), the Arrow/BLAS
+    map (:func:`_probe_clusters_numpy`) beyond it — at sqrt(n)-sized
+    codebooks the per-element lambda interpretation of the fold IS the
+    gate's wall (see the threshold comment)."""
     k = len(centroids)
+    if k * (len(centroids[0]) if centroids else 0) > _PROBE_FOLD_MAX_ELEMENTS:
+        return _probe_clusters_numpy(df, centroids, nprobe, vec_col)
     expr = (
         "transform(slice(array_sort(transform(sequence(0, {k} - 1), c -> struct("
         " aggregate(zip_with({v}, element_at(_cents, c + 1), "

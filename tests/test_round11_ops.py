@@ -373,3 +373,74 @@ def test_every_package_collect_site_is_budget_tagged():
         "collect()/toPandas() without a `# collect-bound:` tag — state the "
         f"row/ELEMENTS bound or restructure: {untagged}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the large-codebook BLAS probe backend. The r11 big-index
+# decomposition showed the SQL higher-order-function fold costs
+# B*k*dim interpreted lambda steps (~50 s/round at 12.5k x 2000 x 64 —
+# the ENTIRE semantic-gate wall at sqrt(n) codebooks); beyond
+# _PROBE_FOLD_MAX_ELEMENTS the probe runs as one Arrow/BLAS matmul.
+
+
+def test_probe_clusters_numpy_matches_sql_fold_exactly(spark):
+    """Backend parity on real fixture vectors: identical probe lists
+    (including tie order) row for row at a k where both paths
+    compute."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.ivf_train(emb, k=24, iters=1)
+    sql = {
+        r.vec_id: r.probe_clusters
+        for r in sim.ivf_probe_clusters(emb, cents, 3)
+        .select("vec_id", "probe_clusters")
+        .collect()
+    }
+    got = {
+        r.vec_id: r.probe_clusters
+        for r in sim._probe_clusters_numpy(emb, cents, 3, "embedding")
+        .select("vec_id", "probe_clusters")
+        .collect()
+    }
+    assert got == sql
+
+
+def test_probe_clusters_backend_selection_boundary():
+    """The backend flips exactly at _PROBE_FOLD_MAX_ELEMENTS — the
+    same boundary where the codebook already moves into broadcast
+    data, so layout regime and compute regime stay aligned."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    assert sim._PROBE_FOLD_MAX_ELEMENTS == sim._CENTROID_LITERAL_MAX_ELEMENTS
+
+
+def test_probe_clusters_numpy_raises_on_malformed_vectors(spark):
+    """The large-codebook path's honest boundary: null or
+    wrong-dimension vectors raise with an actionable message instead
+    of silently NULLing distances like the SQL fold."""
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    cents = [[float(i == j) for j in range(4)] for i in range(3)]
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="dim"):
+        sim._probe_clusters_numpy(bad, cents, 2, "embedding").collect()
+
+
+def test_probe_clusters_numpy_tie_breaks_to_lowest_centroid(spark):
+    """Duplicate centroids: equal distances must order by centroid id
+    (the SQL struct-sort rule, reproduced by stable argsort)."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # 0 and 2 identical
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    (row,) = sim._probe_clusters_numpy(df, cents, 3, "embedding").collect()
+    assert row.probe_clusters == [0, 2, 1]
