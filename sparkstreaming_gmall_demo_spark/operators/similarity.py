@@ -262,10 +262,22 @@ def ivf_train(
     )
     cents = [_to_double_list(r.v) for r in seeds]
     for _ in range(iters):
-        assigned = _with_cents(embeddings, cents).select(
-            _assign_expr(vec_col, cents).alias("cluster"),
-            F.col(vec_col).alias("v"),
-        )
+        # Lloyd assign step: same backend split as ivf_probe_clusters —
+        # at sqrt(n)-sized codebooks the SQL fold's per-element lambda
+        # interpretation would make TRAINING pay N*k*dim steps per
+        # round (the round-11 semantic-gate wall, at corpus scale)
+        if k * (len(cents[0]) if cents else 0) > _PROBE_FOLD_MAX_ELEMENTS:
+            assigned = _probe_clusters_numpy(
+                embeddings.select(F.col(vec_col)), cents, 1, vec_col
+            ).select(
+                F.element_at("probe_clusters", 1).alias("cluster"),
+                F.col(vec_col).alias("v"),
+            )
+        else:
+            assigned = _with_cents(embeddings, cents).select(
+                _assign_expr(vec_col, cents).alias("cluster"),
+                F.col(vec_col).alias("v"),
+            )
         dims = assigned.select(
             "cluster", F.posexplode(F.col("v")).alias("dim", "x")
         )
@@ -292,7 +304,20 @@ def ivf_assign(
 ) -> DataFrame:
     """The inverted-list table: (id, vector, cluster). Train-once
     artifact — persist/write it partitioned by cluster so probes
-    partition-prune instead of re-assigning the corpus per query."""
+    partition-prune instead of re-assigning the corpus per query.
+    Backend split as in :func:`ivf_probe_clusters`: corpus-sized
+    assignment at a sqrt(n) codebook through the SQL fold would pay
+    N*k*dim interpreted lambda steps."""
+    k = len(centroids)
+    if k * (len(centroids[0]) if centroids else 0) > _PROBE_FOLD_MAX_ELEMENTS:
+        return _probe_clusters_numpy(
+            embeddings.select(F.col(id_col), F.col(vec_col)),
+            centroids, 1, vec_col,
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at("probe_clusters", 1).alias("cluster"),
+        )
     return _with_cents(embeddings, centroids).select(
         F.col(id_col),
         F.col(vec_col),
