@@ -1081,16 +1081,13 @@ def main() -> None:
 # row count, not table history.
 #
 # Honest constructions, documented rather than hidden:
-# - fill vectors are synthetic uniforms and their CELL assignment is
-#   a uniform hash, not the geometric argmin — probe cost depends on
-#   the per-cell row distribution (uniform either way) and fill is
-#   cosine-orthogonal noise to every probe, so admission decisions
-#   are unaffected; the geometric path at 4M x k=2000 would cost
-#   N·k·dim = 512G folds just to SEED the fixture.
-# - centroids are deterministic uniforms (quality is irrelevant to
-#   the cost law; the gate's decisions here never depend on centroid
-#   placement because dup rejection happens via the batch's own
-#   committed rows, which DO take true geometric assignment).
+# - fill vectors are synthetic uniforms; their CELL assignment is the
+#   TRUE geometric argmin against centroids TRAINED on a 50k sample
+#   of the same distribution (one Lloyd round) — both feasible at 4M
+#   x k=2000 only because assignment/training route through the
+#   round-11 BLAS backend (the SQL fold would cost N*k*dim = 512G
+#   interpreted lambda steps just to seed the fixture; early versions
+#   of this leg hash-assigned cells for exactly that reason).
 # - the index is seeded with appended_through pre-stamped so the
 #   fence-seeding probe (round-11 txn change) doesn't charge a
 #   one-time full-snapshot exceptAll to the first timed round.
@@ -1168,20 +1165,36 @@ def bench_semantic_bigindex(spark) -> dict:
     halves = [novel_batch(10 + r) for r in range(2)]
 
     warmed = False
+    from sparkstreaming_gmall_demo_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+    )
+
     for size in BIG_SIZES:
         k = int(math.sqrt(size))
-        cents = _uniform_centroids(k, BIG_DIM)
+        train_sample = (
+            spark.range(50_000)
+            .select((F.col("id") + 17 * 10**10).alias("vec_id"))
+            .select(
+                "vec_id", F.expr(_uniform_vec_expr(BIG_DIM)).alias("embedding")
+            )
+        )
+        t0 = time.perf_counter()
+        cents = ivf_train(train_sample, k=k, iters=1)
+        train_wall = round(time.perf_counter() - t0, 2)
         work = tempfile.mkdtemp(prefix="gmall_bigsem_")
         try:
             table = os.path.join(work, "idx")
-            fill = spark.range(size).select(
+            raw_fill = spark.range(size).select(
                 (F.col("id") + 9 * 10**10).alias("vec_id")
             ).select(
                 "vec_id",
-                F.expr(
-                    f"pmod(xxhash64(vec_id), {k})"
-                ).cast("int").alias("cluster"),
                 F.expr(_uniform_vec_expr(BIG_DIM)).alias("embedding"),
+            )
+            fill = ivf_assign(raw_fill, cents).select(
+                "vec_id",
+                F.col("cluster").cast("int").alias("cluster"),
+                "embedding",
                 # stamps span [1, ttl_window] so the full window is
                 # live at probe batch ids W and W+1
                 (
@@ -1238,6 +1251,7 @@ def bench_semantic_bigindex(spark) -> dict:
 
             row = {
                 "k": k,
+                "train_wall_sec": train_wall,
                 "seed_wall_sec": seed_wall,
                 "novel": best_of([
                     (lambda r=r: sem_round(
