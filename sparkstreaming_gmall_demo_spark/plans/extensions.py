@@ -6230,3 +6230,80 @@ def ext_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_png_planted_frame(spark))
     )
     return mm_ops.decode_image(pay).orderBy("doc_id")
+
+
+BIGK_PROBE_K = 80  # k x dim = 5120 > the 4096 boundary: the BLAS path
+BIGK_PROBE_NPROBE = 2
+
+
+def _bigk_centroids() -> list:
+    """Deterministic literal codebook, integer-arithmetic generated so
+    the oracle re-derives the exact same doubles relationally (the
+    bench_gate._uniform_centroids formula): cent[i][j] =
+    ((i*1000003 + j*7919) * 2654435761 % 1e6) / 5e5 - 1."""
+    return [
+        [
+            ((i * 1_000_003 + j * 7_919) * 2_654_435_761 % 1_000_000)
+            / 500_000.0
+            - 1.0
+            for j in range(64)
+        ]
+        for i in range(BIGK_PROBE_K)
+    ]
+
+
+@_register(
+    "ext_ivf_bigk_probe",
+    f"""
+    WITH cents AS (
+        SELECT c.c AS c,
+               list_transform(range(64), j ->
+                   ((c.c * 1000003 + j * 7919) * 2654435761 % 1000000)
+                   / 500000.0 - 1.0) AS cent
+        FROM range({BIGK_PROBE_K}) c(c)
+    ),
+    d AS (
+        SELECT e.vec_id, c.c,
+               list_sum(list_transform(range(64), j ->
+                   (e.embedding[j+1] - c.cent[j+1])
+                   * (e.embedding[j+1] - c.cent[j+1]))) AS dist
+        FROM embeddings e, cents c
+    ),
+    r AS (
+        SELECT vec_id, c,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist ASC, c ASC
+               ) AS rk
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN rk = 1 THEN c END) AS INTEGER) AS probe1,
+           CAST(max(CASE WHEN rk = 2 THEN c END) AS INTEGER) AS probe2
+    FROM r GROUP BY vec_id ORDER BY vec_id
+    """,
+    "large-codebook BLAS probe assignment, full-value oracle per vector",
+)
+def ext_ivf_bigk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 Arrow/BLAS probe backend as a DECLARED full-value
+    entry: k=80 x dim=64 crosses _PROBE_FOLD_MAX_ELEMENTS, so
+    ivf_probe_clusters routes through one float64 matmul + stable
+    argsort (operators/similarity.py:_probe_clusters_numpy) instead of
+    the per-element-interpreted SQL fold — the backend that makes
+    sqrt(n) codebooks affordable (the 12.5k x 2000 x 64 assignment
+    fold measured ~50 s interpreted vs ~1 s BLAS,
+    BENCH_gate_bigsem_r11). The codebook is an integer-formula
+    literal, so DuckDB re-derives the identical doubles and the
+    nearest-2 assignment of EVERY fixture vector is compared
+    value-for-value — argmin ties break to the lowest centroid id in
+    both engines. Distances differ between the engines only in
+    summation order (BLAS vs left-to-right), ~1 ulp — argmin-stable
+    for any non-adversarial corpus, which the fixtures are."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probed = sim_ops.ivf_probe_clusters(
+        emb, _bigk_centroids(), BIGK_PROBE_NPROBE
+    )
+    return probed.select(
+        "vec_id",
+        F.element_at("probe_clusters", 1).cast("int").alias("probe1"),
+        F.element_at("probe_clusters", 2).cast("int").alias("probe2"),
+    ).orderBy("vec_id")
