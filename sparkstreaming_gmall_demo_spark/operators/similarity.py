@@ -1003,9 +1003,16 @@ def _pq_encode_with_vec(
 ) -> DataFrame:
     """(id, vec, codes) — the shared assignment kernel: every subspace
     slice argmins against its broadcast-literal codebook in one
-    projection (no join, no shuffle)."""
+    projection (no join, no shuffle). Backend split as in
+    :func:`ivf_probe_clusters`: above _PROBE_FOLD_MAX_ELEMENTS total
+    codebook elements the SQL fold pays rows x m x ksub x dsub
+    interpreted lambda steps — at a production ksub=256 codebook the
+    corpus-encode pass (the one table PQ persists at scale) would
+    crawl for exactly the round-11 semantic-gate reason."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    if sum(len(b) * dsub for b in codebooks) > _PROBE_FOLD_MAX_ELEMENTS:
+        return _pq_encode_numpy(embeddings, codebooks, id_col, vec_col)
     out = embeddings.select(id_col, vec_col)
     code_cols = []
     for s in range(m):
@@ -1029,6 +1036,70 @@ def _pq_encode_with_vec(
         vec_col,
         F.array(*[F.col(c) for c in code_cols]).alias("codes"),
     )
+
+
+def _pq_encode_numpy(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow/BLAS twin of the PQ assignment kernel for large
+    codebooks: per subspace one float64 matmul + stable argmin (ties
+    to the lowest code, the SQL struct-sort rule). Same honest
+    boundary as :func:`_probe_clusters_numpy`: a NULL vector or one
+    shorter than m x dsub raises (the SQL fold silently NULLs its
+    distances); longer vectors use their first m x dsub elements,
+    exactly like the SQL slice."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    need = m * dsub
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+    in_schema = embeddings.select(id_col, vec_col).schema
+    out_schema = T.StructType(
+        in_schema.fields + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Cs = [_np.asarray(b, dtype=_np.float64) for b in books]
+        c2s = [(C * C).sum(axis=1) for C in Cs]
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out["codes"] = _pd.Series([], dtype=object)
+                yield out
+                continue
+            vecs = list(pdf[vec_col])
+            for v in vecs:
+                if v is None or len(v) < need:
+                    raise ValueError(
+                        "large-codebook PQ encode requires every vector "
+                        f"to be non-null with >= {need} elements; got "
+                        f"{'null' if v is None else len(v)}"
+                    )
+            V = _np.asarray(
+                [_np.asarray(v[:need], dtype=_np.float64) for v in vecs]
+            )
+            codes = _np.empty((len(vecs), m), dtype=_np.int64)
+            for s in range(m):
+                Vs = V[:, s * dsub : (s + 1) * dsub]
+                d = (
+                    (Vs * Vs).sum(axis=1)[:, None]
+                    - 2.0 * (Vs @ Cs[s].T)
+                    + c2s[s][None, :]
+                )
+                # stable argsort -> argmin with ties to the lowest code
+                codes[:, s] = _np.argsort(d, axis=1, kind="stable")[:, 0]
+            out = pdf.copy()
+            out["codes"] = [[int(x) for x in row] for row in codes]
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
 def pq_encode(

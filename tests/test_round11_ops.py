@@ -444,3 +444,34 @@ def test_probe_clusters_numpy_tie_breaks_to_lowest_centroid(spark):
     )
     (row,) = sim._probe_clusters_numpy(df, cents, 3, "embedding").collect()
     assert row.probe_clusters == [0, 2, 1]
+
+
+def test_pq_encode_numpy_matches_sql_fold_exactly(spark):
+    """PQ assignment backend parity on fixture vectors: identical code
+    arrays row for row (stable argmin ties included)."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = sim.pq_train(emb, m=8, ksub=16, iters=1)
+    sql = {r.vec_id: list(r.codes) for r in sim.pq_encode(emb, books).collect()}
+    old = sim._PROBE_FOLD_MAX_ELEMENTS
+    try:
+        sim._PROBE_FOLD_MAX_ELEMENTS = 1
+        got = {r.vec_id: list(r.codes) for r in sim.pq_encode(emb, books).collect()}
+    finally:
+        sim._PROBE_FOLD_MAX_ELEMENTS = old
+    assert got == sql
+
+
+def test_pq_encode_numpy_raises_on_short_vectors(spark):
+    import pytest as _pytest
+
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+
+    books = [[[0.0, 0.0], [1.0, 1.0]] for _ in range(2)]  # m=2, dsub=2
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="elements"):
+        sim._pq_encode_numpy(bad, books, "vec_id", "embedding").collect()
