@@ -338,14 +338,6 @@ def decode_image_stub(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.select("doc_id", "payload", "meta").mapInPandas(decode, DECODED_SCHEMA)
 
 
-RESIZED_SCHEMA = T.StructType(
-    DECODED_SCHEMA.fields
-    + [
-        T.StructField("resized_width", T.IntegerType()),
-        T.StructField("resized_height", T.IntegerType()),
-    ]
-)
-
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -341,6 +341,44 @@ def ivf_assign(
 _PROBE_FOLD_MAX_ELEMENTS = 4096
 
 
+def _make_blas_nearest():
+    """Factory for the shared worker-side BLAS argmin kernel (closure:
+    cloudpickle ships it BY VALUE — the PNG-codec discipline; a
+    module-level helper would pickle by reference and fail to import
+    on plain-session executors). Distances are squared L2 as
+    |v|^2 - 2 v.C^T + |c|^2 in float64; ties break to the lowest
+    centroid index via stable argsort — the single definition both the
+    IVF probe and the PQ encoder ride, so the tie rule can never
+    diverge between them."""
+
+    def nearest(V, C, c2, npb):
+        import numpy as np
+
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        return np.argsort(d, axis=1, kind="stable")[:, :npb]
+
+    return nearest
+
+
+_blas_nearest = _make_blas_nearest()
+
+
+def uniform_centroids(k: int, dim: int) -> list:
+    """Deterministic uniform codebook in [-1, 1]^dim from pure integer
+    arithmetic — the shared fixture/bench generator (bench_gate's
+    sweeps, ext_ivf_bigk_probe's oracle restates the same formula in
+    SQL): cent[i][j] = ((i*1000003 + j*7919) * 2654435761 % 1e6) / 5e5 - 1."""
+    return [
+        [
+            ((i * 1_000_003 + j * 7_919) * 2_654_435_761 % 1_000_000)
+            / 500_000.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for i in range(k)
+    ]
+
+
 def _probe_clusters_numpy(
     df: DataFrame, centroids: list, nprobe: int, vec_col: str
 ) -> DataFrame:
@@ -396,8 +434,7 @@ def _probe_clusters_numpy(
                         "quarantine (embedding_health) upstream"
                     )
             V = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in vecs])
-            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
-            order = _np.argsort(d, axis=1, kind="stable")[:, :npb]
+            order = _blas_nearest(V, C, c2, npb)
             out = pdf.copy()
             out["probe_clusters"] = [
                 [int(x) for x in row] for row in order
@@ -1088,13 +1125,7 @@ def _pq_encode_numpy(
             codes = _np.empty((len(vecs), m), dtype=_np.int64)
             for s in range(m):
                 Vs = V[:, s * dsub : (s + 1) * dsub]
-                d = (
-                    (Vs * Vs).sum(axis=1)[:, None]
-                    - 2.0 * (Vs @ Cs[s].T)
-                    + c2s[s][None, :]
-                )
-                # stable argsort -> argmin with ties to the lowest code
-                codes[:, s] = _np.argsort(d, axis=1, kind="stable")[:, 0]
+                codes[:, s] = _blas_nearest(Vs, Cs[s], c2s[s], 1)[:, 0]
             out = pdf.copy()
             out["codes"] = [[int(x) for x in row] for row in codes]
             yield out

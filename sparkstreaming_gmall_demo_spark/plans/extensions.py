@@ -6237,19 +6237,12 @@ BIGK_PROBE_NPROBE = 2
 
 
 def _bigk_centroids() -> list:
-    """Deterministic literal codebook, integer-arithmetic generated so
-    the oracle re-derives the exact same doubles relationally (the
-    bench_gate._uniform_centroids formula): cent[i][j] =
-    ((i*1000003 + j*7919) * 2654435761 % 1e6) / 5e5 - 1."""
-    return [
-        [
-            ((i * 1_000_003 + j * 7_919) * 2_654_435_761 % 1_000_000)
-            / 500_000.0
-            - 1.0
-            for j in range(64)
-        ]
-        for i in range(BIGK_PROBE_K)
-    ]
+    """Deterministic literal codebook — the package's shared
+    integer-arithmetic generator (operators/similarity.py:
+    uniform_centroids), which this entry's oracle SQL re-derives
+    exactly: cent[i][j] = ((i*1000003 + j*7919) * 2654435761 % 1e6)
+    / 5e5 - 1."""
+    return sim_ops.uniform_centroids(BIGK_PROBE_K, 64)
 
 
 @_register(

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 _TXN_DIR = "_txn"
 _STAGE_DIR = "_staged"
+_TOMB_SUFFIX = ".tomb"  # vacuum_orphans two-phase reclaim (see there)
 
 
 def _txn_path(table: str) -> str:
@@ -194,11 +195,38 @@ def _try_commit(
         os.close(fd)
     try:
         os.link(tmp, path)
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    # Post-publish staging verification (round-11 self-review): a slow
+    # stager whose dirs aged past vacuum_orphans' gate can race the
+    # sweep — the sweep renames aged orphans to tombstones (phase 1)
+    # rather than deleting, so the committer restores any of ITS dirs
+    # the sweep moved, closing the stage-to-commit race without locks.
+    # A dir missing with no tombstone means data is truly gone (a
+    # quiesce-time ``vacuum`` ran concurrently, violating its
+    # contract) — fail loudly rather than serve a torn snapshot.
+    _restore_tombstoned(table, files)
+    return True
+
+
+def _restore_tombstoned(table: str, files: list[str]) -> None:
+    for d in {os.path.dirname(f) for f in files}:
+        path = os.path.join(table, d)
+        if os.path.isdir(path):
+            continue
+        tomb = path + _TOMB_SUFFIX
+        try:
+            os.rename(tomb, path)
+        except OSError:
+            if os.path.isdir(path):
+                continue  # another healer restored it first
+            raise RuntimeError(
+                f"committed manifest references missing staging dir {d} "
+                "and no tombstone exists to restore — a concurrent "
+                "quiesce-time vacuum violated its single-writer contract"
+            )
 
 
 def merge_keyed(
@@ -497,33 +525,53 @@ def vacuum(table: str, retain_versions: int = 1) -> int:
 
 # vacuum_orphans live-set cache: {table -> (newest parsed version,
 # union of staged-dir uuids referenced by ALL manifests parsed so
-# far)}. Manifests are immutable once written, so the union only needs
-# the versions added since the last sweep — without this, each
-# maintenance cadence re-parses every retained manifest and the
-# sweep's JSON cost grows O(versions x files) over a long-running
-# pipeline's lifetime (round-10 advice). The union is a SUPERSET of
-# the truly-live set once ``vacuum`` drops old versions (their uuids
-# linger in the cache) — strictly conservative: a stale entry only
-# defers an orphan's deletion to after a process restart, never
-# deletes a live dir. A version list that moved BACKWARD (table
-# dropped/recreated) resets the cache.
-_orphan_live_cache: dict[str, tuple[int, set[str]]] = {}
+# far, identity of the oldest retained manifest file)}. Manifests are
+# immutable once written, so the union only needs the versions added
+# since the last sweep — without this, each maintenance cadence
+# re-parses every retained manifest and the sweep's JSON cost grows
+# O(versions x files) over a long-running pipeline's lifetime
+# (round-10 advice). The union is a SUPERSET of the truly-live set
+# once ``vacuum`` drops old versions (their uuids linger in the
+# cache) — strictly conservative: a stale entry only defers an
+# orphan's deletion to after a process restart, never deletes a live
+# dir. The cache is INVALIDATED whenever the oldest retained
+# manifest's file identity (version number, inode, mtime_ns, size)
+# changes: a table dropped and recreated rewrites every manifest
+# file, so the identity check catches recreation even when the new
+# history reaches the same version count — the case a plain
+# "version list moved backward" test misses (round-11 self-review:
+# that gap deleted a recreated table's LIVE staging dirs). Vacuum
+# dropping old versions also changes the oldest identity and forces a
+# conservative full re-parse.
+_orphan_live_cache: dict[str, tuple[int, set[str], tuple]] = {}
+
+
+def _manifest_identity(table: str, version: int) -> tuple | None:
+    try:
+        st = os.stat(os.path.join(_txn_path(table), f"{version:08d}.json"))
+    except OSError:
+        return None
+    return (version, st.st_ino, st.st_mtime_ns, st.st_size)
 
 
 def _live_staging_uuids(table: str, upto: list[int] | None = None) -> set[str]:
     """Incrementally-maintained set of staged-dir uuids referenced by
     any manifest seen so far (see _orphan_live_cache)."""
     vs = upto if upto is not None else list_versions(table)
-    seen_v, live = _orphan_live_cache.get(table, (-1, set()))
-    if vs and vs[-1] < seen_v:
-        seen_v, live = -1, set()  # version history moved backward: reset
+    if not vs:
+        return set()
+    ident = _manifest_identity(table, vs[0])
+    cached = _orphan_live_cache.get(table)
+    if cached is not None and cached[2] == ident and vs[-1] >= cached[0]:
+        seen_v, live = cached[0], cached[1]
+    else:
+        seen_v, live = -1, set()  # new/recreated/vacuumed history: reset
     for v in vs:
         if v <= seen_v:
             continue
         for f in _read_manifest(table, v):
             live.add(f.split(os.sep)[1])
-    if vs:
-        _orphan_live_cache[table] = (max(seen_v, vs[-1]), live)
+    _orphan_live_cache[table] = (max(seen_v, vs[-1]), live, ident)
     return live
 
 
@@ -542,17 +590,27 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
     eager-sweep race that makes plain ``vacuum`` writer-unsafe — the
     same timestamp-aging discipline Delta's VACUUM documents.
 
-    Two hardening details (round-10 advice): (1) the live-uuid set is
-    maintained incrementally across sweeps (_live_staging_uuids), so a
-    long-running pipeline's cadence parses only the manifests added
-    since the last sweep instead of the whole O(versions x files)
-    history; (2) a slow multi-dir stager (e.g. _scd2_stage_grouped
-    stages up to 32 group dirs before ONE commit) can exceed the age
-    gate, so immediately before each rmtree the sweep re-reads any
-    versions committed after its initial snapshot and re-checks
-    membership — a commit landing mid-sweep can no longer lose a dir
-    it references. Returns the number of staging dirs removed.
-    Manifests are never touched. Idempotent; callers wire it into
+    Hardening (round-10 advice + round-11 self-review): (1) the
+    live-uuid set is maintained incrementally across sweeps
+    (_live_staging_uuids, with a manifest-file identity check that
+    catches drop/recreate), so a long-running pipeline's cadence
+    parses only the manifests added since the last sweep; (2) a slow
+    multi-dir stager (e.g. _scd2_stage_grouped stages up to 32 group
+    dirs before ONE commit) can exceed the age gate, so reclamation is
+    TWO-PHASE: an aged orphan is first RENAMED to ``<uuid>.tomb``
+    (atomic, after a cheap new-commit recheck) and only a tombstone
+    that stays unreferenced for a FURTHER full age gate is rmtree'd.
+    A commit racing the rename finds its staging dir missing and
+    restores it from the tombstone (_restore_tombstoned inside
+    _try_commit — the committer knows exactly which dirs it staged),
+    and a sweep that finds a tombstone whose base uuid became LIVE
+    (committer crashed between commit and restore) renames it back
+    itself. The destructive step is therefore separated from the race
+    window by min_age_s, with two independent healers in between; the
+    residual exposure is a transient read failure during the
+    seconds-wide rename-restore window, never data loss. Returns the
+    number of dirs acted on this sweep (tombstoned + reclaimed +
+    healed). Manifests are never touched. Callers wire it into
     periodic maintenance (the gates' compact_every hook)."""
     import shutil
     import time
@@ -565,11 +623,20 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
         dirs = os.listdir(stage_root)
     except OSError:
         return 0
-    removed = 0
+    acted = 0
     for d in dirs:
-        if d in live:
-            continue
+        is_tomb = d.endswith(_TOMB_SUFFIX)
+        base = d[: -len(_TOMB_SUFFIX)] if is_tomb else d
         path = os.path.join(stage_root, d)
+        if base in live:
+            if is_tomb:
+                # committer crashed between commit and restore: heal
+                try:
+                    os.rename(path, os.path.join(stage_root, base))
+                    acted += 1
+                except OSError:
+                    pass  # concurrently restored
+            continue
         try:
             newest = os.path.getmtime(path)
             for n in os.listdir(path):
@@ -580,17 +647,29 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
         # dirs must not age this one past the gate
         if sweep_start - newest < min_age_s:
             continue
-        # last-moment recheck: a commit that landed after the sweep's
-        # version snapshot may reference this dir (slow stage → commit
-        # crossing the age gate); parse only the NEW manifests.
+        # cheap recheck before acting: a commit that landed after the
+        # sweep's version snapshot may reference this dir (slow
+        # stage -> commit crossing the age gate); parse only the NEW
+        # manifests. The tombstone protocol covers the residue.
         if current_version(table) > (vs[-1] if vs else -1):
             vs = list_versions(table)
             live = _live_staging_uuids(table, vs)
-            if d in live:
+            if base in live:
                 continue
-        shutil.rmtree(path, ignore_errors=True)
-        removed += 1
-    return removed
+        if is_tomb:
+            shutil.rmtree(path, ignore_errors=True)  # phase 2: reclaim
+        else:
+            try:
+                # phase 1: atomic rename out of the namespace; stamp
+                # the tombstone's own mtime so phase 2 waits a further
+                # full age gate from NOW (rename preserves mtimes)
+                tomb = path + _TOMB_SUFFIX
+                os.rename(path, tomb)
+                os.utime(tomb, None)
+            except OSError:
+                continue  # concurrently committed/renamed; leave it
+        acted += 1
+    return acted
 
 
 def clustered(df: DataFrame, order_by: list, target_files: int) -> DataFrame:

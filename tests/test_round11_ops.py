@@ -475,3 +475,109 @@ def test_pq_encode_numpy_raises_on_short_vectors(spark):
     )
     with _pytest.raises(Exception, match="elements"):
         sim._pq_encode_numpy(bad, books, "vec_id", "embedding").collect()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 self-review findings on vacuum_orphans (two confirmed bugs)
+
+
+def test_vacuum_orphans_survives_recreate_with_equal_version_count(
+    spark, tmp_path
+):
+    """THE reproduced data-loss bug: table dropped and recreated with a
+    history reaching the SAME version count — the old backward-only
+    reset test missed it, the cache skipped the new manifests, and the
+    sweep deleted every LIVE staging dir of the current snapshot. The
+    manifest-identity check must reset the cache instead."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        txn.merge_keyed(
+            spark.createDataFrame([(i, "v")], "k long, v string"), t, ["k"]
+        )
+    txn._orphan_live_cache.pop(t, None)
+    txn.vacuum_orphans(t, min_age_s=3600)  # cache warmed through v2
+    shutil.rmtree(t)
+    for i in range(3):  # SAME version count as the first incarnation
+        txn.merge_keyed(
+            spark.createDataFrame([(10 + i, "w")], "k long, v string"), t, ["k"]
+        )
+    # age every staging dir of the new incarnation past the gate
+    stage_root = os.path.join(t, "_staged")
+    old = time.time() - 7200
+    for d in os.listdir(stage_root):
+        p = os.path.join(stage_root, d)
+        os.utime(p, (old, old))
+        for n in os.listdir(p):
+            os.utime(os.path.join(p, n), (old, old))
+    txn.vacuum_orphans(t, min_age_s=3600)
+    # live dirs intact, table fully readable
+    assert txn.snapshot(spark, t).count() == 3
+    for v in txn.list_versions(t):
+        txn.snapshot(spark, t, version=v).count()
+
+
+def test_vacuum_orphans_two_phase_tombstone_reclaim(spark, tmp_path):
+    """An aged orphan is first RENAMED to <uuid>.tomb; only a
+    tombstone that stays unreferenced for a further full age gate is
+    deleted — the destructive step is separated from the
+    stage-to-commit race window by min_age_s."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    txn._orphan_live_cache.pop(t, None)
+    orphan_files = txn._stage(
+        spark.createDataFrame([(2, "y")], "k long, v string"), t
+    )
+    orphan = os.path.join(t, "_staged", orphan_files[0].split(os.sep)[1])
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    for n in os.listdir(orphan):
+        os.utime(os.path.join(orphan, n), (old, old))
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1  # phase 1: rename
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(orphan + ".tomb")
+    # the fresh tombstone is NOT aged: second sweep is a no-op
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 0
+    assert os.path.isdir(orphan + ".tomb")
+    # age the tombstone -> phase 2 reclaims it
+    os.utime(orphan + ".tomb", (old, old))
+    for n in os.listdir(orphan + ".tomb"):
+        os.utime(os.path.join(orphan + ".tomb", n), (old, old))
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1
+    assert not os.path.exists(orphan + ".tomb")
+
+
+def test_commit_restores_tombstoned_staging_dir(spark, tmp_path):
+    """The committer-side healer: a slow stager whose dir the sweep
+    tombstoned commits anyway — _try_commit finds the dir missing,
+    renames the tombstone back, and the snapshot reads cleanly."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    staged = txn._stage(spark.createDataFrame([(2, "y")], "k long, v string"), t)
+    d = os.path.join(t, "_staged", staged[0].split(os.sep)[1])
+    os.rename(d, d + ".tomb")  # the sweep's phase-1 rename
+    v = txn.current_version(t)
+    base = txn._read_manifest(t, v)
+    assert txn._try_commit(t, v + 1, base + staged, dict(txn.table_meta(t)))
+    assert os.path.isdir(d) and not os.path.exists(d + ".tomb")
+    assert txn.snapshot(spark, t).count() == 2
+
+
+def test_sweep_heals_live_tombstone(spark, tmp_path):
+    """Sweep-side healer: a tombstone whose base uuid IS referenced by
+    a manifest (committer crashed between commit and restore) is
+    renamed back by the next sweep, not deleted."""
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    txn._orphan_live_cache.pop(t, None)
+    (live_file,) = [
+        f for f in txn._read_manifest(t, txn.current_version(t))
+    ][:1]
+    d = os.path.join(t, live_file.split(os.sep)[0], live_file.split(os.sep)[1])
+    os.rename(d, d + ".tomb")
+    old = time.time() - 7200
+    os.utime(d + ".tomb", (old, old))
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1  # healed
+    assert os.path.isdir(d) and not os.path.exists(d + ".tomb")
+    assert txn.snapshot(spark, t).count() == 1

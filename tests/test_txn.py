@@ -242,7 +242,10 @@ def test_commit_cas_is_exclusive(tmp_path):
     """The commit primitive itself: two attempts at the same version,
     exactly one succeeds (O_EXCL semantics)."""
     t = str(tmp_path / "t")
-    os.makedirs(t)
+    # staged dirs must exist: _try_commit verifies its referenced
+    # staging dirs post-publish (the tombstone-restore protocol)
+    os.makedirs(os.path.join(t, "_staged", "x"))
+    os.makedirs(os.path.join(t, "_staged", "y"))
     a = txn._try_commit(t, 0, ["_staged/x/part-0.parquet"])
     b = txn._try_commit(t, 0, ["_staged/y/part-0.parquet"])
     assert (a, b) == (True, False)
