@@ -15,7 +15,11 @@ head-truncated (``parsed: null``). So the printed line is compact
 (the first _DRIVER_CAP registry entries — the same 50 the correctness
 driver checks); it is printed LAST and self-checked against the
 capture budget. The full-precision, all-queries record (timings +
-errors) is written to the ``BENCH_full.json`` sidecar every run.
+errors) is written to the ``BENCH_full_latest.json`` sidecar every
+run. That file is gitignored (VERDICT r11 item 7: driver bench runs
+used to clobber the committed ``BENCH_full.json`` and leave the tree
+dirty); the committed ``BENCH_full.json`` is a curated copy refreshed
+at round close.
 """
 
 from __future__ import annotations
@@ -109,7 +113,9 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+    )
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
 
@@ -126,7 +132,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "full": "BENCH_full.json",
+        "full": "BENCH_full_latest.json",
     }
     line = json.dumps(out, separators=(",", ":"))
     # Self-check: never emit a line the driver's tail capture would

@@ -6300,3 +6300,85 @@ def ext_ivf_bigk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("probe_clusters", 1).cast("int").alias("probe1"),
         F.element_at("probe_clusters", 2).cast("int").alias("probe2"),
     ).orderBy("vec_id")
+
+
+BIGKSUB_M = 4       # subspaces over the 64-dim fixture vectors
+BIGKSUB_KSUB = 80   # m x ksub x dsub = 4*80*16 = 5120 > the 4096 boundary
+BIGKSUB_DSUB = 16
+
+
+def _bigksub_codebooks() -> list:
+    """Per-subspace codebooks sliced from the package's shared
+    integer-arithmetic generator (operators/similarity.py:
+    uniform_centroids) so the oracle SQL re-derives every double
+    exactly: book[s][c][j] = ((c*1000003 + (s*16+j)*7919)
+    * 2654435761 % 1e6) / 5e5 - 1."""
+    cents = sim_ops.uniform_centroids(BIGKSUB_KSUB, BIGKSUB_M * BIGKSUB_DSUB)
+    return [
+        [c[s * BIGKSUB_DSUB : (s + 1) * BIGKSUB_DSUB] for c in cents]
+        for s in range(BIGKSUB_M)
+    ]
+
+
+@_register(
+    "ext_pq_bigksub_encode",
+    f"""
+    WITH books AS (
+        SELECT s.s AS s, c.c AS c,
+               list_transform(range({BIGKSUB_DSUB}), j ->
+                   ((c.c * 1000003 + (s.s * {BIGKSUB_DSUB} + j) * 7919)
+                    * 2654435761 % 1000000)
+                   / 500000.0 - 1.0) AS cent
+        FROM range({BIGKSUB_M}) s(s), range({BIGKSUB_KSUB}) c(c)
+    ),
+    d AS (
+        SELECT e.vec_id, b.s, b.c,
+               list_sum(list_transform(range({BIGKSUB_DSUB}), j ->
+                   (e.embedding[b.s * {BIGKSUB_DSUB} + j + 1] - b.cent[j + 1])
+                   * (e.embedding[b.s * {BIGKSUB_DSUB} + j + 1] - b.cent[j + 1])
+               )) AS dist
+        FROM embeddings e, books b
+    ),
+    r AS (
+        SELECT vec_id, s, c,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist ASC, c ASC
+               ) AS rk
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN c END) AS INTEGER) AS code1,
+           CAST(max(CASE WHEN s = 1 THEN c END) AS INTEGER) AS code2,
+           CAST(max(CASE WHEN s = 2 THEN c END) AS INTEGER) AS code3,
+           CAST(max(CASE WHEN s = 3 THEN c END) AS INTEGER) AS code4
+    FROM r WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id
+    """,
+    "large-codebook BLAS PQ encode, full-value oracle per vector",
+)
+def ext_pq_bigksub_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ Arrow/BLAS encode backend as a DECLARED full-value entry
+    (VERDICT r11 item 3 — the exact analog of ext_ivf_bigk_probe for
+    the OTHER side of the boundary): m=4 x ksub=80 x dsub=16 = 5120
+    codebook elements crosses _PROBE_FOLD_MAX_ELEMENTS, so pq_encode
+    routes through _pq_encode_numpy (operators/similarity.py:1078) —
+    one float64 matmul + stable argmin per subspace — instead of the
+    per-element-interpreted SQL fold. This is the corpus-encode pass
+    PQ persists at scale (the code table IS the 100 TB artifact; raw
+    vectors stream past the encoder once), so the production-ksub
+    backend must be the gated one. The codebooks are slices of the
+    same integer-formula literal as the probe entry, so DuckDB
+    re-derives identical doubles and the nearest sub-centroid of
+    EVERY fixture vector in EVERY subspace is compared
+    value-for-value; argmin ties break to the lowest code id in both
+    engines (BLAS argmin first-occurrence == SQL struct-sort rule,
+    parity-pinned in tests). Distances differ between engines only in
+    summation order, ~1 ulp — argmin-stable on the fixtures."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sim_ops.pq_encode(emb, _bigksub_codebooks())
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("codes", s + 1).cast("int").alias(f"code{s + 1}")
+            for s in range(BIGKSUB_M)
+        ],
+    ).orderBy("vec_id")

@@ -298,7 +298,7 @@ def test_bench_line_fits_driver_capture():
         "sf": 0.1,
         "n_queries": len(REGISTRY),
         "n_errors": 0,
-        "full": "BENCH_full.json",
+        "full": "BENCH_full_latest.json",
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= bench._LINE_BUDGET, (

@@ -240,47 +240,10 @@ def test_bench_source_interleaves_reps_and_records_spread():
 
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation: the r11 literal IS the policy's output
-# (VERDICT r10 item 4 — this rotation retires the r7 staleness floor)
-
-
-def test_driver_window_matches_rotation_policy():
-    """The frozen 50-entry driver window literal in plans/__init__.py
-    must BE the output of the formal rotation policy
-    (window_policy.driver_window) over the committed r01..r10 ledger —
-    sentinels every round, never-seated first (the three MinHash scale
-    twins registered this round), then stalest-first. A hand-edited
-    window that drifts from the policy fails here."""
-    import glob
-    import re
-
-    import sparkstreaming_gmall_demo_spark.plans as plans
-    from sparkstreaming_gmall_demo_spark.plans import window_policy as wp
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # pinned to the r01..r10 inputs the r11 window was generated from —
-    # later rounds' files (written by the driver after this freeze)
-    # must not retroactively change what this round shipped
-    paths = {}
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        if rnd <= 10:
-            paths[rnd] = f
-    assert len(paths) == 10, "committed ledger files r01..r10 expected"
-    ledger = wp.ledger_from_files(paths)
-    # the registry dict was reordered at import; recover name order
-    # independence by passing the sorted name list — the policy sorts
-    # its pool itself, so input order is immaterial for the rotating
-    # seats, and sentinels are pinned by the policy
-    expected = wp.driver_window(sorted(plans.REGISTRY), ledger)
-    assert list(plans.REGISTRY)[:50] == expected
-    # the r7 staleness floor is retired: every entry whose newest green
-    # was r7 (and the never-seated twins) is seated this round
-    seated = set(expected)
-    for name in plans.REGISTRY:
-        rnd = ledger.get(name, -1)
-        if rnd in (-1, 7):
-            assert name in seated, f"{name} (newest green r{rnd}) not seated"
+# Driver-window rotation: the r11 literal WAS the policy's output.
+# (The per-round equality pin moved to tests/test_round12_ops.py when
+# the window rotated forward — each round's test file pins the window
+# that round actually shipped.)
 
 
 # ---------------------------------------------------------------------------

