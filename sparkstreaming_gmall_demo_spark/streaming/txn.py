@@ -660,12 +660,20 @@ def vacuum_orphans(table: str, min_age_s: float = 3600.0) -> int:
             shutil.rmtree(path, ignore_errors=True)  # phase 2: reclaim
         else:
             try:
-                # phase 1: atomic rename out of the namespace; stamp
-                # the tombstone's own mtime so phase 2 waits a further
-                # full age gate from NOW (rename preserves mtimes)
+                # phase 1: stamp the dir mtime FIRST, then the atomic
+                # rename out of the namespace (rename preserves mtimes,
+                # so the tombstone is born freshly stamped and phase 2
+                # waits a further full age gate from NOW). Stamp-then-
+                # rename, not rename-then-stamp: a sweep killed between
+                # the two syscalls must not leave an already-aged
+                # tombstone that the NEXT sweep reclaims immediately —
+                # that would void the second age gate exactly in the
+                # crash window (round-12 crash injection). A crash
+                # after the stamp but before the rename just leaves a
+                # fresh-looking dir that re-ages normally.
                 tomb = path + _TOMB_SUFFIX
+                os.utime(path, None)
                 os.rename(path, tomb)
-                os.utime(tomb, None)
             except OSError:
                 continue  # concurrently committed/renamed; leave it
         acted += 1

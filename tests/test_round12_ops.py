@@ -136,3 +136,146 @@ def test_pq_bigksub_encode_values_match_sql_fold(spark):
     finally:
         sim._PROBE_FOLD_MAX_ELEMENTS = old
     assert blas == fold
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 6: crash-inject the two-phase vacuum. The protocol's
+# promise is that the destructive rmtree is separated from the
+# stage-to-commit race window by a FULL min_age_s even when the sweep
+# process dies mid-protocol; these tests kill it at both seams.
+
+import time
+
+from sparkstreaming_gmall_demo_spark.streaming import txn
+
+
+class _SweepKilled(BaseException):
+    """Simulated kill -9 of the sweep process at an injected seam —
+    BaseException so no library except-clause can swallow it."""
+
+
+def _mk_table_with_aged_orphan(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.merge_keyed(spark.createDataFrame([(1, "x")], "k long, v string"), t, ["k"])
+    txn._orphan_live_cache.pop(t, None)
+    staged = txn._stage(spark.createDataFrame([(2, "y")], "k long, v string"), t)
+    orphan = os.path.join(t, "_staged", staged[0].split(os.sep)[1])
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    for n in os.listdir(orphan):
+        os.utime(os.path.join(orphan, n), (old, old))
+    return t, staged, orphan
+
+
+def test_sweep_killed_after_phase1_rename_keeps_second_age_gate(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sweep IMMEDIATELY after the phase-1 rename syscall (the
+    narrowest window between tombstone creation and sweep return). The
+    tombstone must be born freshly stamped — stamp-then-rename — so a
+    RESTARTED sweep does not reclaim it until a further full age gate;
+    pre-fix (rename-then-stamp) the crash left an already-aged
+    tombstone and the restart deleted a slow stager's data one commit
+    too early."""
+    t, staged, orphan = _mk_table_with_aged_orphan(spark, tmp_path)
+    real_rename = os.rename
+
+    def rename_then_die(src, dst):
+        real_rename(src, dst)
+        raise _SweepKilled
+
+    monkeypatch.setattr(txn.os, "rename", rename_then_die)
+    try:
+        txn.vacuum_orphans(t, min_age_s=3600)
+        raise AssertionError("injected kill did not fire")
+    except _SweepKilled:
+        pass
+    finally:
+        monkeypatch.setattr(txn.os, "rename", real_rename)
+    tomb = orphan + ".tomb"
+    assert not os.path.exists(orphan) and os.path.isdir(tomb)
+    # the crash-surviving tombstone is FRESH: the stamp preceded the
+    # rename, so the second age gate starts now, not 2h ago
+    assert time.time() - os.path.getmtime(tomb) < 600
+    # restarted sweep: must NOT reclaim inside the second gate
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 0
+    assert os.path.isdir(tomb)
+    # the slow stager's commit lands: committer-side healer restores
+    v = txn.current_version(t)
+    base = txn._read_manifest(t, v)
+    assert txn._try_commit(t, v + 1, base + staged, dict(txn.table_meta(t)))
+    assert os.path.isdir(orphan) and not os.path.exists(tomb)
+    assert txn.snapshot(spark, t).count() == 2
+    # converged: a further restarted sweep has nothing to act on
+    txn._orphan_live_cache.pop(t, None)
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 0
+    assert txn.snapshot(spark, t).count() == 2
+
+
+def test_sweep_killed_before_rmtree_then_commit_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sweep between the phase-2 recheck and the rmtree: the
+    aged tombstone survives. A commit that then references the dir
+    restores it (committer healer), and a restarted sweep finds the
+    base uuid live and leaves it — no lost staged dir."""
+    t, staged, orphan = _mk_table_with_aged_orphan(spark, tmp_path)
+    tomb = orphan + ".tomb"
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1  # phase 1
+    old = time.time() - 7200
+    os.utime(tomb, (old, old))  # age past the second gate
+    import shutil
+
+    real_rmtree = shutil.rmtree
+
+    def die_at_rmtree(path, **kw):
+        raise _SweepKilled
+
+    monkeypatch.setattr(shutil, "rmtree", die_at_rmtree)
+    try:
+        txn.vacuum_orphans(t, min_age_s=3600)
+        raise AssertionError("injected kill did not fire")
+    except _SweepKilled:
+        pass
+    finally:
+        monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert os.path.isdir(tomb)  # nothing deleted at the kill point
+    # the slow stager's commit lands after the crash
+    v = txn.current_version(t)
+    base = txn._read_manifest(t, v)
+    assert txn._try_commit(t, v + 1, base + staged, dict(txn.table_meta(t)))
+    assert os.path.isdir(orphan) and not os.path.exists(tomb)
+    # restarted sweep: base uuid is live, nothing reclaimed, data intact
+    txn._orphan_live_cache.pop(t, None)
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 0
+    assert txn.snapshot(spark, t).count() == 2
+
+
+def test_sweep_killed_before_rmtree_then_restart_reclaims_true_orphan(
+    spark, tmp_path, monkeypatch
+):
+    """Same kill point, but the dir really is an orphan (no commit ever
+    references it): the restarted sweep converges to reclamation —
+    crash recovery must not leak the dir forever either."""
+    t, staged, orphan = _mk_table_with_aged_orphan(spark, tmp_path)
+    tomb = orphan + ".tomb"
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1
+    old = time.time() - 7200
+    os.utime(tomb, (old, old))
+    import shutil
+
+    real_rmtree = shutil.rmtree
+    monkeypatch.setattr(
+        shutil, "rmtree", lambda path, **kw: (_ for _ in ()).throw(_SweepKilled())
+    )
+    try:
+        txn.vacuum_orphans(t, min_age_s=3600)
+        raise AssertionError("injected kill did not fire")
+    except _SweepKilled:
+        pass
+    finally:
+        monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert os.path.isdir(tomb)
+    assert txn.vacuum_orphans(t, min_age_s=3600) == 1  # restart reclaims
+    assert not os.path.exists(tomb) and not os.path.exists(orphan)
+    assert txn.snapshot(spark, t).count() == 1  # committed data untouched
