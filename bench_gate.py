@@ -1290,6 +1290,58 @@ def bench_semantic_bigindex(spark) -> dict:
                     .count()
                 )
                 row["full_window_rows"] = txn.snapshot(spark, table).count()
+            # VERDICT r11 item 4: steady-state big-index MAINTENANCE,
+            # not just the probe — an incremental 12.5k-vector append
+            # into this size's seeded index under the FROZEN centroids
+            # (the ivf_append_index discipline on the txn table the
+            # gate actually maintains). The batch is assigned +
+            # norm-stamped and MATERIALIZED first (assign_wall, the
+            # k-proportional matmul already characterized by the probe
+            # legs), then append_new alone is timed: it stages only
+            # the batch's own rows and link-CASes one manifest, so
+            # append_wall must read flat in index size (0.5M -> 4M).
+            # Two reps with distinct fresh batches, best + worst kept.
+            app_walls = []
+            for rep in range(2):
+                abatch = novel_batch(20 + rep)
+                t0 = time.perf_counter()
+                arows = ivf_assign(abatch, cents).select(
+                    "vec_id",
+                    F.col("cluster").cast("int").alias("cluster"),
+                    "embedding",
+                ).withColumn(
+                    "nrm",
+                    F.expr(
+                        "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + x * x))"
+                    ),
+                ).select("vec_id", "cluster", "embedding", "nrm").withColumn(
+                    "admit_batch",
+                    F.lit(BIG_TTL_WINDOW + 20 + rep).cast("long"),
+                ).persist()
+                n_app = arows.count()
+                assign_wall = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                appended = txn.append_new(
+                    arows, table, BIG_TTL_WINDOW + 20 + rep, n_rows=n_app
+                )
+                app_walls.append(
+                    {
+                        "assign_wall_sec": assign_wall,
+                        "append_wall_sec": round(time.perf_counter() - t0, 2),
+                        "rows": int(appended),
+                    }
+                )
+                arows.unpersist()
+                abatch.unpersist()
+            best = min(app_walls, key=lambda o: o["append_wall_sec"])
+            row["append"] = {
+                **best,
+                "append_spread": round(
+                    max(o["append_wall_sec"] for o in app_walls)
+                    / max(best["append_wall_sec"], 1e-9),
+                    2,
+                ),
+            }
             results["per_size"][size] = row
         finally:
             shutil.rmtree(work, ignore_errors=True)

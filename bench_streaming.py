@@ -17,6 +17,18 @@ Prints ONE JSON line:
   {"metric": "streaming_rows_per_sec", "value": <min over pipelines>,
    "pipelines": {...}, "rows": N, "batches": N_CHUNKS, "sf": ...}
 
+Self-adjudication (VERDICT r11 item 5): the headline pipelines run
+$SPARK_GRAFT_STREAM_REPS (default 2) full replays each, INTERLEAVED
+round-robin across pipelines — rep 0 of every pipeline, then rep 1 —
+exactly the discipline bench.py applies across queries. A transient
+box-load window therefore inflates at most one rep of each pipeline
+instead of every rep of one, the reported rate is the best rep, and
+``spread_best_over_worst`` records best/worst per pipeline so a noisy
+session is distinguishable from a pipeline regression on the
+artifact's face (r11's 20-40% uniform VM drag needed manual A/Bs).
+Each rep replays into fresh out/ckpt/index dirs — state never carries
+between reps, so reps are identical work by construction.
+
 Overhead context (round 3): with the sink's batch-id high-water-mark
 engaged (sinks.idempotent_append), gmv measures ~2.9k orders/s vs a
 ~3.0k rows/s passthrough floor (a bare foreachBatch parquet append
@@ -205,126 +217,112 @@ def main() -> None:
             doc_dir, f"{sf_dir.rstrip('/')}/documents.parquet", N_CHUNKS,
             sort_key="doc_id",
         )
-        rates = {
-            "dau": run(
-                "dau",
-                lambda out, ckpt: pipelines.dau_pipeline(
+        # (name, row count, maker(tag) -> make_query(out, ckpt)); tag
+        # keys per-rep index dirs so no state carries between reps
+        headline = [
+            ("dau", n_rows, lambda tag: lambda out, ckpt:
+                pipelines.dau_pipeline(
                     event_stream(spark, input_dir), out, ckpt,
                     trigger={"availableNow": True},
-                ),
-                n_rows, work,
-            ),
-            "alert": run(
-                "alert",
-                lambda out, ckpt: pipelines.alert_pipeline(
+                )),
+            ("alert", n_rows, lambda tag: lambda out, ckpt:
+                pipelines.alert_pipeline(
                     event_stream(spark, input_dir), out, ckpt,
                     trigger={"availableNow": True},
-                ),
-                n_rows, work,
-            ),
+                )),
             # continuous rolling-distinct maintenance: per-batch HLL
             # day-partials committed to a txn table (immutable
             # partials, no streaming state — same regime as the CM
             # sketch pipeline); measures the per-batch sketch-agg +
             # link-CAS commit cost over the full event topic
-            "hll_partials": run(
-                "hll_partials",
-                lambda out, ckpt: pipelines.hll_pipeline(
+            ("hll_partials", n_rows, lambda tag: lambda out, ckpt:
+                pipelines.hll_pipeline(
                     parquet_stream(spark, input_dir, EVENTS_RAW),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                n_rows, work,
-            ),
+                )),
             # stateless ingest with the partitioned keyed replay guard
             # (the Phoenix-upsert path) over the same order topic
-            "gmv": run(
-                "gmv",
-                lambda out, ckpt: pipelines.gmv_pipeline(
+            ("gmv", o_rows, lambda tag: lambda out, ckpt:
+                pipelines.gmv_pipeline(
                     parquet_stream(spark, o_dir, ORDER_SCHEMA),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                o_rows, work,
-            ),
+                )),
             # incremental-ingest dedup gate: per-batch txn-index probe
             # + insert-only index commit (docs fixture is small, so
             # this measures the per-batch fixed cost of the index loop
             # — snapshot read, anti-join, link-CAS commit — not
             # per-row throughput; same overhead-bound regime as gmv)
-            "novelty_gate": run(
-                "novelty_gate",
-                lambda out, ckpt: pipelines.novelty_gate_pipeline(
+            ("novelty_gate", doc_rows, lambda tag: lambda out, ckpt:
+                pipelines.novelty_gate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
-                    os.path.join(work, "novelty_gate", "fp_index"),
+                    os.path.join(work, f"novelty_gate_{tag}", "fp_index"),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                doc_rows, work,
-            ),
+                )),
             # near-dup ingest gate: per-batch MinHash signature pass +
             # band-index probe + two index commits (docs fixture is
             # small -> measures the per-batch fixed cost of the fuzzy
             # gate loop, same overhead-bound regime as novelty_gate)
-            "neardup_gate": run(
-                "neardup_gate",
-                lambda out, ckpt: pipelines.neardup_gate_pipeline(
+            ("neardup_gate", doc_rows, lambda tag: lambda out, ckpt:
+                pipelines.neardup_gate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
-                    os.path.join(work, "neardup_gate", "nd_index"),
+                    os.path.join(work, f"neardup_gate_{tag}", "nd_index"),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                doc_rows, work,
-            ),
+                )),
             # continuous boilerplate-dictionary maintenance: per-batch
             # (gram, df) partials into a txn table (same immutable-
             # partials regime as hll/cm); docs fixture is small, so
             # this measures the per-batch ngram-agg + commit fixed
             # cost, not per-row throughput
-            "boilerplate_dict": run(
-                "boilerplate_dict",
-                lambda out, ckpt: pipelines.boilerplate_pipeline(
+            ("boilerplate_dict", doc_rows, lambda tag: lambda out, ckpt:
+                pipelines.boilerplate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                doc_rows, work,
-            ),
+                )),
             # continuous quality gating: per-batch Gopher-rules +
             # hashed-classifier scoring (both narrow maps) + doc-keyed
             # idempotent append + (batch_id, rule)-keyed counts commit
             # (docs fixture is small -> per-batch fixed cost regime)
-            "quality_gate": run(
-                "quality_gate",
-                lambda out, ckpt: pipelines.quality_gate_pipeline(
+            ("quality_gate", doc_rows, lambda tag: lambda out, ckpt:
+                pipelines.quality_gate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
                     out,
-                    os.path.join(work, "quality_gate", "counts"),
+                    os.path.join(work, f"quality_gate_{tag}", "counts"),
                     ckpt, trigger={"availableNow": True},
-                ),
-                doc_rows, work,
-            ),
+                )),
             # partial-overlap ingest gate: per-batch winnowing
             # fingerprint pass (document-local array arithmetic) +
             # (doc_id, fp) index probe + single index commit (docs
             # fixture is small -> per-batch fixed cost regime)
-            "overlap_gate": run(
-                "overlap_gate",
-                lambda out, ckpt: pipelines.overlap_gate_pipeline(
+            ("overlap_gate", doc_rows, lambda tag: lambda out, ckpt:
+                pipelines.overlap_gate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
-                    os.path.join(work, "overlap_gate", "fp_index"),
+                    os.path.join(work, f"overlap_gate_{tag}", "fp_index"),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                doc_rows, work,
-            ),
+                )),
             # the state-heaviest pipeline: stream-stream full outer join
             # + broadcast dim enrichment + unpartitioned replay guard
-            "sale_detail": run(
-                "sale_detail",
-                lambda out, ckpt: pipelines.sale_detail_pipeline(
+            ("sale_detail", sale_rows, lambda tag: lambda out, ckpt:
+                pipelines.sale_detail_pipeline(
                     spark,
                     parquet_stream(spark, o_dir, ORDER_SCHEMA),
                     parquet_stream(spark, d_dir, DETAIL_SCHEMA),
                     os.path.join(dim_dir, "dim.parquet"),
                     out, ckpt, trigger={"availableNow": True},
-                ),
-                sale_rows, work,
-            ),
+                )),
+        ]
+        # interleaved reps: rep 0 of every pipeline, then rep 1, ...
+        # best rate reported; best/worst spread recorded per pipeline
+        n_reps = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2")))
+        rates: dict[str, float] = {}
+        worst: dict[str, float] = {}
+        for rep in range(n_reps):
+            for name, rows, maker in headline:
+                tag = f"r{rep}"
+                rate = run(f"{name}_{tag}", maker(tag), rows, work)
+                rates[name] = max(rates.get(name, 0.0), rate)
+                worst[name] = min(worst.get(name, float("inf")), rate)
+        spreads = {
+            n: round(rates[n] / max(worst[n], 1e-9), 2) for n in rates
         }
         # r9 commit-consolidation ablation: the three index gates in
         # BOTH commit modes, interleaved merge/probe-free x2 in one
@@ -332,7 +330,8 @@ def main() -> None:
         # drift (±20% observed) and in-process warm-up order bias
         # (whichever mode runs first measures cold) would otherwise
         # swamp the within-gate delta this round claims
-        gate_makers = {
+        run_ablations = os.environ.get("SPARK_GRAFT_STREAM_ABLATIONS", "1") != "0"
+        gate_makers = {} if not run_ablations else {
             "novelty_gate": lambda out, ckpt, tag:
                 pipelines.novelty_gate_pipeline(
                     parquet_stream(spark, doc_dir, DOC_SCHEMA),
@@ -416,8 +415,9 @@ def main() -> None:
                 )
             return make
         gmv_ablation = {}
-        for kind in ("bare", "partitioned", "dedup_partitioned", "full"):
-            gmv_ablation[kind] = 0.0
+        if run_ablations:
+            for kind in ("bare", "partitioned", "dedup_partitioned", "full"):
+                gmv_ablation[kind] = 0.0
         for rep in range(2):
             for kind in gmv_ablation:
                 rate = run(
@@ -447,6 +447,8 @@ def main() -> None:
                 ),
                 "unit": "rows/sec",
                 "pipelines": rates,
+                "reps": n_reps,
+                "spread_best_over_worst": spreads,
                 "rows": {"events": n_rows, "orders": o_rows,
                          "sale_detail": sale_rows, "documents": doc_rows},
                 "batches": N_CHUNKS,

@@ -279,3 +279,28 @@ def test_sweep_killed_before_rmtree_then_restart_reclaims_true_orphan(
     assert txn.vacuum_orphans(t, min_age_s=3600) == 1  # restart reclaims
     assert not os.path.exists(tomb) and not os.path.exists(orphan)
     assert txn.snapshot(spark, t).count() == 1  # committed data untouched
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 5: bench_streaming reps are interleaved across
+# pipelines with per-pipeline spread sidecars
+
+
+def test_streaming_bench_source_interleaves_reps_and_records_spread():
+    """Shape pin (the streaming bench runs at sf0.1 and is
+    driver-invoked, so this asserts the source contract, not a
+    timing): the headline loop is rep-major over pipelines
+    (round-robin — rep 0 of every pipeline before rep 1 of any), each
+    rep replays into tag-keyed fresh dirs, and the emitted record
+    carries the per-pipeline best/worst spread."""
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "bench_streaming.py")
+    ).read()
+    assert "for rep in range(n_reps):" in src
+    assert "for name, rows, maker in headline:" in src
+    assert src.index("for rep in range(n_reps):") < src.index(
+        "for name, rows, maker in headline:"
+    )
+    assert '"spread_best_over_worst"' in src
+    # per-rep state isolation: index/ckpt dirs are tag-keyed
+    assert 'os.path.join(work, f"novelty_gate_{tag}", "fp_index")' in src
