@@ -1220,6 +1220,131 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composite IVF-PQ search (FAISS's production workhorse,
+    Jegou et al. 2011 §V, by_residual=False variant): the coarse
+    quantizer prunes WHICH vectors are scanned (the query's ``nprobe``
+    nearest cells out of ``len(centroids)``), PQ ADC prunes WHAT the
+    scan costs (m table lookups per candidate instead of a dim-wide
+    dot product), and only the ``rerank`` best ADC candidates fetch
+    raw vectors for exact L2. At 100 TB the corpus lives as a
+    cell-partitioned code table (pq_write_index clustered by the
+    ivf_assign cell): a query reads nprobe/k_coarse of the files,
+    scans codes not vectors, and the exact re-rank is a broadcast
+    semi-join of ``rerank`` ids — no full scan at any step.
+
+    Determinism contract (what the declared oracle relies on): the
+    query's probe cells use the same sorted-(distance, cell) tie rule
+    as :func:`ivf_probe_clusters`, computed driver-side on the tiny
+    codebook with left-to-right Python float sums; the ADC lookup
+    table is built the same way, so a formula-literal codebook makes
+    every double re-derivable bit-for-bit relationally. Returns
+    (id, l2sq rounded 4dp), exact-distance ordered, ties to low id."""
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])  # collect-bound: 1 row (query vector)
+    probed = _driver_probe_cells(qv, centroids, nprobe)
+    cand = ivf_assign(embeddings, centroids, id_col, vec_col).filter(
+        F.col("cluster").isin(probed)
+    )
+    codes = pq_encode(cand.select(id_col, vec_col), codebooks, id_col, vec_col)
+    return _ivfpq_rerank(
+        embeddings, codes, codebooks, query, qv, k, rerank, id_col, vec_col
+    )
+
+
+def _driver_probe_cells(qv: list, centroids: list, nprobe: int) -> list:
+    """The query's probe cells, computed driver-side on the tiny
+    codebook — same left-to-right float sums and sorted-(distance,
+    cell) tie rule as :func:`ivf_probe_clusters`, pinned by test."""
+    dists = [
+        (sum((qv[j] - c[j]) ** 2 for j in range(len(c))), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    return [ci for _, ci in sorted(dists)[:nprobe]]
+
+
+def _ivfpq_rerank(
+    embeddings, codes, codebooks, query, qv, k, rerank, id_col, vec_col
+):
+    shortlist = (
+        pq_adc_scores(codes, codebooks, qv, id_col)
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    exact = embeddings.join(
+        F.broadcast(shortlist.select(id_col)), id_col
+    ).crossJoin(F.broadcast(query))
+    return (
+        exact.select(
+            id_col,
+            F.round(F.expr(L2SQ.format(a=vec_col, b="q_vec")), 4).alias("l2sq"),
+        )
+        .orderBy(F.asc("l2sq"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    centroids: list,
+    codebooks: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF-PQ rest layout: (id, codes) parquet PARTITIONED BY the
+    coarse cell. This is the artifact a 100 TB corpus queries from —
+    the raw vectors stream past assignment + encode ONCE at ingest
+    (two narrow maps; the id-join here is ingest-time cost, never
+    query-time), and every later query partition-prunes to
+    nprobe/k_coarse of the files and scans m-byte codes, not vectors.
+    The exact re-rank joins back to the raw table by id for only the
+    shortlist."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, F.col("cluster").cast("int").alias("cluster")
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    assigned.join(codes, id_col).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+
+
+def ivfpq_topk_stored(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The RECURRING query path of :func:`ivfpq_topk` against the
+    stored cell-partitioned code table (:func:`ivfpq_write_index`):
+    probe cells driver-side, partition-pruned code scan, ADC
+    shortlist, exact re-rank. Same results as the inline form by
+    construction (same codebooks, same tie rules); the inline form is
+    the declared oracle anchor, this is what production runs per
+    query."""
+    qv = _to_double_list(query.select("q_vec").collect()[0][0])  # collect-bound: 1 row (query vector)
+    probed = _driver_probe_cells(qv, centroids, nprobe)
+    cand_codes = codes.filter(F.col("cluster").isin(probed))
+    return _ivfpq_rerank(
+        embeddings, cand_codes, codebooks, query, qv, k, rerank, id_col, vec_col
+    )
+
+
 def pq_write_index(
     embeddings: DataFrame,
     codebooks: list,

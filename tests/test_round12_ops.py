@@ -34,8 +34,9 @@ def test_driver_window_matches_rotation_policy():
     must BE the output of the formal rotation policy
     (window_policy.driver_window) over the committed r01..r11 ledger —
     sentinels every round, never-seated first (the large-codebook BLAS
-    PQ encode registered this round), then stalest-first. A
-    hand-edited window that drifts from the policy fails here."""
+    PQ encode and the IVF-PQ composite, both registered this round),
+    then stalest-first. A hand-edited window that drifts from the
+    policy fails here."""
     import glob
     import re
 
@@ -304,3 +305,86 @@ def test_streaming_bench_source_interleaves_reps_and_records_spread():
     assert '"spread_best_over_worst"' in src
     # per-rep state isolation: index/ckpt dirs are tag-keyed
     assert 'os.path.join(work, f"novelty_gate_{tag}", "fp_index")' in src
+
+
+# ---------------------------------------------------------------------------
+# Beyond-verdict round-12 addition: the IVF-PQ composite ANN entry
+
+
+def test_ivfpq_topk_self_query_and_shape(spark):
+    """The query vector's own cell is by construction the nearest
+    coarse centroid (always probed), its PQ codes exist, and its exact
+    re-ranked distance to itself is 0.0 — so the composite must return
+    the query as rank 1 with l2sq 0.0, and exactly TOPK_K rows. A
+    probe-cell or shortlist regression (e.g. a tie-rule drift between
+    the driver-side probe and ivf_probe_clusters) breaks self-recall
+    first."""
+    from sparkstreaming_gmall_demo_spark.plans import REGISTRY
+    from sparkstreaming_gmall_demo_spark.plans import extensions as ext
+
+    rows = (
+        REGISTRY["ext_ivfpq_topk"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == ext.TOPK_K
+    assert rows[0].vec_id == ext.TOPK_QUERY_VEC_ID
+    assert rows[0].l2sq == 0.0
+    # distances are ordered and distinct-id
+    dists = [r.l2sq for r in rows]
+    assert dists == sorted(dists)
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_ivfpq_driver_probe_matches_probe_clusters_tie_rule(spark):
+    """ivfpq_topk computes the query's probe cells DRIVER-side (tiny
+    codebook, pure python) — that list must equal ivf_probe_clusters'
+    distributed answer for the same query under the same sorted-(d, c)
+    rule, or the oracle's qcell CTE and the Spark build diverge."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.plans import extensions as ext
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.uniform_centroids(ext.IVFPQ_COARSE_K, 64)
+    q = emb.filter(F.col("vec_id") == ext.TOPK_QUERY_VEC_ID)
+    distributed = (
+        sim.ivf_probe_clusters(q, cents, ext.IVFPQ_NPROBE)
+        .select("probe_clusters")
+        .collect()[0][0]
+    )
+    qv = [float(x) for x in q.select("embedding").collect()[0][0]]
+    dists = [
+        (sum((qv[j] - c[j]) ** 2 for j in range(len(c))), ci)
+        for ci, c in enumerate(cents)
+    ]
+    driver_side = [ci for _, ci in sorted(dists)[: ext.IVFPQ_NPROBE]]
+    assert list(distributed) == driver_side
+
+
+def test_ivfpq_stored_scan_is_partition_pruned(spark, tmp_path):
+    """The stored-code-table query path must push the probe cells as
+    PARTITION filters on the cluster= layout — the nprobe/k_coarse
+    file-skip IS the IVF read story at 100 TB; a plan that scans all
+    cells silently degrades to a full-corpus ADC."""
+    from sparkstreaming_gmall_demo_spark.operators import similarity as sim
+    from sparkstreaming_gmall_demo_spark.plans import extensions as ext
+    from sparkstreaming_gmall_demo_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.uniform_centroids(ext.IVFPQ_COARSE_K, 64)
+    books = ext._bigksub_codebooks()
+    path = str(tmp_path / "codes")
+    sim.ivfpq_write_index(emb, cents, books, path)
+    q = sim.query_vector(emb, ext.TOPK_QUERY_VEC_ID)
+    df = sim.ivfpq_topk_stored(
+        emb, spark.read.parquet(path), cents, books, q,
+        k=ext.TOPK_K, nprobe=ext.IVFPQ_NPROBE, rerank=ext.IVFPQ_RERANK,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pfs = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any(
+        "cluster" in pf and "IN" in pf.upper() for pf in pfs
+    ), f"probe cells not pushed as partition filters on any scan: {pfs}"
