@@ -58,6 +58,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q9b_scored_search",  # per-doc tf frame x broadcast 1-row dfs
         "ext_bloom_gate",  # probe stream x broadcast 1-row bloom bits
         "ext_pq_topk",  # rerank-sized candidates x broadcast 1-row query vec
+        "ext_ivfpq_topk",  # rerank-sized candidates x broadcast 1-row query vec
         "ext_bm25_topk",  # per-doc tf frame x broadcast 1-row corpus stats
         "ext_bm25_indexed",  # pruned postings x broadcast 1-row stats fold
         "ext_hybrid_rrf",  # both arms: 1-row stats / 1-row query vector
