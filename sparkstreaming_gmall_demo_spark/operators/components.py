@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 50
+    pairs: DataFrame, src: str = "i", dst: str = "j", max_iter: int = 50,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` = the minimum node id of its connected component.
@@ -36,21 +37,34 @@ def connected_components(
     materializes the round's labels — no separate join + count action
     (that second action per round doubled driver latency, which is the
     term that multiplies at scale, not the per-row cost).
+
+    Round 1 is FUSED into label initialization: from the identity
+    labeling, one propagation round computes exactly
+    min(node, min(neighbors)) — a plain aggregate over the edge list —
+    so the loop starts from that frame and the first join+checkpoint
+    round is dropped outright (guide §2.4; one fewer blocking job per
+    call). ``unique_pairs=True`` lets callers whose pair frame is
+    already distinct (any groupBy-produced pair kernel) skip the edge
+    ``distinct`` — one fewer exchange inside the edge checkpoint; it
+    is a pure cost toggle, duplicate edges never change the fixpoint.
+
+    Each materialized job executes TWO propagation steps (r12, guide
+    §1.2 "the distributed algorithm"): near-dup graphs converge in a
+    handful of rounds, and the blocking localCheckpoint + observation
+    read per job is the dominant per-round term, so pairing steps
+    halves the job count. Both steps observe their changed-count in
+    the same job; the loop stops when the SECOND step changed nothing
+    (step 1's output was already the fixpoint, and one extra min-label
+    step at a fixpoint is the identity, so the returned frame is that
+    fixpoint). Checkpointing every second step keeps lineage depth
+    bounded at two rounds — the standard iterate-k-then-materialize
+    trade every Pregel-style engine makes.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(max_iter):
+
+    def _step(labels, edges, observe_change):
         nbr = edges.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
-        obs = Observation()
         folded = (
             labels.select("node", "label", F.lit(1).alias("is_self"))
             .union(nbr.select("node", "label", F.lit(0).alias("is_self")))
@@ -61,17 +75,36 @@ def connected_components(
                 # previous round's label for the change comparison
                 F.max(F.when(F.col("is_self") == 1, F.col("label"))).alias("_old"),
             )
-            .observe(
+        )
+        obs = None
+        if observe_change:
+            # only the job's LAST step observes: an intermediate
+            # step's frame feeds two consumers (self-rows + nbr join),
+            # and a duplicated observe node would fire twice
+            obs = Observation()
+            folded = folded.observe(
                 obs,
                 F.sum(
                     (F.col("label") != F.col("_old")).cast("long")
                 ).alias("changed"),
             )
-        )
-        # eager localCheckpoint runs the round's single job; the
-        # observation is then available without another action
-        labels = folded.select("node", "label").localCheckpoint()
-        if (obs.get["changed"] or 0) == 0:
+        return folded.select("node", "label"), obs
+
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not unique_pairs:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.col("node"), F.min("b")).alias("label")
+    )
+    for _ in range((max_iter + 1) // 2):
+        stepped, _ = _step(labels, edges, observe_change=False)
+        stepped2, obs2 = _step(stepped, edges, observe_change=True)
+        # eager localCheckpoint runs the paired steps as one job; both
+        # observations are then available without another action
+        labels = stepped2.localCheckpoint()
+        if (obs2.get["changed"] or 0) == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
 

@@ -63,23 +63,36 @@ def array_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     tokens with stopword-like frequencies (1.3 s vs 4.6 s for
     bucket_jaccard_pairs). On bounded-frequency spaces (n-gram
     shingles) bucket_jaccard_pairs wins instead; see its docstring.
+
+    Set sizes ride through the posting join (8 bytes/row) instead of
+    joining back to a separate sizes frame: sz is functionally
+    dependent on doc_id, so grouping by (i, szi, j, szj) produces the
+    identical pair frame while the plan drops two joins and two full
+    scan+tokenize passes (guide §2.3/§2.4 — 4 corpus scans -> 2). The
+    self-join sides stay lazy: unigram tokenization is cheap enough
+    that re-computing it per side beats a blocking materialization
+    (measured; the expensive SHINGLE space gets the localCheckpoint in
+    array_containment_pairs / the prefix-filtered kernels instead).
     """
-    sizes = sets.select("doc_id", F.size("toks").alias("sz"))
-    posting = sets.select("doc_id", F.explode("toks").alias("token"))
+    posting = sets.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token")
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("a.sz").alias("szi"),
+            F.col("b.doc_id").alias("j"),
+            F.col("b.sz").alias("szj"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        inter.join(sa, F.col("i") == F.col("sa.doc_id"))
-        .join(sb, F.col("j") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "i",
             "j",
-            (F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))).alias("jaccard"),
+            (F.col("inter") / (F.col("szi") + F.col("szj") - F.col("inter"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", F.round("jaccard", 4).alias("jaccard"))
@@ -166,24 +179,34 @@ def array_containment_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     band index, whose collision probability is driven by JACCARD: a
     10-token quote inside a 100-token page has containment 1.0 but
     Jaccard 0.1 and essentially never band-collides, exactly the pair
-    this operator exists to find."""
-    sizes = sets.select("doc_id", F.size("toks").alias("sz"))
-    posting = sets.select("doc_id", F.explode("toks").alias("token"))
+    this operator exists to find.
+
+    Set sizes ride through the posting join instead of joining back to
+    a separate sizes frame (same restructure as array_jaccard_pairs:
+    sz is functionally dependent on doc_id, so the pair frame is
+    identical while the plan drops two joins and two scan+shingle
+    passes, guide §2.3/§2.4). The remaining two posting branches (the
+    self-join sides) consume a localCheckpoint-ed ``sets`` so the
+    shingle arrays are computed once, not per side."""
+    sets = sets.localCheckpoint()
+    posting = sets.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token")
+    )
     a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    sized = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("a.sz").alias("szi"),
+            F.col("b.doc_id").alias("j"),
+            F.col("b.sz").alias("szj"),
+        )
         .agg(F.count("*").alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    sized = (
-        inter.join(sa, F.col("i") == F.col("sa.doc_id"))
-        .join(sb, F.col("j") == F.col("sb.doc_id"))
-        .select("i", "j", "inter", F.col("sa.sz").alias("szi"), F.col("sb.sz").alias("szj"))
+        .select("i", "j", "inter", "szi", "szj")
     )
     fwd = sized.select(
         F.col("i").alias("contained"),
@@ -238,9 +261,20 @@ def prefix_filtered_containment_pairs(
     shingles (n >= 2) frequencies stay bounded and the filter holds —
     and shingles are the semantically right space for quote/snippet
     detection anyway, since quotes preserve token ORDER that bag-of-
-    unigram containment ignores."""
+    unigram containment ignores.
+
+    ``sets`` is localCheckpoint-ed up front (r12): the plan consumes
+    it from FOUR branches (prefix posting, container posting, and the
+    two verification sides), and without materialization each branch
+    re-runs the scan + shingle + distinct — the dominant per-task cost
+    (guide §2.4/§5; measured 4.4 s -> 2.6 s at sf0.1). localCheckpoint
+    stores MEMORY_AND_DISK, so at corpus scale this is one shingle
+    pass plus a disk round-trip instead of four shingle passes — the
+    same materialize-vs-recompute trade the worked example in guide §8
+    makes for its fingerprint table."""
     from pyspark.sql.window import Window
 
+    sets = sets.localCheckpoint()
     posting = sets.select(
         "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
     )
@@ -305,9 +339,13 @@ def prefix_filtered_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFram
     docs (measured: 12 s vs 4 s at 702 docs) and pays off only when
     posting lists grow long enough that the naive join's sum(cnt^2)
     blowup dominates — which is exactly the 100 TB regime.
+
+    ``sets`` is localCheckpoint-ed up front — same four-consumer
+    materialization rationale as prefix_filtered_containment_pairs.
     """
     from pyspark.sql.window import Window
 
+    sets = sets.localCheckpoint()
     posting = sets.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
     freq = posting.groupBy("tok").agg(F.count("*").alias("f"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("f"), F.asc("tok"))
@@ -759,28 +797,31 @@ def jaccard_threshold_sweep(
     t_min = ts[0] / 10000.0
 
     sets = token_sets(df, id_col, text_col)
-    sizes = sets.select("doc_id", F.size("toks").alias("sz"))
-    posting = sets.select("doc_id", F.explode("toks").alias("token"))
+    # sizes ride through the posting join (array_jaccard_pairs
+    # restructure): two joins and two scan+tokenize passes dropped
+    posting = sets.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token")
+    )
     a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    pairs = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .groupBy(
+            F.col("a.doc_id").alias("i"),
+            F.col("a.sz").alias("szi"),
+            F.col("b.doc_id").alias("j"),
+            F.col("b.sz").alias("szj"),
+        )
         .agg(F.count("*").alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    pairs = (
-        inter.join(sa, F.col("i") == F.col("sa.doc_id"))
-        .join(sb, F.col("j") == F.col("sb.doc_id"))
         .select(
             "i",
             "j",
             (
                 F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                / (F.col("szi") + F.col("szj") - F.col("inter"))
             ).alias("jac"),
         )
         .filter(F.col("jac") >= t_min)

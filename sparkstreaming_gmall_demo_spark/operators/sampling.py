@@ -356,7 +356,7 @@ def curation_bundle(
     """
     from .components import connected_components, keep_best
 
-    labels = connected_components(pairs).localCheckpoint()
+    labels = connected_components(pairs, unique_pairs=True).localCheckpoint()
     kept = (
         keep_best(docs, labels, score_col=score_col, id_col=id_col)
         .select(id_col)

@@ -1577,17 +1577,20 @@ def kcenter_coreset(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n = embeddings.count()
+    # one job, not two: the row count (k validation) and the seed (min
+    # id row — ids are unique, so the struct min is the min-id row)
+    # come out of a single aggregate (r12; each extra blocking job on
+    # the greedy path is pure driver latency, guide §1.2)
+    first = embeddings.agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(F.col(id_col), F.col(vec_col))).alias("s"),
+    ).collect()[0]  # collect-bound: 1-row agg
+    n = first["n"]
     if n < k:
         raise ValueError(f"kcenter_coreset: k={k} exceeds {n} input rows")
-    seed = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.asc(id_col))
-        .limit(1)
-        .collect()  # collect-bound: limit(1)
-    )
-    selected = [(1, seed[0][0], 0.0)]
-    centers = [[float(x) for x in seed[0][1]]]
+    seed = first["s"]
+    selected = [(1, seed[0], 0.0)]
+    centers = [[float(x) for x in seed[1]]]
     base = embeddings.select(id_col, vec_col)
     for r in range(2, k + 1):
         dmin = F.least(*[_d2_expr(vec_col, c) for c in centers]) if len(centers) > 1 else _d2_expr(vec_col, centers[0])

@@ -362,8 +362,13 @@ def token_pmi_pairs(
         ).alias("p")
     ).select("p.a", "p.b")
     cab = pairs.groupBy("a", "b").agg(F.count("*").alias("cooccur"))
+    # dfreq from per_doc, not from a second pass over toks: ``ts`` is
+    # the collect_set of the doc's vocab tokens, so exploding it yields
+    # exactly the distinct (doc, token) rows the old
+    # ``toks.distinct().groupBy`` counted — identical dfreq, one fewer
+    # corpus tokenize pass and one fewer distinct shuffle (guide §2.4)
     uni = (
-        toks.select(id_col, "token").distinct()
+        per_doc.select(F.explode("ts").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("dfreq"))
     )

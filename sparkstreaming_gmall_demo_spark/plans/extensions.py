@@ -241,7 +241,7 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decided by exact verification, so extras require a hash collision).
     16 bands x 4 rows at j >= 0.8 gives P[candidate] ~ 0.9998 — the
     0.9 recall bound holds with wide margin at every fixture SF."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     exact = (
         nd_ops.array_jaccard_pairs(
             nd_ops.shingle_sets(docs, MINHASH_SHINGLE_N), JACCARD_THRESHOLD
@@ -280,7 +280,7 @@ def _bench_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only: the MinHash+LSH scale path (one text pass, one
     band shuffle, one dedup shuffle) without the exact n-gram-Jaccard
     twin + full-outer recall compare the declared invariant runs."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     return nd_ops.minhash_near_duplicates(
         docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
     )
@@ -301,7 +301,7 @@ def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the brute-force all-pairs set — asserted here as a
     symmetric-difference-is-empty invariant, with the corpus size as
     the oracle-computable anchor."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     banded = (
         nd_ops.simhash_near_duplicates(docs, max_hamming=3)
         .select("i", "j")
@@ -328,7 +328,7 @@ def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bench_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-only: chunk-banded SimHash near-dup without the
     brute-force all-pairs completeness compare."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     return nd_ops.simhash_near_duplicates(docs, max_hamming=3)
 
 
@@ -887,7 +887,7 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Characteristic-term extraction — the text-analysis counterpart
     of quality scoring: one token explode feeds both frequency levels,
     N joins in as a broadcast scalar, top-k per doc via window."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     return text_ops.tfidf_top_terms(docs, k=3).orderBy("doc_id", "term")
 
 
@@ -922,9 +922,9 @@ def ext_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> transitive clusters, each labeled by its minimum doc id
     (operators/components.py min-label propagation; the oracle states
     the same fixpoint as a recursive transitive closure)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == JACCARD_LANG)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == JACCARD_LANG)
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = comp_ops.connected_components(pairs)
+    labels = comp_ops.connected_components(pairs, unique_pairs=True)
     return (
         labels.groupBy("component")
         .agg(F.count("*").alias("size"))
@@ -2706,7 +2706,7 @@ def ext_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-occurrence aggregation partial-aggregates map-side and text
     never shuffles. Top pairs by 4dp-rounded PMI, (a, b) tiebreak —
     identical ordering on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     voc = vocab_ops.vocab_build(docs, top_n=PMI_VOCAB_N)
     n_docs = docs.count()
     pmi = vocab_ops.token_pmi_pairs(
@@ -3832,11 +3832,13 @@ def ext_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of three gated kernels (exact Jaccard pairs ->
     connected components -> md5 split buckets); the oracle restates
     the same fixpoint as a recursive transitive closure."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = comp_ops.connected_components(pairs)
+    labels = comp_ops.connected_components(pairs, unique_pairs=True)
     assigned = samp_ops.dedup_aware_split(docs, labels, SPLITS)
     return (
         assigned.groupBy("split")
@@ -3909,11 +3911,13 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle on the component label; the oracle restates the
     component fixpoint as a recursive transitive closure plus the same
     argmax window."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = comp_ops.connected_components(pairs)
+    labels = comp_ops.connected_components(pairs, unique_pairs=True)
     return (
         comp_ops.keep_best(docs, labels, score_col="n_chars")
         .select("doc_id", "n_chars")
@@ -3965,7 +3969,9 @@ def ext_curation_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split accounting for BOTH consumers (leakage groups + keep-
     best survivors) — the bench row is the evidence the shared path
     costs one graph derivation, not three."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
@@ -4029,7 +4035,7 @@ def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-identical by test_neardup.py; MinHash banding cannot serve
     here — band collisions track Jaccard, which is ~0.1 for exactly
     the quote-in-page pairs this operator exists to find)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
     return nd_ops.array_containment_pairs(
@@ -4056,7 +4062,7 @@ def ext_containment_pairs_filtered(spark: SparkSession, sf_dir: str) -> DataFram
     kernel remains as the oracle baseline. Plan pin (no posting
     self-join without the prefix row_number filter) in
     tests/test_neardup.py."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         (F.col("lang") == JACCARD_LANG) & (F.size(F.split("text", " ")) >= 2)
     )
     return nd_ops.prefix_filtered_containment_pairs(
@@ -4449,11 +4455,13 @@ def ext_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum((size-1) x n_clusters)). Tiny aggs over the label frame plus
     one anti-join; the oracle extends the components transitive
     closure with the same two aggs."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = comp_ops.connected_components(pairs)
+    labels = comp_ops.connected_components(pairs, unique_pairs=True)
     return comp_ops.cluster_size_histogram(docs, labels)
 
 
@@ -4781,7 +4789,9 @@ def ext_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no candidate join, no RNG state), with ring negatives that
     collide with a true near-dup dropped by one anti-join. The DPR /
     SimCSE bootstrap recipe as a declared, oracle-checked entry."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
@@ -4955,11 +4965,13 @@ def ext_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept set is engine- and partitioning-portable. Pair kernel
     here is the exact-Jaccard oracle baseline (the MinHash/prefix-
     filtered kernels swap in at scale, same label interface)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread_fixture: tokenize/posting build parallelizes (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = comp_ops.connected_components(pairs)
+    labels = comp_ops.connected_components(pairs, unique_pairs=True)
     return samp_ops.cluster_capped_sample(
         docs, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
     ).orderBy("doc_id")
@@ -5154,7 +5166,7 @@ def ext_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (broadcast, the semantic_decontam asymmetry); the
     exact kNN is the oracle baseline, the IVF/LSH bucket probe is the
     documented corpus-scale candidate source."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_fixture(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return sim_ops.knn_label_propagation(
         emb, query_mod=KNN_QUERY_MOD, k=KNN_K
     ).orderBy("vec_id")
@@ -6040,7 +6052,7 @@ def _minhash_twin_labels(
     labeled by connected components over MinHash+LSH pairs — the
     100 TB pair kernel, not the exact all-pairs oracle baseline."""
     organic = (
-        load_table(spark, sf_dir, "documents")
+        spread_fixture(load_table(spark, sf_dir, "documents"))
         .filter(F.col("lang") == JACCARD_LANG)
         .select("doc_id", "text", "n_chars")
     )
@@ -6048,7 +6060,7 @@ def _minhash_twin_labels(
     pairs = nd_ops.minhash_near_duplicates(
         docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
     ).select("i", "j")
-    return docs, comp_ops.connected_components(pairs)
+    return docs, comp_ops.connected_components(pairs, unique_pairs=True)
 
 
 @_register(
@@ -6167,7 +6179,7 @@ def _bench_leakage_splits_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     MinHash pair derivation feeding components + keep-best + splits
     through curation_bundle (pair-graph reuse), at full corpus size."""
     organic = (
-        load_table(spark, sf_dir, "documents")
+        spread_fixture(load_table(spark, sf_dir, "documents"))
         .filter(F.col("lang") == JACCARD_LANG)
         .select("doc_id", "text", "n_chars")
     )
