@@ -259,17 +259,21 @@ def cluster_size_histogram(
     Two tiny aggs over the label frame (component cardinality <<
     corpus) plus ONE anti-join to count singletons; the histogram
     itself is at most max-cluster-size rows. The corpus text is
-    touched only by the pair generation upstream.
+    touched only by the pair generation upstream. The singleton count
+    stays IN the plan as a 1-row aggregate branch (r12) — the old
+    ``.count()`` action forced a separate blocking job plus a
+    driver-built literal frame before the real query even started.
     """
     sizes = components.groupBy("component").agg(F.count("*").alias("size"))
     hist = sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
-    n_single = (
+    singles = (
         docs.select(F.col(id_col))
         .join(components.select(F.col("node").alias(id_col)), id_col, "left_anti")
-        .count()
-    )
-    singles = sizes.sparkSession.createDataFrame(
-        [(1, n_single)], "size long, n_clusters long"
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+        )
     )
     return (
         hist.select(F.col("size").cast("long"), F.col("n_clusters").cast("long"))

@@ -838,12 +838,17 @@ def jaccard_threshold_sweep(
     # and the quadratic pair frame is unpersisted before returning.
     pairs = pairs.persist()
     try:
-        pair_row = pairs.agg(
+        # ONE action for both statistics (r12): the pair-level and
+        # doc-level 1-row aggregates ride a single union job (tagged
+        # rows, columns aligned), so the quadratic pair frame is
+        # materialized and consumed in one pass instead of two
+        # back-to-back blocking collects
+        pair_agg = pairs.agg(
             *[
-                F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"p{t}")
+                F.sum((F.col("jac") >= t / 10000.0).cast("long")).alias(f"c{t}")
                 for t in ts
             ]
-        ).collect()[0]  # collect-bound: 1-row agg
+        ).select(F.lit("p").alias("_k"), "*")
         best = (
             pairs.select(
                 F.explode(F.array(F.col("i"), F.col("j"))).alias("doc"),
@@ -852,16 +857,21 @@ def jaccard_threshold_sweep(
             .groupBy("doc")
             .agg(F.max("jac").alias("best"))
         )
-        doc_row = best.agg(
+        doc_agg = best.agg(
             *[
-                F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"d{t}")
+                F.sum((F.col("best") >= t / 10000.0).cast("long")).alias(f"c{t}")
                 for t in ts
             ]
-        ).collect()[0]  # collect-bound: 1-row agg
+        ).select(F.lit("d").alias("_k"), "*")
+        both = {
+            r["_k"]: r
+            for r in pair_agg.unionByName(doc_agg).collect()  # collect-bound: 2-row union of 1-row aggs
+        }
+        pair_row, doc_row = both["p"], both["d"]
     finally:
         pairs.unpersist()
     rows = [
-        (t, int(pair_row[f"p{t}"] or 0), int(doc_row[f"d{t}"] or 0)) for t in ts
+        (t, int(pair_row[f"c{t}"] or 0), int(doc_row[f"c{t}"] or 0)) for t in ts
     ]
     return df.sparkSession.createDataFrame(
         rows, "threshold_bp long, n_pairs long, n_dup_docs long"

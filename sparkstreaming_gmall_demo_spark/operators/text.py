@@ -1178,12 +1178,33 @@ def winnowing_overlap_pairs(
 
     Returns (i, j, shared_fps, overlap_bp) — all BIGINT, i < j,
     ordered.
+
+    The selected (doc_id, fp) frame is localCheckpoint-ed (r12): the
+    plan consumes it from FIVE branches (rare, both self-join sides
+    via kept, sizes), and each branch would otherwise re-run the
+    winnowing selection over the corpus (guide §2.4/§5). The frame is
+    the fingerprint INDEX itself — BIGINT pairs at ~2/(w+1) gram
+    density — i.e. exactly what winnowing_write_index persists at
+    scale.
     """
     fps = (
         winnowing_fingerprints(df, k, w, id_col, text_col)
         .select(F.col(id_col).alias("doc_id"), "fp")
         .distinct()
+        .localCheckpoint()
     )
+    return winnowing_overlap_pairs_from_fps(fps, min_shared, max_df)
+
+
+def winnowing_overlap_pairs_from_fps(
+    fps: DataFrame, min_shared: int = 2, max_df: int = 64
+) -> DataFrame:
+    """The match step over an ALREADY-MATERIALIZED distinct
+    (doc_id, fp) frame — the winnowing index contents. Callers that
+    need the fingerprint frame for more than the pair kernel (e.g.
+    the span locator's rare-evidence restriction) derive it once,
+    localCheckpoint it, and pass it here instead of paying a second
+    winnowing selection pass (r12)."""
     rare = fps.groupBy("fp").agg(F.count("*").alias("df_cnt")).filter(
         F.col("df_cnt") <= max_df
     )

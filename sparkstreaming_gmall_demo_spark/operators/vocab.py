@@ -437,7 +437,12 @@ def bigram_surprisal(
             )
         ).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # the count table is (V+1)^2-bounded; localCheckpoint it so the
+    # expensive bigram fan-out (tokenize + vocab membership per token)
+    # runs ONCE instead of once per consumer (c12 broadcast, c1
+    # broadcast — guide §2.4; the scoring pass over bg itself stays
+    # lazy and is the one full-corpus pass)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         bg.join(F.broadcast(c12), ["w1", "w2"])

@@ -3681,7 +3681,7 @@ def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-bounded top-N collect (same discipline as the unigram
     entry's two scalars); both count tables are (V+1)²-bounded
     broadcasts, so corpus text never shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     voc = vocab_ops.vocab_build(docs, top_n=BIGRAM_VOCAB_N)
     vocab_tokens = [r.token for r in voc.orderBy(F.desc("cnt"), F.asc("token")).collect()]  # collect-bound: <= BIGRAM_VOCAB_N vocab rows
     scored = vocab_ops.bigram_surprisal(docs, vocab_tokens)
@@ -5960,10 +5960,17 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang") == JACCARD_LANG
         )
     )
+    # ONE winnowing selection pass (r12): the checkpointed (doc_id,
+    # fp) frame feeds the pair kernel AND the rare-evidence set —
+    # previously each re-ran the full selection over the corpus
+    fps = (
+        text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
     top = (
-        text_ops.winnowing_overlap_pairs(
-            docs, WINNOW_K, WINNOW_W, 1, WINNOW_MAX_DF
-        )
+        text_ops.winnowing_overlap_pairs_from_fps(fps, 1, WINNOW_MAX_DF)
         .orderBy(F.col("shared_fps").desc(), "i", "j")
         .limit(1)
         .collect()  # collect-bound: limit(1)
@@ -5974,11 +5981,6 @@ def ext_overlap_span_locator(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchors restricted to the SAME evidence set the match step used
     # (the corpus's rare fingerprints) — a ubiquitous boilerplate
     # header both docs carry must not be highlighted as copied span
-    fps = (
-        text_ops.winnowing_fingerprints(docs, WINNOW_K, WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
