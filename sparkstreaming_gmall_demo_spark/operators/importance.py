@@ -74,10 +74,22 @@ def dsir_weights(
     and the two ``count(*)`` totals it needs are driver-side scalars
     of the already-aggregated count tables (B-row aggs, not corpus
     scans)."""
-    tgt = bucket_counts(target, text_col, buckets).withColumnRenamed("cnt", "tgt_cnt")
-    src = bucket_counts(pool, text_col, buckets).withColumnRenamed("cnt", "src_cnt")
-    tgt_total = tgt.agg(F.sum("tgt_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg
-    src_total = src.agg(F.sum("src_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg
+    # the two B-row count tables are localCheckpoint-ed (r12): each
+    # previously re-derived its corpus pass once for its total and
+    # once more inside the weight join (4 corpus passes -> 2), and the
+    # totals now read from B materialized rows instead of re-scanning
+    tgt = (
+        bucket_counts(target, text_col, buckets)
+        .withColumnRenamed("cnt", "tgt_cnt")
+        .localCheckpoint()
+    )
+    src = (
+        bucket_counts(pool, text_col, buckets)
+        .withColumnRenamed("cnt", "src_cnt")
+        .localCheckpoint()
+    )
+    tgt_total = tgt.agg(F.sum("tgt_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg over B checkpointed rows
+    src_total = src.agg(F.sum("src_cnt")).collect()[0][0] or 0  # collect-bound: 1-row agg over B checkpointed rows
     joined = (
         tgt.join(src, "bucket", "full_outer")
         .select(

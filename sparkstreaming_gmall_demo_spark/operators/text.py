@@ -628,7 +628,10 @@ def dup_span_scrub(
     percent chance of ONE such span corpus-wide) — the standard
     fingerprint-dedup trade; tests pin output equality with the exact
     kernel on the fixture corpus."""
-    occ = _positioned_ngrams(df, n, id_col, text_col)
+    # localCheckpoint (r12): the positioned-gram stream feeds both the
+    # canonical-occurrence aggregate and the occurrence join; without
+    # materialization the n-gram explode runs twice over the corpus
+    occ = _positioned_ngrams(df, n, id_col, text_col).localCheckpoint()
     if hash_grams:
         occ = occ.select(
             id_col, "pos", F.xxhash64("gram").alias("gram")
@@ -700,9 +703,11 @@ def boilerplate_coverage(
     shuffle at any point. The audit is a TWO-pass op by design (the
     dictionary pass and the coverage pass each tokenize the corpus —
     Spark does not share identical subplans across join arms, and
-    caching the exploded n-gram frame would cost more memory than the
-    second narrow pass costs CPU); the streaming pipeline amortizes
-    the dictionary pass away entirely (boilerplate_read_dictionary)."""
+    materializing the positioned-gram frame costs more than the second
+    narrow pass saves: measured 1.3 s -> 1.6 s at sf0.1 in r12, unlike
+    the dupspan twin where BOTH consumers need positions); the
+    streaming pipeline amortizes the dictionary pass away entirely
+    (boilerplate_read_dictionary)."""
     occ = _positioned_ngrams(df, n, id_col, text_col)
     bp = boilerplate_ngrams(df, n, min_df, id_col, text_col)
     covered = (

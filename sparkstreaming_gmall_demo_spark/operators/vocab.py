@@ -567,9 +567,13 @@ def rare_token_report(
     ever shuffles and no full vocab is collected anywhere.
     """
     cutoff = df.count() * max_df_bp // 10000
+    # localCheckpoint (r12): three plan branches (document frequency,
+    # per-doc distinct counts, the rare semi-join probe) each re-ran
+    # the explode + per-doc distinct over the corpus
     doc_toks = (
         df.select(id_col, lang_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .dropDuplicates([id_col, "token"])
+        .localCheckpoint()
     )
     dfreq = doc_toks.groupBy("token").agg(F.count("*").alias("dfc"))
     rare = dfreq.filter(F.col("dfc") <= cutoff).select("token")
