@@ -70,9 +70,15 @@ def contrastive_pairs(
     near-dup of the anchor are dropped (anti-join on the symmetric
     pair set). Deterministic end to end — same corpus + same pair
     graph + same seed => same triplets, on any partitioning."""
+    # localCheckpoint (r12): the symmetrized pair frame feeds the
+    # positive join AND the negative anti-join; without it the
+    # upstream near-dup pair kernel (quadratic posting join) runs
+    # twice. The frame is pair-graph-sized — small by construction.
     sym = pairs.select(
         F.col("i").alias("anchor"), F.col("j").alias("positive")
-    ).union(pairs.select(F.col("j").alias("anchor"), F.col("i").alias("positive")))
+    ).union(
+        pairs.select(F.col("j").alias("anchor"), F.col("i").alias("positive"))
+    ).localCheckpoint()
     ring = negative_ring(docs, id_col=id_col, seed=seed)
     trip = sym.join(ring, "anchor")
     return trip.join(
