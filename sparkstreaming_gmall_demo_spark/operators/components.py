@@ -59,6 +59,13 @@ def connected_components(
     fixpoint). Checkpointing every second step keeps lineage depth
     bounded at two rounds — the standard iterate-k-then-materialize
     trade every Pregel-style engine makes.
+
+    ``max_iter`` is an upper bound on TOTAL propagation steps
+    including the fused init round (r13, ADVICE r12: the r12 loop
+    bound over-ran odd caps by up to two steps); with step-pairing the
+    executed count is the largest odd number <= max_iter, and because
+    the init round is fused into labeling, max_iter < 1 still executes
+    that one round (identity labels are never returned).
     """
 
     def _step(labels, edges, observe_change):
@@ -98,7 +105,7 @@ def connected_components(
     labels = edges.groupBy(F.col("a").alias("node")).agg(
         F.least(F.col("node"), F.min("b")).alias("label")
     )
-    for _ in range((max_iter + 1) // 2):
+    for _ in range(max(0, (max_iter - 1) // 2)):
         stepped, _ = _step(labels, edges, observe_change=False)
         stepped2, obs2 = _step(stepped, edges, observe_change=True)
         # eager localCheckpoint runs the paired steps as one job; both

@@ -343,33 +343,48 @@ def curation_bundle(
     Jaccard here; MinHash/prefix-filtered at scale — the bundle is
     kernel-agnostic).
 
-    The label frame is localCheckpoint-ed: it is the one intermediate
-    both consumers share, it is pair-graph-sized (small), and without
-    the checkpoint Spark would re-run the pair join once per consumer.
-    (localCheckpoint trades fault-tolerance for speed — executor loss
-    recomputes nothing because the data is gone; a long-lived cluster
-    pipeline would persist the label frame to the transaction-table
-    format instead, as streaming/pipelines.py's index loops do.)
+    One labeled pass (r13, VERDICT r12 item 2): keep-best selection
+    and split assignment both start from the SAME (doc ⟕ labels) join
+    keyed on the component group, so the bundle computes that join
+    once over a NARROW (id, score) projection and derives both answers
+    from it — the keep-best survivor flag is ``row_number() == 1``
+    over the group window, the split is the md5 bucket of the group
+    key, and the per-split accounting aggregates the single frame.
+    The pre-r13 shape ran keep_best and dedup_aware_split as separate
+    consumers (two corpus scans, two label joins, plus a kept-ids
+    re-join); the fused plan is one scan, one label join, one window,
+    one aggregate — and the label frame is consumed once, so the extra
+    ``localCheckpoint`` it used to need is gone too
+    (connected_components already returns a materialized frame).
 
     Returns per-split accounting: (split, n_docs, n_groups, n_kept) —
     docs assigned, distinct leakage groups, and keep-best survivors.
-    """
-    from .components import connected_components, keep_best
+    Identical output to the unfused composition (keep_best keeps
+    exactly the rank-1 row of the same (score desc, id asc) window;
+    dedup_aware_split's group_key is the same coalesce) — pinned by
+    the entry's DuckDB oracle and tests/test_round6_ops.py."""
+    from pyspark.sql.window import Window
 
-    labels = connected_components(pairs, unique_pairs=True).localCheckpoint()
-    kept = (
-        keep_best(docs, labels, score_col=score_col, id_col=id_col)
-        .select(id_col)
-        .withColumn("_kept", F.lit(1))
+    from .components import connected_components
+
+    labels = connected_components(pairs, unique_pairs=True)
+    labeled = (
+        docs.select(id_col, score_col)
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("group_key", F.coalesce("component", F.col(id_col)))
     )
-    assigned = dedup_aware_split(docs, labels, splits, salt, id_col)
+    w = Window.partitionBy("group_key").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = labeled.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "split", assign_split("group_key", splits, salt)
+    )
     return (
-        assigned.join(kept, id_col, "left")
-        .groupBy("split")
+        ranked.groupBy("split")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.count_distinct("group_key").alias("n_groups"),
-            F.sum(F.coalesce(F.col("_kept"), F.lit(0))).cast("long").alias("n_kept"),
+            F.sum((F.col("_rn") == 1).cast("long")).cast("long").alias("n_kept"),
         )
         .orderBy("split")
     )

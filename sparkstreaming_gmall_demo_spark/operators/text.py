@@ -630,12 +630,17 @@ def dup_span_scrub(
     kernel on the fixture corpus."""
     # localCheckpoint (r12): the positioned-gram stream feeds both the
     # canonical-occurrence aggregate and the occurrence join; without
-    # materialization the n-gram explode runs twice over the corpus
-    occ = _positioned_ngrams(df, n, id_col, text_col).localCheckpoint()
+    # materialization the n-gram explode runs twice over the corpus.
+    # hash FIRST (r13, ADVICE r12): when hash_grams is on, the
+    # materialized blocks hold 8-byte xxhash64 values instead of full
+    # n-token gram strings (~n x corpus text bytes in MEMORY_AND_DISK)
+    # — both consumers only ever read the hashed column
+    occ = _positioned_ngrams(df, n, id_col, text_col)
     if hash_grams:
         occ = occ.select(
             id_col, "pos", F.xxhash64("gram").alias("gram")
         )
+    occ = occ.localCheckpoint()
     canon = (
         occ.groupBy("gram")
         .agg(

@@ -324,7 +324,7 @@ def bpe_encode(
 def token_pmi_pairs(
     df: DataFrame,
     vocab: DataFrame,
-    n_docs: int,
+    n_docs: int | None,
     min_cooccur: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -346,13 +346,28 @@ def token_pmi_pairs(
     |V| entries), and pairs are generated per doc with the same array
     combinatorics as the near-dup bucket kernel — text never shuffles,
     and nothing the size of the corpus ever hits a wide key space.
-    Returns (a, b, cooccur, pmi4) with a < b."""
+    Returns (a, b, cooccur, pmi4) with a < b.
+
+    ``n_docs=None`` derives N IN-PLAN as a 1-row count aggregate of
+    ``df`` broadcast-cross-joined into the PMI projection (r13, guide
+    §5: callers used to run a blocking ``df.count()`` before the real
+    query — a separate driver action per build). Same double: the
+    float literal path and the in-plan cast(count as double) agree
+    exactly for any N < 2^53.
+
+    ``per_doc`` is localCheckpoint-ed (r13): THREE plan branches
+    consume it (the pair explode plus the two dfreq broadcast sides),
+    and each used to re-run the corpus tokenize + vocab join +
+    collect_set — the dominant cost. The frame is |docs| rows of
+    <=|V|-entry arrays, exactly the per-doc vocabulary projection a
+    corpus analysis persists (guide §8's materialize-the-proxy trade,
+    same judgement as the r12 winnowing/rare-token materializations)."""
     toks = corpus_tokens(df.select(id_col, text_col), text_col).join(
         F.broadcast(vocab.select("token")), "token"
     )
     per_doc = toks.groupBy(id_col).agg(
         F.sort_array(F.collect_set("token")).alias("ts")
-    )
+    ).localCheckpoint()
     pairs = per_doc.filter(F.size("ts") > 1).select(
         F.explode(
             F.expr(
@@ -372,23 +387,29 @@ def token_pmi_pairs(
         .groupBy("token")
         .agg(F.count("*").alias("dfreq"))
     )
-    return (
+    scored = (
         cab.filter(F.col("cooccur") >= min_cooccur)
         .join(F.broadcast(uni.withColumnRenamed("token", "a").withColumnRenamed("dfreq", "dfa")), "a")
         .join(F.broadcast(uni.withColumnRenamed("token", "b").withColumnRenamed("dfreq", "dfb")), "b")
-        .select(
-            "a",
-            "b",
-            F.col("cooccur").cast("long").alias("cooccur"),
-            F.round(
-                F.log(
-                    F.lit(float(n_docs))
-                    * F.col("cooccur")
-                    / (F.col("dfa") * F.col("dfb"))
-                ),
-                4,
-            ).alias("pmi4"),
-        )
+    )
+    if n_docs is None:
+        nd = df.select(id_col).agg(F.count("*").alias("_ndocs"))
+        scored = scored.join(F.broadcast(nd))
+        n_expr = F.col("_ndocs").cast("double")
+    else:
+        n_expr = F.lit(float(n_docs))
+    return scored.select(
+        "a",
+        "b",
+        F.col("cooccur").cast("long").alias("cooccur"),
+        F.round(
+            F.log(
+                n_expr
+                * F.col("cooccur")
+                / (F.col("dfa") * F.col("dfb"))
+            ),
+            4,
+        ).alias("pmi4"),
     )
 
 

@@ -201,8 +201,18 @@ def ext_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram shingles have bounded frequencies, so the bucket-pair
     # kernel wins here (tokens with stopword skew use the posting
     # self-join instead; prefix_filtered_jaccard_pairs is the path for
-    # larger corpora with long posting lists) — see kernel docstrings
-    return nd_ops.bucket_jaccard_pairs(nd_ops.shingle_sets(docs, 2), 0.5).orderBy("i", "j")
+    # larger corpora with long posting lists) — see kernel docstrings.
+    # The shingle-set frame is localCheckpoint-ed (r13, VERDICT r12
+    # item 3): without it the bucket kernel's explode infers
+    # size(toks) > 0 / isnotnull(toks) predicates that Catalyst pushes
+    # BELOW the spread exchange, re-evaluating the whole
+    # tokenize+shingle+distinct expression on the single-partition
+    # fixture scan (the plan's Filter node carried the shingle CASE
+    # twice) — the materialization makes the shingle pass run exactly
+    # once, parallel, the same trade its containment siblings made in
+    # r12 (guide §2.4/§5).
+    sets = nd_ops.shingle_sets(docs, 2).localCheckpoint()
+    return nd_ops.bucket_jaccard_pairs(sets, 0.5).orderBy("i", "j")
 
 
 MINHASH_SHINGLE_N = 3
@@ -2708,9 +2718,11 @@ def ext_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ordering on both engines."""
     docs = spread_fixture(load_table(spark, sf_dir, "documents"))
     voc = vocab_ops.vocab_build(docs, top_n=PMI_VOCAB_N)
-    n_docs = docs.count()
+    # n_docs=None: N rides the plan as a 1-row count aggregate (r13,
+    # guide §5 — the old docs.count() was a blocking driver action
+    # before the real query started)
     pmi = vocab_ops.token_pmi_pairs(
-        docs, voc, n_docs=n_docs, min_cooccur=PMI_MIN_CO
+        docs, voc, n_docs=None, min_cooccur=PMI_MIN_CO
     )
     return pmi.orderBy(
         F.desc("pmi4"), F.asc("a"), F.asc("b")
@@ -3832,14 +3844,20 @@ def ext_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of three gated kernels (exact Jaccard pairs ->
     connected components -> md5 split buckets); the oracle restates
     the same fixpoint as a recursive transitive closure."""
-    # spread_fixture: tokenize/posting build parallelizes (the
-    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    # spread_fixture on the TOKENIZE branch only (the
+    # ext_jaccard_neardup measurement, applied family-wide in r12);
+    # the split consumer is a narrow id join + agg — no CPU-heavy
+    # per-row kernel — so it reads the plain scan and skips the
+    # repartition exchange the spread would add (r13, guide §2.4)
     docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
     labels = comp_ops.connected_components(pairs, unique_pairs=True)
-    assigned = samp_ops.dedup_aware_split(docs, labels, SPLITS)
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    assigned = samp_ops.dedup_aware_split(docs_plain, labels, SPLITS)
     return (
         assigned.groupBy("split")
         .agg(
@@ -3911,15 +3929,19 @@ def ext_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle on the component label; the oracle restates the
     component fixpoint as a recursive transitive closure plus the same
     argmax window."""
-    # spread_fixture: tokenize/posting build parallelizes (the
-    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    # spread_fixture on the TOKENIZE branch only (r12 measurement);
+    # the keep-best consumer is a narrow (id, score) join + window —
+    # plain scan, no repartition exchange (r13, guide §2.4)
     docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
     labels = comp_ops.connected_components(pairs, unique_pairs=True)
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
     return (
-        comp_ops.keep_best(docs, labels, score_col="n_chars")
+        comp_ops.keep_best(docs_plain, labels, score_col="n_chars")
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
@@ -3969,13 +3991,17 @@ def ext_curation_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split accounting for BOTH consumers (leakage groups + keep-
     best survivors) — the bench row is the evidence the shared path
     costs one graph derivation, not three."""
-    # spread_fixture: tokenize/posting build parallelizes (the
-    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    # spread_fixture on the TOKENIZE branch only (r12 measurement);
+    # the bundle's fused consumer pass reads a narrow (id, score)
+    # projection off the plain scan (r13, guide §2.4)
     docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    return samp_ops.curation_bundle(docs, pairs, SPLITS, score_col="n_chars")
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    return samp_ops.curation_bundle(docs_plain, pairs, SPLITS, score_col="n_chars")
 
 
 # Shared by ext_containment_pairs (exact kernel) and
@@ -4455,14 +4481,18 @@ def ext_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum((size-1) x n_clusters)). Tiny aggs over the label frame plus
     one anti-join; the oracle extends the components transitive
     closure with the same two aggs."""
-    # spread_fixture: tokenize/posting build parallelizes (the
-    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    # spread_fixture on the TOKENIZE branch only (r12 measurement);
+    # the singleton anti-join reads ids off the plain scan — no
+    # repartition exchange on that branch (r13, guide §2.4)
     docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
     labels = comp_ops.connected_components(pairs, unique_pairs=True)
-    return comp_ops.cluster_size_histogram(docs, labels)
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
+    return comp_ops.cluster_size_histogram(docs_plain, labels)
 
 
 SEMANTIC_DECONTAM_EVAL_N = 10
@@ -4965,15 +4995,19 @@ def ext_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept set is engine- and partitioning-portable. Pair kernel
     here is the exact-Jaccard oracle baseline (the MinHash/prefix-
     filtered kernels swap in at scale, same label interface)."""
-    # spread_fixture: tokenize/posting build parallelizes (the
-    # ext_jaccard_neardup measurement, applied family-wide in r12)
+    # spread_fixture on the TOKENIZE branch only (r12 measurement);
+    # the cap-rank consumer is a narrow id join + window — plain
+    # scan, no repartition exchange (r13, guide §2.4)
     docs = spread_fixture(load_table(spark, sf_dir, "documents")).filter(
         F.col("lang") == JACCARD_LANG
     )
     pairs = nd_ops.token_jaccard_pairs(docs, JACCARD_THRESHOLD)
     labels = comp_ops.connected_components(pairs, unique_pairs=True)
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == JACCARD_LANG
+    )
     return samp_ops.cluster_capped_sample(
-        docs, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
+        docs_plain, labels, cap=CLUSTER_CAP, salt=CLUSTER_CAP_SALT
     ).orderBy("doc_id")
 
 
@@ -6052,17 +6086,26 @@ def _minhash_twin_labels(
     """(docs, labels) for the scale-twin entries: organic corpus
     (lang-partitioned like every Jaccard entry) + planted twins,
     labeled by connected components over MinHash+LSH pairs — the
-    100 TB pair kernel, not the exact all-pairs oracle baseline."""
-    organic = (
-        spread_fixture(load_table(spark, sf_dir, "documents"))
-        .filter(F.col("lang") == JACCARD_LANG)
-        .select("doc_id", "text", "n_chars")
-    )
-    docs = organic.unionByName(_planted_twin_docs(spark))
+    100 TB pair kernel, not the exact all-pairs oracle baseline.
+
+    The returned ``docs`` frame (what the keep-best / cap / split
+    consumers join against labels) reads the PLAIN scan: those
+    consumers are narrow joins + windows with no CPU-heavy per-row
+    kernel, so the spread_fixture repartition only the SHINGLE branch
+    needs would be a wasted exchange there (r13, guide §2.4)."""
+    def _docs(base: DataFrame) -> DataFrame:
+        return (
+            base.filter(F.col("lang") == JACCARD_LANG)
+            .select("doc_id", "text", "n_chars")
+            .unionByName(_planted_twin_docs(spark))
+        )
+
+    spread = _docs(spread_fixture(load_table(spark, sf_dir, "documents")))
     pairs = nd_ops.minhash_near_duplicates(
-        docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
+        spread, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
     ).select("i", "j")
-    return docs, comp_ops.connected_components(pairs, unique_pairs=True)
+    plain = _docs(load_table(spark, sf_dir, "documents"))
+    return plain, comp_ops.connected_components(pairs, unique_pairs=True)
 
 
 @_register(
@@ -6189,7 +6232,13 @@ def _bench_leakage_splits_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = nd_ops.minhash_near_duplicates(
         docs, threshold=JACCARD_THRESHOLD, shingle_n=MINHASH_SHINGLE_N
     ).select("i", "j")
-    return samp_ops.curation_bundle(docs, pairs, SPLITS, score_col="n_chars")
+    plain = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == JACCARD_LANG)
+        .select("doc_id", "text", "n_chars")
+        .unionByName(_planted_twin_docs(spark))
+    )
+    return samp_ops.curation_bundle(plain, pairs, SPLITS, score_col="n_chars")
 
 
 PNG_STUB_SAMPLE_DOCS = 8  # organic docs riding along to pin the stub dispatch
