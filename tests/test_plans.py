@@ -71,6 +71,9 @@ def test_no_cartesian_products_anywhere(spark):
         # corpus x broadcast QUERY frame: the pseudo-label batch is
         # bounded by construction (same asymmetry)
         "ext_knn_label_prop",
+        # PMI projection x broadcast 1-row corpus doc count (r13:
+        # N rides the plan instead of a blocking docs.count())
+        "ext_token_pmi",
     }
     for name in REGISTRY:
         if name in single_row_query_joins:
@@ -107,7 +110,10 @@ def test_neardup_shuffles_signatures_not_text(spark):
     )
     assert blocks, "no Exchange detail blocks parsed from plan"
     for cols, args in blocks:
-        if "REPARTITION_BY_NUM" in args:
+        # exemption is EXACTLY the spread_fixture shape (r13 tightening,
+        # ADVICE r12): a numbered repartition keyed on the fixture id —
+        # any other numbered repartition carrying text must still fail
+        if "REPARTITION_BY_NUM" in args and "hashpartitioning(doc_id" in args:
             continue
         assert "text#" not in cols, f"document text crossed a shuffle: [{cols}]"
 
@@ -159,12 +165,17 @@ def test_curation_scans_documents_once(spark):
 
 def test_containment_filtered_probes_prefix_not_all_pairs(spark):
     """ext_containment_pairs_filtered: the candidate join must probe
-    the row_number-bounded rarest-element prefix of the contained side
+    the length-bounded rarest-element prefix of the contained side
     (|A| - ceil(t|A|) + 1), never the full posting list of both sides
     — that prefix filter is the entry's whole claim to 100x survival.
-    No cartesian anywhere."""
+    r13 shape: the prefix is an in-row sort_array + slice after a
+    per-doc aggregate (frequencies from a count-over-token window),
+    replacing the r12 freq-join + per-doc row_number window — assert
+    the slice bound and that NO per-doc sort window remains. No
+    cartesian anywhere."""
     plan = plan_of(spark, "ext_containment_pairs_filtered")
-    assert "row_number" in plan, "prefix row_number window missing"
+    assert "slice(" in plan and "sort_array" in plan, "prefix slice missing"
+    assert "row_number" not in plan, "per-doc row_number window crept back"
     assert "CEIL" in plan.upper(), "prefix length bound missing"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
