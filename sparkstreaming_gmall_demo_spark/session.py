@@ -107,6 +107,14 @@ def get_spark(app_name: str = "gmall-spark-engine", master: str | None = None) -
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Static conf (r13): the janino codegen cache holds 100 classes
+        # by default; a 154-query workload recompiles every generated
+        # stage on every sweep once the cache thrashes. 4096 entries
+        # keeps every plan's codegen warm — a core-count-independent
+        # engine setting (measured both at 8 and 32 cores; see
+        # OPTIMIZATION_r13.md). Runtime-set attempts are silently
+        # skipped by ensure_runtime_confs for driver-owned sessions.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
